@@ -1,0 +1,1450 @@
+"""XPath 1.0 subset engine (lexer, parser, evaluator) over :mod:`dom`.
+
+Covers the XPath surface exercised by the reference's conformance suite
+(/root/reference/tests/test_selector.py, docs/usage.rst): location paths on
+the child/descendant/self/parent/ancestor/sibling/attribute/namespace axes,
+positional + boolean predicates, the XPath 1.0 core function library,
+variables (``$var``), EXSLT ``re:`` and ``set:`` functions, the ``has-class``
+extension, and a global extension-function registry equivalent to
+``parsel.xpathfuncs.set_xpathfunc`` (xpathfuncs.py:16-34).
+
+Known exclusions (documented per SURVEY.md §7.0): ``id()``, ``lang()``,
+``processing-instruction()`` node tests, and the ``preceding``/``following``
+axes are approximated or unsupported; queries are compiled per worker with an
+LRU cache (mirrors the reference's translation cache policy,
+csstranslator.py:130-138).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from functools import lru_cache
+from typing import Any, Callable, Iterator
+
+from .dom import Comment, Document, Element, ProcessingInstruction, _strip_entity_refs
+
+EXSLT_RE_NS = "http://exslt.org/regular-expressions"
+EXSLT_SET_NS = "http://exslt.org/sets"
+XML_NS = "http://www.w3.org/XML/1998/namespace"
+
+
+class XPathError(ValueError):
+    """Any XPath failure; message text is wrapped by the Selector layer."""
+
+
+class XPathSyntaxError(XPathError):
+    pass
+
+
+class XPathEvalError(XPathError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# Node views (text / attribute / namespace nodes)
+# ---------------------------------------------------------------------------
+
+
+class TextNode:
+    __slots__ = ("parent", "slot")
+
+    def __init__(self, parent: Element, slot: int) -> None:
+        self.parent = parent
+        self.slot = slot
+
+    @property
+    def value(self) -> str:
+        if self.slot == 0:
+            return self.parent.text or ""
+        return self.parent.children[self.slot - 1].tail or ""
+
+    def __eq__(self, other: Any) -> bool:
+        return (
+            isinstance(other, TextNode)
+            and other.parent is self.parent
+            and other.slot == self.slot
+        )
+
+    def __hash__(self) -> int:
+        return hash((id(self.parent), self.slot))
+
+
+class AttrNode:
+    __slots__ = ("parent", "name")
+
+    def __init__(self, parent: Element, name: str) -> None:
+        self.parent = parent
+        self.name = name
+
+    @property
+    def value(self) -> str:
+        return self.parent.attrib.get(self.name) or ""
+
+    def __eq__(self, other: Any) -> bool:
+        return (
+            isinstance(other, AttrNode)
+            and other.parent is self.parent
+            and other.name == self.name
+        )
+
+    def __hash__(self) -> int:
+        return hash((id(self.parent), self.name))
+
+
+class NamespaceNode:
+    __slots__ = ("parent", "prefix", "uri")
+
+    def __init__(self, parent: Element, prefix: str | None, uri: str) -> None:
+        self.parent = parent
+        self.prefix = prefix
+        self.uri = uri
+
+    def __eq__(self, other: Any) -> bool:
+        return (
+            isinstance(other, NamespaceNode)
+            and other.parent is self.parent
+            and other.prefix == self.prefix
+        )
+
+    def __hash__(self) -> int:
+        return hash((id(self.parent), self.prefix, "ns"))
+
+
+# ---------------------------------------------------------------------------
+# Node utilities
+# ---------------------------------------------------------------------------
+
+
+def content_sequence(node: Element | Document) -> list[Any]:
+    out: list[Any] = []
+    # ``text == ""`` is a real (explicitly created) empty text node, e.g. the
+    # empty <match> groups of EXSLT re:match; ``None`` means no text node.
+    if isinstance(node, Element) and node.text is not None:
+        out.append(TextNode(node, 0))
+    for i, child in enumerate(node.children):
+        out.append(child)
+        if getattr(child, "tail", None):
+            out.append(TextNode(node, i + 1))  # type: ignore[arg-type]
+    return out
+
+
+def node_parent(node: Any) -> Any:
+    if isinstance(node, (TextNode, AttrNode, NamespaceNode)):
+        return node.parent
+    return getattr(node, "parent", None)
+
+
+def document_root(node: Any) -> Any:
+    cur = node
+    while True:
+        p = node_parent(cur)
+        if p is None:
+            return cur
+        cur = p
+
+
+def make_order_key():
+    """Build a memoizing document-order key function.
+
+    Child indices are looked up through per-parent index maps (O(1) after the
+    first touch) and element keys are memoized, so sorting N nodes costs
+    O(N log N · depth) instead of the naive O(N² · depth). One instance per
+    query evaluation (trees are immutable during a query)."""
+    key_memo: dict[Any, tuple] = {}
+    idx_memo: dict[int, dict[int, int]] = {}
+
+    def child_index(parent: Any, node: Any) -> int:
+        pid = id(parent)
+        m = idx_memo.get(pid)
+        if m is None:
+            m = {id(c): i for i, c in enumerate(parent.children)}
+            idx_memo[pid] = m
+        return m.get(id(node), -1)
+
+    def okey(node: Any) -> tuple:
+        ident = _identity(node)
+        k = key_memo.get(ident)
+        if k is not None:
+            return k
+        if isinstance(node, Document):
+            k = ()
+        elif isinstance(node, AttrNode):
+            k = okey(node.parent) + ((0, list(node.parent.attrib).index(node.name)),)
+        elif isinstance(node, NamespaceNode):
+            k = okey(node.parent) + ((0, 10_000),)
+        elif isinstance(node, TextNode):
+            k = okey(node.parent) + ((1, 2 * node.slot),)
+        else:
+            parent = node_parent(node)
+            if parent is None:
+                k = ()
+            else:
+                idx = child_index(parent, node)
+                k = (okey(parent) + ((1, 2 * idx + 1),)) if idx >= 0 else ()
+        key_memo[ident] = k
+        return k
+
+    return okey
+
+
+def order_key(node: Any) -> tuple:
+    """One-shot document-order key (uncached); prefer make_order_key() for
+    sorting whole node-sets."""
+    return make_order_key()(node)
+
+
+def string_value(node: Any) -> str:
+    if isinstance(node, Element):
+        return node.string_value()
+    if isinstance(node, (TextNode, AttrNode)):
+        return _strip_entity_refs(node.value)
+    if isinstance(node, NamespaceNode):
+        return node.uri
+    if isinstance(node, (Comment, ProcessingInstruction)):
+        return node.text
+    if isinstance(node, Document):
+        return "".join(
+            c.string_value() for c in node.children if isinstance(c, Element)
+        )
+    return str(node)
+
+
+def walk_descendants(node: Any, include_self: bool) -> Iterator[Any]:
+    if include_self:
+        yield node
+    if isinstance(node, (Element, Document)):
+        for item in content_sequence(node):
+            yield from walk_descendants(item, True)
+
+
+def in_scope_namespaces(el: Element) -> dict[str | None, str]:
+    merged: dict[str | None, str] = {}
+    maps = []
+    node: Any = el
+    while isinstance(node, Element):
+        maps.append(node.nsmap)
+        node = node.parent
+    for m in reversed(maps):
+        merged.update(m)
+    merged.setdefault("xml", XML_NS)
+    return merged
+
+
+# ---------------------------------------------------------------------------
+# Lexer
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<num>\d+(?:\.\d*)?|\.\d+)
+  | (?P<str>"[^"]*"|'[^']*')
+  | (?P<dslash>//)
+  | (?P<dcolon>::)
+  | (?P<dotdot>\.\.)
+  | (?P<op2>!=|<=|>=)
+  | (?P<name>[^\W\d][\w.\-]*)
+  | (?P<sym>[()\[\]@,$|+\-=<>*/:.])
+    """,
+    re.VERBOSE | re.UNICODE,
+)
+
+_OPERATOR_NAMES = {"and", "or", "div", "mod"}
+_NODE_TYPES = {"text", "node", "comment", "processing-instruction"}
+# tokens after which a name/'*' is NOT an operator
+_PRECEDING_FOR_OPERAND = {
+    None, "@", "::", "(", "[", ",", "and", "or", "div", "mod", "*", "/", "//",
+    "|", "+", "-", "=", "!=", "<", "<=", ">", ">=", "$", ":",
+}
+
+
+class Token:
+    __slots__ = ("kind", "value")
+
+    def __init__(self, kind: str, value: Any) -> None:
+        self.kind = kind  # num, str, name, op, sym, axis, func, var, eof
+        self.value = value
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"Token({self.kind},{self.value!r})"
+
+
+def tokenize(expr: str) -> list[Token]:
+    tokens: list[Token] = []
+    pos = 0
+    prev: str | None = None
+    n = len(expr)
+    while pos < n:
+        m = _TOKEN_RE.match(expr, pos)
+        if m is None:
+            raise XPathSyntaxError(f"Invalid expression at offset {pos}")
+        pos = m.end()
+        if m.group("ws"):
+            continue
+        if m.group("num"):
+            tokens.append(Token("num", float(m.group("num"))))
+            prev = "num"
+        elif m.group("str") is not None:
+            tokens.append(Token("str", m.group("str")[1:-1]))
+            prev = "str"
+        elif m.group("dslash"):
+            tokens.append(Token("sym", "//"))
+            prev = "//"
+        elif m.group("dcolon"):
+            tokens.append(Token("sym", "::"))
+            prev = "::"
+        elif m.group("dotdot"):
+            tokens.append(Token("sym", ".."))
+            prev = ".."
+        elif m.group("op2"):
+            tokens.append(Token("op", m.group("op2")))
+            prev = m.group("op2")
+        elif m.group("name"):
+            name = m.group("name")
+            if name in _OPERATOR_NAMES and prev not in _PRECEDING_FOR_OPERAND:
+                tokens.append(Token("op", name))
+                prev = name
+            else:
+                tokens.append(Token("name", name))
+                prev = "name"
+        else:
+            sym = m.group("sym")
+            if sym == "*":
+                if prev not in _PRECEDING_FOR_OPERAND and prev is not None:
+                    tokens.append(Token("op", "*"))
+                else:
+                    tokens.append(Token("name", "*"))
+                prev = "*" if tokens[-1].kind == "op" else "name"
+            elif sym in "=<>":
+                tokens.append(Token("op", sym))
+                prev = sym
+            else:
+                tokens.append(Token("sym", sym))
+                prev = sym
+    tokens.append(Token("eof", None))
+    # detect unterminated string literal: a quote char remaining means regex
+    # failed earlier; handled above. Validate balanced quotes cheaply:
+    return tokens
+
+
+# ---------------------------------------------------------------------------
+# AST
+# ---------------------------------------------------------------------------
+
+
+class Node:
+    __slots__ = ()
+
+
+class PathExpr(Node):
+    __slots__ = ("absolute", "abbreviated_root", "steps", "filter_expr")
+
+    def __init__(self, absolute, steps, filter_expr=None, abbreviated_root=False):
+        self.absolute = absolute
+        self.steps = steps
+        self.filter_expr = filter_expr
+        self.abbreviated_root = abbreviated_root
+
+
+class Step(Node):
+    __slots__ = ("axis", "test_kind", "prefix", "local", "predicates")
+
+    def __init__(self, axis, test_kind, prefix, local, predicates):
+        self.axis = axis
+        self.test_kind = test_kind  # "name" | "text" | "node" | "comment" | "pi"
+        self.prefix = prefix
+        self.local = local
+        self.predicates = predicates
+
+
+class BinOp(Node):
+    __slots__ = ("op", "left", "right")
+
+    def __init__(self, op, left, right):
+        self.op = op
+        self.left = left
+        self.right = right
+
+
+class Neg(Node):
+    __slots__ = ("operand",)
+
+    def __init__(self, operand):
+        self.operand = operand
+
+
+class Union(Node):
+    __slots__ = ("parts",)
+
+    def __init__(self, parts):
+        self.parts = parts
+
+
+class Literal(Node):
+    __slots__ = ("value",)
+
+    def __init__(self, value):
+        self.value = value
+
+
+class Variable(Node):
+    __slots__ = ("name",)
+
+    def __init__(self, name):
+        self.name = name
+
+
+class FunctionCall(Node):
+    __slots__ = ("prefix", "name", "args")
+
+    def __init__(self, prefix, name, args):
+        self.prefix = prefix
+        self.name = name
+        self.args = args
+
+
+# ---------------------------------------------------------------------------
+# Parser
+# ---------------------------------------------------------------------------
+
+_AXES = {
+    "child", "descendant", "descendant-or-self", "self", "parent", "ancestor",
+    "ancestor-or-self", "following-sibling", "preceding-sibling", "attribute",
+    "namespace", "following", "preceding",
+}
+
+
+class Parser:
+    def __init__(self, tokens: list[Token]) -> None:
+        self.tokens = tokens
+        self.i = 0
+
+    def peek(self, ahead: int = 0) -> Token:
+        j = min(self.i + ahead, len(self.tokens) - 1)
+        return self.tokens[j]
+
+    def next(self) -> Token:
+        t = self.tokens[self.i]
+        if t.kind != "eof":
+            self.i += 1
+        return t
+
+    def expect_sym(self, sym: str, msg: str | None = None) -> None:
+        t = self.next()
+        if not (t.kind == "sym" and t.value == sym):
+            raise XPathSyntaxError(msg or f"Expected {sym!r}")
+
+    # Expr grammar
+
+    def parse(self) -> Node:
+        node = self.parse_or()
+        if self.peek().kind != "eof":
+            raise XPathSyntaxError("Invalid expression")
+        return node
+
+    def parse_or(self) -> Node:
+        node = self.parse_and()
+        while self.peek().kind == "op" and self.peek().value == "or":
+            self.next()
+            node = BinOp("or", node, self.parse_and())
+        return node
+
+    def parse_and(self) -> Node:
+        node = self.parse_equality()
+        while self.peek().kind == "op" and self.peek().value == "and":
+            self.next()
+            node = BinOp("and", node, self.parse_equality())
+        return node
+
+    def parse_equality(self) -> Node:
+        node = self.parse_relational()
+        while self.peek().kind == "op" and self.peek().value in ("=", "!="):
+            op = self.next().value
+            node = BinOp(op, node, self.parse_relational())
+        return node
+
+    def parse_relational(self) -> Node:
+        node = self.parse_additive()
+        while self.peek().kind == "op" and self.peek().value in ("<", ">", "<=", ">="):
+            op = self.next().value
+            node = BinOp(op, node, self.parse_additive())
+        return node
+
+    def parse_additive(self) -> Node:
+        node = self.parse_multiplicative()
+        while (self.peek().kind == "op" and self.peek().value in ("+",)) or (
+            self.peek().kind == "sym" and self.peek().value in ("+", "-")
+        ):
+            op = self.next().value
+            node = BinOp(op, node, self.parse_multiplicative())
+        return node
+
+    def parse_multiplicative(self) -> Node:
+        node = self.parse_unary()
+        while self.peek().kind == "op" and self.peek().value in ("*", "div", "mod"):
+            op = self.next().value
+            node = BinOp(op, node, self.parse_unary())
+        return node
+
+    def parse_unary(self) -> Node:
+        if self.peek().kind == "sym" and self.peek().value == "-":
+            self.next()
+            return Neg(self.parse_unary())
+        return self.parse_union()
+
+    def parse_union(self) -> Node:
+        node = self.parse_path()
+        parts = [node]
+        while self.peek().kind == "sym" and self.peek().value == "|":
+            self.next()
+            parts.append(self.parse_path())
+        if len(parts) == 1:
+            return node
+        return Union(parts)
+
+    def parse_path(self) -> Node:
+        t = self.peek()
+        # FilterExpr start? variable, literal, number, '(' or function call
+        if t.kind == "sym" and t.value == "$":
+            self.next()
+            name = self._qname_str()
+            fe: Node = Variable(name)
+            return self._path_after_filter(fe)
+        if t.kind in ("str", "num"):
+            self.next()
+            return self._path_after_filter(Literal(t.value))
+        if t.kind == "sym" and t.value == "(":
+            self.next()
+            inner = self.parse_or()
+            self.expect_sym(")")
+            return self._path_after_filter(inner)
+        if t.kind == "name" and t.value not in _AXES and self._is_function_call():
+            prefix, name = self._qname()
+            if name in _NODE_TYPES and prefix is None:
+                pass  # node-type test, fall through to location path
+            else:
+                self.next_qname()
+                self.expect_sym("(")
+                args: list[Node] = []
+                if not (self.peek().kind == "sym" and self.peek().value == ")"):
+                    args.append(self.parse_or())
+                    while self.peek().kind == "sym" and self.peek().value == ",":
+                        self.next()
+                        args.append(self.parse_or())
+                self.expect_sym(")")
+                return self._path_after_filter(FunctionCall(prefix, name, args))
+        return self._parse_location_path()
+
+    def _path_after_filter(self, fe: Node) -> Node:
+        # FilterExpr Predicate* ('/' | '//') RelativeLocationPath
+        predicates: list[Node] = []
+        while self.peek().kind == "sym" and self.peek().value == "[":
+            predicates.append(self._parse_predicate())
+        steps: list[Step] = []
+        if predicates:
+            steps.append(Step("self", "node", None, None, predicates))
+        while self.peek().kind == "sym" and self.peek().value in ("/", "//"):
+            sep = self.next().value
+            if sep == "//":
+                steps.append(Step("descendant-or-self", "node", None, None, []))
+            steps.append(self._parse_step())
+        if not steps:
+            return fe
+        return PathExpr(False, steps, filter_expr=fe)
+
+    def _is_function_call(self) -> bool:
+        # name [':' name] '('
+        j = self.i
+        toks = self.tokens
+        if toks[j].kind != "name":
+            return False
+        k = j + 1
+        if (
+            toks[k].kind == "sym"
+            and toks[k].value == ":"
+            and toks[k + 1].kind == "name"
+        ):
+            k += 2
+        return toks[k].kind == "sym" and toks[k].value == "("
+
+    def _qname(self) -> tuple[str | None, str]:
+        toks = self.tokens
+        j = self.i
+        if (
+            toks[j + 1].kind == "sym"
+            and toks[j + 1].value == ":"
+            and toks[j + 2].kind in ("name",)
+        ):
+            return toks[j].value, toks[j + 2].value
+        return None, toks[j].value
+
+    def next_qname(self) -> tuple[str | None, str]:
+        prefix, name = self._qname()
+        self.next()
+        if prefix is not None:
+            self.next()  # ':'
+            self.next()  # local
+        return prefix, name
+
+    def _qname_str(self) -> str:
+        t = self.next()
+        if t.kind != "name":
+            raise XPathSyntaxError("Expected name")
+        return t.value
+
+    def _parse_location_path(self) -> Node:
+        t = self.peek()
+        steps: list[Step] = []
+        absolute = False
+        if t.kind == "sym" and t.value in ("/", "//"):
+            absolute = True
+            sep = self.next().value
+            if sep == "//":
+                steps.append(Step("descendant-or-self", "node", None, None, []))
+            elif not self._step_start():
+                return PathExpr(True, [], abbreviated_root=True)
+            steps.append(self._parse_step())
+        else:
+            steps.append(self._parse_step())
+        while self.peek().kind == "sym" and self.peek().value in ("/", "//"):
+            sep = self.next().value
+            if sep == "//":
+                steps.append(Step("descendant-or-self", "node", None, None, []))
+            steps.append(self._parse_step())
+        return PathExpr(absolute, steps)
+
+    def _step_start(self) -> bool:
+        t = self.peek()
+        if t.kind == "name":
+            return True
+        if t.kind == "sym" and t.value in ("@", ".", ".."):
+            return True
+        return False
+
+    def _parse_step(self) -> Step:
+        t = self.peek()
+        if t.kind == "sym" and t.value == ".":
+            self.next()
+            return Step("self", "node", None, None, [])
+        if t.kind == "sym" and t.value == "..":
+            self.next()
+            return Step("parent", "node", None, None, [])
+        axis = "child"
+        if t.kind == "sym" and t.value == "@":
+            self.next()
+            axis = "attribute"
+        elif t.kind == "name" and t.value in _AXES:
+            nxt = self.peek(1)
+            if nxt.kind == "sym" and nxt.value == "::":
+                axis = self.next().value
+                self.next()
+        t = self.peek()
+        if t.kind != "name":
+            raise XPathSyntaxError("Invalid expression: expected node test")
+        prefix, local = self._qname()
+        # node type test?
+        if prefix is None and local in _NODE_TYPES:
+            nxt = self.peek(1)
+            if nxt.kind == "sym" and nxt.value == "(":
+                self.next()  # name
+                self.next()  # (
+                if local == "processing-instruction" and self.peek().kind == "str":
+                    self.next()
+                self.expect_sym(")")
+                kind = {"processing-instruction": "pi"}.get(local, local)
+                preds = self._parse_predicates()
+                return Step(axis, kind, None, None, preds)
+        self.next_qname()
+        preds = self._parse_predicates()
+        return Step(axis, "name", prefix, local, preds)
+
+    def _parse_predicates(self) -> list[Node]:
+        preds: list[Node] = []
+        while self.peek().kind == "sym" and self.peek().value == "[":
+            preds.append(self._parse_predicate())
+        return preds
+
+    def _parse_predicate(self) -> Node:
+        self.next()  # '['
+        try:
+            inner = self.parse_or()
+        except XPathSyntaxError as exc:
+            raise XPathSyntaxError("Invalid predicate") from exc
+        t = self.next()
+        if not (t.kind == "sym" and t.value == "]"):
+            raise XPathSyntaxError("Invalid predicate")
+        return inner
+
+
+@lru_cache(maxsize=4096)
+def compile_xpath(expr: str) -> Node:
+    if expr.count('"') % 2 or expr.count("'") % 2:
+        # crude unterminated-literal detection, mirrors lxml's parse failure
+        raise XPathSyntaxError("Invalid expression: unterminated string literal")
+    return Parser(tokenize(expr)).parse()
+
+
+# ---------------------------------------------------------------------------
+# Evaluator
+# ---------------------------------------------------------------------------
+
+# Per-process extension function registry (worker-local state, loaded once per
+# Ray worker; equivalent surface to parsel.xpathfuncs.set_xpathfunc).
+_extension_functions: dict[str, Callable[..., Any]] = {}
+
+
+def set_xpathfunc(fname: str, func: Callable[..., Any] | None) -> None:
+    if func is None:
+        del _extension_functions[fname]
+    else:
+        _extension_functions[fname] = func
+
+
+class FunctionContext:
+    """Shim matching the call signature parsel extension functions expect:
+    ``context.eval_context`` dict + ``context.context_node``
+    (xpathfuncs.py:41-60)."""
+
+    __slots__ = ("eval_context", "context_node")
+
+    def __init__(self, eval_context: dict, context_node: Any) -> None:
+        self.eval_context = eval_context
+        self.context_node = context_node
+
+
+_HTML5_WS_RE = re.compile(r"[\x20\x09\x0a\x0c\x0d]+")
+
+
+def has_class(context: FunctionContext, *classes: str) -> bool:
+    if not context.eval_context.get("args_checked"):
+        if not classes:
+            raise XPathEvalError("has-class must have at least 1 argument")
+        for c in classes:
+            if not isinstance(c, str):
+                raise XPathEvalError("has-class arguments must be strings")
+        context.eval_context["args_checked"] = True
+    node = context.context_node
+    if not isinstance(node, Element):
+        return False
+    node_cls = node.attrib.get("class")
+    if node_cls is None:
+        return False
+    padded = _HTML5_WS_RE.sub(" ", f" {node_cls} ")
+    return all(f" {cls} " in padded for cls in classes)
+
+
+set_xpathfunc("has-class", has_class)
+
+
+def xpath_number_to_string(v: float) -> str:
+    if math.isnan(v):
+        return "NaN"
+    if math.isinf(v):
+        return "Infinity" if v > 0 else "-Infinity"
+    if v == int(v):
+        return str(int(v))
+    return repr(v)
+
+
+def to_string(v: Any) -> str:
+    if isinstance(v, list):
+        if not v:
+            return ""
+        first = min(v, key=order_key) if len(v) > 1 else v[0]
+        return string_value(first)
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        return xpath_number_to_string(v)
+    return str(v)
+
+
+def to_number(v: Any) -> float:
+    if isinstance(v, list):
+        return to_number(to_string(v))
+    if isinstance(v, bool):
+        return 1.0 if v else 0.0
+    if isinstance(v, float):
+        return v
+    try:
+        return float(str(v).strip())
+    except ValueError:
+        return float("nan")
+
+
+def to_bool(v: Any) -> bool:
+    if isinstance(v, list):
+        return bool(v)
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, float):
+        return v == v and v != 0.0
+    return bool(v)
+
+
+class Evaluator:
+    def __init__(
+        self,
+        namespaces: dict[str, str] | None = None,
+        variables: dict[str, Any] | None = None,
+    ) -> None:
+        self.namespaces = namespaces or {}
+        self.variables = variables or {}
+        self.eval_context: dict[str, Any] = {}
+        self.okey = make_order_key()
+
+    # -- entry
+
+    def evaluate(self, ast: Node, context_node: Any) -> Any:
+        return self._eval(ast, context_node, 1, 1)
+
+    def _eval(self, node: Node, ctx: Any, pos: int, size: int) -> Any:
+        if isinstance(node, Literal):
+            return node.value
+        if isinstance(node, Variable):
+            if node.name not in self.variables:
+                raise XPathEvalError(f"Undefined variable: {node.name}")
+            v = self.variables[node.name]
+            if isinstance(v, bool):
+                return v
+            if isinstance(v, (int, float)):
+                return float(v)
+            return v
+        if isinstance(node, Neg):
+            return -to_number(self._eval(node.operand, ctx, pos, size))
+        if isinstance(node, Union):
+            result: list[Any] = []
+            seen: set[Any] = set()
+            for part in node.parts:
+                val = self._eval(part, ctx, pos, size)
+                if not isinstance(val, list):
+                    raise XPathEvalError("Union operand is not a node-set")
+                for n in val:
+                    key = _identity(n)
+                    if key not in seen:
+                        seen.add(key)
+                        result.append(n)
+            result.sort(key=self.okey)
+            return result
+        if isinstance(node, BinOp):
+            return self._eval_binop(node, ctx, pos, size)
+        if isinstance(node, FunctionCall):
+            return self._eval_function(node, ctx, pos, size)
+        if isinstance(node, PathExpr):
+            return self._eval_path(node, ctx, pos, size)
+        raise XPathEvalError(f"Cannot evaluate node {node!r}")
+
+    # -- binary ops
+
+    def _eval_binop(self, node: BinOp, ctx: Any, pos: int, size: int) -> Any:
+        op = node.op
+        if op == "or":
+            return to_bool(self._eval(node.left, ctx, pos, size)) or to_bool(
+                self._eval(node.right, ctx, pos, size)
+            )
+        if op == "and":
+            return to_bool(self._eval(node.left, ctx, pos, size)) and to_bool(
+                self._eval(node.right, ctx, pos, size)
+            )
+        left = self._eval(node.left, ctx, pos, size)
+        right = self._eval(node.right, ctx, pos, size)
+        if op in ("=", "!="):
+            return self._compare_eq(left, right, op == "!=")
+        if op in ("<", ">", "<=", ">="):
+            return self._compare_rel(left, right, op)
+        ln, rn = to_number(left), to_number(right)
+        if op == "+":
+            return ln + rn
+        if op == "-":
+            return ln - rn
+        if op == "*":
+            return ln * rn
+        if op == "div":
+            try:
+                return ln / rn
+            except ZeroDivisionError:
+                if ln == 0:
+                    return float("nan")
+                return float("inf") if ln > 0 else float("-inf")
+        if op == "mod":
+            try:
+                return math.fmod(ln, rn)
+            except ZeroDivisionError:
+                return float("nan")
+        raise XPathEvalError(f"Unknown operator {op}")
+
+    @staticmethod
+    def _compare_eq(left: Any, right: Any, negate: bool) -> bool:
+        def eq(a: Any, b: Any) -> bool:
+            if isinstance(a, bool) or isinstance(b, bool):
+                return to_bool(a) == to_bool(b)
+            if isinstance(a, float) or isinstance(b, float):
+                return to_number(a) == to_number(b)
+            return to_string(a) == to_string(b)
+
+        if isinstance(left, list) and isinstance(right, list):
+            rs = {string_value(n) for n in right}
+            found = any(string_value(n) in rs for n in left)
+            # != over node-sets: exists pair with different values
+            if negate:
+                if not left or not right:
+                    return False
+                ls = {string_value(n) for n in left}
+                return len(ls | rs) > 1 or ls != rs
+            return found
+        if isinstance(left, list) or isinstance(right, list):
+            ns, other = (left, right) if isinstance(left, list) else (right, left)
+            if isinstance(other, bool):
+                res = to_bool(ns) == other
+                return (not res) if negate else res
+            if isinstance(other, float):
+                hit = any(to_number(string_value(n)) == other for n in ns)
+            else:
+                hit = any(string_value(n) == to_string(other) for n in ns)
+            return (not hit) if negate else hit
+        res = eq(left, right)
+        return (not res) if negate else res
+
+    @staticmethod
+    def _compare_rel(left: Any, right: Any, op: str) -> bool:
+        import operator as _op
+
+        fn = {"<": _op.lt, ">": _op.gt, "<=": _op.le, ">=": _op.ge}[op]
+
+        def nums(v: Any) -> list[float]:
+            if isinstance(v, list):
+                return [to_number(string_value(n)) for n in v]
+            return [to_number(v)]
+
+        return any(fn(a, b) for a in nums(left) for b in nums(right))
+
+    # -- location paths
+
+    def _eval_path(self, node: PathExpr, ctx: Any, pos: int, size: int) -> Any:
+        if node.filter_expr is not None:
+            start = self._eval(node.filter_expr, ctx, pos, size)
+            if not isinstance(start, list):
+                # e.g. jmespath-like chaining on scalars is not a node-set
+                start = [start] if start not in (None, "") else []
+            current = list(start)
+        elif node.absolute:
+            root = document_root(ctx)
+            if node.abbreviated_root and not node.steps:
+                return [root]
+            current = [root]
+        else:
+            current = [ctx]
+        for step in node.steps:
+            current = self._eval_step(step, current)
+        return current
+
+    _FORWARD_AXES = frozenset(
+        ("child", "descendant", "descendant-or-self", "self", "attribute",
+         "following-sibling", "following", "namespace")
+    )
+
+    def _eval_step(self, step: Step, context_nodes: list[Any]) -> list[Any]:
+        single = len(context_nodes) == 1
+        forward = step.axis in self._FORWARD_AXES
+        out: list[Any] = []
+        seen: set[Any] = set()
+        ordered = True
+        last_hi: tuple | None = None
+        okey = self.okey
+        for cn in context_nodes:
+            candidates = self._axis_nodes(step.axis, cn)
+            matched = [n for n in candidates if self._node_test(step, n)]
+            for pred in step.predicates:
+                matched = self._apply_predicate(pred, matched)
+            if single:
+                # single context node on a forward axis yields document order
+                # by construction — the hot path needs no sort at all
+                if forward:
+                    return matched
+                out = matched
+                break
+            if not matched:
+                continue
+            if ordered and forward:
+                # disjoint forward expansions of doc-ordered contexts usually
+                # stay ordered; track cheaply and only sort when violated
+                lo = okey(matched[0])
+                if last_hi is not None and lo < last_hi:
+                    ordered = False
+                else:
+                    last_hi = okey(matched[-1])
+            else:
+                ordered = False
+            for n in matched:
+                key = _identity(n)
+                if key not in seen:
+                    seen.add(key)
+                    out.append(n)
+        if not single and not ordered:
+            out.sort(key=okey)
+        return out
+
+    def _apply_predicate(self, pred: Node, nodes: list[Any]) -> list[Any]:
+        result = []
+        total = len(nodes)
+        for idx, n in enumerate(nodes, start=1):
+            val = self._eval(pred, n, idx, total)
+            if isinstance(val, float):
+                if val == idx:
+                    result.append(n)
+            elif to_bool(val):
+                result.append(n)
+        return result
+
+    def _axis_nodes(self, axis: str, node: Any) -> list[Any]:
+        if axis == "child":
+            if isinstance(node, (Element, Document)):
+                return content_sequence(node)
+            return []
+        if axis == "descendant":
+            return list(walk_descendants(node, False))
+        if axis == "descendant-or-self":
+            return list(walk_descendants(node, True))
+        if axis == "self":
+            return [node]
+        if axis == "parent":
+            p = node_parent(node)
+            return [p] if p is not None else []
+        if axis in ("ancestor", "ancestor-or-self"):
+            out = [node] if axis == "ancestor-or-self" else []
+            p = node_parent(node)
+            while p is not None:
+                out.append(p)
+                p = node_parent(p)
+            out.reverse()
+            return out
+        if axis in ("following-sibling", "preceding-sibling"):
+            parent = node_parent(node)
+            if parent is None or isinstance(node, (AttrNode, NamespaceNode)):
+                return []
+            seq = content_sequence(parent)
+            try:
+                idx = next(i for i, s in enumerate(seq) if _identity(s) == _identity(node))
+            except StopIteration:
+                return []
+            if axis == "following-sibling":
+                return seq[idx + 1 :]
+            return list(reversed(seq[:idx]))
+        if axis == "attribute":
+            if isinstance(node, Element):
+                return [AttrNode(node, name) for name in node.attrib]
+            return []
+        if axis == "namespace":
+            if isinstance(node, Element):
+                return [
+                    NamespaceNode(node, p, uri)
+                    for p, uri in in_scope_namespaces(node).items()
+                ]
+            return []
+        if axis in ("following", "preceding"):
+            root = document_root(node)
+            all_nodes = list(walk_descendants(root, True))
+            okey = self.okey
+            my_key = okey(node)
+            if axis == "following":
+                return [
+                    n
+                    for n in all_nodes
+                    if okey(n) > my_key and not _is_ancestor_or_self(node, n)
+                ]
+            return list(
+                reversed(
+                    [
+                        n
+                        for n in all_nodes
+                        if okey(n) < my_key and not _is_ancestor_or_self(n, node)
+                    ]
+                )
+            )
+        raise XPathEvalError(f"Unsupported axis: {axis}")
+
+    def _node_test(self, step: Step, node: Any) -> bool:
+        kind = step.test_kind
+        if kind == "node":
+            if step.axis == "attribute":
+                return isinstance(node, AttrNode)
+            return True
+        if kind == "text":
+            return isinstance(node, TextNode)
+        if kind == "comment":
+            return isinstance(node, Comment)
+        if kind == "pi":
+            return isinstance(node, ProcessingInstruction)
+        # name test; principal node type depends on axis
+        if step.axis == "attribute":
+            if not isinstance(node, AttrNode):
+                return False
+            return self._name_matches(node.name, step)
+        if step.axis == "namespace":
+            if not isinstance(node, NamespaceNode):
+                return False
+            if step.local == "*" and step.prefix is None:
+                return True
+            return node.prefix == step.local
+        if not isinstance(node, Element):
+            return False
+        return self._name_matches(node.tag, step)
+
+    def _name_matches(self, tag: str, step: Step) -> bool:
+        prefix, local = step.prefix, step.local
+        if prefix is None:
+            if local == "*":
+                return True
+            # unprefixed: matches null-namespace names only (XPath 1.0)
+            return tag == local
+        uri = self.namespaces.get(prefix)
+        if uri is None:
+            raise XPathEvalError(f"Undefined namespace prefix: {prefix}")
+        if local == "*":
+            return tag.startswith(f"{{{uri}}}")
+        return tag == f"{{{uri}}}{local}"
+
+    # -- functions
+
+    def _eval_function(self, node: FunctionCall, ctx: Any, pos: int, size: int) -> Any:
+        name = node.name
+        prefix = node.prefix
+        if prefix is not None:
+            uri = self.namespaces.get(prefix)
+            if uri is None:
+                raise XPathEvalError(f"Undefined namespace prefix: {prefix}")
+            args = [self._eval(a, ctx, pos, size) for a in node.args]
+            if uri == EXSLT_RE_NS:
+                return self._exslt_re(name, args)
+            if uri == EXSLT_SET_NS:
+                return self._exslt_set(name, args)
+            raise XPathEvalError(f"Unregistered function: {prefix}:{name}")
+
+        core = _CORE_FUNCTIONS.get(name)
+        if core is not None:
+            return core(self, node.args, ctx, pos, size)
+        ext = _extension_functions.get(name)
+        if ext is not None:
+            args = [self._eval(a, ctx, pos, size) for a in node.args]
+            fctx = FunctionContext(self.eval_context, ctx)
+            result = ext(fctx, *args)
+            if result is None:
+                return ""
+            if isinstance(result, (bool, str, list)):
+                return result
+            if isinstance(result, (int, float)):
+                return float(result)
+            return str(result)
+        raise XPathEvalError(f"Unregistered function: {name}")
+
+    def _exslt_re(self, name: str, args: list[Any]) -> Any:
+        if name == "test":
+            if len(args) < 2:
+                raise XPathEvalError("re:test needs 2 or 3 arguments")
+            s = to_string(args[0])
+            pattern = to_string(args[1])
+            flags = _re_flags(args[2] if len(args) > 2 else "")
+            return re.search(pattern, s, flags) is not None
+        if name == "match":
+            s = to_string(args[0])
+            pattern = to_string(args[1])
+            flag_s = to_string(args[2]) if len(args) > 2 else ""
+            flags = _re_flags(flag_s)
+            doc = Document()
+            container = Element("matches")
+            doc.append(container)
+            if "g" in flag_s:
+                for m in re.finditer(pattern, s, flags):
+                    _append_match_el(container, m.group(0))
+            else:
+                m = re.search(pattern, s, flags)
+                if m is not None:
+                    _append_match_el(container, m.group(0))
+                    for g in m.groups():
+                        _append_match_el(container, g if g is not None else "")
+            return list(container.children)
+        if name == "replace":
+            s = to_string(args[0])
+            pattern = to_string(args[1])
+            flag_s = to_string(args[2]) if len(args) > 2 else ""
+            repl = to_string(args[3]) if len(args) > 3 else ""
+            flags = _re_flags(flag_s)
+            count = 0 if "g" in flag_s else 1
+            return re.sub(pattern, repl.replace("$", "\\"), s, count=count, flags=flags)
+        raise XPathEvalError(f"Unregistered function: re:{name}")
+
+    def _exslt_set(self, name: str, args: list[Any]) -> Any:
+        def ns(v: Any) -> list[Any]:
+            if not isinstance(v, list):
+                raise XPathEvalError(f"set:{name} arguments must be node-sets")
+            return v
+
+        if name == "difference":
+            a, b = ns(args[0]), ns(args[1])
+            b_ids = {_identity(n) for n in b}
+            return [n for n in a if _identity(n) not in b_ids]
+        if name == "intersection":
+            a, b = ns(args[0]), ns(args[1])
+            b_ids = {_identity(n) for n in b}
+            return [n for n in a if _identity(n) in b_ids]
+        if name == "has-same-node":
+            a, b = ns(args[0]), ns(args[1])
+            b_ids = {_identity(n) for n in b}
+            return any(_identity(n) in b_ids for n in a)
+        if name == "leading":
+            a, b = ns(args[0]), ns(args[1])
+            if not b:
+                return []
+            limit = order_key(min(b, key=order_key))
+            return [n for n in a if order_key(n) < limit]
+        if name == "trailing":
+            a, b = ns(args[0]), ns(args[1])
+            if not b:
+                return []
+            limit = order_key(min(b, key=order_key))
+            return [n for n in a if order_key(n) > limit]
+        raise XPathEvalError(f"Unregistered function: set:{name}")
+
+
+def _append_match_el(container: Element, text: str) -> None:
+    el = Element("match")
+    el.text = text
+    container.append(el)
+
+
+def _re_flags(v: Any) -> int:
+    s = to_string(v)
+    flags = 0
+    if "i" in s:
+        flags |= re.IGNORECASE
+    return flags
+
+
+def _identity(node: Any) -> Any:
+    if isinstance(node, (TextNode, AttrNode, NamespaceNode)):
+        return node
+    return id(node)
+
+
+def _is_ancestor_or_self(a: Any, b: Any) -> bool:
+    cur = b
+    while cur is not None:
+        if cur is a:
+            return True
+        cur = node_parent(cur)
+    return False
+
+
+# -- XPath 1.0 core function library ----------------------------------------
+
+
+def _fn_nodeset_arg(ev: Evaluator, args, ctx, pos, size, idx=0) -> list[Any]:
+    if len(args) <= idx:
+        return [ctx]
+    v = ev._eval(args[idx], ctx, pos, size)
+    if not isinstance(v, list):
+        raise XPathEvalError("Expected a node-set argument")
+    return v
+
+
+def _fn_string_arg(ev, args, ctx, pos, size, idx=0) -> str:
+    if len(args) <= idx:
+        return string_value(ctx)
+    return to_string(ev._eval(args[idx], ctx, pos, size))
+
+
+_CORE_FUNCTIONS: dict[str, Callable[..., Any]] = {}
+
+
+def _core(name: str):
+    def deco(fn):
+        _CORE_FUNCTIONS[name] = fn
+        return fn
+
+    return deco
+
+
+@_core("last")
+def _fn_last(ev, args, ctx, pos, size):
+    return float(size)
+
+
+@_core("position")
+def _fn_position(ev, args, ctx, pos, size):
+    return float(pos)
+
+
+@_core("count")
+def _fn_count(ev, args, ctx, pos, size):
+    return float(len(_fn_nodeset_arg(ev, args, ctx, pos, size)))
+
+
+@_core("string")
+def _fn_string(ev, args, ctx, pos, size):
+    return _fn_string_arg(ev, args, ctx, pos, size)
+
+
+@_core("concat")
+def _fn_concat(ev, args, ctx, pos, size):
+    return "".join(to_string(ev._eval(a, ctx, pos, size)) for a in args)
+
+
+@_core("starts-with")
+def _fn_starts_with(ev, args, ctx, pos, size):
+    return _fn_string_arg(ev, args, ctx, pos, size, 0).startswith(
+        _fn_string_arg(ev, args, ctx, pos, size, 1)
+    )
+
+
+@_core("contains")
+def _fn_contains(ev, args, ctx, pos, size):
+    return _fn_string_arg(ev, args, ctx, pos, size, 1) in _fn_string_arg(
+        ev, args, ctx, pos, size, 0
+    )
+
+
+@_core("substring-before")
+def _fn_substring_before(ev, args, ctx, pos, size):
+    s = _fn_string_arg(ev, args, ctx, pos, size, 0)
+    sub = _fn_string_arg(ev, args, ctx, pos, size, 1)
+    i = s.find(sub)
+    return s[:i] if i >= 0 else ""
+
+
+@_core("substring-after")
+def _fn_substring_after(ev, args, ctx, pos, size):
+    s = _fn_string_arg(ev, args, ctx, pos, size, 0)
+    sub = _fn_string_arg(ev, args, ctx, pos, size, 1)
+    i = s.find(sub)
+    return s[i + len(sub) :] if i >= 0 else ""
+
+
+@_core("substring")
+def _fn_substring(ev, args, ctx, pos, size):
+    s = _fn_string_arg(ev, args, ctx, pos, size, 0)
+    start = to_number(ev._eval(args[1], ctx, pos, size))
+    if math.isnan(start):
+        return ""
+    length = (
+        to_number(ev._eval(args[2], ctx, pos, size)) if len(args) > 2 else float("inf")
+    )
+    begin = round(start)
+    end = begin + (round(length) if not math.isinf(length) else len(s) + 1)
+    return "".join(c for i, c in enumerate(s, start=1) if begin <= i < end)
+
+
+@_core("string-length")
+def _fn_string_length(ev, args, ctx, pos, size):
+    return float(len(_fn_string_arg(ev, args, ctx, pos, size)))
+
+
+@_core("normalize-space")
+def _fn_normalize_space(ev, args, ctx, pos, size):
+    return " ".join(_fn_string_arg(ev, args, ctx, pos, size).split())
+
+
+@_core("translate")
+def _fn_translate(ev, args, ctx, pos, size):
+    s = _fn_string_arg(ev, args, ctx, pos, size, 0)
+    src = _fn_string_arg(ev, args, ctx, pos, size, 1)
+    dst = _fn_string_arg(ev, args, ctx, pos, size, 2)
+    table = {}
+    for i, c in enumerate(src):
+        if c not in table:
+            table[c] = dst[i] if i < len(dst) else None
+    return "".join(
+        table.get(c, c) for c in s if not (c in table and table[c] is None)
+    )
+
+
+@_core("boolean")
+def _fn_boolean(ev, args, ctx, pos, size):
+    return to_bool(ev._eval(args[0], ctx, pos, size))
+
+
+@_core("not")
+def _fn_not(ev, args, ctx, pos, size):
+    return not to_bool(ev._eval(args[0], ctx, pos, size))
+
+
+@_core("true")
+def _fn_true(ev, args, ctx, pos, size):
+    return True
+
+
+@_core("false")
+def _fn_false(ev, args, ctx, pos, size):
+    return False
+
+
+@_core("number")
+def _fn_number(ev, args, ctx, pos, size):
+    if not args:
+        return to_number(string_value(ctx))
+    return to_number(ev._eval(args[0], ctx, pos, size))
+
+
+@_core("sum")
+def _fn_sum(ev, args, ctx, pos, size):
+    return float(
+        sum(to_number(string_value(n)) for n in _fn_nodeset_arg(ev, args, ctx, pos, size))
+    )
+
+
+@_core("floor")
+def _fn_floor(ev, args, ctx, pos, size):
+    return float(math.floor(to_number(ev._eval(args[0], ctx, pos, size))))
+
+
+@_core("ceiling")
+def _fn_ceiling(ev, args, ctx, pos, size):
+    return float(math.ceil(to_number(ev._eval(args[0], ctx, pos, size))))
+
+
+@_core("round")
+def _fn_round(ev, args, ctx, pos, size):
+    v = to_number(ev._eval(args[0], ctx, pos, size))
+    if math.isnan(v) or math.isinf(v):
+        return v
+    return float(math.floor(v + 0.5))
+
+
+@_core("name")
+def _fn_name(ev, args, ctx, pos, size):
+    nodes = _fn_nodeset_arg(ev, args, ctx, pos, size)
+    if not nodes:
+        return ""
+    n = min(nodes, key=order_key)
+    if isinstance(n, Element):
+        return n._qualified_name()
+    if isinstance(n, AttrNode):
+        return n.parent._attr_name(n.name)
+    if isinstance(n, NamespaceNode):
+        return n.prefix or ""
+    return ""
+
+
+@_core("local-name")
+def _fn_local_name(ev, args, ctx, pos, size):
+    nodes = _fn_nodeset_arg(ev, args, ctx, pos, size)
+    if not nodes:
+        return ""
+    n = min(nodes, key=order_key)
+    if isinstance(n, Element):
+        return n.local_name
+    if isinstance(n, AttrNode):
+        name = n.name
+        return name.split("}", 1)[1] if name.startswith("{") else name
+    return ""
+
+
+@_core("namespace-uri")
+def _fn_namespace_uri(ev, args, ctx, pos, size):
+    nodes = _fn_nodeset_arg(ev, args, ctx, pos, size)
+    if not nodes:
+        return ""
+    n = min(nodes, key=order_key)
+    if isinstance(n, Element):
+        return n.namespace_uri or ""
+    return ""
