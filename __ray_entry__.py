@@ -1,16 +1,8 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: no
+``ray.init``/``ray.shutdown`` here or in the library code these callables
+use.
 """
 
 from __future__ import annotations
@@ -20,25 +12,47 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: build HTML pages from
+    the documents table, run the parsel-parity CSS/XPath extraction kernel
+    (map_batches over zero-copy Arrow), then vectorized token/quality
+    scoring."""
+    from parsel_ray.functions.text import quality_score, token_stats
+    from parsel_ray.pipelines.queries import _doc_html, _read
+    from parsel_ray.stages.extract import ExtractSpec, SelectorExtract
+
+    sf = "/root/testdata/sf0.001"
+    ds = _read(sf, "documents", ["doc_id", "text", "lang", "source"]).map_batches(
+        _doc_html, batch_format="pyarrow"
+    )
+    extracted = ds.map_batches(
+        SelectorExtract,
+        fn_constructor_kwargs=dict(
+            specs=[
+                ExtractSpec("p_text", "css", "p.t::text", "get"),
+                ExtractSpec("hrefs", "css", "a::attr(href)", "getall"),
+                ExtractSpec("n_imgs", "xpath", "//a/img/@src", "count"),
+            ],
+            input_col="page",
+            doc_type="html",
+        ),
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=2,
+    )
+    scored = extracted.map_batches(
+        lambda t: quality_score(token_stats(t, "p_text"), "p_text"),
+        batch_format="pyarrow",
+    )
+    return scored
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from parsel_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from parsel_ray.pipelines.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

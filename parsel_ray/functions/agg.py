@@ -1,0 +1,127 @@
+"""Partial (combiner) aggregation: the at-scale ``groupby`` pattern.
+
+A bare ``ds.groupby(keys).aggregate(...)`` shuffles every row.  For
+algebraic aggregates (sum/count/min/max) the right shape at 100 TB is:
+combine inside ``map_batches`` (pyarrow ``Table.group_by`` — one output
+row per key per batch), then run the global ``groupby`` over the tiny
+partials.  The all-to-all exchange then moves |keys|·|batches| rows
+instead of |rows|.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+import pyarrow as pa
+from ray.data.aggregate import Sum
+
+
+def partial_sum_groupby(
+    ds,
+    keys: Sequence[str],
+    sum_cols: Mapping[str, str],
+    count_as: str | None = None,
+):
+    """``SELECT keys, sum(col) AS out..., count(*) AS count_as GROUP BY keys``
+    with per-batch pre-aggregation.
+
+    ``sum_cols`` maps input column → output column name.  Returns a Dataset
+    with columns ``keys + list(sum_cols.values()) (+ count_as)``.
+    """
+    keys = list(keys)
+    aggs = [(c, "sum") for c in sum_cols]
+    if count_as:
+        aggs.append(([], "count_all"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t.select(keys)
+        return t.group_by(keys).aggregate(aggs)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    ray_aggs = [Sum(f"{c}_sum", alias_name=out) for c, out in sum_cols.items()]
+    if count_as:
+        ray_aggs.append(Sum("count_all", alias_name=count_as))
+    return partials.groupby(keys).aggregate(*ray_aggs)
+
+
+def partial_agg_groupby(
+    ds,
+    keys: Sequence[str],
+    specs: Sequence[tuple],
+    count_as: str | None = None,
+):
+    """Generalized combiner groupby for algebraic aggregates.
+
+    ``specs``: (input_col, fn, out_name) with fn ∈ {"sum","min","max"}.
+    Per-batch pyarrow pre-aggregation, then a tiny global shuffle.
+    """
+    from ray.data.aggregate import Max, Min
+
+    keys = list(keys)
+    aggs = [(c, f) for c, f, _ in specs]
+    if count_as:
+        aggs.append(([], "count_all"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t.select(keys)
+        return t.group_by(keys).aggregate(aggs)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    merge_cls = {"sum": Sum, "min": Min, "max": Max}
+    ray_aggs = [merge_cls[f](f"{c}_{f}", alias_name=out) for c, f, out in specs]
+    if count_as:
+        ray_aggs.append(Sum("count_all", alias_name=count_as))
+    return partials.groupby(keys).aggregate(*ray_aggs)
+
+
+def grouped_apply(
+    ds,
+    keys,
+    fn,
+    num_partitions: int = 64,
+):
+    """Apply ``fn`` (pandas sub-frame → pandas frame) once per distinct key
+    group — but shuffle into only ``num_partitions`` coarse hash partitions
+    and run the per-key split as an in-partition pandas ``groupby``.
+
+    ``Dataset.groupby(key).map_groups`` dispatches one task per GROUP; with
+    millions of tiny groups (LSH buckets, URL hosts) the per-group overhead
+    dominates.  Coarse-partitioning bounds the task count at
+    ``num_partitions`` while keeping per-key semantics exact (a key never
+    spans partitions: partition = hash(key) % P).
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from .relational import _bucket_of
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        if len(keys) == 1:
+            b = _bucket_of(t[keys[0]], num_partitions)
+        else:
+            h = np.zeros(len(t), dtype=np.uint64)
+            for k in keys:
+                h = h * np.uint64(1000003) + _bucket_of(
+                    t[k], 1 << 30
+                ).to_numpy(zero_copy_only=False).astype(np.uint64)
+            b = pa.array((h % np.uint64(num_partitions)).astype(np.int32))
+        return t.append_column("__part", b)
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["__part"])
+        outs = [fn(sub) for _, sub in g.groupby(keys, sort=True)]
+        outs = [o for o in outs if o is not None and len(o)]
+        if not outs:
+            return pd.DataFrame()
+        return pd.concat(outs, ignore_index=True)
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(per_partition, batch_format="pandas")
+    )

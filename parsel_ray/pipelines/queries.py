@@ -1,0 +1,801 @@
+"""The query suite: every operator family from SURVEY.md §2 exercised as a
+Ray Data pipeline over the driver test tables, each with (where SQL can
+express it) a DuckDB oracle in ``ORACLE_SQL``.
+
+Conventions that keep the Ray result and the SQL oracle hash-identical:
+
+* money / float measures are converted per row to integer cents via
+  ``floor(x * 100 + 0.5)`` — the SAME IEEE double expression in numpy and
+  DuckDB — and summed as int64, so aggregate values don't depend on
+  summation order;
+* every computed column is named identically in both;
+* top-k sorts carry a deterministic tie-break key;
+* float comparisons (cosine) only ever cross the output boundary as ranks
+  or thresholded memberships, never raw floats (except a float64 column
+  documented stable to ~1e-12).
+
+Scale notes are inline per query: which side is broadcast, where the
+shuffle is, what becomes the 100 TB path.
+"""
+
+from __future__ import annotations
+
+import html as _html
+from datetime import datetime
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+from ..functions import dedup as D
+from ..functions.agg import grouped_apply, partial_agg_groupby, partial_sum_groupby
+from ..functions import text as T
+from ..functions.relational import (
+    LazyRef,
+    broadcast_lookup,
+    broadcast_semi_join,
+    hash_bucket_join,
+)
+from ..functions.similarity import (
+    _stack_embeddings,
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    exact_near_dup_pairs,
+)
+from ..stages.extract import ExtractSpec, SelectorExtract
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _cents(x: "np.ndarray | pa.ChunkedArray"):
+    """floor(x*100 + 0.5) as int64 — byte-deterministic money conversion."""
+    if isinstance(x, (pa.ChunkedArray, pa.Array)):
+        x = x.to_numpy(zero_copy_only=False)
+    return np.floor(x * 100.0 + 0.5).astype(np.int64)
+
+
+_CENTS_SQL = "CAST(floor({expr} * 100 + 0.5) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# Relational core
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1 shape: filter → per-batch measure computation (combiner
+    fodder) → groupby(2 keys) aggregate.  The shuffle moves only the
+    4-measure rows; at 100 TB the pre-aggregation inside map_batches keeps
+    the exchange at |keys|·|batches| rows."""
+    cutoff = datetime(1998, 9, 2)
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(cutoff)))
+        ext = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        tax = t["l_tax"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty": t["l_quantity"],
+                "base_cents": pa.array(_cents(ext)),
+                "disc_cents": pa.array(_cents(ext * (1.0 - disc))),
+                "charge_cents": pa.array(_cents(ext * (1.0 - disc) * (1.0 + tax))),
+            }
+        )
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        [
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_shipdate",
+        ],
+    ).map_batches(prep, batch_format="pyarrow")
+    out = partial_sum_groupby(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "qty": "sum_qty",
+            "base_cents": "sum_base_cents",
+            "disc_cents": "sum_disc_cents",
+            "charge_cents": "sum_charge_cents",
+        },
+        count_as="count_order",
+    )
+
+    def post(t: pa.Table) -> pa.Table:
+        n = t["count_order"].to_numpy(zero_copy_only=False).astype(np.float64)
+        avg_qty = t["sum_qty"].to_numpy(zero_copy_only=False) / n
+        return t.append_column("avg_qty", pa.array(avg_qty, pa.float64()))
+
+    return out.map_batches(post, batch_format="pyarrow")
+
+
+Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       SUM(l_quantity) AS sum_qty,
+       CAST(SUM({_CENTS_SQL.format(expr='l_extendedprice')}) AS BIGINT) AS sum_base_cents,
+       CAST(SUM({_CENTS_SQL.format(expr='l_extendedprice * (1.0 - l_discount)')}) AS BIGINT) AS sum_disc_cents,
+       CAST(SUM({_CENTS_SQL.format(expr='l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)')}) AS BIGINT) AS sum_charge_cents,
+       CAST(COUNT(*) AS BIGINT) AS count_order,
+       SUM(l_quantity) / COUNT(*) AS avg_qty
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_orders(sf_dir: str):
+    """Revenue top-10: semi-join via broadcast key set (customer segment),
+    pre-aggregated lineitem revenue, broadcast merge with orders, global
+    sort+limit with deterministic tie-break.  At 100 TB the orders side
+    switches to hash_bucket_join (demonstrated in hash_join_priority)."""
+    seg_date = datetime(1997, 3, 15)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    building = set(
+        cust.filter(lambda r: r["c_mktsegment"] == "BUILDING").unique("c_custkey")
+    )
+    bkeys = ray.put(building)
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"])
+
+    orders_f = broadcast_semi_join(
+        orders.map_batches(
+            lambda t: t.filter(pc.less(t["o_orderdate"], pa.scalar(seg_date))),
+            batch_format="pyarrow",
+        ),
+        bkeys,
+        "o_custkey",
+    )
+    odf = orders_f.to_pandas()  # small after the two filters
+    odf = odf.rename(columns={"o_orderkey": "l_orderkey"})[
+        ["l_orderkey", "o_orderdate", "o_orderpriority"]
+    ]
+    oref = ray.put(odf)
+
+    def rev(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"], pa.scalar(seg_date)))
+        ext = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"l_orderkey": t["l_orderkey"], "rev_cents": pa.array(_cents(ext * (1.0 - disc)))}
+        )
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+    li_rev = partial_sum_groupby(
+        li.map_batches(rev, batch_format="pyarrow"),
+        ["l_orderkey"],
+        {"rev_cents": "revenue_cents"},
+    )
+    joined = broadcast_lookup(li_rev, oref, on="l_orderkey", how="inner", concurrency=2)
+    return joined.sort(
+        ["revenue_cents", "l_orderkey"], descending=[True, False]
+    ).limit(10)
+
+
+Q3_SQL = f"""
+SELECT l_orderkey,
+       CAST(SUM({_CENTS_SQL.format(expr='l_extendedprice * (1.0 - l_discount)')}) AS BIGINT) AS revenue_cents,
+       o_orderdate, o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+     JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-03-15'
+  AND l_shipdate  > TIMESTAMP '1997-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue_cents DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q5_region_revenue(sf_dir: str):
+    """Multi-way join: all dimension sides broadcast (region/nation/
+    supplier/customer — genuinely small), lineitem⋈orders via the
+    partitioned hash join (both sides large at scale), revenue per nation
+    where customer and supplier share the nation."""
+    y0, y1 = datetime(1996, 1, 1), datetime(1997, 1, 1)
+    nation = _read(sf_dir, "nation").to_pandas()
+    region = _read(sf_dir, "region").to_pandas()
+    asia = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    asia = asia[asia["r_name"] == "ASIA"][["n_nationkey", "n_name"]]
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    s_map = ray.put(dict(zip(supp["s_suppkey"], supp["s_nationkey"])))
+    c_map = ray.put(dict(zip(cust["c_custkey"], cust["c_nationkey"])))
+    asia_keys = set(asia["n_nationkey"])
+    name_of = dict(zip(asia["n_nationkey"], asia["n_name"]))
+
+    class LiPrep:
+        def __init__(self, ref):
+            self.s = LazyRef(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            lut = self.s.get()
+            sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
+            snat = np.array([lut.get(k, -1) for k in sk], dtype=np.int64)
+            ext = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+            disc = t["l_discount"].to_numpy(zero_copy_only=False)
+            out = pa.table(
+                {
+                    "orderkey": t["l_orderkey"],
+                    "supp_nation": pa.array(snat),
+                    "rev_cents": pa.array(_cents(ext * (1.0 - disc))),
+                }
+            )
+            mask = pc.is_in(out["supp_nation"], value_set=pa.array(sorted(asia_keys)))
+            return out.filter(mask)
+
+    class OrdPrep:
+        def __init__(self, ref):
+            self.c = LazyRef(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            t = t.filter(
+                pc.and_(
+                    pc.greater_equal(t["o_orderdate"], pa.scalar(y0)),
+                    pc.less(t["o_orderdate"], pa.scalar(y1)),
+                )
+            )
+            lut = self.c.get()
+            ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+            cnat = np.array([lut.get(k, -2) for k in ck], dtype=np.int64)
+            return pa.table(
+                {"orderkey": t["o_orderkey"], "cust_nation": pa.array(cnat)}
+            )
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    ).map_batches(LiPrep(s_map), batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        OrdPrep(c_map), batch_format="pyarrow"
+    )
+    joined = hash_bucket_join(li, orders, on="orderkey", buckets=16)
+    matched = joined.map_batches(
+        lambda df: df[df["supp_nation"] == df["cust_nation"]],
+        batch_format="pandas",
+    )
+    agg = partial_sum_groupby(
+        matched, ["supp_nation"], {"rev_cents": "revenue_cents"}
+    )
+
+    def name(t: pa.Table) -> pa.Table:
+        keys = t["supp_nation"].to_numpy(zero_copy_only=False)
+        names = pa.array([name_of[int(k)] for k in keys], pa.string())
+        return pa.table({"n_name": names, "revenue_cents": t["revenue_cents"]})
+
+    return agg.map_batches(name, batch_format="pyarrow")
+
+
+Q5_SQL = f"""
+SELECT n_name,
+       CAST(SUM({_CENTS_SQL.format(expr='l_extendedprice * (1.0 - l_discount)')}) AS BIGINT) AS revenue_cents
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+def filter_highvalue_orders(sf_dir: str):
+    """Vectorized filter + projection (predicate inside map_batches, not
+    ds.filter(row_fn))."""
+
+    def f(t: pa.Table) -> pa.Table:
+        cents = _cents(t["o_totalprice"])
+        t = t.append_column("o_totalprice_cents", pa.array(cents))
+        return t.filter(
+            pc.greater(t["o_totalprice_cents"], pa.scalar(30_000_00, pa.int64()))
+        ).select(["o_orderkey", "o_totalprice_cents", "o_orderpriority"])
+
+    return _read(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderpriority"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+FILTER_SQL = f"""
+SELECT o_orderkey, {_CENTS_SQL.format(expr='o_totalprice')} AS o_totalprice_cents, o_orderpriority
+FROM orders
+WHERE {_CENTS_SQL.format(expr='o_totalprice')} > 3000000
+"""
+
+
+def distinct_event_types(sf_dir: str):
+    """DISTINCT + count via groupby (one small shuffle)."""
+    return partial_sum_groupby(
+        _read(sf_dir, "events", ["event_type"]), ["event_type"], {}, count_as="n"
+    )
+
+
+DISTINCT_SQL = "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY event_type"
+
+
+def top5_parts(sf_dir: str):
+    """Global sort + limit (top-k) with deterministic tie-break."""
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_partkey": t["p_partkey"],
+                "p_name": t["p_name"],
+                "price_cents": pa.array(_cents(t["p_retailprice"])),
+            }
+        )
+
+    return (
+        _read(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"])
+        .map_batches(prep, batch_format="pyarrow")
+        .sort(["price_cents", "p_partkey"], descending=[True, False])
+        .limit(5)
+    )
+
+
+TOP5_SQL = f"""
+SELECT p_partkey, p_name, {_CENTS_SQL.format(expr='p_retailprice')} AS price_cents
+FROM part ORDER BY price_cents DESC, p_partkey LIMIT 5
+"""
+
+
+def events_hourly(sf_dir: str):
+    """Tumbling-window aggregate: event-time floored to the hour, grouped
+    with the type key.  (Ray Data has no watermarks; windows are derived
+    columns + groupby — ordering assumption documented in SURVEY §2.6.)"""
+
+    def prep(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t["ts"], unit="hour")
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "hour": hour,
+                "value_cents": pa.array(_cents(t["value"])),
+            }
+        )
+
+    ds = (
+        _read(sf_dir, "events", ["ts", "event_type", "value"])
+        .map_batches(prep, batch_format="pyarrow")
+    )
+    return partial_sum_groupby(
+        ds, ["event_type", "hour"], {"value_cents": "sum_value_cents"}, count_as="n"
+    )
+
+
+HOURLY_SQL = f"""
+SELECT event_type, date_trunc('hour', ts) AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM({_CENTS_SQL.format(expr='value')}) AS BIGINT) AS sum_value_cents
+FROM events GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+
+def events_sessionize(sf_dir: str):
+    """Session windows (30-min inactivity gap) per user: partition by key,
+    sort by ts within the group, count gap starts.  The per-user group fits
+    memory by construction (keyed streams); skewed users would be salted by
+    (user_id, day)."""
+    GAP = pd.Timedelta(minutes=30)
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        new_session = (g["ts"].diff() > GAP) | g["ts"].diff().isna()
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_sessions": [np.int64(new_session.sum())],
+                "n_events": [np.int64(len(g))],
+            }
+        )
+
+    return grouped_apply(
+        _read(sf_dir, "events", ["user_id", "ts", "event_id"]),
+        "user_id",
+        sessions,
+        num_partitions=16,
+    )
+
+
+SESSION_SQL = """
+WITH e AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT user_id,
+       CAST(SUM(CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM e GROUP BY user_id
+"""
+
+
+def nation_customer_agg(sf_dir: str):
+    """Broadcast dimension lookup (ray.put once → merge per batch) +
+    aggregate."""
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nat = nat.rename(columns={"n_nationkey": "c_nationkey"})
+    nref = ray.put(nat)
+
+    def prep(t: pa.Table) -> pa.Table:
+        return t.append_column("acctbal_cents", pa.array(_cents(t["c_acctbal"])))
+
+    ds = (
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+        .map_batches(prep, batch_format="pyarrow")
+    )
+    joined = broadcast_lookup(ds, nref, on="c_nationkey", concurrency=2)
+    return partial_sum_groupby(
+        joined, ["n_name"], {"acctbal_cents": "sum_acctbal_cents"}, count_as="n_customers"
+    )
+
+
+NATION_SQL = f"""
+SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM({_CENTS_SQL.format(expr='c_acctbal')}) AS BIGINT) AS sum_acctbal_cents
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def hash_join_priority(sf_dir: str):
+    """Both-sides-large partitioned hash join (explicit bucket shuffle),
+    then aggregate.  This is the 100 TB join path; bucket count bounds
+    per-group memory."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]).map_batches(
+        lambda t: t.rename_columns(["orderkey", "l_quantity"]), batch_format="pyarrow"
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]).map_batches(
+        lambda t: t.rename_columns(["orderkey", "o_orderpriority"]), batch_format="pyarrow"
+    )
+    joined = hash_bucket_join(li, orders, on="orderkey", buckets=16)
+    return partial_sum_groupby(
+        joined, ["o_orderpriority"], {"l_quantity": "sum_qty"}, count_as="n_items"
+    )
+
+
+HASHJOIN_SQL = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items, SUM(l_quantity) AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Extraction (parsel-parity kernels over constructed documents)
+# ---------------------------------------------------------------------------
+
+
+def _doc_html(batch: pa.Table) -> pa.Table:
+    """Deterministic HTML built from document columns (escaped), so CSS/
+    XPath extraction must round-trip the source values exactly."""
+    ids = batch["doc_id"].to_pylist()
+    texts = batch["text"].to_pylist()
+    langs = batch["lang"].to_pylist()
+    srcs = batch["source"].to_pylist()
+    pages = [
+        (
+            f'<html><body><div id="d{i}" data-lang="{_html.escape(lg, quote=True)}"'
+            f' data-source="{_html.escape(sc, quote=True)}">'
+            f'<p class="t">{_html.escape(tx)}</p></div>'
+            + "".join(
+                f'<a href="http://site/{i}/{j}"><img src="http://img/{i}/{j}.jpg"/></a>'
+                for j in range(i % 5 + 1)
+            )
+            + "</body></html>"
+        )
+        for i, tx, lg, sc in zip(ids, texts, langs, srcs)
+    ]
+    return pa.table({"doc_id": batch["doc_id"], "page": pa.array(pages, pa.string())})
+
+
+def extract_attr_roundtrip(sf_dir: str):
+    """CSS ::attr / ::text and XPath @attr extraction round-trip: the
+    constructed page carries lang/source/text; extraction must return them
+    byte-identically (entity escaping handled by the DOM layer —
+    reference semantics utils.py:68-94, selector.py:699-721)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"]).map_batches(
+        _doc_html, batch_format="pyarrow"
+    )
+    return ds.map_batches(
+        SelectorExtract(specs=[
+                ExtractSpec("data_lang", "css", "div::attr(data-lang)", "get"),
+                ExtractSpec("data_source", "xpath", "//div/@data-source", "get"),
+                ExtractSpec("p_text", "css", "p.t::text", "get"),
+            ],
+            input_col="page",
+            doc_type="html",),
+        batch_format="pyarrow",
+        batch_size=512,
+    )
+
+
+ATTR_SQL = "SELECT doc_id, lang AS data_lang, source AS data_source, text AS p_text FROM documents"
+
+
+def extract_links(sf_dir: str):
+    """Link/image extraction fan-out: count + first-match terminals
+    (SelectorList.get/getall semantics, selector.py:249-275)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"]).map_batches(
+        _doc_html, batch_format="pyarrow"
+    )
+    return ds.map_batches(
+        SelectorExtract(specs=[
+                ExtractSpec("n_links", "css", "a::attr(href)", "count"),
+                ExtractSpec("first_href", "css", "a::attr(href)", "get"),
+                ExtractSpec("n_imgs", "xpath", "//a/img/@src", "count"),
+                ExtractSpec("first_img", "xpath", '//a/img/@src', "get"),
+            ],
+            input_col="page",
+            doc_type="html",),
+        batch_format="pyarrow",
+        batch_size=512,
+    )
+
+
+LINKS_SQL = """
+SELECT doc_id,
+       CAST(doc_id % 5 + 1 AS BIGINT) AS n_links,
+       'http://site/' || doc_id || '/0' AS first_href,
+       CAST(doc_id % 5 + 1 AS BIGINT) AS n_imgs,
+       'http://img/' || doc_id || '/0.jpg' AS first_img
+FROM documents
+"""
+
+
+def extract_regex_first(sf_dir: str):
+    """Selector.re_first over type="text" selectors (utils.py:68-94 policy:
+    single group → group matches)."""
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        SelectorExtract(specs=[ExtractSpec("kw", "re", r"\b(scan|merge|join)\b", "re_first")],
+            input_col="text",
+            doc_type="text",),
+        batch_format="pyarrow",
+        batch_size=2048,
+    )
+
+
+REGEX_SQL = r"""
+SELECT doc_id, nullif(regexp_extract(text, '\b(scan|merge|join)\b', 1), '') AS kw
+FROM documents
+"""
+
+
+def jmespath_props(sf_dir: str):
+    """JMESPath over a JSON column (Selector type sniffing → json,
+    selector.py:301-347; jmespath query selector.py:520-560)."""
+    return _read(sf_dir, "events", ["event_id", "props"]).map_batches(
+        SelectorExtract(specs=[ExtractSpec("k_str", "jmespath", "k", "get")],
+            input_col="props",
+            doc_type="json",),
+        batch_format="pyarrow",
+        batch_size=4096,
+    )
+
+
+JMES_SQL = "SELECT event_id, json_extract_string(props, '$.k') AS k_str FROM events"
+
+
+# ---------------------------------------------------------------------------
+# Text analysis / fingerprinting / dedup
+# ---------------------------------------------------------------------------
+
+
+def doc_token_stats(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        T.token_stats, batch_format="pyarrow"
+    )
+    return ds.select_columns(["doc_id", "n_tokens", "n_punct", "n_stopwords"])
+
+
+TOKEN_SQL = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[.!?,;:]')) AS BIGINT) AS n_punct,
+       CAST(len(regexp_extract_all(text, '\b(?:the|a|and|of|to|in|is|it)\b')) AS BIGINT) AS n_stopwords
+FROM documents
+"""
+
+
+def dedup_exact(sf_dir: str):
+    """Exact dedup: md5 fingerprint → hash-partitioned groupby → first-wins
+    (min doc_id).  Per-batch pre-dedup keeps the shuffle at one row per
+    distinct hash per batch."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda t: T.fingerprint(t).select(["doc_id", "fingerprint"]),
+        batch_format="pyarrow",
+    )
+
+    return partial_agg_groupby(ds, ["fingerprint"], [("doc_id", "min", "doc_id")])
+
+
+DEDUP_SQL = r"""
+SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+       md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+FROM documents GROUP BY 2
+"""
+
+
+def embedding_knn(sf_dir: str):
+    """Exact cosine top-5 for 10 query vectors: broadcast query matrix →
+    per-batch matmul partial top-k → tiny merge.  Output is rank-only
+    (floats never cross the compare boundary)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    mask = pc.less(t["vec_id"], pa.scalar(10, pa.int64()))
+    qt = t.filter(mask)
+    qmat = _stack_embeddings(qt["embedding"])
+    norms = np.linalg.norm(qmat, axis=1)
+    norms[norms == 0] = 1.0
+    qref = ray.put(
+        {"ids": qt["vec_id"].to_numpy(zero_copy_only=False), "mat": qmat / norms[:, None]}
+    )
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = brute_force_topk(ds, qref, k=5, concurrency=2)
+    return out.select_columns(["query_id", "neighbor_id", "rank"])
+
+
+KNN_SQL = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+s AS (
+  SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS cosine
+  FROM q CROSS JOIN embeddings e
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM s
+) WHERE rank <= 5
+"""
+
+
+def embedding_near_dup(sf_dir: str):
+    """EXACT cosine-threshold duplicate pairs (blocked all-pairs matmul as
+    raw Ray tasks — the correctness oracle; the LSH-bucketed variant below
+    is the at-scale path).  Pair set crosses the boundary as memberships,
+    not floats."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    pairs = exact_near_dup_pairs(ds, threshold=0.4)
+    return pairs.select(["id_a", "id_b"])
+
+
+NEARDUP_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
+"""
+
+
+# -- rows-only (non-SQL-expressible) --------------------------------------
+
+
+def dedup_minhash(sf_dir: str, threshold: float = 0.8):
+    """MinHash+LSH near-dup dedup: signature → banded buckets → estimated
+    Jaccard pairs → components → survivors (min id per component)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    sigs = ds.map_batches(
+        D.MinHasher(col="text", num_perm=64, k=5),
+        batch_format="pyarrow",
+        batch_size=1024,
+    ).select_columns(["doc_id", "sig"])
+    bands = sigs.map_batches(
+        lambda t: D.emit_band_rows(t, "doc_id", bands=16, rows_per_band=4),
+        batch_format="pyarrow",
+    )
+    pairs = D.lsh_candidate_pairs(bands, "doc_id", threshold, num_partitions=64)
+    pdf = pairs.to_pandas().drop_duplicates(["id_a", "id_b"])
+    comp = D.union_find_components(pdf)
+    ids = ds.select_columns(["doc_id"]).to_pandas()["doc_id"]
+    survivors = [i for i in ids if comp.get(i, i) == i]
+    return pa.table({"doc_id": pa.array(sorted(survivors), pa.int64())})
+
+
+def dedup_simhash(sf_dir: str):
+    """SimHash fingerprints + exact-fingerprint duplicate groups."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        D.SimHasher(col="text"),
+        batch_format="pyarrow", batch_size=2048,
+    ).select_columns(["doc_id", "simhash"])
+    return partial_agg_groupby(
+        ds, ["simhash"], [("doc_id", "min", "doc_id")], count_as="group_size"
+    )
+
+
+def langid_guess(sf_dir: str):
+    """Trigram-profile language ID (rows-only; heuristic)."""
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        T.LangId(col="text"),
+        batch_format="pyarrow", batch_size=2048,
+    ).select_columns(["doc_id", "lang_guess"])
+
+
+def doc_rolling_fingerprint(sf_dir: str):
+    """Rolling-hash (content-defined) document fingerprint."""
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda t: T.rolling_fingerprint(t), batch_format="pyarrow",
+    ).select_columns(["doc_id", "rhash"])
+
+
+def embedding_near_dup_lsh(sf_dir: str):
+    """LSH-bucketed near-dup pairs — the 100 TB path (approximate recall)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_near_dup_pairs(ds, dim=64, threshold=0.4, bits=6).select_columns(
+        ["id_a", "id_b"]
+    )
+
+
+def doc_quality(sf_dir: str):
+    """Quality scoring for pretraining filtering (rows-only)."""
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        T.quality_score, batch_format="pyarrow",
+    ).select_columns(["doc_id", "quality"])
+
+
+# ---------------------------------------------------------------------------
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_top_orders": q3_top_orders,
+    "q5_region_revenue": q5_region_revenue,
+    "filter_highvalue_orders": filter_highvalue_orders,
+    "distinct_event_types": distinct_event_types,
+    "top5_parts": top5_parts,
+    "events_hourly": events_hourly,
+    "events_sessionize": events_sessionize,
+    "nation_customer_agg": nation_customer_agg,
+    "hash_join_priority": hash_join_priority,
+    "extract_attr_roundtrip": extract_attr_roundtrip,
+    "extract_links": extract_links,
+    "extract_regex_first": extract_regex_first,
+    "jmespath_props": jmespath_props,
+    "doc_token_stats": doc_token_stats,
+    "dedup_exact": dedup_exact,
+    "embedding_knn": embedding_knn,
+    "embedding_near_dup": embedding_near_dup,
+    # rows-only (non-SQL-expressible)
+    "dedup_minhash": dedup_minhash,
+    "dedup_simhash": dedup_simhash,
+    "langid_guess": langid_guess,
+    "doc_rolling_fingerprint": doc_rolling_fingerprint,
+    "embedding_near_dup_lsh": embedding_near_dup_lsh,
+    "doc_quality": doc_quality,
+}
+
+ORACLE_SQL = {
+    "q1_pricing_summary": Q1_SQL,
+    "q3_top_orders": Q3_SQL,
+    "q5_region_revenue": Q5_SQL,
+    "filter_highvalue_orders": FILTER_SQL,
+    "distinct_event_types": DISTINCT_SQL,
+    "top5_parts": TOP5_SQL,
+    "events_hourly": HOURLY_SQL,
+    "events_sessionize": SESSION_SQL,
+    "nation_customer_agg": NATION_SQL,
+    "hash_join_priority": HASHJOIN_SQL,
+    "extract_attr_roundtrip": ATTR_SQL,
+    "extract_links": LINKS_SQL,
+    "extract_regex_first": REGEX_SQL,
+    "jmespath_props": JMES_SQL,
+    "doc_token_stats": TOKEN_SQL,
+    "dedup_exact": DEDUP_SQL,
+    "embedding_knn": KNN_SQL,
+    "embedding_near_dup": NEARDUP_SQL,
+}

@@ -1,0 +1,248 @@
+"""Ray Data layer tests: extraction stage, relational helpers, dedup,
+similarity, text kernels — the map_batches path must agree row-wise with
+the single-process Selector oracle (SURVEY.md §5 t2)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import parsel_ray
+from parsel_ray.functions import dedup as D
+from parsel_ray.functions import text as T
+from parsel_ray.functions.relational import (
+    broadcast_lookup,
+    broadcast_semi_join,
+    hash_bucket_join,
+)
+from parsel_ray.stages.extract import ExtractSpec, SelectorExtract, explode_list_column
+
+DOCS = [
+    '<html><body><a href="http://a/1">one</a><a href="http://a/2">two</a>'
+    "<p>hello &amp; goodbye</p></body></html>",
+    '<html><body><a href="http://b/1">uno</a><p class="x">seg&#xf3;n</p></body></html>',
+    "<html><body><p>nothing here</p></body></html>",
+]
+
+
+def _batch(docs=DOCS):
+    return pa.table({"doc_id": list(range(len(docs))), "text": docs})
+
+
+class TestSelectorExtractKernel:
+    """Kernel applied directly to an Arrow batch (no Ray needed)."""
+
+    def test_getall_matches_selector_oracle(self):
+        stage = SelectorExtract(
+            [ExtractSpec("hrefs", "css", "a::attr(href)", "getall")], input_col="text"
+        )
+        out = stage(_batch())
+        expect = [
+            parsel_ray.Selector(text=d).css("a::attr(href)").getall() for d in DOCS
+        ]
+        assert out["hrefs"].to_pylist() == expect
+        assert out.schema.field("hrefs").type == pa.list_(pa.string())
+
+    def test_get_first_and_null(self):
+        stage = SelectorExtract(
+            [ExtractSpec("first", "css", "a::attr(href)", "get")], input_col="text"
+        )
+        out = stage(_batch())
+        assert out["first"].to_pylist() == ["http://a/1", "http://b/1", None]
+
+    def test_count_terminal(self):
+        stage = SelectorExtract(
+            [ExtractSpec("n", "xpath", "//a", "count")], input_col="text"
+        )
+        assert stage(_batch())["n"].to_pylist() == [2, 1, 0]
+
+    def test_text_entities_roundtrip(self):
+        stage = SelectorExtract(
+            [ExtractSpec("p", "css", "p::text", "get")], input_col="text"
+        )
+        out = stage(_batch())["p"].to_pylist()
+        assert out[0] == "hello & goodbye"
+        assert out[1] == "segón"
+
+    def test_regex_spec(self):
+        stage = SelectorExtract(
+            [ExtractSpec("word", "re", r"href=\"http://(\w)/", "re_first")],
+            input_col="text",
+        )
+        assert stage(_batch())["word"].to_pylist() == ["a", "b", None]
+
+    def test_bytes_input_and_encoding(self):
+        docs = pa.table(
+            {
+                "body": [DOCS[0].encode("utf-8"), "segón".encode("iso-8859-1")],
+                "encoding": ["utf-8", "iso-8859-1"],
+            }
+        )
+        stage = SelectorExtract(
+            [ExtractSpec("t", "xpath", "string(//p)", "get")],
+            input_col="body",
+            encoding_col="encoding",
+        )
+        out = stage(docs)["t"].to_pylist()
+        assert out[0] == "hello & goodbye"
+        assert out[1] == "segón"
+
+    def test_null_doc_row(self):
+        b = pa.table({"text": pa.array([DOCS[0], None], pa.string())})
+        stage = SelectorExtract(
+            [ExtractSpec("n", "xpath", "//a", "count")], input_col="text"
+        )
+        assert stage(b)["n"].to_pylist() == [2, None]
+
+    def test_json_jmespath(self):
+        b = pa.table({"j": ['{"a": {"b": 3}}', '{"a": {"b": "s"}}']})
+        stage = SelectorExtract(
+            [ExtractSpec("v", "jmespath", "a.b", "get")], input_col="j", doc_type="json"
+        )
+        assert stage(b)["v"].to_pylist() == ["3", "s"]
+
+    def test_explode(self):
+        stage = SelectorExtract(
+            [ExtractSpec("hrefs", "css", "a::attr(href)")],
+            input_col="text",
+            keep_input=True,
+        )
+        out = explode_list_column(stage(_batch()), "hrefs", "href")
+        assert out["href"].to_pylist() == ["http://a/1", "http://a/2", "http://b/1"]
+        assert out["doc_id"].to_pylist() == [0, 0, 1]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRayPipelines:
+    def test_extract_in_map_batches(self):
+        import ray.data as rd
+
+        ds = rd.from_arrow(_batch()).map_batches(
+            SelectorExtract,
+            fn_constructor_kwargs=dict(
+                specs=[ExtractSpec("hrefs", "css", "a::attr(href)")], input_col="text"
+            ),
+            batch_format="pyarrow",
+            concurrency=1,
+        )
+        got = {r["doc_id"]: r["hrefs"] for r in ds.take_all()}
+        assert got[0] == ["http://a/1", "http://a/2"]
+        assert got[2] == []
+
+    def test_hash_bucket_join_matches_pandas(self):
+        import ray.data as rd
+
+        rng = np.random.RandomState(3)
+        left = pd.DataFrame({"k": rng.randint(0, 50, 200), "x": np.arange(200)})
+        right = pd.DataFrame({"k": np.arange(0, 60, 2), "y": np.arange(30)})
+        out = (
+            hash_bucket_join(rd.from_pandas(left), rd.from_pandas(right), on="k", buckets=4)
+            .to_pandas()
+            .sort_values(["k", "x", "y"])
+            .reset_index(drop=True)
+        )
+        want = (
+            left.merge(right, on="k")
+            .sort_values(["k", "x", "y"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            out[["k", "x", "y"]], want[["k", "x", "y"]], check_dtype=False
+        )
+        assert out["x"].dtype == np.int64  # no float upcast from the union
+
+    def test_broadcast_lookup_and_semi_join(self):
+        import ray
+        import ray.data as rd
+
+        big = rd.from_pandas(pd.DataFrame({"k": [1, 2, 3, 4], "v": list("abcd")}))
+        small = ray.put(pd.DataFrame({"k": [2, 4], "name": ["two", "four"]}))
+        out = broadcast_lookup(big, small, on="k", concurrency=1).to_pandas()
+        assert sorted(out["name"]) == ["four", "two"]
+        keys = ray.put({1, 3})
+        semi = broadcast_semi_join(big, keys, "k", concurrency=1).to_pandas()
+        assert sorted(semi["k"]) == [1, 3]
+        anti = broadcast_semi_join(big, keys, "k", anti=True, concurrency=1).to_pandas()
+        assert sorted(anti["k"]) == [2, 4]
+
+
+class TestTextKernels:
+    def test_token_stats(self):
+        b = pa.table({"text": ["the cat sat, on a mat.", "", "one"]})
+        out = T.token_stats(b)
+        assert out["n_tokens"].to_pylist() == [6, 0, 1]
+        assert out["n_punct"].to_pylist() == [2, 0, 0]
+        assert out["n_stopwords"].to_pylist() == [2, 0, 0]
+
+    def test_fingerprint_normalization(self):
+        b = pa.table({"text": ["  Hello   World ", "hello world"]})
+        out = T.fingerprint(b)
+        assert out["fingerprint"][0].as_py() == out["fingerprint"][1].as_py()
+
+    def test_rolling_fingerprint_shift_invariant_window(self):
+        # identical 16-byte windows anywhere in the doc → same min-hash
+        b = pa.table(
+            {"text": ["prefix AAAAAAAAAAAAAAAA suffix", "AAAAAAAAAAAAAAAA"]}
+        )
+        out = T.rolling_fingerprint(b, window=16)
+        # doc 2's only window is doc 1's minimum candidate set member;
+        # min over doc1 windows ≤ that value
+        assert out["rhash"][0].as_py() is not None
+
+    def test_langid_cjk(self):
+        li = T.LangId()
+        b = pa.table({"text": ["the cat and the dog of the house", "这是一个中文句子这是一个中文句子"]})
+        out = li(b)
+        assert out["lang_guess"].to_pylist()[0] == "en"
+        assert out["lang_guess"].to_pylist()[1] == "zh"
+
+
+class TestDedupKernels:
+    def test_shingle_hashes_deterministic(self):
+        a = D.shingle_hashes("hello world hello", 5)
+        b = D.shingle_hashes("hello world hello", 5)
+        assert np.array_equal(a, b)
+        assert len(a) == len(set(a.tolist()))
+
+    def test_minhash_similarity_ordering(self):
+        a_, b_ = D._perm_params(128)
+        s1 = D.minhash_signature(D.shingle_hashes("the quick brown fox jumps"), a_, b_)
+        s2 = D.minhash_signature(D.shingle_hashes("the quick brown fox jumped"), a_, b_)
+        s3 = D.minhash_signature(D.shingle_hashes("completely different text!"), a_, b_)
+        near = (s1 == s2).mean()
+        far = (s1 == s3).mean()
+        assert near > far
+        assert near > 0.5
+
+    def test_identical_docs_same_signature(self):
+        mh = D.MinHasher()
+        b = pa.table({"doc_id": [1, 2], "text": ["same text here", "same text here"]})
+        out = mh(b)
+        assert out["sig"][0].as_py() == out["sig"][1].as_py()
+
+    def test_union_find(self):
+        pairs = pd.DataFrame({"id_a": [1, 2, 10], "id_b": [2, 3, 11]})
+        comp = D.union_find_components(pairs)
+        assert comp[3] == 1 and comp[2] == 1 and comp[11] == 10
+
+    def test_simhash_near_far(self):
+        sh = D.SimHasher()
+        b = pa.table(
+            {
+                "text": [
+                    "the quick brown fox jumps over the lazy dog",
+                    "the quick brown fox jumps over the lazy cat",
+                    "entirely unrelated words about spacecraft telemetry",
+                ]
+            }
+        )
+        h = sh(b)["simhash"].to_pylist()
+        def ham(x, y):
+            return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+        assert ham(h[0], h[1]) < ham(h[0], h[2])
+
+    def test_ngram_jaccard(self):
+        assert D.ngram_jaccard("abcdefgh", "abcdefgh") == 1.0
+        assert D.ngram_jaccard("abcdefgh", "zzzzzzzz") == 0.0
