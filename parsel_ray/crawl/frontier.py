@@ -1,0 +1,457 @@
+"""Distributed crawl frontier: K host-sharded stateful actors (cuckoo
+seen-set + token buckets + robots cache + pending queue) around a Ray
+Data fetch+extract stage, in epoch-BSP rounds whose pop order and seen
+set byte-match :func:`parsel_ray.crawl.oracle.oracle_crawl` at ANY
+parallelism (crawl operators N2-N6, N11, N13).
+
+Determinism recipe (same as the oracle, see oracle.py docstring):
+priority key (depth, url); per-shard insert sequences pinned by sorting
+the epoch's links by (parent_depth, parent_url, link_index) before
+routing; K fixed in the config (scale nodes, not shard count).
+
+Scale notes: the fetch+extract stage is a plain Dataset ``map_batches``
+over the epoch's grants — extraction parallelism is independent of host
+skew (a hot host's pages spread over all workers; its FETCH rate is
+bounded by its token bucket by design, so hot-host splitting cannot
+raise fetch throughput — it only parallelizes extraction, which this
+layout already does).  Frontier actors do O(links) dict/filter work per
+epoch — they are coordination, not compute.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+
+from ..state.cuckoo import CuckooFilter
+from ..state.robots import RobotsCache
+from ..state.tokenbucket import TokenBuckets
+from .extract import extract_page
+from .oracle import CrawlConfig, CrawlResult, shard_of
+from .pagestore import PageStore, make_seeds
+from .urlnorm import canonical_url, host_of, path_of
+
+IMAGE_SCHEMA = pa.schema(
+    [
+        ("image_id", pa.string()),
+        ("bytes", pa.binary()),
+        ("w", pa.int32()),
+        ("h", pa.int32()),
+        ("fmt", pa.string()),
+        ("caption", pa.string()),
+        ("phash", pa.int64()),
+    ]
+)
+
+
+@ray.remote
+class FrontierShard:
+    """One shard: seen-set segment + politeness + robots + pending queue.
+
+    Hosts are fully contained in one shard (shard = fnv(host) % K), so
+    per-host budgets and the seen set need no cross-shard coordination.
+    """
+
+    def __init__(self, shard_id: int, cfg: CrawlConfig) -> None:
+        self.shard_id = shard_id
+        self.cfg = cfg
+        store = PageStore(cfg.store)
+        self.filter = CuckooFilter(cfg.filter_capacity)
+        self.buckets = TokenBuckets(cfg.bucket_capacity, cfg.bucket_refill)
+        self.robots = RobotsCache(store.robots_txt)
+        self.pending: list[tuple[int, str]] = []
+        self.seen: list[str] = []  # exact dump for verification artifacts
+        self.metrics = {"granted": 0, "dup_skipped": 0, "robots_blocked": 0,
+                        "depth_dropped": 0, "admitted": 0}
+
+    # -- admission (links arrive pre-canonicalized, pre-sorted) -----------
+
+    def admit_batch(self, items: list) -> int:
+        """items: [(depth, canonical_url), ...] in the deterministic global
+        order; returns number admitted to pending."""
+        n0 = len(self.pending)
+        for depth, cu in items:
+            host = host_of(cu)
+            if not self.filter.add_if_new(cu):
+                self.metrics["dup_skipped"] += 1
+                continue
+            self.seen.append(cu)
+            if not self.robots.allowed(host, path_of(cu)):
+                self.metrics["robots_blocked"] += 1
+                continue
+            if depth > self.cfg.max_depth:
+                self.metrics["depth_dropped"] += 1
+                continue
+            self.pending.append((depth, cu))
+        self.metrics["admitted"] += len(self.pending) - n0
+        return len(self.pending) - n0
+
+    # -- epoch ------------------------------------------------------------
+
+    def pop_batch(self) -> list:
+        """Grant this epoch's fetches: pending sorted by (depth, url),
+        gated by per-host tokens.  Deferred URLs stay pending."""
+        self.pending.sort(key=lambda du: (du[0], du[1]))
+        grants, deferred = [], []
+        for d, u in self.pending:
+            if self.buckets.consume(host_of(u)):
+                grants.append((d, u))
+            else:
+                deferred.append((d, u))
+        self.pending = deferred
+        self.metrics["granted"] += len(grants)
+        return grants
+
+    def end_epoch(self) -> None:
+        self.buckets.tick()
+
+    def admit_and_tick(self, items: list) -> int:
+        """One RTT per epoch: admit the (pre-sorted) links, then the epoch
+        tick — identical op sequence to admit_batch + end_epoch."""
+        n = self.admit_batch(items)
+        self.buckets.tick()
+        return n
+
+    def pending_count(self) -> int:
+        return len(self.pending)
+
+    def seen_urls(self) -> list:
+        return list(self.seen)
+
+    def get_metrics(self) -> dict:
+        return dict(self.metrics)
+
+    # -- checkpoint (N11) --------------------------------------------------
+
+    def checkpoint(self, ckpt_dir: str, epoch: int) -> str:
+        d = os.path.join(ckpt_dir, f"epoch={epoch}")
+        os.makedirs(d, exist_ok=True)
+        st = self.filter.state()
+        t = pa.table(
+            {
+                "shard": pa.array([self.shard_id], pa.int32()),
+                "epoch": pa.array([epoch], pa.int32()),
+                "filter_table": pa.array([st["table"].tobytes()], pa.binary()),
+                "filter_buckets": pa.array([st["table"].shape[0]], pa.int64()),
+                "filter_count": pa.array([st["count"]], pa.int64()),
+                "filter_kick": pa.array([st["kick"]], pa.int64()),
+                "buckets_json": pa.array([json.dumps(self.buckets.state())]),
+                "robots_json": pa.array([json.dumps(self.robots.state())]),
+                "pending_depth": pa.array([[d for d, _ in self.pending]],
+                                          pa.list_(pa.int32())),
+                "pending_url": pa.array([[u for _, u in self.pending]],
+                                        pa.list_(pa.string())),
+                "seen": pa.array([self.seen], pa.list_(pa.string())),
+                "metrics_json": pa.array([json.dumps(self.metrics)]),
+            }
+        )
+        path = os.path.join(d, f"shard-{self.shard_id}.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(t, tmp)
+        os.replace(tmp, path)  # atomic publish
+        return path
+
+    def restore(self, ckpt_dir: str, epoch: int) -> None:
+        path = os.path.join(ckpt_dir, f"epoch={epoch}", f"shard-{self.shard_id}.parquet")
+        t = pq.read_table(path)
+        row = {c: t[c][0].as_py() for c in t.column_names}
+        table = np.frombuffer(row["filter_table"], dtype=np.uint16).reshape(
+            row["filter_buckets"], -1
+        )
+        self.filter = CuckooFilter.from_state(
+            {"table": table, "count": row["filter_count"], "kick": row["filter_kick"]}
+        )
+        self.buckets = TokenBuckets.from_state(json.loads(row["buckets_json"]))
+        self.robots.restore(json.loads(row["robots_json"]))
+        self.pending = list(zip(row["pending_depth"], row["pending_url"]))
+        self.seen = list(row["seen"])
+        self.metrics = json.loads(row["metrics_json"])
+
+
+class FetchExtract:
+    """Stateless map_batches kernel: (depth, url) grants → unified rows:
+    kind="img" image-corpus rows / kind="link" out-link rows (already
+    canonicalized) / kind="err" fetch failures.  The page store is
+    rebuilt lazily per worker from the (tiny, picklable) config."""
+
+    def __init__(self, cfg: CrawlConfig) -> None:
+        self.cfg = cfg
+        self._store = None
+
+    def __getstate__(self):
+        return self.cfg
+
+    def __setstate__(self, cfg):
+        self.cfg = cfg
+        self._store = None
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if self._store is None:
+            self._store = PageStore(self.cfg.store)
+        store = self._store
+        out = {
+            "kind": [], "parent_depth": [], "parent_url": [], "link_index": [],
+            "url": [], "shard": [], "image_id": [], "bytes": [], "w": [],
+            "h": [], "fmt": [], "caption": [], "phash": [],
+        }
+
+        def put(kind, **kw):
+            out["kind"].append(kind)
+            for c in ("parent_depth", "parent_url", "link_index", "url", "shard",
+                      "image_id", "bytes", "w", "h", "fmt", "caption", "phash"):
+                out[c].append(kw.get(c))
+
+        depths = t["depth"].to_pylist()
+        urls = t["url"].to_pylist()
+        for d, u in zip(depths, urls):
+            page = store.page(u)
+            if page is None:
+                put("err", parent_depth=d, parent_url=u)
+                continue
+            body, enc = page
+            links, figures = extract_page(body, enc, u)
+            for li, link in enumerate(links):
+                cu = canonical_url(link, base=u)
+                if cu is None:
+                    continue
+                put(
+                    "link", parent_depth=d, parent_url=u, link_index=li, url=cu,
+                    shard=shard_of(host_of(cu), self.cfg.shards),
+                )
+            try:
+                h_idx, k_idx = _page_indices(u)
+            except ValueError:
+                continue
+            fmt_by_id = {
+                f["image_id"]: f["fmt"] for f in store.figures_of(h_idx, k_idx)
+            }
+            for fig in figures:
+                fmt = fmt_by_id.get(fig["image_id"])
+                if fmt is None:
+                    continue
+                rec = store.image_record(fig["image_id"], fmt)
+                put(
+                    "img", parent_depth=d, parent_url=u,
+                    image_id=rec["image_id"], bytes=rec["bytes"], w=rec["w"],
+                    h=rec["h"], fmt=rec["fmt"], caption=fig["caption"],
+                    phash=rec["phash"],
+                )
+        return pa.table(
+            {
+                "kind": pa.array(out["kind"], pa.string()),
+                "parent_depth": pa.array(out["parent_depth"], pa.int32()),
+                "parent_url": pa.array(out["parent_url"], pa.string()),
+                "link_index": pa.array(out["link_index"], pa.int32()),
+                "url": pa.array(out["url"], pa.string()),
+                "shard": pa.array(out["shard"], pa.int32()),
+                "image_id": pa.array(out["image_id"], pa.string()),
+                "bytes": pa.array(out["bytes"], pa.binary()),
+                "w": pa.array(out["w"], pa.int32()),
+                "h": pa.array(out["h"], pa.int32()),
+                "fmt": pa.array(out["fmt"], pa.string()),
+                "caption": pa.array(out["caption"], pa.string()),
+                "phash": pa.array(out["phash"], pa.int64()),
+            }
+        )
+
+
+def _page_indices(url: str) -> tuple[int, int]:
+    host, _, rest = url.partition("//")[2].partition("/")
+    h = int(host[5:-5])
+    k = int(rest.split("/")[1])
+    return h, k
+
+
+@ray.remote
+def _fetch_chunk(fetcher: FetchExtract, depths: list, urls: list,
+                 img_path: "str | None", return_images: bool):
+    """One fetch+extract task over a chunk of the epoch's grants.
+
+    Plain Ray task (not a Dataset stage): the per-epoch BSP loop would pay
+    ~seconds of Dataset fixed cost per round, while a task round-trip is
+    milliseconds; the kernel is the same map_batches-shaped FetchExtract.
+
+    Image rows are written to ``img_path`` (one parquet shard per chunk,
+    atomic tmp+rename) DIRECTLY from the worker — bulk image bytes never
+    round-trip through the driver or a shuffle; only the (small) link table
+    does.  Returns (links, images-or-None, n_images)."""
+    t = fetcher(
+        pa.table(
+            {"depth": pa.array(depths, pa.int32()), "url": pa.array(urls, pa.string())}
+        )
+    )
+    kinds = t["kind"]
+    import pyarrow.compute as pc
+
+    links = t.filter(pc.equal(kinds, "link")).select(
+        ["parent_depth", "parent_url", "link_index", "url", "shard"]
+    )
+    imgs = t.filter(pc.equal(kinds, "img")).select(
+        ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+    ).cast(IMAGE_SCHEMA)
+    if img_path is not None:
+        tmp = img_path + ".tmp"
+        pq.write_table(imgs, tmp)
+        os.replace(tmp, img_path)
+    return links, (imgs if return_images else None), len(imgs)
+
+
+def run_crawl(
+    cfg: CrawlConfig,
+    out_dir: str | None = None,
+    ckpt_dir: str | None = None,
+    checkpoint_every: int = 0,
+    resume_epoch: int | None = None,
+    collect_images: bool = True,
+) -> CrawlResult:
+    """Drive the epoch-BSP crawl.  Ray must already be initialised.
+
+    ``out_dir``: per-epoch partitioned parquet image output
+    (``images/epoch=E/``) — a resumed run skips finished epochs.
+    ``checkpoint_every``: shard checkpoints each E epochs (requires
+    ``ckpt_dir``).  ``resume_epoch``: restore shard state + pop order from
+    that checkpoint and continue.
+    """
+    shards = [
+        FrontierShard.remote(i, cfg) for i in range(cfg.shards)
+    ]
+    pop_order: list[tuple[int, int, str]] = []
+    image_tables: list[pa.Table] = []
+    start_epoch = 0
+
+    if resume_epoch is not None:
+        assert ckpt_dir is not None
+        ray.get([s.restore.remote(ckpt_dir, resume_epoch) for s in shards])
+        drv = pq.read_table(os.path.join(ckpt_dir, f"epoch={resume_epoch}",
+                                         "driver.parquet"))
+        pop_order = list(
+            zip(drv["epoch"].to_pylist(), drv["pop_ord"].to_pylist(),
+                drv["url"].to_pylist())
+        )
+        start_epoch = resume_epoch + 1
+    else:
+        # seed admission: seed order, routed per shard (subsequence order
+        # preserved ⇒ per-shard insert sequence matches the oracle)
+        routed: dict[int, list] = {i: [] for i in range(cfg.shards)}
+        for seed in make_seeds(cfg.store, cfg.n_seeds):
+            cu = canonical_url(seed)
+            if cu is None:
+                continue
+            routed[shard_of(host_of(cu), cfg.shards)].append((0, cu))
+        ray.get(
+            [s.admit_batch.remote(routed[i]) for i, s in enumerate(shards)]
+        )
+
+    pop_ord = pop_order[-1][1] + 1 if pop_order else 0
+    fetcher = FetchExtract(cfg)
+
+    for epoch in range(start_epoch, cfg.max_epochs):
+        grant_lists = ray.get([s.pop_batch.remote() for s in shards])
+        grants = sorted(
+            (g for lst in grant_lists for g in lst), key=lambda du: (du[0], du[1])
+        )
+        if not grants:
+            pending = sum(ray.get([s.pending_count.remote() for s in shards]))
+            ray.get([s.end_epoch.remote() for s in shards])
+            if pending == 0:
+                break
+            continue
+        for d, u in grants:
+            pop_order.append((epoch, pop_ord, u))
+            pop_ord += 1
+
+        # fan out fetch+extract as chunked tasks (one Ray task per ~chunk;
+        # the kernel itself is the same map_batches-shaped FetchExtract);
+        # 4 waves per round for straggler balancing (page cost varies)
+        ncpus = int(ray.cluster_resources().get("CPU", 8))
+        chunk = max(4, -(-len(grants) // (ncpus * 4)))
+        edir = None
+        if out_dir:
+            edir = os.path.join(out_dir, "images", f"epoch={epoch}")
+            os.makedirs(edir, exist_ok=True)
+        refs = []
+        nchunks = -(-len(grants) // chunk)
+        for ci in range(nchunks):
+            # stripe: consecutive (depth,url)-sorted grants cluster same-host
+            # page sizes; striping mixes cheap/expensive pages per task
+            part = grants[ci::nchunks]
+            refs.append(
+                _fetch_chunk.remote(
+                    fetcher,
+                    [d for d, _ in part],
+                    [u for _, u in part],
+                    os.path.join(edir, f"chunk-{ci}.parquet") if edir else None,
+                    collect_images,
+                )
+            )
+        results = ray.get(refs)
+        if edir:
+            open(os.path.join(edir, "_DONE"), "w").close()
+        if collect_images:
+            image_tables.extend(t for _, t, _ in results)
+        link_tables = [l for l, _, _ in results]
+        links = (
+            pa.concat_tables(link_tables)
+            if link_tables
+            else None
+        )
+        routed = {i: [] for i in range(cfg.shards)}
+        if links is not None and len(links):
+            sh = links["shard"].to_numpy(zero_copy_only=False)
+            pd_ = links["parent_depth"].to_numpy(zero_copy_only=False)
+            li_ = links["link_index"].to_numpy(zero_copy_only=False)
+            pu = links["parent_url"].to_pylist()
+            us = links["url"].to_pylist()
+            order = sorted(
+                range(len(us)), key=lambda i: (pd_[i], pu[i], li_[i])
+            )
+            for idx in order:
+                routed[int(sh[idx])].append((int(pd_[idx]) + 1, us[idx]))
+        ray.get(
+            [s.admit_and_tick.remote(routed[i]) for i, s in enumerate(shards)]
+        )
+
+        if checkpoint_every and ckpt_dir and (epoch + 1) % checkpoint_every == 0:
+            _write_driver_ckpt(ckpt_dir, epoch, pop_order)
+            ray.get([s.checkpoint.remote(ckpt_dir, epoch) for s in shards])
+
+    seen = sorted(
+        u for lst in ray.get([s.seen_urls.remote() for s in shards]) for u in lst
+    )
+    all_metrics = ray.get([s.get_metrics.remote() for s in shards])
+    metrics: dict = {}
+    for m in all_metrics:
+        for k, v in m.items():
+            metrics[k] = metrics.get(k, 0) + v
+    img_table = (
+        pa.concat_tables(image_tables) if image_tables else IMAGE_SCHEMA.empty_table()
+    )
+    for s in shards:
+        ray.kill(s)
+    return CrawlResult(
+        pop_order=pop_order,
+        seen_urls=seen,
+        image_rows=img_table.to_pylist(),
+        metrics=metrics,
+    )
+
+
+def _write_driver_ckpt(ckpt_dir: str, epoch: int, pop_order: list) -> None:
+    d = os.path.join(ckpt_dir, f"epoch={epoch}")
+    os.makedirs(d, exist_ok=True)
+    t = pa.table(
+        {
+            "epoch": pa.array([e for e, _, _ in pop_order], pa.int32()),
+            "pop_ord": pa.array([o for _, o, _ in pop_order], pa.int64()),
+            "url": pa.array([u for _, _, u in pop_order], pa.string()),
+        }
+    )
+    tmp = os.path.join(d, "driver.parquet.tmp")
+    pq.write_table(t, tmp)
+    os.replace(tmp, os.path.join(d, "driver.parquet"))

@@ -1,0 +1,87 @@
+"""RFC 3986 URL canonicalization (crawl-frontier operator N1).
+
+Rules (the oracle and the distributed pipeline share this single
+implementation, so "byte-match" is by construction):
+
+* scheme/host lower-cased; default ports (:80 http, :443 https) dropped;
+* percent-encodings of unreserved characters decoded; remaining escapes
+  upper-cased; space → %20;
+* dot-segments resolved; empty path → "/";
+* query parameters sorted (stable by key, then value); fragment dropped.
+"""
+
+from __future__ import annotations
+
+import re
+from urllib.parse import quote, unquote, urljoin, urlsplit, urlunsplit
+
+_DEFAULT_PORTS = {"http": "80", "https": "443"}
+# characters that stay verbatim in path/query after re-quoting
+_PATH_SAFE = "/:@!$&'()*+,;=~._-"
+_QUERY_SAFE = ":@!$&'()*+,;=~._-/?"
+
+
+def _renorm(component: str, safe: str) -> str:
+    # decode everything decodable, then re-encode the reserved set
+    return quote(unquote(component), safe=safe)
+
+
+def _resolve_dots(path: str) -> str:
+    out: list[str] = []
+    for seg in path.split("/"):
+        if seg == "..":
+            if out and out[-1] != "":
+                out.pop()
+        elif seg != ".":
+            out.append(seg)
+    p = "/".join(out)
+    if not p.startswith("/"):
+        p = "/" + p
+    return p
+
+
+def canonical_url(url: str, base: str | None = None) -> str | None:
+    """Canonical form, or None for non-http(s)/unparseable URLs."""
+    url = url.strip()
+    if base:
+        url = urljoin(base, url)
+    try:
+        parts = urlsplit(url)
+    except ValueError:
+        return None
+    scheme = parts.scheme.lower()
+    if scheme not in ("http", "https"):
+        return None
+    host = (parts.hostname or "").lower()
+    if not host:
+        return None
+    port = parts.port
+    netloc = host
+    if port is not None and str(port) != _DEFAULT_PORTS.get(scheme):
+        netloc = f"{host}:{port}"
+    path = _resolve_dots(_renorm(parts.path or "/", _PATH_SAFE)) or "/"
+    query = ""
+    if parts.query:
+        pairs = []
+        for piece in parts.query.split("&"):
+            if not piece:
+                continue
+            k, eq, v = piece.partition("=")
+            pairs.append((_renorm(k, _QUERY_SAFE), _renorm(v, _QUERY_SAFE), eq))
+        pairs.sort()
+        query = "&".join(f"{k}={v}" if eq else k for k, v, eq in pairs)
+    # upper-case any remaining percent escapes
+    path = re.sub(r"%[0-9a-fA-F]{2}", lambda m: m.group(0).upper(), path)
+    query = re.sub(r"%[0-9a-fA-F]{2}", lambda m: m.group(0).upper(), query)
+    return urlunsplit((scheme, netloc, path, query, ""))
+
+
+def host_of(url: str) -> str:
+    return urlsplit(url).hostname or ""
+
+
+def path_of(url: str) -> str:
+    """Path+query of a canonical URL (robots matching input)."""
+    rest = url.partition("//")[2]
+    _, _, pq = rest.partition("/")
+    return "/" + pq

@@ -1,0 +1,242 @@
+"""Crawl engine tests (SURVEY.md §5 t3-t5): oracle determinism, Ray
+pipeline byte-equivalence, kill-and-resume, image round-trips, state
+components."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from parsel_ray.crawl.oracle import CrawlConfig, oracle_crawl
+from parsel_ray.crawl.pagestore import PageStore, StoreConfig, make_seeds
+from parsel_ray.crawl.urlnorm import canonical_url, host_of, path_of
+from parsel_ray.images.codecs import (
+    FORMATS,
+    decode_image,
+    encode_image,
+    phash64,
+    psnr,
+)
+from parsel_ray.state.cuckoo import CuckooFilter
+from parsel_ray.state.robots import RobotsCache, parse_robots
+from parsel_ray.state.tokenbucket import TokenBuckets
+
+SMALL = CrawlConfig(
+    store=StoreConfig(n_hosts=4, pages_per_host=12),
+    n_seeds=4,
+    max_depth=3,
+    max_epochs=32,
+    shards=4,
+)
+
+
+class TestUrlNorm:
+    @pytest.mark.parametrize(
+        "raw,want",
+        [
+            ("HTTP://Host-1.TEST/page/3", "http://host-1.test/page/3"),
+            ("http://host-1.test:80/page/3", "http://host-1.test/page/3"),
+            ("https://host-1.test:443/x", "https://host-1.test/x"),
+            ("https://host-1.test:8443/x", "https://host-1.test:8443/x"),
+            ("http://h.test/a/../b/./c", "http://h.test/b/c"),
+            ("http://h.test", "http://h.test/"),
+            ("http://h.test/p?b=2&a=1", "http://h.test/p?a=1&b=2"),
+            ("http://h.test/%7Euser/%41", "http://h.test/~user/A"),
+            ("http://h.test/p#frag", "http://h.test/p"),
+            ("mailto:x@y.z", None),
+            ("javascript:void(0)", None),
+        ],
+    )
+    def test_canonical(self, raw, want):
+        assert canonical_url(raw) == want
+
+    def test_relative_resolution(self):
+        assert (
+            canonical_url("../page/7", base="http://h.test/page/3")
+            == "http://h.test/page/7"
+        )
+
+    def test_path_of(self):
+        assert path_of("http://h.test/page/3?a=1") == "/page/3?a=1"
+        assert host_of("http://h.test/page/3") == "h.test"
+
+
+class TestCodecs:
+    def _img(self, w=23, h=17):
+        rng = np.random.RandomState(5)
+        return rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+    @pytest.mark.parametrize("fmt", ["ppm", "png"])
+    def test_lossless_roundtrip(self, fmt):
+        px = self._img()
+        assert np.array_equal(decode_image(encode_image(px, fmt), fmt), px)
+
+    def test_qjpg_psnr_above_40(self):
+        px = self._img(64, 64)
+        got = decode_image(encode_image(px, "qjpg"), "qjpg")
+        assert psnr(got, px) >= 40.0
+
+    def test_deterministic_bytes(self):
+        px = self._img()
+        for fmt in FORMATS:
+            assert encode_image(px, fmt) == encode_image(px, fmt)
+
+    def test_phash_stability_and_sensitivity(self):
+        store = PageStore(StoreConfig())
+        a = store.image_pixels("img-0-0-0")
+        b = store.image_pixels("img-1-3-1")
+        assert phash64(a) == phash64(a)
+        assert phash64(a) != phash64(b)
+        # lossy decode keeps the perceptual hash close (ham distance small)
+        lossy = decode_image(encode_image(a, "qjpg"), "qjpg")
+        ham = bin(phash64(a) ^ phash64(lossy)).count("1")
+        assert ham <= 4
+
+
+class TestState:
+    def test_cuckoo_membership_and_determinism(self):
+        f1, f2 = CuckooFilter(4096), CuckooFilter(4096)
+        keys = [f"http://h{i % 7}.test/p/{i}" for i in range(1000)]
+        for k in keys:
+            assert f1.add_if_new(k) == f2.add_if_new(k)
+        assert np.array_equal(f1.table, f2.table)
+        for k in keys:
+            assert f1.contains(k)
+        assert not f1.add_if_new(keys[0])
+
+    def test_cuckoo_state_roundtrip(self):
+        f = CuckooFilter(1024)
+        for i in range(300):
+            f.add(f"k{i}")
+        g = CuckooFilter.from_state(f.state())
+        assert np.array_equal(f.table, g.table)
+        assert all(g.contains(f"k{i}") for i in range(300))
+
+    def test_token_bucket(self):
+        tb = TokenBuckets(capacity=2, refill=1)
+        assert tb.consume("h") and tb.consume("h")
+        assert not tb.consume("h")
+        tb.tick()
+        assert tb.consume("h")
+        tb2 = TokenBuckets.from_state(tb.state())
+        assert tb2.level == tb.level
+
+    def test_robots(self):
+        rules = parse_robots(
+            "User-agent: other\nDisallow: /x\nUser-agent: *\nDisallow: /page/3\n# c\n"
+        )
+        assert rules == ["/page/3"]
+        cache = RobotsCache(lambda h: "User-agent: *\nDisallow: /page/3\n")
+        assert not cache.allowed("h.test", "/page/3")
+        assert cache.allowed("h.test", "/page/4")
+        st = cache.state()
+        cache2 = RobotsCache(lambda h: None)
+        cache2.restore(st)
+        assert not cache2.allowed("h.test", "/page/3")
+
+
+class TestPageStore:
+    def test_pages_deterministic(self):
+        s = PageStore(StoreConfig())
+        u = s.url(0, 0)
+        assert s.page(u) == s.page(u)
+        assert s.page("http://nope.example/x") is None
+
+    def test_image_record_fields(self):
+        s = PageStore(StoreConfig())
+        rec = s.image_record("img-0-0-0", "png")
+        px = decode_image(rec["bytes"], "png")
+        assert px.shape == (rec["h"], rec["w"], 3)
+        assert rec["phash"] == phash64(px)
+
+    def test_seeds_dirty_variants(self):
+        seeds = make_seeds(StoreConfig(), 8)
+        assert any("Http" in s or ":80" in s or ".." in s for s in seeds)
+        assert all(canonical_url(s) for s in seeds)
+
+
+class TestOracle:
+    def test_oracle_deterministic(self):
+        a, b = oracle_crawl(SMALL), oracle_crawl(SMALL)
+        assert a.pop_order == b.pop_order
+        assert a.seen_urls == b.seen_urls
+
+    def test_politeness_budget_respected(self):
+        res = oracle_crawl(SMALL)
+        per_epoch_host: dict = {}
+        for epoch, _, url in res.pop_order:
+            key = (epoch, host_of(url))
+            per_epoch_host[key] = per_epoch_host.get(key, 0) + 1
+        assert max(per_epoch_host.values()) <= SMALL.bucket_capacity
+
+    def test_pop_order_sorted_within_epoch(self):
+        res = oracle_crawl(SMALL)
+        by_epoch: dict = {}
+        for epoch, _, url in res.pop_order:
+            by_epoch.setdefault(epoch, []).append(url)
+        # within an epoch the grant list is globally sorted by (depth, url);
+        # depth is monotone in epoch progression only per url, but the URLs
+        # of one (epoch, depth) run must be sorted — check full-epoch sort
+        # key reconstruction instead: list equals its sorted-by-(depth,url)
+        # permutation.  (depth not carried in the artifact; check urls of
+        # depth-homogeneous first epoch.)
+        assert by_epoch[0] == sorted(by_epoch[0])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDistributedCrawl:
+    def test_matches_oracle_byte_for_byte(self, tmp_path):
+        from parsel_ray.crawl.frontier import run_crawl
+
+        gold = oracle_crawl(SMALL)
+        got = run_crawl(SMALL, out_dir=str(tmp_path))
+        assert got.pop_order == gold.pop_order
+        assert got.seen_urls == gold.seen_urls
+        gi = sorted(got.image_rows, key=lambda r: r["image_id"])
+        oi = sorted(gold.image_rows, key=lambda r: r["image_id"])
+        assert len(gi) == len(oi)
+        assert gi == oi
+        # partitioned parquet output exists per epoch
+        import glob
+
+        assert glob.glob(str(tmp_path / "images" / "epoch=*" / "*.parquet"))
+
+    def test_kill_and_resume_equivalence(self, tmp_path):
+        """Run to completion with checkpoints; re-run from the mid
+        checkpoint; artifacts must be identical (N11)."""
+        from parsel_ray.crawl.frontier import run_crawl
+
+        ckpt = str(tmp_path / "ckpt")
+        full = run_crawl(SMALL, ckpt_dir=ckpt, checkpoint_every=2)
+        import glob
+        import re
+
+        epochs = sorted(
+            int(re.search(r"epoch=(\d+)", p).group(1))
+            for p in glob.glob(ckpt + "/epoch=*")
+        )
+        assert epochs, "no checkpoints written"
+        mid = epochs[len(epochs) // 2]
+        resumed = run_crawl(SMALL, ckpt_dir=ckpt, resume_epoch=mid)
+        assert resumed.pop_order == full.pop_order
+        assert resumed.seen_urls == full.seen_urls
+
+    def test_image_verification_kernel(self):
+        from parsel_ray.crawl.frontier import run_crawl
+        from parsel_ray.crawl.verify import VerifyImages
+
+        got = run_crawl(SMALL)
+        t = pa.Table.from_pylist(got.image_rows)
+        verdicts = VerifyImages(SMALL.store)(t)
+        assert all(verdicts["ok_pixels"].to_pylist())
+        assert all(verdicts["ok_caption"].to_pylist())
+        assert all(verdicts["ok_phash"].to_pylist())
+        lossy = [
+            p
+            for p, f in zip(
+                verdicts["psnr_db"].to_pylist(), verdicts["fmt"].to_pylist()
+            )
+            if f == "qjpg"
+        ]
+        assert lossy and all(40.0 <= p < 1e9 for p in lossy)
