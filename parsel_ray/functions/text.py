@@ -64,7 +64,9 @@ def quality_score(batch: pa.Table, col: str = "text") -> pa.Table:
     """Append a ``quality`` double in [0,1]: a deterministic blend of
     length, stopword and punctuation signals (heuristic quality filter for
     pretraining corpora — Gopher/C4-style rules, simplified)."""
-    t = token_stats(batch, col)
+    # reuse token-stat columns when the caller already appended them
+    # (composing with token_stats must not duplicate fields)
+    t = batch if "n_tokens" in batch.column_names else token_stats(batch, col)
     n_tokens = pc.cast(t["n_tokens"], pa.float64())
     stop_ratio = t["stop_ratio"]
     # length term: min(n_tokens, 64) / 64

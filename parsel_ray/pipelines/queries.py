@@ -751,6 +751,303 @@ def doc_quality(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# Crawl + multimodal (rows-only: iterative/stateful, not SQL-expressible)
+# ---------------------------------------------------------------------------
+
+
+def _demo_crawl_cfg():
+    from ..crawl.oracle import CrawlConfig
+    from ..crawl.pagestore import StoreConfig
+
+    return CrawlConfig(
+        store=StoreConfig(n_hosts=6, pages_per_host=24),
+        n_seeds=6,
+        max_depth=4,
+        max_epochs=48,
+        shards=4,
+    )
+
+
+def crawl_demo(sf_dir: str):
+    """Full crawl pipeline on the deterministic synthetic web (frontier
+    actors + fetch/extract tasks); returns the harvested image-corpus rows
+    (metadata view).  Byte-matches the single-process oracle — see
+    tests/test_crawl.py."""
+    from ..crawl.frontier import run_crawl
+
+    res = run_crawl(_demo_crawl_cfg())
+    rows = sorted(res.image_rows, key=lambda r: r["image_id"])
+    return pa.table(
+        {
+            "image_id": pa.array([r["image_id"] for r in rows], pa.string()),
+            "w": pa.array([r["w"] for r in rows], pa.int32()),
+            "h": pa.array([r["h"] for r in rows], pa.int32()),
+            "fmt": pa.array([r["fmt"] for r in rows], pa.string()),
+            "caption": pa.array([r["caption"] for r in rows], pa.string()),
+            "phash": pa.array([r["phash"] for r in rows], pa.int64()),
+        }
+    )
+
+
+def crawl_pop_order(sf_dir: str):
+    """The deterministic pop-order artifact (epoch, pop_ord, url)."""
+    from ..crawl.frontier import run_crawl
+
+    res = run_crawl(_demo_crawl_cfg(), collect_images=False)
+    return pa.table(
+        {
+            "epoch": pa.array([e for e, _, _ in res.pop_order], pa.int32()),
+            "pop_ord": pa.array([o for _, o, _ in res.pop_order], pa.int64()),
+            "url": pa.array([u for _, _, u in res.pop_order], pa.string()),
+        }
+    )
+
+
+def crawl_image_verify(sf_dir: str):
+    """Per-row image verification (N8): decoded-pixel allclose / PSNR >= 40
+    for lossy + caption equality + phash recomputation, as a map_batches
+    kernel over the crawled corpus."""
+    from ..crawl.frontier import IMAGE_SCHEMA, run_crawl
+    from ..crawl.verify import VerifyImages
+
+    cfg = _demo_crawl_cfg()
+    res = run_crawl(cfg)
+    t = pa.Table.from_pylist(res.image_rows, schema=IMAGE_SCHEMA)
+    ds = rd.from_arrow(t).map_batches(
+        VerifyImages(cfg.store), batch_format="pyarrow", batch_size=64
+    )
+    return ds.select_columns(["image_id", "fmt", "ok_pixels", "ok_caption", "ok_phash"])
+
+
+def image_decode_stats(sf_dir: str):
+    """Multimodal decode stage: binary image cells → decoded dims, mean
+    color, recomputed phash (vector column dropped for the artifact)."""
+    from ..crawl.frontier import IMAGE_SCHEMA, run_crawl
+    from ..stages.multimodal import DecodeImageStats
+
+    res = run_crawl(_demo_crawl_cfg())
+    t = pa.Table.from_pylist(res.image_rows, schema=IMAGE_SCHEMA)
+    ds = rd.from_arrow(t).map_batches(
+        DecodeImageStats(), batch_format="pyarrow", batch_size=64
+    )
+    return ds.select_columns(
+        ["image_id", "decoded_w", "decoded_h", "phash_recomputed", "decode_ok"]
+    )
+
+
+def image_resize(sf_dir: str):
+    """Multimodal resize stage: every corpus image re-encoded at 16x16."""
+    from ..crawl.frontier import IMAGE_SCHEMA, run_crawl
+    from ..stages.multimodal import ResizeImage
+
+    res = run_crawl(_demo_crawl_cfg())
+    t = pa.Table.from_pylist(res.image_rows, schema=IMAGE_SCHEMA)
+    ds = rd.from_arrow(t).map_batches(
+        ResizeImage(16, 16), batch_format="pyarrow", batch_size=64
+    )
+
+    def sizes(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc_
+
+        return pa.table(
+            {
+                "image_id": b["image_id"],
+                "w": b["w"],
+                "h": b["h"],
+                "n_bytes": pc_.cast(pc_.binary_length(b["bytes"]), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(sizes, batch_format="pyarrow")
+
+
+def audio_frame_rms(sf_dir: str):
+    """Audio-feature stage plumbing over deterministic fake PCM payloads
+    (built from document text bytes — the codec itself is the stubbed
+    part, the Ray-side batch contract is real)."""
+    from ..stages.multimodal import AudioFeatures
+
+    def to_pcm(t: pa.Table) -> pa.Table:
+        payloads = [
+            (tx or "").encode("utf-8") * 8 for tx in t["text"].to_pylist()
+        ]
+        return pa.table(
+            {"doc_id": t["doc_id"], "bytes": pa.array(payloads, pa.binary())}
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        to_pcm, batch_format="pyarrow"
+    ).map_batches(AudioFeatures(frame=256), batch_format="pyarrow")
+
+    def agg(t: pa.Table) -> pa.Table:
+        n = [len(f) if f is not None else 0 for f in t["frame_rms"].to_pylist()]
+        return pa.table(
+            {"doc_id": t["doc_id"], "n_frames": pa.array(n, pa.int64())}
+        )
+
+    return ds.map_batches(agg, batch_format="pyarrow")
+
+
+def q6_revenue(sf_dir: str):
+    """Scalar aggregate (single-row result): discounted revenue in a
+    shipdate/discount/quantity window — per-batch partial sums, one tiny
+    merge."""
+    d0, d1 = datetime(1996, 1, 1), datetime(1997, 1, 1)
+
+    def prep(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(
+                pc.greater_equal(t["l_shipdate"], pa.scalar(d0)),
+                pc.less(t["l_shipdate"], pa.scalar(d1)),
+            ),
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(t["l_discount"], pa.scalar(0.05)),
+                    pc.less_equal(t["l_discount"], pa.scalar(0.07)),
+                ),
+                pc.less(t["l_quantity"], pa.scalar(24.0)),
+            ),
+        )
+        t = t.filter(m)
+        ext = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        rev = _cents(ext * disc)
+        return pa.table({"rev_cents": pa.array([int(rev.sum())], pa.int64())})
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    ).map_batches(prep, batch_format="pyarrow")
+
+    total = int(ds.sum("rev_cents") or 0)
+    return pa.table({"revenue_cents": pa.array([total], pa.int64())})
+
+
+Q6_SQL = f"""
+SELECT CAST(SUM({_CENTS_SQL.format(expr='l_extendedprice * l_discount')}) AS BIGINT) AS revenue_cents
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def top_order_per_customer(sf_dir: str):
+    """Window-function shape: rank orders per customer, keep the top one
+    (deterministic tie-break on orderkey) — grouped_apply over the
+    partition key."""
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "o_orderkey": t["o_orderkey"],
+                "price_cents": pa.array(_cents(t["o_totalprice"])),
+            }
+        )
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"]).map_batches(
+        prep, batch_format="pyarrow"
+    )
+
+    def top1(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["price_cents", "o_orderkey"], ascending=[False, True])
+        return g.head(1)
+
+    return grouped_apply(ds, "o_custkey", top1, num_partitions=16)
+
+
+TOPCUST_SQL = f"""
+SELECT o_custkey, o_orderkey, price_cents FROM (
+  SELECT o_custkey, o_orderkey,
+         {_CENTS_SQL.format(expr='o_totalprice')} AS price_cents,
+         row_number() OVER (
+           PARTITION BY o_custkey
+           ORDER BY {_CENTS_SQL.format(expr='o_totalprice')} DESC, o_orderkey
+         ) AS rn
+  FROM orders
+) WHERE rn = 1
+"""
+
+
+def orders_minmax(sf_dir: str):
+    """Min/max/count per group via the partial-aggregation combiner."""
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderstatus": t["o_orderstatus"],
+                "price_cents": pa.array(_cents(t["o_totalprice"])),
+            }
+        )
+
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_totalprice"]).map_batches(
+        prep, batch_format="pyarrow"
+    )
+    return partial_agg_groupby(
+        ds,
+        ["o_orderstatus"],
+        [("price_cents", "min", "min_cents"), ("price_cents", "max", "max_cents")],
+        count_as="n",
+    )
+
+
+MINMAX_SQL = f"""
+SELECT o_orderstatus,
+       MIN({_CENTS_SQL.format(expr='o_totalprice')}) AS min_cents,
+       MAX({_CENTS_SQL.format(expr='o_totalprice')}) AS max_cents,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def deterministic_sample(sf_dir: str):
+    """Hash-based deterministic ~3% sample (md5 of the key — the exact
+    same expression the SQL oracle evaluates, so the sample is identical;
+    at scale this replaces random_sample when reproducibility matters)."""
+    import hashlib
+
+    def samp(t: pa.Table) -> pa.Table:
+        keys = t["o_orderkey"].to_pylist()
+        keep = [
+            hashlib.md5(str(k).encode()).hexdigest()[:2] < "08" for k in keys
+        ]
+        return t.filter(pa.array(keep, pa.bool_())).select(["o_orderkey", "o_orderpriority"])
+
+    return _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]).map_batches(
+        samp, batch_format="pyarrow"
+    )
+
+
+SAMPLE_SQL = """
+SELECT o_orderkey, o_orderpriority FROM orders
+WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '08'
+"""
+
+
+def union_counts(sf_dir: str):
+    """Dataset.union + aggregate: row counts per source table."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey"]).map_batches(
+        lambda t: pa.table({"src": pa.array(["lineitem"] * len(t), pa.string())}),
+        batch_format="pyarrow",
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
+        lambda t: pa.table({"src": pa.array(["orders"] * len(t), pa.string())}),
+        batch_format="pyarrow",
+    )
+    return partial_sum_groupby(li.union(orders), ["src"], {}, count_as="n")
+
+
+UNION_SQL = """
+SELECT src, CAST(COUNT(*) AS BIGINT) AS n FROM (
+  SELECT 'lineitem' AS src FROM lineitem
+  UNION ALL
+  SELECT 'orders' AS src FROM orders
+) GROUP BY src
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -777,6 +1074,17 @@ QUERIES = {
     "doc_rolling_fingerprint": doc_rolling_fingerprint,
     "embedding_near_dup_lsh": embedding_near_dup_lsh,
     "doc_quality": doc_quality,
+    "q6_revenue": q6_revenue,
+    "top_order_per_customer": top_order_per_customer,
+    "orders_minmax": orders_minmax,
+    "deterministic_sample": deterministic_sample,
+    "union_counts": union_counts,
+    "crawl_demo": crawl_demo,
+    "crawl_pop_order": crawl_pop_order,
+    "crawl_image_verify": crawl_image_verify,
+    "image_decode_stats": image_decode_stats,
+    "image_resize": image_resize,
+    "audio_frame_rms": audio_frame_rms,
 }
 
 ORACLE_SQL = {
@@ -798,4 +1106,9 @@ ORACLE_SQL = {
     "dedup_exact": DEDUP_SQL,
     "embedding_knn": KNN_SQL,
     "embedding_near_dup": NEARDUP_SQL,
+    "q6_revenue": Q6_SQL,
+    "top_order_per_customer": TOPCUST_SQL,
+    "orders_minmax": MINMAX_SQL,
+    "deterministic_sample": SAMPLE_SQL,
+    "union_counts": UNION_SQL,
 }

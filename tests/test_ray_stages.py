@@ -176,6 +176,15 @@ class TestTextKernels:
         assert out["n_punct"].to_pylist() == [2, 0, 0]
         assert out["n_stopwords"].to_pylist() == [2, 0, 0]
 
+    def test_quality_composes_with_token_stats(self):
+        # quality_score must not duplicate columns when token_stats already ran
+        b = pa.table({"text": ["the cat sat on a mat"]})
+        out = T.quality_score(T.token_stats(b))
+        assert out.column_names.count("n_tokens") == 1
+        assert 0.0 <= out["quality"][0].as_py() <= 1.0
+        alone = T.quality_score(b)
+        assert alone["quality"][0].as_py() == out["quality"][0].as_py()
+
     def test_fingerprint_normalization(self):
         b = pa.table({"text": ["  Hello   World ", "hello world"]})
         out = T.fingerprint(b)
