@@ -355,3 +355,60 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
     inter = len(np.intersect1d(sa, sb, assume_unique=True))
     union = len(sa) + len(sb) - inter
     return inter / union if union else 0.0
+
+
+def hamming_near_dup_pairs(ds, col: str, id_col: str, n_bands: int = 4,
+                           max_hamming: int = 6, num_partitions: int = 32):
+    """Near-dup pairs on a 64-bit fingerprint column (phash / simhash) by
+    hamming distance: band the hash into ``n_bands`` keys (two hashes
+    within hamming n_bands-1 share >= 1 band), group per band, verify
+    exact popcount <= max_hamming.  The phash near-dup hook (SURVEY N10)."""
+    import pandas as pd_
+
+    from .agg import grouped_apply
+
+    width = 64 // n_bands
+    mask = np.uint64((1 << width) - 1)
+
+    def emit(t: pa.Table) -> pa.Table:
+        h = t[col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = t[id_col]
+        parts = []
+        for bd in range(n_bands):
+            band = ((h >> np.uint64(bd * width)) & mask).astype(np.int64)
+            parts.append(
+                pa.table(
+                    {
+                        id_col: ids,
+                        col: t[col],
+                        "band_id": pa.array(
+                            np.full(len(t), bd, dtype=np.int32), pa.int32()
+                        ),
+                        "band_val": pa.array(band, pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    bands = ds.map_batches(emit, batch_format="pyarrow")
+
+    def pairs(g: "pd_.DataFrame") -> "pd_.DataFrame":
+        g = g.sort_values(id_col).drop_duplicates(id_col)
+        if len(g) < 2:
+            return pd_.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        ids = g[id_col].to_numpy()
+        hs = g[col].to_numpy().astype(np.uint64)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        x = hs[ia] ^ hs[ib]
+        ham = np.zeros(len(x), dtype=np.int64)
+        for _ in range(64):
+            ham += (x & np.uint64(1)).astype(np.int64)
+            x = x >> np.uint64(1)
+        keep = ham <= max_hamming
+        return pd_.DataFrame(
+            {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "hamming": ham[keep]}
+        )
+
+    out = grouped_apply(bands, ["band_id", "band_val"], pairs,
+                        num_partitions=num_partitions)
+    return out

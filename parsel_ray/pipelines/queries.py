@@ -1048,6 +1048,76 @@ SELECT src, CAST(COUNT(*) AS BIGINT) AS n FROM (
 """
 
 
+def phash_near_dup(sf_dir: str):
+    """Perceptual-hash near-duplicate pairs over the crawled image corpus
+    (hamming-banded grouping, exact popcount verify) — the phash hook
+    (SURVEY N10)."""
+    from ..crawl.frontier import IMAGE_SCHEMA, run_crawl
+
+    res = run_crawl(_demo_crawl_cfg())
+    t = pa.Table.from_pylist(res.image_rows, schema=IMAGE_SCHEMA).select(
+        ["image_id", "phash"]
+    )
+    ds = rd.from_arrow(t)
+    pairs = D.hamming_near_dup_pairs(
+        ds, col="phash", id_col="image_id", n_bands=4, max_hamming=6,
+        num_partitions=8,
+    )
+    pdf = pairs.to_pandas().drop_duplicates(["id_a", "id_b"]).sort_values(
+        ["id_a", "id_b"]
+    )
+    return pa.Table.from_pandas(pdf.reset_index(drop=True), preserve_index=False)
+
+
+BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def doc_bpe_tokens(sf_dir: str):
+    """BPE-ish subword pre-tokenization count: letters / digits / symbol
+    runs via the SAME RE2 pattern the oracle evaluates."""
+
+    def f(t: pa.Table) -> pa.Table:
+        n = pc.cast(pc.count_substring_regex(t["text"], BPE_RE), pa.int64())
+        return pa.table({"doc_id": t["doc_id"], "n_bpe_tokens": n})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+BPE_SQL = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+
+def hash_join_native(sf_dir: str):
+    """Same join as hash_join_priority but through Ray Data's built-in
+    hash-partitioned ``Dataset.join`` — both code paths are supported; the
+    explicit bucket join documents its partitioning, the native one uses
+    the engine's aggregator actors."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=16,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    return partial_sum_groupby(
+        joined, ["o_orderpriority"], {"l_quantity": "sum_qty"}, count_as="n_items"
+    )
+
+
+NATIVE_JOIN_SQL = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items, SUM(l_quantity) AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -1079,6 +1149,9 @@ QUERIES = {
     "orders_minmax": orders_minmax,
     "deterministic_sample": deterministic_sample,
     "union_counts": union_counts,
+    "doc_bpe_tokens": doc_bpe_tokens,
+    "hash_join_native": hash_join_native,
+    "phash_near_dup": phash_near_dup,
     "crawl_demo": crawl_demo,
     "crawl_pop_order": crawl_pop_order,
     "crawl_image_verify": crawl_image_verify,
@@ -1111,4 +1184,6 @@ ORACLE_SQL = {
     "orders_minmax": MINMAX_SQL,
     "deterministic_sample": SAMPLE_SQL,
     "union_counts": UNION_SQL,
+    "doc_bpe_tokens": BPE_SQL,
+    "hash_join_native": NATIVE_JOIN_SQL,
 }

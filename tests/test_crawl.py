@@ -222,6 +222,28 @@ class TestDistributedCrawl:
         assert resumed.pop_order == full.pop_order
         assert resumed.seen_urls == full.seen_urls
 
+    def test_hot_host_politeness_and_metrics(self):
+        """Skew (N12/N13): the hot host (host-0 has the most pages) is
+        rate-bounded by its token bucket every epoch, never starves the
+        others, and per-shard metrics survive aggregation."""
+        from parsel_ray.crawl.frontier import run_crawl
+
+        res = run_crawl(SMALL, collect_images=False)
+        per_epoch_host: dict = {}
+        hosts = set()
+        for epoch, _, url in res.pop_order:
+            h = host_of(url)
+            hosts.add(h)
+            key = (epoch, h)
+            per_epoch_host[key] = per_epoch_host.get(key, 0) + 1
+        assert max(per_epoch_host.values()) <= SMALL.bucket_capacity
+        assert len(hosts) > 1  # hot host did not monopolize the crawl
+        m = res.metrics
+        assert m["granted"] == len(res.pop_order)
+        assert m["granted"] + m["robots_blocked"] + m["depth_dropped"] <= len(
+            res.seen_urls
+        )
+
     def test_image_verification_kernel(self):
         from parsel_ray.crawl.frontier import run_crawl
         from parsel_ray.crawl.verify import VerifyImages

@@ -153,6 +153,47 @@ class TestRayPipelines:
         )
         assert out["x"].dtype == np.int64  # no float upcast from the union
 
+    def test_grouped_apply_matches_per_group(self):
+        import ray.data as rd
+
+        from parsel_ray.functions.agg import grouped_apply
+
+        rng = np.random.RandomState(9)
+        df = pd.DataFrame({"k": rng.randint(0, 40, 500), "v": rng.randint(0, 100, 500)})
+
+        def top1(g: pd.DataFrame) -> pd.DataFrame:
+            return g.sort_values(["v", "k"], ascending=[False, True]).head(1)
+
+        got = (
+            grouped_apply(rd.from_pandas(df), "k", top1, num_partitions=8)
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        want = (
+            df.groupby("k", group_keys=False)[["k", "v"]]
+            .apply(top1)
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got[["k", "v"]], want[["k", "v"]], check_dtype=False)
+
+    def test_hamming_near_dup_pairs(self):
+        import ray.data as rd
+
+        # ids 1,2 differ in 2 bits; id 3 is far away
+        h1 = 0x0F0F0F0F0F0F0F0F
+        h2 = h1 ^ 0b11
+        h3 = 0x00FF00FF00FF00FF ^ ((1 << 63) | (1 << 31))
+        ds = rd.from_pandas(pd.DataFrame({"vid": [1, 2, 3], "h": [h1, h2, h3]}))
+        pairs = (
+            D.hamming_near_dup_pairs(ds, col="h", id_col="vid", n_bands=4,
+                                     max_hamming=6, num_partitions=4)
+            .to_pandas()
+            .drop_duplicates(["id_a", "id_b"])
+        )
+        assert set(zip(pairs["id_a"], pairs["id_b"])) == {(1, 2)}
+
     def test_broadcast_lookup_and_semi_join(self):
         import ray
         import ray.data as rd
