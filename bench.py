@@ -143,18 +143,28 @@ def bench_hash_join(sf_dir: str) -> int:
 def bench_minhash(sf_dir: str) -> int:
     from parsel_ray.functions import dedup as D
 
+    import numpy as np
+
     ds = replicated_docs(sf_dir, max(1, REPLICATE // 5))
     sigs = ds.map_batches(
         D.MinHasher(col="text", num_perm=64, k=5),
         batch_format="pyarrow",
-        batch_size=512,
-    ).select_columns(["doc_id", "sig"])
+        batch_size=None,
+    ).select_columns(["doc_id", "sig"]).materialize()
     bands = sigs.map_batches(
         lambda t: D.emit_band_rows(t, "doc_id", bands=16, rows_per_band=4),
         batch_format="pyarrow",
+        batch_size=None,
     )
     pairs = D.lsh_candidate_pairs(bands, "doc_id", 0.8, num_partitions=64)
-    return pairs.count()
+    import pyarrow as pa
+
+    import ray
+
+    pdf = pairs.to_pandas().drop_duplicates(["id_a", "id_b"])
+    sig_t = pa.concat_tables([ray.get(r) for r in sigs.to_arrow_refs()])
+    ids_sorted, mat = D.sig_matrix(sig_t, "doc_id")
+    return len(D.verify_pairs(pdf, ids_sorted, mat, 0.8))
 
 
 def bench_knn(sf_dir: str) -> int:

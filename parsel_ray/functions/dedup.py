@@ -116,7 +116,8 @@ class MinHasher:
 
 @_ignore_overflow
 def emit_band_rows(
-    batch: pa.Table, id_col: str, bands: int, rows_per_band: int
+    batch: pa.Table, id_col: str, bands: int, rows_per_band: int,
+    include_sig: bool = False,
 ) -> pa.Table:
     """Explode each signature into ``bands`` rows of
     ``(id, band_id, band_hash, sig)`` — the LSH bucketing key.  Band hashes
@@ -124,14 +125,14 @@ def emit_band_rows(
     ((N, bands) matrix ops, no per-value Python loop)."""
     n = len(batch)
     if n == 0:
-        return pa.table(
-            {
-                id_col: pa.array([], batch.schema.field(id_col).type),
-                "band_id": pa.array([], pa.int32()),
-                "band_hash": pa.array([], pa.int64()),
-                "sig": pa.array([], pa.list_(pa.int64())),
-            }
-        )
+        cols = {
+            id_col: pa.array([], batch.schema.field(id_col).type),
+            "band_id": pa.array([], pa.int32()),
+            "band_hash": pa.array([], pa.int64()),
+        }
+        if include_sig:
+            cols["sig"] = pa.array([], pa.list_(pa.int64()))
+        return pa.table(cols)
     sig_col = batch["sig"].combine_chunks()
     flat = sig_col.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
     sigs = flat.reshape(n, bands * rows_per_band)
@@ -145,45 +146,35 @@ def emit_band_rows(
     bh = (bh ^ np.arange(bands, dtype=np.uint64)[None, :]) * prime
     ids = batch[id_col].combine_chunks()
     rep_idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), bands))
-    return pa.table(
-        {
-            id_col: ids.take(rep_idx),
-            "band_id": pa.array(
-                np.tile(np.arange(bands, dtype=np.int32), n), pa.int32()
-            ),
-            "band_hash": pa.array(bh.reshape(-1).astype(np.int64), pa.int64()),
-            "sig": sig_col.take(rep_idx),
-        }
-    )
+    cols = {
+        id_col: ids.take(rep_idx),
+        "band_id": pa.array(np.tile(np.arange(bands, dtype=np.int32), n), pa.int32()),
+        "band_hash": pa.array(bh.reshape(-1).astype(np.int64), pa.int64()),
+    }
+    if include_sig:
+        cols["sig"] = sig_col.take(rep_idx)
+    return pa.table(cols)
 
 
-def partition_candidate_pairs(
-    t: pa.Table, id_col: str, threshold: float, cap: int = 256
-) -> pa.Table:
-    """All-pairs candidate generation over one hash partition of band rows
-    (columns: id, band_hash bucket key, sig) — pandas-free.
+def partition_candidate_pairs(t: pa.Table, id_col: str, cap: int = 256) -> pa.Table:
+    """Bucket co-membership pair enumeration over one hash partition of
+    slim band rows (id, band_hash) — pandas-free, deduped within the
+    partition.
 
     Sort by (bucket, id), find group boundaries with numpy, enumerate pair
     indices per multi-member bucket (tiny loop over multi-buckets only,
-    numpy slicing inside), then ONE vectorized signature comparison over
-    all pairs.  ~100× cheaper per bucket than a per-group pandas callback.
+    numpy slicing inside).
     """
     empty = pa.table(
-        {
-            "id_a": pa.array([], pa.int64()),
-            "id_b": pa.array([], pa.int64()),
-            "est_jaccard": pa.array([], pa.float64()),
-        }
+        {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
     )
     n = len(t)
     if n < 2:
         return empty
     bucket = t["band_hash"].to_numpy(zero_copy_only=False)
     ids = t[id_col].to_numpy(zero_copy_only=False)
-    sig_col = t["sig"].combine_chunks()
-    sigs = sig_col.flatten().to_numpy(zero_copy_only=False).reshape(n, -1)
     order = np.lexsort((ids, bucket))
-    bucket, ids, sigs = bucket[order], ids[order], sigs[order]
+    bucket, ids = bucket[order], ids[order]
     starts = np.flatnonzero(np.r_[True, np.diff(bucket) != 0])
     sizes = np.diff(np.r_[starts, n])
     ia_parts, ib_parts = [], []
@@ -196,26 +187,29 @@ def partition_candidate_pairs(
         return empty
     ia = np.concatenate(ia_parts)
     ib = np.concatenate(ib_parts)
-    est = (sigs[ia] == sigs[ib]).mean(axis=1)
-    keep = est >= threshold
+    out = np.stack([ids[ia].astype(np.int64), ids[ib].astype(np.int64)], axis=1)
+    out = np.unique(out, axis=0)  # per-partition dedupe across bands
     return pa.table(
         {
-            "id_a": pa.array(ids[ia[keep]].astype(np.int64), pa.int64()),
-            "id_b": pa.array(ids[ib[keep]].astype(np.int64), pa.int64()),
-            "est_jaccard": pa.array(est[keep], pa.float64()),
+            "id_a": pa.array(out[:, 0], pa.int64()),
+            "id_b": pa.array(out[:, 1], pa.int64()),
         }
     )
 
 
 def lsh_candidate_pairs(bands_ds, id_col: str = "doc_id",
                         threshold: float = 0.8, num_partitions: int = 64):
-    """Distributed LSH candidate pairs: ONE shuffle of band rows into
-    ``num_partitions`` coarse partitions (a bucket never spans partitions),
-    vectorized all-pairs per partition.  Pairs may repeat across bands —
-    dedupe downstream."""
-    import pyarrow.compute as pc  # noqa: F401
+    """Distributed LSH candidate pairs: ONE shuffle of SLIM band rows
+    (id + 8-byte bucket key — signatures never enter the exchange) into
+    ``num_partitions`` coarse partitions (a bucket never spans
+    partitions), vectorized co-membership pair enumeration per partition,
+    per-partition dedupe.  Pairs are UNVERIFIED (bucket co-membership
+    only) and may still repeat across partitions; verify + final dedupe
+    with :func:`verify_pairs` (broadcast signatures) downstream.
+    ``threshold`` kept for API compatibility (verification threshold)."""
 
     def add_part(t: pa.Table) -> pa.Table:
+        t = t.select([id_col, "band_hash"])
         b = t["band_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
         part = ((b * np.uint64(11400714819323198485)) >> np.uint64(33)) % np.uint64(
             num_partitions
@@ -226,12 +220,42 @@ def lsh_candidate_pairs(bands_ds, id_col: str = "doc_id",
         bands_ds.map_batches(add_part, batch_format="pyarrow")
         .groupby("__part")
         .map_groups(
-            lambda g: partition_candidate_pairs(
-                g.drop_columns(["__part"]), id_col, threshold
-            ),
+            lambda g: partition_candidate_pairs(g, id_col),
             batch_format="pyarrow",
         )
     )
+
+
+def sig_matrix(sig_table: pa.Table, id_col: str = "doc_id"):
+    """(sorted ids (N,), signature matrix (N, P)) from a (id, sig) Arrow
+    table — zero-copy flatten, no per-row Python."""
+    ids = sig_table[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    col = sig_table["sig"].combine_chunks()
+    mat = col.flatten().to_numpy(zero_copy_only=False).reshape(len(ids), -1)
+    order = np.argsort(ids)
+    return ids[order], mat[order]
+
+
+def verify_pairs(pairs: pd.DataFrame, ids_sorted: np.ndarray,
+                 mat: np.ndarray, threshold: float) -> pd.DataFrame:
+    """Estimate Jaccard for each candidate pair from minhash signatures
+    and keep those >= threshold — fully vectorized (searchsorted gather +
+    one equality reduction over all pairs).
+
+    The signature matrix here is a broadcastable table (fits one node for
+    corpora whose candidate ids do — the common case); at 1e10-doc scale,
+    hash-partition the pair list by id and join the signature table per
+    partition instead."""
+    if not len(pairs):
+        out = pairs.copy()
+        out["est_jaccard"] = np.empty(0, dtype=np.float64)
+        return out
+    ia = np.searchsorted(ids_sorted, pairs["id_a"].to_numpy())
+    ib = np.searchsorted(ids_sorted, pairs["id_b"].to_numpy())
+    est = (mat[ia] == mat[ib]).mean(axis=1)
+    out = pairs.copy()
+    out["est_jaccard"] = est
+    return out[out["est_jaccard"] >= threshold]
 
 
 def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:

@@ -694,13 +694,20 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8):
         D.MinHasher(col="text", num_perm=64, k=5),
         batch_format="pyarrow",
         batch_size=1024,
-    ).select_columns(["doc_id", "sig"])
+    ).select_columns(["doc_id", "sig"]).materialize()
     bands = sigs.map_batches(
         lambda t: D.emit_band_rows(t, "doc_id", bands=16, rows_per_band=4),
         batch_format="pyarrow",
     )
     pairs = D.lsh_candidate_pairs(bands, "doc_id", threshold, num_partitions=64)
     pdf = pairs.to_pandas().drop_duplicates(["id_a", "id_b"])
+    # verify candidates against broadcastable signatures (scale path for
+    # huge pair sets: hash-partition pairs + per-partition sig join)
+    import ray as _ray
+
+    sig_t = pa.concat_tables([_ray.get(r) for r in sigs.to_arrow_refs()])
+    ids_sorted, mat = D.sig_matrix(sig_t, "doc_id")
+    pdf = D.verify_pairs(pdf, ids_sorted, mat, threshold)
     comp = D.union_find_components(pdf)
     ids = ds.select_columns(["doc_id"]).to_pandas()["doc_id"]
     survivors = [i for i in ids if comp.get(i, i) == i]
