@@ -1125,6 +1125,52 @@ GROUP BY o_orderpriority
 """
 
 
+def events_sliding_hourly(sf_dir: str):
+    """SLIDING window aggregate: 60-minute windows advancing every 30
+    minutes (each event belongs to exactly 2 windows) — implemented by
+    exploding events to their member windows inside map_batches, then the
+    combiner groupby.  Window grid anchored at floor-hour(min ts); the
+    anchor comes from a cheap driver-side column scan (at 100 TB: from
+    file statistics)."""
+    import pyarrow.parquet as pq_
+
+    tmin = pq_.read_table(f"{sf_dir}/events.parquet", columns=["ts"])
+    lo = pc.floor_temporal(pc.min(tmin["ts"]), unit="hour")
+    lo_scalar = pa.scalar(lo.as_py())
+
+    def explode(t: pa.Table) -> pa.Table:
+        w1 = pc.floor_temporal(t["ts"], multiple=30, unit="minute")
+        w2 = pc.subtract(w1, pa.scalar(1_800_000_000, pa.duration("us")))
+        cents = pa.array(_cents(t["value"]))
+        base = pa.table(
+            {"event_type": t["event_type"], "value_cents": cents}
+        )
+        p1 = base.append_column("wstart", w1)
+        p2 = base.append_column("wstart", w2)
+        both = pa.concat_tables([p1, p2])
+        return both.filter(pc.greater_equal(both["wstart"], lo_scalar))
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"]).map_batches(
+        explode, batch_format="pyarrow"
+    )
+    return partial_sum_groupby(
+        ds, ["event_type", "wstart"], {"value_cents": "sum_value_cents"}, count_as="n"
+    )
+
+
+SLIDING_SQL = f"""
+WITH b AS (SELECT date_trunc('hour', MIN(ts)) AS lo, MAX(ts) AS hi FROM events),
+w AS (SELECT unnest(generate_series((SELECT lo FROM b), (SELECT hi FROM b),
+                                    INTERVAL 30 MINUTE)) AS wstart)
+SELECT e.event_type, w.wstart,
+       CAST(SUM({_CENTS_SQL.format(expr='e.value')}) AS BIGINT) AS sum_value_cents,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events e JOIN w
+  ON e.ts >= w.wstart AND e.ts < w.wstart + INTERVAL 60 MINUTE
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -1134,6 +1180,7 @@ QUERIES = {
     "top5_parts": top5_parts,
     "events_hourly": events_hourly,
     "events_sessionize": events_sessionize,
+    "events_sliding_hourly": events_sliding_hourly,
     "nation_customer_agg": nation_customer_agg,
     "hash_join_priority": hash_join_priority,
     "extract_attr_roundtrip": extract_attr_roundtrip,
@@ -1176,6 +1223,7 @@ ORACLE_SQL = {
     "top5_parts": TOP5_SQL,
     "events_hourly": HOURLY_SQL,
     "events_sessionize": SESSION_SQL,
+    "events_sliding_hourly": SLIDING_SQL,
     "nation_customer_agg": NATION_SQL,
     "hash_join_priority": HASHJOIN_SQL,
     "extract_attr_roundtrip": ATTR_SQL,

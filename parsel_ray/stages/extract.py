@@ -127,7 +127,13 @@ class SelectorExtract:
         encoding_col: str | None = None,
         base_url_col: str | None = None,
         keep_input: bool = False,
+        xpath_funcs: "dict[str, Any] | None" = None,
     ) -> None:
+        """``xpath_funcs``: the user-extension surface (reference
+        ``set_xpathfunc``, xpathfuncs.py:16-34) lifted to the distributed
+        layer — a dict of {name: callable} registered in EVERY worker
+        process before queries run (the callables must be picklable, e.g.
+        module-level functions)."""
         self.specs = [
             s if isinstance(s, ExtractSpec) else ExtractSpec(*s) for s in specs
         ]
@@ -136,20 +142,42 @@ class SelectorExtract:
         self.encoding_col = encoding_col
         self.base_url_col = base_url_col
         self.keep_input = keep_input
-        # Warm the query-compilation caches once per actor: compiling here
-        # (not per batch) is the whole point of the actor pool.
-        from ..htmlpath.xpath import compile_xpath
-        from ..htmlpath import csstranslate
+        self.xpath_funcs = dict(xpath_funcs or {})
+        self._register_and_warm()
 
+    def _register_and_warm(self) -> None:
+        # Runs in __init__ (driver / actor) AND on unpickle (each task
+        # worker): register extension functions, then warm the
+        # query-compilation caches once per process.
+        from ..htmlpath import csstranslate
+        from ..htmlpath.xpath import compile_xpath, set_xpathfunc
+
+        for name, fn in self.xpath_funcs.items():
+            set_xpathfunc(name, fn)
         for s in self.specs:
             if s.lang == "xpath":
                 compile_xpath(s.query)
             elif s.lang == "css":
                 compile_xpath(
                     csstranslate.css2xpath_xml(s.query)
-                    if doc_type == "xml"
+                    if self.doc_type == "xml"
                     else csstranslate.css2xpath_html(s.query)
                 )
+
+    def __getstate__(self):
+        return {
+            "specs": self.specs,
+            "input_col": self.input_col,
+            "doc_type": self.doc_type,
+            "encoding_col": self.encoding_col,
+            "base_url_col": self.base_url_col,
+            "keep_input": self.keep_input,
+            "xpath_funcs": self.xpath_funcs,
+        }
+
+    def __setstate__(self, st):
+        self.__dict__.update(st)
+        self._register_and_warm()
 
     def _make_selector(self, value: Any, encoding: str, base_url: str | None) -> Selector:
         if isinstance(value, (bytes, bytearray)):
@@ -236,3 +264,14 @@ def explode_list_column(
     flat = col.flatten()
     taken = batch.drop_columns([list_col]).take(pa.array(indices))
     return taken.append_column(out_col, flat)
+
+
+def xpath_tag_count(ctx, *args):
+    """Example user-extension XPath function: count descendants of the
+    context node with the given tag (string arg; default "a").  Register
+    via ``SelectorExtract(..., xpath_funcs={"tag-count": xpath_tag_count})``.
+    Extension callables must live in an importable module so task workers
+    can unpickle them by reference (reference contract: xpathfuncs.py:16-34)."""
+    tag = args[0] if args and isinstance(args[0], str) else "a"
+    node = ctx.context_node
+    return float(sum(1 for el in node.iter() if el.tag == tag))

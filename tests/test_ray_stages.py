@@ -209,6 +209,35 @@ class TestRayPipelines:
         assert sorted(anti["k"]) == [2, 4]
 
 
+from parsel_ray.stages.extract import xpath_tag_count
+
+
+class TestSelectorExtractExtensions:
+    def test_custom_xpath_function_in_kernel(self):
+        stage = SelectorExtract(
+            [ExtractSpec("n", "xpath", "string(a-count(.))", "get")],
+            input_col="text",
+            xpath_funcs={"a-count": xpath_tag_count},
+        )
+        out = stage(_batch())["n"].to_pylist()
+        assert out == ["2", "1", "0"]
+
+    @pytest.mark.usefixtures("ray_session")
+    def test_custom_xpath_function_distributed(self):
+        import ray.data as rd
+
+        ds = rd.from_arrow(_batch()).map_batches(
+            SelectorExtract(
+                [ExtractSpec("n", "xpath", "string(a-count(.))", "get")],
+                input_col="text",
+                xpath_funcs={"a-count": xpath_tag_count},
+            ),
+            batch_format="pyarrow",
+        )
+        got = sorted(r["n"] for r in ds.take_all())
+        assert got == ["0", "1", "2"]
+
+
 class TestTextKernels:
     def test_token_stats(self):
         b = pa.table({"text": ["the cat sat, on a mat.", "", "one"]})
