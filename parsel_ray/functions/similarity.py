@@ -207,3 +207,84 @@ def exact_near_dup_pairs(ds, threshold: float, id_col: str = "vec_id",
             "cosine": pa.array(np.concatenate(out_s) if out_s else [], pa.float64()),
         }
     )
+
+
+# -- IVF (inverted-file) ANN ----------------------------------------------
+
+
+def train_centroids(sample: np.ndarray, k: int, iters: int = 8,
+                    seed: int = 42) -> np.ndarray:
+    """Deterministic mini k-means on a driver-side sample (Lloyd, fixed
+    seeded init) → (k, D) row-normalized centroids.  At 100 TB the sample
+    comes from ``ds.random_sample(frac, seed)``; training k centroids on
+    ~100k sampled rows is a driver-scale problem."""
+    rng = np.random.RandomState(seed)
+    sample = sample.astype(np.float64)
+    norms = np.linalg.norm(sample, axis=1)
+    sample = sample[norms > 0] / norms[norms > 0, None]
+    idx = rng.choice(len(sample), size=min(k, len(sample)), replace=False)
+    cent = sample[np.sort(idx)].copy()
+    for _ in range(iters):
+        assign = np.argmax(sample @ cent.T, axis=1)
+        for j in range(len(cent)):
+            members = sample[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                n = np.linalg.norm(c)
+                if n > 0:
+                    cent[j] = c / n
+    return cent
+
+
+class IvfAssign:
+    """Append ``ivf_cell``: nearest-centroid id (broadcast centroids)."""
+
+    def __init__(self, centroids_ref, emb_col: str = "embedding") -> None:
+        from .relational import LazyRef
+
+        self._c = LazyRef(centroids_ref)
+        self.emb_col = emb_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        cent = self._c.get()
+        mat = _stack_embeddings(t[self.emb_col])
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        mat = mat / norms[:, None]
+        cell = np.argmax(mat @ cent.T, axis=1).astype(np.int32)
+        return t.append_column("ivf_cell", pa.array(cell, pa.int32()))
+
+
+def ivf_topk(ds, queries_ref, centroids_ref, k: int, nprobe: int = 4,
+             id_col: str = "vec_id", emb_col: str = "embedding"):
+    """IVF ANN top-k: corpus rows are assigned to centroid cells once;
+    each query scores only rows in its ``nprobe`` nearest cells (the scale
+    path: cost ≈ N·Q·nprobe/k_cells vs brute force's N·Q; recall < 1).
+
+    Implementation: assign cells via broadcast centroids, semi-join the
+    corpus to the probed cell set, brute-force within the filtered subset.
+    """
+    import ray
+
+    import pyarrow.compute as pc
+
+    q = ray.get(queries_ref)
+    cent = ray.get(centroids_ref)
+    probes = np.argsort(-(q["mat"] @ cent.T), axis=1)[:, :nprobe]
+    probe_cells = pa.array(sorted(set(int(c) for row in probes for c in row)),
+                           pa.int32())
+
+    assigned = ds.map_batches(
+        IvfAssign(centroids_ref, emb_col), batch_format="pyarrow",
+        batch_size=4096,
+    )
+    filtered = assigned.map_batches(
+        lambda t: t.filter(pc.is_in(t["ivf_cell"], value_set=probe_cells)),
+        batch_format="pyarrow",
+    )
+    partials = filtered.map_batches(
+        BruteForceTopK(queries_ref, k, id_col, emb_col),
+        batch_format="pyarrow",
+        batch_size=4096,
+    )
+    return finalize_topk(partials, k)

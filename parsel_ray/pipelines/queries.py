@@ -1171,6 +1171,56 @@ GROUP BY 1, 2
 """
 
 
+def events_running_count(sf_dir: str):
+    """Keyed incremental state (stream shape): per-user running event
+    count in event-time order — partition by key, order within the
+    partition, cumulative state (the groupby(key)+ordered-group pattern;
+    an actor-per-key-bucket gives the same semantics for unbounded
+    streams)."""
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).copy()
+        g["running_n"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["user_id", "event_id", "running_n"]]
+
+    return grouped_apply(
+        _read(sf_dir, "events", ["user_id", "ts", "event_id"]),
+        "user_id",
+        run,
+        num_partitions=16,
+    )
+
+
+RUNNING_SQL = """
+SELECT user_id, event_id,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS running_n
+FROM events
+"""
+
+
+def embedding_ivf_knn(sf_dir: str):
+    """IVF ANN top-5 (rows-only: approximate — recall measured against the
+    exact brute-force result in tests)."""
+    import pyarrow.parquet as pq_
+
+    from ..functions.similarity import ivf_topk, train_centroids
+
+    t = pq_.read_table(f"{sf_dir}/embeddings.parquet")
+    mat = _stack_embeddings(t["embedding"])
+    cent = train_centroids(mat, k=16)
+    qt = t.filter(pc.less(t["vec_id"], pa.scalar(10, pa.int64())))
+    qmat = _stack_embeddings(qt["embedding"])
+    norms = np.linalg.norm(qmat, axis=1)
+    norms[norms == 0] = 1.0
+    qref = ray.put(
+        {"ids": qt["vec_id"].to_numpy(zero_copy_only=False), "mat": qmat / norms[:, None]}
+    )
+    cref = ray.put(cent)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = ivf_topk(ds, qref, cref, k=5, nprobe=4)
+    return out.select_columns(["query_id", "neighbor_id", "rank"])
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -1181,6 +1231,8 @@ QUERIES = {
     "events_hourly": events_hourly,
     "events_sessionize": events_sessionize,
     "events_sliding_hourly": events_sliding_hourly,
+    "events_running_count": events_running_count,
+    "embedding_ivf_knn": embedding_ivf_knn,
     "nation_customer_agg": nation_customer_agg,
     "hash_join_priority": hash_join_priority,
     "extract_attr_roundtrip": extract_attr_roundtrip,
@@ -1224,6 +1276,7 @@ ORACLE_SQL = {
     "events_hourly": HOURLY_SQL,
     "events_sessionize": SESSION_SQL,
     "events_sliding_hourly": SLIDING_SQL,
+    "events_running_count": RUNNING_SQL,
     "nation_customer_agg": NATION_SQL,
     "hash_join_priority": HASHJOIN_SQL,
     "extract_attr_roundtrip": ATTR_SQL,

@@ -325,3 +325,46 @@ class TestDedupKernels:
     def test_ngram_jaccard(self):
         assert D.ngram_jaccard("abcdefgh", "abcdefgh") == 1.0
         assert D.ngram_jaccard("abcdefgh", "zzzzzzzz") == 0.0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSimilarity:
+    def test_ivf_recall_vs_brute_force(self):
+        """IVF with nprobe=4/16 cells keeps high recall vs the exact path."""
+        import ray
+        import ray.data as rd
+
+        from parsel_ray.functions.similarity import (
+            _stack_embeddings,
+            brute_force_topk,
+            ivf_topk,
+            train_centroids,
+        )
+
+        rng = np.random.RandomState(0)
+        n, d = 800, 32
+        mat = rng.standard_normal((n, d))
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(np.arange(n), pa.int64()),
+                "embedding": pa.array(
+                    [row.astype(np.float32).tolist() for row in mat],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        )
+        qmat = mat[:5] / np.linalg.norm(mat[:5], axis=1)[:, None]
+        qref = ray.put({"ids": np.arange(5), "mat": qmat})
+        ds = rd.from_arrow(tbl)
+        exact = brute_force_topk(ds, qref, k=10).to_pandas()
+        cent = train_centroids(mat, k=16)
+        approx = ivf_topk(ds, qref, ray.put(cent), k=10, nprobe=4).to_pandas()
+        recalls = []
+        for qid in range(5):
+            e = set(exact[exact["query_id"] == qid]["neighbor_id"])
+            a = set(approx[approx["query_id"] == qid]["neighbor_id"])
+            recalls.append(len(e & a) / len(e))
+        assert np.mean(recalls) >= 0.5  # nprobe=4/16 on random data
+        # the query vector itself always lands in a probed cell
+        for qid in range(5):
+            assert qid in set(approx[approx["query_id"] == qid]["neighbor_id"])
