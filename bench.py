@@ -22,7 +22,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-REPLICATE = int(os.environ.get("BENCH_REPLICATE", "20"))
+REPLICATE = int(os.environ.get("BENCH_REPLICATE", "40"))
 
 
 def _init_ray():
@@ -281,7 +281,7 @@ def main() -> None:
         lo, hi = (int(x) for x in os.environ.get("SCALE_LEVELS", "4,16").split(","))
         report = {"metric": f"scaling ({lo} vs {hi} cpus, fresh processes, same input)",
                   "sf": SF_DIR, "pipelines": {}}
-        repeats = int(os.environ.get("SCALE_REPEATS", "2"))
+        repeats = int(os.environ.get("SCALE_REPEATS", "3"))
         for name in ("crawl", "extract"):
             per = {}
             for ncpu in (lo, hi):
@@ -292,6 +292,11 @@ def main() -> None:
                     BENCH_ONLY=name,
                     GRAFT_SF_DIR=SF_DIR,
                 )
+                if name == "extract":
+                    # larger corpus for the scaling probe: amortizes the
+                    # ~1 s fixed pipeline cost that otherwise caps the
+                    # efficiency reading
+                    env["BENCH_REPLICATE"] = str(max(REPLICATE, 80))
                 for _ in range(repeats):  # min of repeats: steady-state, not noise
                     out = subprocess.run(
                         [sys.executable, os.path.abspath(__file__)],

@@ -112,11 +112,27 @@ class FrontierShard:
         self.buckets.tick()
 
     def admit_and_tick(self, items: list) -> int:
-        """One RTT per epoch: admit the (pre-sorted) links, then the epoch
-        tick — identical op sequence to admit_batch + end_epoch."""
+        """Admit the (pre-sorted) links, then the epoch tick — identical
+        op sequence to admit_batch + end_epoch."""
         n = self.admit_batch(items)
         self.buckets.tick()
         return n
+
+    def admit_tick_pop(self, items: list) -> tuple:
+        """ONE actor round-trip per epoch: admit last epoch's links, tick,
+        pop the next epoch's grants.  The per-shard op sequence is
+        identical to admit_batch+end_epoch+pop_batch; the very first call
+        (items=[] after seeding) ticks empty/full buckets — a no-op.
+        Returns (grants, pending_count_after)."""
+        if getattr(self, "_preadmit", None):
+            # links checkpointed in-flight (popped before the snapshot,
+            # admitted after): replay them first on resume
+            items = self._preadmit + list(items)
+            self._preadmit = []
+        self.admit_batch(items)
+        self.buckets.tick()
+        grants = self.pop_batch()
+        return grants, len(self.pending)
 
     def pending_count(self) -> int:
         return len(self.pending)
@@ -129,7 +145,12 @@ class FrontierShard:
 
     # -- checkpoint (N11) --------------------------------------------------
 
-    def checkpoint(self, ckpt_dir: str, epoch: int) -> str:
+    def checkpoint(self, ckpt_dir: str, epoch: int,
+                   pending_admits: "list | None" = None) -> str:
+        """``pending_admits``: this epoch's extracted links that the
+        driver has not yet routed through admit_tick_pop — they belong to
+        the snapshot (the op sequence on resume replays them first)."""
+        pending_admits = pending_admits or []
         d = os.path.join(ckpt_dir, f"epoch={epoch}")
         os.makedirs(d, exist_ok=True)
         st = self.filter.state()
@@ -148,6 +169,10 @@ class FrontierShard:
                 "pending_url": pa.array([[u for _, u in self.pending]],
                                         pa.list_(pa.string())),
                 "seen": pa.array([self.seen], pa.list_(pa.string())),
+                "preadmit_depth": pa.array([[d_ for d_, _ in pending_admits]],
+                                           pa.list_(pa.int32())),
+                "preadmit_url": pa.array([[u for _, u in pending_admits]],
+                                         pa.list_(pa.string())),
                 "metrics_json": pa.array([json.dumps(self.metrics)]),
             }
         )
@@ -171,6 +196,8 @@ class FrontierShard:
         self.robots.restore(json.loads(row["robots_json"]))
         self.pending = list(zip(row["pending_depth"], row["pending_url"]))
         self.seen = list(row["seen"])
+        self._preadmit = list(zip(row.get("preadmit_depth", []),
+                                  row.get("preadmit_url", [])))
         self.metrics = json.loads(row["metrics_json"])
 
 
@@ -350,16 +377,20 @@ def run_crawl(
 
     pop_ord = pop_order[-1][1] + 1 if pop_order else 0
     fetcher = FetchExtract(cfg)
+    routed: dict[int, list] = {i: [] for i in range(cfg.shards)}
 
     for epoch in range(start_epoch, cfg.max_epochs):
-        grant_lists = ray.get([s.pop_batch.remote() for s in shards])
+        # single barrier: admit previous epoch's links, tick, pop this
+        # epoch's grants — one actor RTT per shard per epoch
+        results = ray.get(
+            [s.admit_tick_pop.remote(routed[i]) for i, s in enumerate(shards)]
+        )
+        routed = {i: [] for i in range(cfg.shards)}
         grants = sorted(
-            (g for lst in grant_lists for g in lst), key=lambda du: (du[0], du[1])
+            (g for lst, _ in results for g in lst), key=lambda du: (du[0], du[1])
         )
         if not grants:
-            pending = sum(ray.get([s.pending_count.remote() for s in shards]))
-            ray.get([s.end_epoch.remote() for s in shards])
-            if pending == 0:
+            if sum(p for _, p in results) == 0:
                 break
             continue
         for d, u in grants:
@@ -370,7 +401,7 @@ def run_crawl(
         # the kernel itself is the same map_batches-shaped FetchExtract);
         # 4 waves per round for straggler balancing (page cost varies)
         ncpus = int(ray.cluster_resources().get("CPU", 8))
-        chunk = max(4, -(-len(grants) // (ncpus * 4)))
+        chunk = max(4, -(-len(grants) // (ncpus * 6)))
         edir = None
         if out_dir:
             edir = os.path.join(out_dir, "images", f"epoch={epoch}")
@@ -401,25 +432,37 @@ def run_crawl(
             if link_tables
             else None
         )
-        routed = {i: [] for i in range(cfg.shards)}
         if links is not None and len(links):
             sh = links["shard"].to_numpy(zero_copy_only=False)
             pd_ = links["parent_depth"].to_numpy(zero_copy_only=False)
             li_ = links["link_index"].to_numpy(zero_copy_only=False)
-            pu = links["parent_url"].to_pylist()
             us = links["url"].to_pylist()
-            order = sorted(
-                range(len(us)), key=lambda i: (pd_[i], pu[i], li_[i])
+            # vectorized deterministic order: (parent_depth, parent_url,
+            # link_index)
+            import pandas as _pd
+
+            order = (
+                _pd.DataFrame(
+                    {
+                        "d": pd_,
+                        "u": links["parent_url"].to_pylist(),
+                        "l": li_,
+                    }
+                )
+                .sort_values(["d", "u", "l"], kind="stable")
+                .index.to_numpy()
             )
             for idx in order:
                 routed[int(sh[idx])].append((int(pd_[idx]) + 1, us[idx]))
-        ray.get(
-            [s.admit_and_tick.remote(routed[i]) for i, s in enumerate(shards)]
-        )
 
         if checkpoint_every and ckpt_dir and (epoch + 1) % checkpoint_every == 0:
             _write_driver_ckpt(ckpt_dir, epoch, pop_order)
-            ray.get([s.checkpoint.remote(ckpt_dir, epoch) for s in shards])
+            ray.get(
+                [
+                    s.checkpoint.remote(ckpt_dir, epoch, routed[i])
+                    for i, s in enumerate(shards)
+                ]
+            )
 
     seen = sorted(
         u for lst in ray.get([s.seen_urls.remote() for s in shards]) for u in lst

@@ -252,7 +252,13 @@ def verify_pairs(pairs: pd.DataFrame, ids_sorted: np.ndarray,
         return out
     ia = np.searchsorted(ids_sorted, pairs["id_a"].to_numpy())
     ib = np.searchsorted(ids_sorted, pairs["id_b"].to_numpy())
-    est = (mat[ia] == mat[ib]).mean(axis=1)
+    # chunked gather: bounded allocations (a single multi-GB fancy-index
+    # stalls on first-touch page faults under memory pressure)
+    est = np.empty(len(ia), dtype=np.float64)
+    step = 262_144
+    for lo in range(0, len(ia), step):
+        hi = lo + step
+        est[lo:hi] = (mat[ia[lo:hi]] == mat[ib[lo:hi]]).mean(axis=1)
     out = pairs.copy()
     out["est_jaccard"] = est
     return out[out["est_jaccard"] >= threshold]
