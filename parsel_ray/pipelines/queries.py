@@ -1221,6 +1221,47 @@ def embedding_ivf_knn(sf_dir: str):
     return out.select_columns(["query_id", "neighbor_id", "rank"])
 
 
+def partitioned_write_docs(sf_dir: str):
+    """Partitioned parquet sink: documents written under one directory per
+    lang partition (atomic per-partition publish with _DONE markers — the
+    resumable-output layout); the returned artifact is the per-partition
+    row count read BACK from the written files."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    import pyarrow.parquet as _pq
+
+    out = _tempfile.mkdtemp(prefix="docs_by_lang_", dir="/tmp")
+    try:
+        ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+        langs = sorted(set(ds.unique("lang")))
+        for lang in langs:  # one directory per partition key
+            pdir = _os.path.join(out, f"lang={lang}")
+            if _os.path.exists(_os.path.join(pdir, "_DONE")):
+                continue  # a rerun skips finished partitions
+            _os.makedirs(pdir, exist_ok=True)
+            ds.filter(expr=f"lang == '{lang}'").write_parquet(pdir)
+            open(_os.path.join(pdir, "_DONE"), "w").close()
+        counts = []
+        for lang in langs:
+            files = _glob.glob(_os.path.join(out, f"lang={lang}", "*.parquet"))
+            n = sum(_pq.read_metadata(f).num_rows for f in files)
+            counts.append((lang, n))
+        return pa.table(
+            {
+                "lang": pa.array([l for l, _ in counts], pa.string()),
+                "n": pa.array([n for _, n in counts], pa.int64()),
+            }
+        )
+    finally:
+        _shutil.rmtree(out, ignore_errors=True)
+
+
+PARTWRITE_SQL = "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang"
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -1255,6 +1296,7 @@ QUERIES = {
     "orders_minmax": orders_minmax,
     "deterministic_sample": deterministic_sample,
     "union_counts": union_counts,
+    "partitioned_write_docs": partitioned_write_docs,
     "doc_bpe_tokens": doc_bpe_tokens,
     "hash_join_native": hash_join_native,
     "phash_near_dup": phash_near_dup,
@@ -1292,6 +1334,7 @@ ORACLE_SQL = {
     "orders_minmax": MINMAX_SQL,
     "deterministic_sample": SAMPLE_SQL,
     "union_counts": UNION_SQL,
+    "partitioned_write_docs": PARTWRITE_SQL,
     "doc_bpe_tokens": BPE_SQL,
     "hash_join_native": NATIVE_JOIN_SQL,
 }
