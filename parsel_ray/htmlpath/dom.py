@@ -163,6 +163,29 @@ class Element:
         doc = self.getroot_document()
         return doc.base_url if doc is not None else None
 
+    _LINK_ATTRS = (
+        ("a", "href"), ("link", "href"), ("area", "href"), ("base", "href"),
+        ("img", "src"), ("script", "src"), ("iframe", "src"), ("embed", "src"),
+        ("source", "src"), ("form", "action"),
+    )
+
+    def make_links_absolute(self, base_url: str | None = None) -> None:
+        """Resolve link attributes (href/src/action) in this subtree against
+        ``base_url`` (default: the document base) — API parity with the
+        lxml HtmlElement method the reference exposes via ``Selector.root``
+        (tested at reference tests/test_selector.py
+        test_make_links_absolute)."""
+        from urllib.parse import urljoin
+
+        base = base_url or self.base
+        if not base:
+            return
+        wanted = {t: a for t, a in self._LINK_ATTRS}
+        for el in self.iter():
+            attr = wanted.get(el.tag)
+            if attr and attr in el.attrib:
+                el.attrib[attr] = urljoin(base, el.attrib[attr])
+
     def iter(self, tag: str | None = None) -> Iterator["Element"]:
         if tag in (None, "*") or self.tag == tag:
             yield self

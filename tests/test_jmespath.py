@@ -93,3 +93,58 @@ class TestJMESPath:
         assert sel.xpath("//div/content").jmespath("user[*].age.to_string(@)").re(
             r"(\d+)"
         ) == ["18", "32", "22", "25"]
+
+
+def test_jmespath_with_re():
+    """reference tests/test_selector_jmespath.py test_jmestpath_with_re"""
+    html_text = """
+        <div>
+            <h1>Information</h1>
+            <content>
+            {
+              "user": [
+                        {"name": "A", "age": 18},
+                        {"name": "B", "age": 32},
+                        {"name": "C", "age": 22},
+                        {"name": "D", "age": 25}
+              ],
+              "total": 4,
+              "status": "ok"
+            }
+            </content>
+        </div>
+        """
+    sel = Selector(text=html_text)
+    assert sel.xpath("//div/content/text()").jmespath("user[*].name").re(
+        r"(\w+)"
+    ) == ["A", "B", "C", "D"]
+    assert sel.xpath("//div/content").jmespath("user[*].name").re(r"(\w+)") == [
+        "A",
+        "B",
+        "C",
+        "D",
+    ]
+
+
+def test_json_types():
+    """reference test_json_types: every JSON scalar/container type sniffs
+    to type=json with the parsed value as root."""
+    for text, root in (
+        ("{}", {}),
+        ('{"a": "b"}', {"a": "b"}),
+        ("[]", []),
+        ('["a"]', ["a"]),
+        ('""', ""),
+        ("0", 0),
+        ("1", 1),
+        ("true", True),
+        ("false", False),
+        ("null", None),
+    ):
+        selector = Selector(text=text)
+        assert selector.type == "json"
+        assert selector.root == root
+
+        selector = Selector(text=None, root=root)
+        assert selector.type == "json"
+        assert selector.root == root

@@ -971,3 +971,79 @@ class TestSelectorBytes(TestSelector):
 
 class TestExsltBytes(TestExslt):
     sscls = SelectorBytesInput
+
+
+
+class TestRemainingReferenceParity:
+    """The last reference tests not previously ported
+    (tests/test_selector.py): header-encoding precedence, link
+    absolutization, nested getall semantics, smart-strings analog."""
+
+    def test_http_header_encoding_precedence(self):
+        text = """<html>
+        <head><meta http-equiv="Content-Type" content="text/html; charset=iso-8859-1"></head>
+        <body><span id="blank">\xa3</span></body></html>"""
+        x = Selector(text=text)
+        assert x.xpath("//span[@id='blank']/text()").extract() == ["\xa3"]
+
+    def test_make_links_absolute(self):
+        text = '<a href="file.html">link to file</a>'
+        sel = Selector(text=text, base_url="http://example.com")
+        sel.root.make_links_absolute()
+        assert sel.xpath("//a/@href").extract_first() == "http://example.com/file.html"
+
+    def test_make_links_absolute_nested_and_kinds(self):
+        text = (
+            '<div><a href="../up.html">u</a><img src="i/p.png"/>'
+            '<form action="/post"></form></div>'
+        )
+        sel = Selector(text=text, base_url="http://ex.com/a/b/")
+        sel.root.make_links_absolute()
+        assert sel.xpath("//a/@href").get() == "http://ex.com/a/up.html"
+        assert sel.xpath("//img/@src").get() == "http://ex.com/a/b/i/p.png"
+        assert sel.xpath("//form/@action").get() == "http://ex.com/post"
+
+    def test_selectorlist_getall_alias(self):
+        body = """<body>
+                    <div class='one'>
+                      <ul>
+                        <li>one</li><li>two</li>
+                      </ul>
+                    </div>
+                    <div class='two'>
+                      <ul>
+                        <li>four</li><li>five</li><li>six</li>
+                      </ul>
+                    </div>
+                  </body>"""
+        x = Selector(text=body)
+        divtwo = x.xpath('//div[@class="two"]')
+        assert divtwo.xpath("//li").getall() == [
+            "<li>one</li>",
+            "<li>two</li>",
+            "<li>four</li>",
+            "<li>five</li>",
+            "<li>six</li>",
+        ]
+        assert divtwo.xpath("./ul/li").getall() == [
+            "<li>four</li>",
+            "<li>five</li>",
+            "<li>six</li>",
+        ]
+        assert divtwo.xpath(".//li").getall() == [
+            "<li>four</li>",
+            "<li>five</li>",
+            "<li>six</li>",
+        ]
+        assert divtwo.xpath("./li").getall() == []
+
+    def test_smart_strings_analog(self):
+        """Reference: smart strings disabled → text/attr results carry no
+        parent pointer (selector.py:428; tests/test_selector.py
+        test_smart_strings).  The engine's text/attr results are plain
+        strings — never parent-linked; the opt-in smart-strings subclass
+        is an lxml-only surface (documented exclusion)."""
+        body = "<div class='one'><ul><li>one</li><li>two</li></ul></div>"
+        x = Selector(text=body)
+        assert not any(hasattr(e.root, "getparent") for e in x.xpath("//li/text()"))
+        assert not any(hasattr(e.root, "getparent") for e in x.xpath("//div/@class"))
