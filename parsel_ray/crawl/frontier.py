@@ -464,6 +464,14 @@ def run_crawl(
                 ]
             )
 
+    # max_epochs may truncate the crawl with links still un-admitted — the
+    # oracle admits (and ticks) them inside its final iteration, so the seen
+    # set must include them for the byte-match contract
+    if any(routed.values()):
+        ray.get(
+            [s.admit_and_tick.remote(routed[i]) for i, s in enumerate(shards)]
+        )
+
     seen = sorted(
         u for lst in ray.get([s.seen_urls.remote() for s in shards]) for u in lst
     )

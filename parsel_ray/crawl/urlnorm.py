@@ -13,7 +13,7 @@ implementation, so "byte-match" is by construction):
 from __future__ import annotations
 
 import re
-from urllib.parse import quote, unquote, urljoin, urlsplit, urlunsplit
+from urllib.parse import quote, urljoin, urlsplit, urlunsplit
 
 _DEFAULT_PORTS = {"http": "80", "https": "443"}
 # characters that stay verbatim in path/query after re-quoting
@@ -21,9 +21,23 @@ _PATH_SAFE = "/:@!$&'()*+,;=~._-"
 _QUERY_SAFE = ":@!$&'()*+,;=~._-/?"
 
 
+_UNRESERVED = set(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
+)
+_PCT_RE = re.compile(r"%[0-9a-fA-F]{2}")
+
+
 def _renorm(component: str, safe: str) -> str:
-    # decode everything decodable, then re-encode the reserved set
-    return quote(unquote(component), safe=safe)
+    # RFC 3986 §6.2.2: decode ONLY escapes of unreserved characters —
+    # %2F/%26/%3D etc. are data, not delimiters, and must stay encoded
+    # (decoding them would conflate distinct URLs); other escapes are
+    # upper-cased.  Then percent-encode any raw disallowed characters.
+    def fix(m: "re.Match[str]") -> str:
+        ch = chr(int(m.group(0)[1:], 16))
+        return ch if ch in _UNRESERVED else m.group(0).upper()
+
+    s = _PCT_RE.sub(fix, component)
+    return quote(s, safe=safe + "%")
 
 
 def _resolve_dots(path: str) -> str:

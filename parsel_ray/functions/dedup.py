@@ -387,16 +387,30 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
     return inter / union if union else 0.0
 
 
-def hamming_near_dup_pairs(ds, col: str, id_col: str, n_bands: int = 4,
+def hamming_near_dup_pairs(ds, col: str, id_col: str, n_bands: int | None = None,
                            max_hamming: int = 6, num_partitions: int = 32):
     """Near-dup pairs on a 64-bit fingerprint column (phash / simhash) by
-    hamming distance: band the hash into ``n_bands`` keys (two hashes
-    within hamming n_bands-1 share >= 1 band), group per band, verify
-    exact popcount <= max_hamming.  The phash near-dup hook (SURVEY N10)."""
+    hamming distance: band the hash into ``n_bands`` keys, group per band,
+    verify exact popcount <= max_hamming.  The phash near-dup hook
+    (SURVEY N10).
+
+    Pigeonhole guarantee: two hashes within hamming ``n_bands - 1`` share
+    at least one band, so full recall at ``max_hamming`` needs
+    ``n_bands >= max_hamming + 1``; when ``n_bands`` is omitted it is
+    derived (the smallest divisor of 64 above ``max_hamming``)."""
     import pandas as pd_
 
     from .agg import grouped_apply
 
+    if n_bands is None:
+        n_bands = next(b for b in (2, 4, 8, 16, 32) if b > max_hamming)
+    if 64 % n_bands:
+        raise ValueError("n_bands must divide 64")
+    if n_bands <= max_hamming:
+        raise ValueError(
+            f"n_bands={n_bands} cannot guarantee recall at max_hamming="
+            f"{max_hamming}; need n_bands >= max_hamming + 1"
+        )
     width = 64 // n_bands
     mask = np.uint64((1 << width) - 1)
 

@@ -142,8 +142,13 @@ def hash_bucket_join(left, right, on: str, buckets: int = 32,
 
     Scale notes: ``buckets`` bounds per-group memory (≈ |L|+|R| / buckets);
     skewed keys → raise ``buckets`` or pre-salt the hot key.  Schemas of the
-    two sides may differ — the union aligns by name with nulls.
+    two sides may differ — the union aligns by name with nulls; each
+    bucket reconstructs its sides from the RECORDED side schemas, so
+    outer joins keep a consistent column set even when one side is empty
+    or all-null within a bucket.
     """
+    left_cols = list(left.schema().names)
+    right_cols = list(right.schema().names)
 
     def add_bucket(tag: bool):
         def f(t: pa.Table) -> pa.Table:
@@ -164,16 +169,10 @@ def hash_bucket_join(left, right, on: str, buckets: int = 32,
         lg = g.filter(mask)
         rg = g.filter(pc.invert(mask))
 
-        def side(t: pa.Table) -> pd.DataFrame:
-            keep = [
-                c
-                for c in t.column_names
-                if c not in ("__bucket", left_tag)
-                and (c == on or t[c].null_count < len(t))
-            ]
-            return t.select(keep).to_pandas()
+        def side(t: pa.Table, cols: list) -> pd.DataFrame:
+            return t.select([c for c in cols if c in t.column_names]).to_pandas()
 
-        ldf, rdf = side(lg), side(rg)
+        ldf, rdf = side(lg, left_cols), side(rg, right_cols)
         if ldf.empty or (rdf.empty and how == "inner"):
             return pd.DataFrame()
         return ldf.merge(rdf, on=on, how=how, suffixes=suffixes)

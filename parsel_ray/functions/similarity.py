@@ -26,8 +26,10 @@ def _stack_embeddings(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     """list<float> column → (N, D) float64 ndarray (zero-copy flatten)."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    flat = col.flatten().to_numpy(zero_copy_only=False)
     n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    flat = col.flatten().to_numpy(zero_copy_only=False)
     return flat.reshape(n, -1).astype(np.float64)
 
 
@@ -50,6 +52,14 @@ class BruteForceTopK:
         self.emb_col = emb_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:  # filters upstream may empty whole blocks
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
         q = self._q.get()
         self.qids = np.asarray(q["ids"], dtype=np.int64)
         self.qmat = np.asarray(q["mat"], dtype=np.float64)
@@ -121,6 +131,8 @@ class HyperplaneBucketer:
         self.weights = (1 << np.arange(bits, dtype=np.int64))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch.append_column("bucket", pa.array([], pa.int64()))
         mat = _stack_embeddings(batch[self.emb_col])
         signs = (mat @ self.planes.T) > 0  # (N, bits)
         bucket = (signs * self.weights[None, :]).sum(axis=1)

@@ -315,7 +315,11 @@ def escape_text(s: str) -> str:
 
 
 def escape_attr(s: str) -> str:
-    return s.replace("&", "&amp;").replace("<", "&lt;").replace('"', "&quot;")
+    s = s.replace("&", "&amp;").replace("<", "&lt;").replace('"', "&quot;")
+    if _ENT_OPEN in s:
+        # restore unresolved-entity sentinels as &name; (same as escape_text)
+        s = _ENT_RE.sub(lambda m: f"&{m.group(1).replace('&amp;', '&')};", s)
+    return s
 
 
 def _strip_entity_refs(s: str) -> str:

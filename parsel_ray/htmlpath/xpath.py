@@ -677,10 +677,24 @@ class Parser:
         return inner
 
 
+def _has_unterminated_literal(s: str) -> bool:
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c in "'\"":
+            j = s.find(c, i + 1)
+            if j == -1:
+                return True
+            i = j + 1
+        else:
+            i += 1
+    return False
+
+
 @lru_cache(maxsize=4096)
 def compile_xpath(expr: str) -> Node:
-    if expr.count('"') % 2 or expr.count("'") % 2:
-        # crude unterminated-literal detection, mirrors lxml's parse failure
+    if _has_unterminated_literal(expr):
+        # mirrors lxml's parse failure message
         raise XPathSyntaxError("Invalid expression: unterminated string literal")
     return Parser(tokenize(expr)).parse()
 
@@ -899,10 +913,12 @@ class Evaluator:
                 res = to_bool(ns) == other
                 return (not res) if negate else res
             if isinstance(other, float):
-                hit = any(to_number(string_value(n)) == other for n in ns)
-            else:
-                hit = any(string_value(n) == to_string(other) for n in ns)
-            return (not hit) if negate else hit
+                if negate:  # exists a node whose number differs
+                    return any(to_number(string_value(n)) != other for n in ns)
+                return any(to_number(string_value(n)) == other for n in ns)
+            if negate:  # exists a node whose string differs
+                return any(string_value(n) != to_string(other) for n in ns)
+            return any(string_value(n) == to_string(other) for n in ns)
         res = eq(left, right)
         return (not res) if negate else res
 
@@ -962,6 +978,10 @@ class Evaluator:
                 # by construction — the hot path needs no sort at all
                 if forward:
                     return matched
+                # reverse axes produce candidates in reverse document order
+                # (position() semantics need that DURING predicates); the
+                # RESULT node-set is document-ordered, like lxml
+                matched.sort(key=okey)
                 out = matched
                 break
             if not matched:
@@ -1329,8 +1349,10 @@ def _fn_substring(ev, args, ctx, pos, size):
     length = (
         to_number(ev._eval(args[2], ctx, pos, size)) if len(args) > 2 else float("inf")
     )
-    begin = round(start)
-    end = begin + (round(length) if not math.isinf(length) else len(s) + 1)
+    begin = math.floor(start + 0.5)  # XPath round(), not banker's rounding
+    end = begin + (
+        math.floor(length + 0.5) if not math.isinf(length) else len(s) + 1
+    )
     return "".join(c for i, c in enumerate(s, start=1) if begin <= i < end)
 
 

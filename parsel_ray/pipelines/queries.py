@@ -1067,7 +1067,7 @@ def phash_near_dup(sf_dir: str):
     )
     ds = rd.from_arrow(t)
     pairs = D.hamming_near_dup_pairs(
-        ds, col="phash", id_col="image_id", n_bands=4, max_hamming=6,
+        ds, col="phash", id_col="image_id", max_hamming=6,
         num_partitions=8,
     )
     pdf = pairs.to_pandas().drop_duplicates(["id_a", "id_b"]).sort_values(

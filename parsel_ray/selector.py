@@ -470,7 +470,12 @@ class Selector:
     @property
     def attrib(self) -> dict[str, str]:
         if isinstance(self.root, Element):
-            return {k: ("" if v is None else v) for k, v in self.root.attrib.items()}
+            from .htmlpath.dom import _strip_entity_refs as _sref
+
+            return {
+                k: ("" if v is None else _sref(v))
+                for k, v in self.root.attrib.items()
+            }
         return {}
 
     def __bool__(self) -> bool:

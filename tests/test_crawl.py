@@ -43,6 +43,10 @@ class TestUrlNorm:
             ("http://h.test", "http://h.test/"),
             ("http://h.test/p?b=2&a=1", "http://h.test/p?a=1&b=2"),
             ("http://h.test/%7Euser/%41", "http://h.test/~user/A"),
+            # reserved escapes are DATA — they must stay encoded (upper-cased)
+            ("http://h.test/a%2Fb", "http://h.test/a%2Fb"),
+            ("http://h.test/p?a=b%26c%3dd", "http://h.test/p?a=b%26c%3Dd"),
+            ("http://h.test/a b", "http://h.test/a%20b"),
             ("http://h.test/p#frag", "http://h.test/p"),
             ("mailto:x@y.z", None),
             ("javascript:void(0)", None),
@@ -201,6 +205,20 @@ class TestDistributedCrawl:
         import glob
 
         assert glob.glob(str(tmp_path / "images" / "epoch=*" / "*.parquet"))
+
+    def test_truncated_crawl_matches_oracle(self):
+        """max_epochs binds mid-crawl: links extracted in the final epoch
+        must still enter the seen set (the oracle admits them inside its
+        last iteration)."""
+        import dataclasses
+
+        from parsel_ray.crawl.frontier import run_crawl
+
+        cfg = dataclasses.replace(SMALL, max_epochs=3)
+        gold = oracle_crawl(cfg)
+        got = run_crawl(cfg, collect_images=False)
+        assert got.pop_order == gold.pop_order
+        assert got.seen_urls == gold.seen_urls
 
     def test_kill_and_resume_equivalence(self, tmp_path):
         """Run to completion with checkpoints; re-run from the mid

@@ -185,14 +185,24 @@ class TestRayPipelines:
         h1 = 0x0F0F0F0F0F0F0F0F
         h2 = h1 ^ 0b11
         h3 = 0x00FF00FF00FF00FF ^ ((1 << 63) | (1 << 31))
-        ds = rd.from_pandas(pd.DataFrame({"vid": [1, 2, 3], "h": [h1, h2, h3]}))
+        # h4: one flipped bit in each 16-bit quarter (hamming 4 spread
+        # across bands — requires the pigeonhole-derived band count)
+        h4 = h1 ^ ((1 << 0) | (1 << 16) | (1 << 32) | (1 << 48))
+        ds = rd.from_pandas(
+            pd.DataFrame({"vid": [1, 2, 3, 4], "h": [h1, h2, h3, h4]})
+        )
         pairs = (
-            D.hamming_near_dup_pairs(ds, col="h", id_col="vid", n_bands=4,
+            D.hamming_near_dup_pairs(ds, col="h", id_col="vid",
                                      max_hamming=6, num_partitions=4)
             .to_pandas()
             .drop_duplicates(["id_a", "id_b"])
         )
-        assert set(zip(pairs["id_a"], pairs["id_b"])) == {(1, 2)}
+        assert (1, 2) in set(zip(pairs["id_a"], pairs["id_b"]))
+        assert (1, 4) in set(zip(pairs["id_a"], pairs["id_b"]))  # spread bits
+        assert not any(3 in p for p in zip(pairs["id_a"], pairs["id_b"]))
+        with pytest.raises(ValueError, match="cannot guarantee recall"):
+            D.hamming_near_dup_pairs(ds, col="h", id_col="vid", n_bands=4,
+                                     max_hamming=6)
 
     def test_broadcast_lookup_and_semi_join(self):
         import ray
