@@ -362,6 +362,19 @@ def run_crawl(
                 drv["url"].to_pylist())
         )
         start_epoch = resume_epoch + 1
+        if collect_images:
+            # recover pre-resume image rows from the partitioned output
+            # (without out_dir those epochs' rows are not recoverable —
+            # pass out_dir on both runs when the image artifact matters)
+            if out_dir:
+                import glob as _glob
+
+                for e in range(start_epoch):
+                    edir = os.path.join(out_dir, "images", f"epoch={e}")
+                    if not os.path.exists(os.path.join(edir, "_DONE")):
+                        continue
+                    for p in sorted(_glob.glob(os.path.join(edir, "*.parquet"))):
+                        image_tables.append(pq.read_table(p).cast(IMAGE_SCHEMA))
     else:
         # seed admission: seed order, routed per shard (subsequence order
         # preserved ⇒ per-shard insert sequence matches the oracle)

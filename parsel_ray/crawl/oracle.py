@@ -118,13 +118,11 @@ def oracle_crawl(cfg: CrawlConfig) -> CrawlResult:
             links, figures = extract_page(body, enc, u)
             for li, link in enumerate(links):
                 new_links.append((d, u, li, link))
+            fmt_figs = {
+                f["image_id"]: f for f in store.figures_of(*_page_of(u))
+            }
             for fig in figures:
                 iid = fig["image_id"]
-                fmt_figs = {
-                    f["image_id"]: f for f in store.figures_of(
-                        *_page_of(u)
-                    )
-                }
                 fmt = fmt_figs.get(iid, {}).get("fmt")
                 if fmt is None:
                     continue

@@ -34,8 +34,7 @@ def partial_sum_groupby(
         aggs.append(([], "count_all"))
 
     def partial(t: pa.Table) -> pa.Table:
-        if len(t) == 0:
-            return t.select(keys)
+        # pyarrow handles 0-row tables and keeps the full output schema
         return t.group_by(keys).aggregate(aggs)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
@@ -64,8 +63,6 @@ def partial_agg_groupby(
         aggs.append(([], "count_all"))
 
     def partial(t: pa.Table) -> pa.Table:
-        if len(t) == 0:
-            return t.select(keys)
         return t.group_by(keys).aggregate(aggs)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")

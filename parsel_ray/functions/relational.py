@@ -173,8 +173,9 @@ def hash_bucket_join(left, right, on: str, buckets: int = 32,
             return t.select([c for c in cols if c in t.column_names]).to_pandas()
 
         ldf, rdf = side(lg, left_cols), side(rg, right_cols)
-        if ldf.empty or (rdf.empty and how == "inner"):
-            return pd.DataFrame()
+        # merge unconditionally: pandas keeps the full merged column set
+        # for empty sides, so outer/right buckets with no left rows still
+        # emit their rows (and schemas stay consistent across buckets)
         return ldf.merge(rdf, on=on, how=how, suffixes=suffixes)
 
     return both.groupby("__bucket").map_groups(merge, batch_format="pyarrow")

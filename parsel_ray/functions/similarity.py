@@ -258,6 +258,8 @@ class IvfAssign:
         self.emb_col = emb_col
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t.append_column("ivf_cell", pa.array([], pa.int32()))
         cent = self._c.get()
         mat = _stack_embeddings(t[self.emb_col])
         norms = np.linalg.norm(mat, axis=1)
@@ -267,14 +269,49 @@ class IvfAssign:
         return t.append_column("ivf_cell", pa.array(cell, pa.int32()))
 
 
+class IvfScore(BruteForceTopK):
+    """BruteForceTopK restricted to each query's own probe cells: rows
+    outside a query's nprobe cells are masked out of that query's top-k
+    (true IVF semantics, not the union superset)."""
+
+    def __init__(self, queries_ref, probes_ref, k: int,
+                 id_col: str = "vec_id", emb_col: str = "embedding") -> None:
+        super().__init__(queries_ref, k, id_col, emb_col)
+        from .relational import LazyRef
+
+        self._probes = LazyRef(probes_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        t = super().__call__(batch)
+        if len(t) == 0 or len(batch) == 0:
+            return t
+        # recompute membership mask per (query, neighbor) pair on the
+        # partial top-k rows (small) rather than the full sim matrix
+        probes = self._probes.get()  # (Q, nprobe) int cells, row per query
+        cells = dict(
+            zip(
+                batch[self.id_col].to_pylist(),
+                batch["ivf_cell"].to_pylist(),
+            )
+        )
+        probe_sets = {int(q): set(int(c) for c in row)
+                      for q, row in zip(probes["ids"], probes["cells"])}
+        keep = [
+            cells.get(n) in probe_sets.get(int(qid), ())
+            for qid, n in zip(t["query_id"].to_pylist(),
+                              t["neighbor_id"].to_pylist())
+        ]
+        return t.filter(pa.array(keep, pa.bool_()))
+
+
 def ivf_topk(ds, queries_ref, centroids_ref, k: int, nprobe: int = 4,
              id_col: str = "vec_id", emb_col: str = "embedding"):
     """IVF ANN top-k: corpus rows are assigned to centroid cells once;
-    each query scores only rows in its ``nprobe`` nearest cells (the scale
-    path: cost ≈ N·Q·nprobe/k_cells vs brute force's N·Q; recall < 1).
-
-    Implementation: assign cells via broadcast centroids, semi-join the
-    corpus to the probed cell set, brute-force within the filtered subset.
+    each query's candidates are restricted to its ``nprobe`` nearest
+    cells (recall < 1).  The corpus is first filtered to the UNION of all
+    probed cells (cost N_union·Q for the matmul, N·Q·nprobe/k_cells
+    after per-query masking); at scale, group rows by cell and score
+    per-cell to avoid the union matmul entirely.
     """
     import ray
 
@@ -283,6 +320,8 @@ def ivf_topk(ds, queries_ref, centroids_ref, k: int, nprobe: int = 4,
     q = ray.get(queries_ref)
     cent = ray.get(centroids_ref)
     probes = np.argsort(-(q["mat"] @ cent.T), axis=1)[:, :nprobe]
+    probes_ref = ray.put({"ids": np.asarray(q["ids"], dtype=np.int64),
+                          "cells": probes})
     probe_cells = pa.array(sorted(set(int(c) for row in probes for c in row)),
                            pa.int32())
 
@@ -295,7 +334,7 @@ def ivf_topk(ds, queries_ref, centroids_ref, k: int, nprobe: int = 4,
         batch_format="pyarrow",
     )
     partials = filtered.map_batches(
-        BruteForceTopK(queries_ref, k, id_col, emb_col),
+        IvfScore(queries_ref, probes_ref, k, id_col, emb_col),
         batch_format="pyarrow",
         batch_size=4096,
     )

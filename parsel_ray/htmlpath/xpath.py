@@ -1344,11 +1344,13 @@ def _fn_substring_after(ev, args, ctx, pos, size):
 def _fn_substring(ev, args, ctx, pos, size):
     s = _fn_string_arg(ev, args, ctx, pos, size, 0)
     start = to_number(ev._eval(args[1], ctx, pos, size))
-    if math.isnan(start):
-        return ""
+    if math.isnan(start) or math.isinf(start):
+        return ""  # XPath 1.0: non-finite start selects nothing
     length = (
         to_number(ev._eval(args[2], ctx, pos, size)) if len(args) > 2 else float("inf")
     )
+    if math.isnan(length) or (math.isinf(length) and length < 0):
+        return ""
     begin = math.floor(start + 0.5)  # XPath round(), not banker's rounding
     end = begin + (
         math.floor(length + 0.5) if not math.isinf(length) else len(s) + 1

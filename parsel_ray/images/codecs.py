@@ -146,7 +146,7 @@ def phash64(px: np.ndarray) -> int:
     cells = np.empty((8, 8), dtype=np.float64)
     for i in range(8):
         for j in range(8):
-            cells[i, j] = gray[ys[i] : ys[i + 1], xs[i] : xs[i + 1]].mean()
+            cells[i, j] = gray[ys[i] : ys[i + 1], xs[j] : xs[j + 1]].mean()
     bits = (cells > cells.mean()).reshape(-1)
     val = np.uint64(0)
     for i, b in enumerate(bits):

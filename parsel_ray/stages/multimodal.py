@@ -49,7 +49,7 @@ class DecodeImageStats:
                              t[self.fmt_col].to_pylist()):
             try:
                 px = decode_image(data, fmt)
-            except (ValueError, NotImplementedError):
+            except Exception:  # corrupt payloads raise zlib/struct errors too
                 oks.append(False)
                 ws.append(None); hs.append(None); means.append(None)
                 phashes.append(None); thumbs.append(None)

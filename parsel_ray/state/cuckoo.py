@@ -24,11 +24,12 @@ _MAX_KICKS = 500
 
 
 def _hash64(data: bytes) -> np.uint64:
-    h = np.uint64(14695981039346656037)
-    with np.errstate(over="ignore"):
-        for b in data:
-            h = np.uint64((h ^ np.uint64(b)) * np.uint64(1099511628211))
-    return h
+    # pure-int FNV-1a (identical values to the numpy version, ~10x faster:
+    # this runs per admitted URL in the crawl's hottest path)
+    h = 14695981039346656037
+    for b in data:
+        h = ((h ^ b) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
+    return np.uint64(h)
 
 
 class CuckooFilter:

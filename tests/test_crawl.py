@@ -86,6 +86,17 @@ class TestCodecs:
         for fmt in FORMATS:
             assert encode_image(px, fmt) == encode_image(px, fmt)
 
+    def test_phash_horizontal_sensitivity(self):
+        """an off-diagonal horizontal difference must change the hash
+        (regression: the cell sampler once used the row index for the
+        column slice, blinding the hash to within-row differences)."""
+        rng = np.random.RandomState(3)
+        a = rng.randint(0, 256, size=(64, 64, 3), dtype=np.uint8)
+        a[0:8, 56:64] = 0
+        b = a.copy()
+        b[0:8, 56:64] = 255
+        assert phash64(a) != phash64(b)
+
     def test_phash_stability_and_sensitivity(self):
         store = PageStore(StoreConfig())
         a = store.image_pixels("img-0-0-0")
@@ -226,7 +237,8 @@ class TestDistributedCrawl:
         from parsel_ray.crawl.frontier import run_crawl
 
         ckpt = str(tmp_path / "ckpt")
-        full = run_crawl(SMALL, ckpt_dir=ckpt, checkpoint_every=2)
+        out = str(tmp_path / "out")
+        full = run_crawl(SMALL, out_dir=out, ckpt_dir=ckpt, checkpoint_every=2)
         import glob
         import re
 
@@ -236,9 +248,13 @@ class TestDistributedCrawl:
         )
         assert epochs, "no checkpoints written"
         mid = epochs[len(epochs) // 2]
-        resumed = run_crawl(SMALL, ckpt_dir=ckpt, resume_epoch=mid)
+        resumed = run_crawl(SMALL, out_dir=out, ckpt_dir=ckpt, resume_epoch=mid)
         assert resumed.pop_order == full.pop_order
         assert resumed.seen_urls == full.seen_urls
+        # the image artifact is recovered from the partitioned output too
+        fi = sorted(full.image_rows, key=lambda r: r["image_id"])
+        ri = sorted(resumed.image_rows, key=lambda r: r["image_id"])
+        assert [r["image_id"] for r in fi] == [r["image_id"] for r in ri]
 
     def test_hot_host_politeness_and_metrics(self):
         """Skew (N12/N13): the hot host (host-0 has the most pages) is

@@ -204,6 +204,28 @@ class TestRayPipelines:
             D.hamming_near_dup_pairs(ds, col="h", id_col="vid", n_bands=4,
                                      max_hamming=6)
 
+    def test_hash_bucket_join_outer(self):
+        import ray.data as rd
+
+        left = pd.DataFrame({"k": [1, 2], "x": [10, 20]})
+        right = pd.DataFrame({"k": list(range(2, 10)), "y": list(range(8))})
+        out = (
+            hash_bucket_join(
+                rd.from_pandas(left), rd.from_pandas(right), on="k",
+                buckets=4, how="outer",
+            )
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        want = (
+            left.merge(right, on="k", how="outer")
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        assert sorted(out["k"]) == sorted(want["k"])  # no bucket drops rows
+        assert set(out.columns) == set(want.columns)
+
     def test_broadcast_lookup_and_semi_join(self):
         import ray
         import ray.data as rd
