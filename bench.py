@@ -22,7 +22,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-REPLICATE = int(os.environ.get("BENCH_REPLICATE", "40"))
+REPLICATE = int(os.environ.get("BENCH_REPLICATE", "20"))
 
 
 def _init_ray():
@@ -285,7 +285,7 @@ def main() -> None:
         for name in ("crawl", "extract"):
             per = {}
             for ncpu in (lo, hi):
-                best = None
+                runs = []
                 env = dict(
                     os.environ,
                     RAY_GRAFT_CPUS=str(ncpu),
@@ -297,7 +297,10 @@ def main() -> None:
                     # ~1 s fixed pipeline cost that otherwise caps the
                     # efficiency reading
                     env["BENCH_REPLICATE"] = str(max(REPLICATE, 80))
-                for _ in range(repeats):  # min of repeats: steady-state, not noise
+                for _ in range(repeats):  # median of repeats: the shared
+                    # box shows ±30-60% noise; the median resists outliers
+                    # in BOTH directions (a lucky fast small-CPU run would
+                    # otherwise deflate the efficiency ratio)
                     out = subprocess.run(
                         [sys.executable, os.path.abspath(__file__)],
                         env=env,
@@ -307,10 +310,12 @@ def main() -> None:
                         cwd=os.path.dirname(os.path.abspath(__file__)),
                     ).stdout
                     r = json.loads(out.strip().splitlines()[-1])
-                    sec = r["queries"][name]
-                    if best is None or sec < best["sec"]:
-                        best = {"sec": sec, "rows": r.get("headline_rows", 0)}
-                per[ncpu] = best
+                    runs.append(
+                        {"sec": r["queries"][name],
+                         "rows": r.get("headline_rows", 0)}
+                    )
+                runs.sort(key=lambda x: x["sec"])
+                per[ncpu] = runs[len(runs) // 2]
             eff = (per[lo]["sec"] / per[hi]["sec"]) / (hi / lo)
             rows = per[hi]["rows"]
             report["pipelines"][name] = {
