@@ -41,11 +41,6 @@ def _init_ray():
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
-    # our pipelines EXPAND rows inside map tasks (20x replicate, HTML
-    # build); default 1 MiB min-bundle packs the tiny pre-expansion blocks
-    # into ~3 tasks and serializes the whole pipeline — bundle by the
-    # post-expansion cost instead
-    ctx.target_min_block_size = 1
 
 
 def replicated_docs(sf_dir: str, factor: int):
@@ -59,44 +54,35 @@ def replicated_docs(sf_dir: str, factor: int):
 
     import ray
 
-    from parsel_ray.functions.relational import LazyRef
-
     # The input file is ONE tiny parquet row group: a read-based pipeline
     # collapses into a single bundle and serializes every fused stage
-    # behind it.  Instead: broadcast the source table once (ray.put) and
-    # drive the expansion from rd.range — one independent task per shard.
+    # behind it.  Instead: broadcast the source table once (ray.put),
+    # generate each shard's expanded slice in its own Ray task, and build
+    # the Dataset from those REAL (multi-MB) blocks — downstream
+    # map_batches then parallelizes naturally, no bundling tricks needed.
     src = pq.read_table(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
     )
-    ref = LazyRef(ray.put(src))
+    src_ref = ray.put(src)
     n = len(src)
     total = n * factor
     shards = NUM_CPUS * 4
 
-    def gen(batch: pa.Table) -> pa.Table:
+    @ray.remote
+    def gen_shard(t: pa.Table, sid: int) -> pa.Table:
         import numpy as np
 
-        t = ref.get()
-        outs = []
-        for sid in batch["id"].to_pylist():
-            lo = sid * total // shards
-            hi = (sid + 1) * total // shards
-            gidx = np.arange(lo, hi, dtype=np.int64)
-            part = t.take(pa.array(gidx % n))
-            ids = part["doc_id"].to_numpy(zero_copy_only=False) + (gidx // n) * 1_000_000
-            outs.append(
-                part.set_column(
-                    part.schema.get_field_index("doc_id"), "doc_id", pa.array(ids)
-                )
-            )
-        return pa.concat_tables(outs)
+        lo = sid * total // shards
+        hi = (sid + 1) * total // shards
+        gidx = np.arange(lo, hi, dtype=np.int64)
+        part = t.take(pa.array(gidx % n))
+        ids = part["doc_id"].to_numpy(zero_copy_only=False) + (gidx // n) * 1_000_000
+        return part.set_column(
+            part.schema.get_field_index("doc_id"), "doc_id", pa.array(ids)
+        )
 
-    # batch_size=None → batch == block → task granularity == block count
-    # (an explicit batch_size makes the fused operator BUNDLE blocks until
-    # it can fill a batch, collapsing the whole expansion into one task)
-    return rd.range(shards, override_num_blocks=shards).map_batches(
-        gen, batch_format="pyarrow", batch_size=None
-    )
+    refs = [gen_shard.remote(src_ref, sid) for sid in range(shards)]
+    return rd.from_arrow_refs(refs)
 
 
 def bench_extract(sf_dir: str) -> int:
@@ -253,10 +239,11 @@ def _warm_workers() -> None:
         _time.sleep(0.3)  # hold the worker so each task lands on its own
 
     ray.get([touch.remote() for _ in range(NUM_CPUS + 4)])
-    # also exercise one tiny Dataset so Ray Data's executor is imported
+    # also exercise a tiny Dataset INCLUDING a groupby, so Ray Data's
+    # executor and the sort-shuffle machinery are warm before timing
     import ray.data as rd
 
-    rd.range(8).map_batches(lambda b: b).count()
+    rd.range(256, override_num_blocks=8).groupby("id").count().count()
 
 
 def run_suite(names) -> dict:
