@@ -269,6 +269,15 @@ def main() -> None:
         report = {"metric": f"scaling ({lo} vs {hi} cpus, fresh processes, same input)",
                   "sf": SF_DIR, "pipelines": {}}
         repeats = int(os.environ.get("SCALE_REPEATS", "3"))
+
+        def wait_for_quiet(max_wait: float = 90.0, threshold: float = 8.0):
+            # the box is shared: external load spikes (1-min loadavg > 15)
+            # distort individual runs; waiting briefly for a quiet window
+            # removes most of the noise the median can't
+            waited = 0.0
+            while waited < max_wait and os.getloadavg()[0] > threshold:
+                time.sleep(5)
+                waited += 5.0
         for name in ("crawl", "extract"):
             per = {}
             for ncpu in (lo, hi):
@@ -288,6 +297,7 @@ def main() -> None:
                     # box shows ±30-60% noise; the median resists outliers
                     # in BOTH directions (a lucky fast small-CPU run would
                     # otherwise deflate the efficiency ratio)
+                    wait_for_quiet()
                     out = subprocess.run(
                         [sys.executable, os.path.abspath(__file__)],
                         env=env,
