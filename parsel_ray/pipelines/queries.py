@@ -1262,6 +1262,32 @@ def partitioned_write_docs(sf_dir: str):
 PARTWRITE_SQL = "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang"
 
 
+def extract_attrib_map(sf_dir: str):
+    """The attrib terminal (E5, reference selector.py:786-795): full
+    attribute dict of the first matched element, serialized as
+    sorted-key JSON for a stable string artifact."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"]).map_batches(
+        _doc_html, batch_format="pyarrow"
+    )
+    return ds.map_batches(
+        SelectorExtract(
+            specs=[ExtractSpec("div_attrib", "css", "div", "attrib")],
+            input_col="page",
+            doc_type="html",
+        ),
+        batch_format="pyarrow",
+        batch_size=512,
+    ).select_columns(["doc_id", "div_attrib"])
+
+
+ATTRIB_SQL = """
+SELECT doc_id,
+       '{"data-lang": "' || lang || '", "data-source": "' || source ||
+       '", "id": "d' || doc_id || '"}' AS div_attrib
+FROM documents
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -1278,6 +1304,7 @@ QUERIES = {
     "hash_join_priority": hash_join_priority,
     "extract_attr_roundtrip": extract_attr_roundtrip,
     "extract_links": extract_links,
+    "extract_attrib_map": extract_attrib_map,
     "extract_regex_first": extract_regex_first,
     "jmespath_props": jmespath_props,
     "doc_token_stats": doc_token_stats,
@@ -1323,6 +1350,7 @@ ORACLE_SQL = {
     "hash_join_priority": HASHJOIN_SQL,
     "extract_attr_roundtrip": ATTR_SQL,
     "extract_links": LINKS_SQL,
+    "extract_attrib_map": ATTRIB_SQL,
     "extract_regex_first": REGEX_SQL,
     "jmespath_props": JMES_SQL,
     "doc_token_stats": TOKEN_SQL,
