@@ -414,7 +414,7 @@ def run_crawl(
         # the kernel itself is the same map_batches-shaped FetchExtract);
         # 4 waves per round for straggler balancing (page cost varies)
         ncpus = int(ray.cluster_resources().get("CPU", 8))
-        chunk = max(4, -(-len(grants) // (ncpus * 6)))
+        chunk = max(4, -(-len(grants) // (ncpus * 3)))
         edir = None
         if out_dir:
             edir = os.path.join(out_dir, "images", f"epoch={epoch}")
