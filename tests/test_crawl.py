@@ -217,6 +217,24 @@ class TestDistributedCrawl:
 
         assert glob.glob(str(tmp_path / "images" / "epoch=*" / "*.parquet"))
 
+    def test_medium_config_matches_oracle(self):
+        """A second, larger topology (more hosts than shards, multi-host
+        shards, deeper graph) — catches shard-collision and scale-shaped
+        determinism bugs the SMALL config cannot."""
+        from parsel_ray.crawl.frontier import run_crawl
+
+        cfg = CrawlConfig(
+            store=StoreConfig(n_hosts=12, pages_per_host=30),
+            n_seeds=10,
+            max_depth=5,
+            max_epochs=40,
+            shards=5,
+        )
+        gold = oracle_crawl(cfg)
+        got = run_crawl(cfg, collect_images=False)
+        assert got.pop_order == gold.pop_order
+        assert got.seen_urls == gold.seen_urls
+
     def test_truncated_crawl_matches_oracle(self):
         """max_epochs binds mid-crawl: links extracted in the final epoch
         must still enter the seen set (the oracle admits them inside its
