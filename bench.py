@@ -127,12 +127,28 @@ def bench_hash_join(sf_dir: str) -> int:
 
 
 def bench_minhash(sf_dir: str) -> int:
+    """The standard dedup pipeline order: EXACT dedup first (the corpus is
+    replica-heavy), then MinHash-LSH near-dup over the distinct texts —
+    the pair stage sees the true near-dup structure, not replica floods."""
     from parsel_ray.functions import dedup as D
+    from parsel_ray.functions.agg import partial_agg_groupby
+    from parsel_ray.functions.relational import broadcast_semi_join
+    from parsel_ray.functions.text import fingerprint
 
     import numpy as np
+    import ray
 
     ds = replicated_docs(sf_dir, max(1, REPLICATE // 5))
-    sigs = ds.map_batches(
+    fps = ds.map_batches(
+        lambda t: fingerprint(t).select(["doc_id", "fingerprint"]),
+        batch_format="pyarrow",
+    )
+    survivors = partial_agg_groupby(
+        fps, ["fingerprint"], [("doc_id", "min", "doc_id")]
+    )
+    keep = set(survivors.to_pandas()["doc_id"])
+    distinct = broadcast_semi_join(ds, ray.put(keep), "doc_id")
+    sigs = distinct.map_batches(
         D.MinHasher(col="text", num_perm=64, k=5),
         batch_format="pyarrow",
         batch_size=None,
@@ -148,7 +164,9 @@ def bench_minhash(sf_dir: str) -> int:
     import ray
 
     pdf = pairs.to_pandas().drop_duplicates(["id_a", "id_b"])
-    sig_t = pa.concat_tables([ray.get(r) for r in sigs.to_arrow_refs()])
+    sig_tables = [t for t in (ray.get(r) for r in sigs.to_arrow_refs())
+                  if t.num_columns]  # Ray may emit schema-less empty blocks
+    sig_t = pa.concat_tables(sig_tables)
     ids_sorted, mat = D.sig_matrix(sig_t, "doc_id")
     return len(D.verify_pairs(pdf, ids_sorted, mat, 0.8))
 

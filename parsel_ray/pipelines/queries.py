@@ -705,7 +705,9 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8):
     # huge pair sets: hash-partition pairs + per-partition sig join)
     import ray as _ray
 
-    sig_t = pa.concat_tables([_ray.get(r) for r in sigs.to_arrow_refs()])
+    sig_tables = [t for t in (_ray.get(r) for r in sigs.to_arrow_refs())
+                  if t.num_columns]  # Ray may emit schema-less empty blocks
+    sig_t = pa.concat_tables(sig_tables)
     ids_sorted, mat = D.sig_matrix(sig_t, "doc_id")
     pdf = D.verify_pairs(pdf, ids_sorted, mat, threshold)
     comp = D.union_find_components(pdf)
