@@ -58,15 +58,19 @@ class FrontierShard:
     per-host budgets and the seen set need no cross-shard coordination.
     """
 
-    def __init__(self, shard_id: int, cfg: CrawlConfig) -> None:
+    def __init__(self, shard_id: int, cfg: CrawlConfig, verify: bool = True) -> None:
         self.shard_id = shard_id
         self.cfg = cfg
+        self.verify = verify
         store = PageStore(cfg.store)
         self.filter = CuckooFilter(cfg.filter_capacity)
         self.buckets = TokenBuckets(cfg.bucket_capacity, cfg.bucket_refill)
         self.robots = RobotsCache(store.robots_txt)
         self.pending: list[tuple[int, str]] = []
-        self.seen: list[str] = []  # exact dump for verification artifacts
+        # exact URL dump: a VERIFICATION artifact (byte-match vs oracle /
+        # kill-resume tests).  At production scale verify=False keeps only
+        # the cuckoo filter — O(1)/URL memory instead of the full string set.
+        self.seen: list[str] = []
         self.metrics = {"granted": 0, "dup_skipped": 0, "robots_blocked": 0,
                         "depth_dropped": 0, "admitted": 0}
 
@@ -81,7 +85,8 @@ class FrontierShard:
             if not self.filter.add_if_new(cu):
                 self.metrics["dup_skipped"] += 1
                 continue
-            self.seen.append(cu)
+            if self.verify:
+                self.seen.append(cu)
             if not self.robots.allowed(host, path_of(cu)):
                 self.metrics["robots_blocked"] += 1
                 continue
@@ -111,24 +116,52 @@ class FrontierShard:
     def end_epoch(self) -> None:
         self.buckets.tick()
 
-    def admit_and_tick(self, items: list) -> int:
-        """Admit the (pre-sorted) links, then the epoch tick — identical
-        op sequence to admit_batch + end_epoch."""
+    def _gather_links(self, link_refs: list) -> list:
+        """Shard-side link routing (round-2): materialize this shard's
+        per-chunk link tables straight from the object store and order them
+        by the UNIQUE key (parent_depth, parent_url, link_index).  A sort of
+        the shard's restriction of the global link set equals the shard's
+        subsequence of the globally-sorted order, so the oracle's per-shard
+        insert sequence is preserved without the driver ever touching
+        O(links) rows."""
+        if not link_refs:
+            return []
+        tables = [t for t in ray.get(list(link_refs)) if t is not None and len(t)]
+        if not tables:
+            return []
+        t = pa.concat_tables(tables).sort_by(
+            [
+                ("parent_depth", "ascending"),
+                ("parent_url", "ascending"),
+                ("link_index", "ascending"),
+            ]
+        )
+        return [
+            (d + 1, u)
+            for d, u in zip(t["parent_depth"].to_pylist(), t["url"].to_pylist())
+        ]
+
+    def admit_and_tick(self, link_refs: list) -> int:
+        """Admit this shard's links (gathered + ordered shard-side), then
+        the epoch tick — identical op sequence to admit_batch + end_epoch."""
+        items = self._take_preadmit() + self._gather_links(link_refs)
         n = self.admit_batch(items)
         self.buckets.tick()
         return n
 
-    def admit_tick_pop(self, items: list) -> tuple:
+    def _take_preadmit(self) -> list:
+        pre = getattr(self, "_preadmit", None) or []
+        self._preadmit = []
+        return list(pre)
+
+    def admit_tick_pop(self, link_refs: list) -> tuple:
         """ONE actor round-trip per epoch: admit last epoch's links, tick,
         pop the next epoch's grants.  The per-shard op sequence is
         identical to admit_batch+end_epoch+pop_batch; the very first call
-        (items=[] after seeding) ticks empty/full buckets — a no-op.
-        Returns (grants, pending_count_after)."""
-        if getattr(self, "_preadmit", None):
-            # links checkpointed in-flight (popped before the snapshot,
-            # admitted after): replay them first on resume
-            items = self._preadmit + list(items)
-            self._preadmit = []
+        (link_refs=[] after seeding) ticks empty/full buckets — a no-op.
+        Links checkpointed in-flight (popped before the snapshot, admitted
+        after) replay first on resume.  Returns (grants, pending_count)."""
+        items = self._take_preadmit() + self._gather_links(link_refs)
         self.admit_batch(items)
         self.buckets.tick()
         grants = self.pop_batch()
@@ -146,11 +179,17 @@ class FrontierShard:
     # -- checkpoint (N11) --------------------------------------------------
 
     def checkpoint(self, ckpt_dir: str, epoch: int,
-                   pending_admits: "list | None" = None) -> str:
-        """``pending_admits``: this epoch's extracted links that the
-        driver has not yet routed through admit_tick_pop — they belong to
-        the snapshot (the op sequence on resume replays them first)."""
-        pending_admits = pending_admits or []
+                   pending_admit_refs: "list | None" = None) -> str:
+        """``pending_admit_refs``: object refs of this epoch's extracted
+        link tables that have not yet gone through admit_tick_pop — they
+        belong to the snapshot (the op sequence on resume replays them
+        first, in the same shard-side deterministic order)."""
+        # read-only: the same refs are admitted via admit_tick_pop next
+        # epoch, so the snapshot must not stash them into _preadmit
+        pending_admits = (
+            list(getattr(self, "_preadmit", None) or [])
+            + self._gather_links(pending_admit_refs or [])
+        )
         d = os.path.join(ckpt_dir, f"epoch={epoch}")
         os.makedirs(d, exist_ok=True)
         st = self.filter.state()
@@ -297,7 +336,7 @@ def _page_indices(url: str) -> tuple[int, int]:
 
 @ray.remote
 def _fetch_chunk(fetcher: FetchExtract, depths: list, urls: list,
-                 img_path: "str | None", return_images: bool):
+                 img_path: "str | None", return_images: bool, n_shards: int):
     """One fetch+extract task over a chunk of the epoch's grants.
 
     Plain Ray task (not a Dataset stage): the per-epoch BSP loop would pay
@@ -306,8 +345,13 @@ def _fetch_chunk(fetcher: FetchExtract, depths: list, urls: list,
 
     Image rows are written to ``img_path`` (one parquet shard per chunk,
     atomic tmp+rename) DIRECTLY from the worker — bulk image bytes never
-    round-trip through the driver or a shuffle; only the (small) link table
-    does.  Returns (links, images-or-None, n_images)."""
+    round-trip through the driver or a shuffle.  Extracted links are
+    pre-partitioned by target shard and returned as ``n_shards`` SEPARATE
+    return values (``num_returns``) so each FrontierShard pulls only its
+    own partition from the object store and the driver handles only refs.
+
+    Returns (images-or-None, n_images, links_shard_0, ..., links_shard_K-1).
+    Callers must invoke via ``.options(num_returns=2 + n_shards)``."""
     t = fetcher(
         pa.table(
             {"depth": pa.array(depths, pa.int32()), "url": pa.array(urls, pa.string())}
@@ -326,7 +370,12 @@ def _fetch_chunk(fetcher: FetchExtract, depths: list, urls: list,
         tmp = img_path + ".tmp"
         pq.write_table(imgs, tmp)
         os.replace(tmp, img_path)
-    return links, (imgs if return_images else None), len(imgs)
+    sh = links["shard"]
+    per_shard = tuple(
+        links.filter(pc.equal(sh, i)).drop_columns(["shard"])
+        for i in range(n_shards)
+    )
+    return (imgs if return_images else None, len(imgs)) + per_shard
 
 
 def run_crawl(
@@ -336,31 +385,40 @@ def run_crawl(
     checkpoint_every: int = 0,
     resume_epoch: int | None = None,
     collect_images: bool = True,
+    verify: bool = True,
 ) -> CrawlResult:
     """Drive the epoch-BSP crawl.  Ray must already be initialised.
 
     ``out_dir``: per-epoch partitioned parquet image output
     (``images/epoch=E/``) — a resumed run skips finished epochs.
     ``checkpoint_every``: shard checkpoints each E epochs (requires
-    ``ckpt_dir``).  ``resume_epoch``: restore shard state + pop order from
-    that checkpoint and continue.
+    ``ckpt_dir``); each checkpoint is INCREMENTAL on the driver side
+    (only the pop-order delta since the previous checkpoint) and is
+    published atomically with an epoch-level ``_DONE`` marker once the
+    driver delta AND every shard snapshot are on disk.
+    ``resume_epoch``: restore shard state + pop order from that (complete)
+    checkpoint and continue.
+    ``verify=False`` drops the O(total-URLs) verification artifacts (exact
+    per-shard seen lists, driver pop-order history) for production-scale
+    runs: CrawlResult.pop_order/seen_urls come back empty and metrics
+    carry the counts instead.
     """
     shards = [
-        FrontierShard.remote(i, cfg) for i in range(cfg.shards)
+        FrontierShard.remote(i, cfg, verify) for i in range(cfg.shards)
     ]
     pop_order: list[tuple[int, int, str]] = []
+    n_popped = 0
     image_tables: list[pa.Table] = []
     start_epoch = 0
 
     if resume_epoch is not None:
         assert ckpt_dir is not None
+        assert os.path.exists(
+            os.path.join(ckpt_dir, f"epoch={resume_epoch}", "_DONE")
+        ), f"checkpoint epoch={resume_epoch} is incomplete (no _DONE marker)"
         ray.get([s.restore.remote(ckpt_dir, resume_epoch) for s in shards])
-        drv = pq.read_table(os.path.join(ckpt_dir, f"epoch={resume_epoch}",
-                                         "driver.parquet"))
-        pop_order = list(
-            zip(drv["epoch"].to_pylist(), drv["pop_ord"].to_pylist(),
-                drv["url"].to_pylist())
-        )
+        pop_order = _read_driver_ckpts(ckpt_dir, resume_epoch) if verify else []
+        n_popped = len(pop_order)
         start_epoch = resume_epoch + 1
         if collect_images:
             # recover pre-resume image rows from the partitioned output
@@ -389,16 +447,19 @@ def run_crawl(
         )
 
     pop_ord = pop_order[-1][1] + 1 if pop_order else 0
+    last_ckpt_len = len(pop_order)
     fetcher = FetchExtract(cfg)
-    routed: dict[int, list] = {i: [] for i in range(cfg.shards)}
+    # per-shard lists of OBJECT REFS of link tables — the driver routes
+    # references, never rows; shards pull + order their own partitions
+    routed_refs: dict[int, list] = {i: [] for i in range(cfg.shards)}
 
     for epoch in range(start_epoch, cfg.max_epochs):
         # single barrier: admit previous epoch's links, tick, pop this
         # epoch's grants — one actor RTT per shard per epoch
         results = ray.get(
-            [s.admit_tick_pop.remote(routed[i]) for i, s in enumerate(shards)]
+            [s.admit_tick_pop.remote(routed_refs[i]) for i, s in enumerate(shards)]
         )
-        routed = {i: [] for i in range(cfg.shards)}
+        routed_refs = {i: [] for i in range(cfg.shards)}
         grants = sorted(
             (g for lst, _ in results for g in lst), key=lambda du: (du[0], du[1])
         )
@@ -406,93 +467,84 @@ def run_crawl(
             if sum(p for _, p in results) == 0:
                 break
             continue
-        for d, u in grants:
-            pop_order.append((epoch, pop_ord, u))
-            pop_ord += 1
+        if verify:
+            for d, u in grants:
+                pop_order.append((epoch, pop_ord, u))
+                pop_ord += 1
+        n_popped += len(grants)
 
         # fan out fetch+extract as chunked tasks (one Ray task per ~chunk;
         # the kernel itself is the same map_batches-shaped FetchExtract);
-        # 4 waves per round for straggler balancing (page cost varies)
+        # 3 waves per round for straggler balancing (page cost varies)
         ncpus = int(ray.cluster_resources().get("CPU", 8))
         chunk = max(4, -(-len(grants) // (ncpus * 3)))
         edir = None
         if out_dir:
             edir = os.path.join(out_dir, "images", f"epoch={epoch}")
             os.makedirs(edir, exist_ok=True)
-        refs = []
+        img_refs, nimg_refs = [], []
         nchunks = -(-len(grants) // chunk)
         for ci in range(nchunks):
             # stripe: consecutive (depth,url)-sorted grants cluster same-host
             # page sizes; striping mixes cheap/expensive pages per task
             part = grants[ci::nchunks]
-            refs.append(
-                _fetch_chunk.remote(
-                    fetcher,
-                    [d for d, _ in part],
-                    [u for _, u in part],
-                    os.path.join(edir, f"chunk-{ci}.parquet") if edir else None,
-                    collect_images,
-                )
+            rets = _fetch_chunk.options(num_returns=2 + cfg.shards).remote(
+                fetcher,
+                [d for d, _ in part],
+                [u for _, u in part],
+                os.path.join(edir, f"chunk-{ci}.parquet") if edir else None,
+                collect_images,
+                cfg.shards,
             )
-        results = ray.get(refs)
+            img_refs.append(rets[0])
+            nimg_refs.append(rets[1])
+            for i in range(cfg.shards):
+                routed_refs[i].append(rets[2 + i])
+        # barrier on the (tiny) image-count returns: all chunk side-effects
+        # (parquet shards) are on disk before the epoch _DONE marker
+        ray.get(nimg_refs)
         if edir:
             open(os.path.join(edir, "_DONE"), "w").close()
         if collect_images:
-            image_tables.extend(t for _, t, _ in results)
-        link_tables = [l for l, _, _ in results]
-        links = (
-            pa.concat_tables(link_tables)
-            if link_tables
-            else None
-        )
-        if links is not None and len(links):
-            sh = links["shard"].to_numpy(zero_copy_only=False)
-            pd_ = links["parent_depth"].to_numpy(zero_copy_only=False)
-            li_ = links["link_index"].to_numpy(zero_copy_only=False)
-            us = links["url"].to_pylist()
-            # vectorized deterministic order: (parent_depth, parent_url,
-            # link_index)
-            import pandas as _pd
-
-            order = (
-                _pd.DataFrame(
-                    {
-                        "d": pd_,
-                        "u": links["parent_url"].to_pylist(),
-                        "l": li_,
-                    }
-                )
-                .sort_values(["d", "u", "l"], kind="stable")
-                .index.to_numpy()
-            )
-            for idx in order:
-                routed[int(sh[idx])].append((int(pd_[idx]) + 1, us[idx]))
+            image_tables.extend(t for t in ray.get(img_refs) if t is not None)
 
         if checkpoint_every and ckpt_dir and (epoch + 1) % checkpoint_every == 0:
-            _write_driver_ckpt(ckpt_dir, epoch, pop_order)
+            if verify:
+                _write_driver_ckpt(
+                    ckpt_dir, epoch, pop_order[last_ckpt_len:], base=last_ckpt_len
+                )
+                last_ckpt_len = len(pop_order)
             ray.get(
                 [
-                    s.checkpoint.remote(ckpt_dir, epoch, routed[i])
+                    s.checkpoint.remote(ckpt_dir, epoch, routed_refs[i])
                     for i, s in enumerate(shards)
                 ]
             )
+            # epoch-level atomic publish: only a checkpoint with driver
+            # delta AND all K shard snapshots counts for resume
+            open(os.path.join(ckpt_dir, f"epoch={epoch}", "_DONE"), "w").close()
 
     # max_epochs may truncate the crawl with links still un-admitted — the
     # oracle admits (and ticks) them inside its final iteration, so the seen
     # set must include them for the byte-match contract
-    if any(routed.values()):
+    if any(routed_refs.values()):
         ray.get(
-            [s.admit_and_tick.remote(routed[i]) for i, s in enumerate(shards)]
+            [s.admit_and_tick.remote(routed_refs[i]) for i, s in enumerate(shards)]
         )
 
-    seen = sorted(
-        u for lst in ray.get([s.seen_urls.remote() for s in shards]) for u in lst
+    seen = (
+        sorted(
+            u for lst in ray.get([s.seen_urls.remote() for s in shards]) for u in lst
+        )
+        if verify
+        else []
     )
     all_metrics = ray.get([s.get_metrics.remote() for s in shards])
     metrics: dict = {}
     for m in all_metrics:
         for k, v in m.items():
             metrics[k] = metrics.get(k, 0) + v
+    metrics["popped"] = n_popped  # total grants (survives verify=False)
     img_table = (
         pa.concat_tables(image_tables) if image_tables else IMAGE_SCHEMA.empty_table()
     )
@@ -506,16 +558,50 @@ def run_crawl(
     )
 
 
-def _write_driver_ckpt(ckpt_dir: str, epoch: int, pop_order: list) -> None:
+def _write_driver_ckpt(
+    ckpt_dir: str, epoch: int, delta: list, base: int = 0
+) -> None:
+    """INCREMENTAL driver snapshot: only the pop-order rows appended since
+    the previous checkpoint (O(delta) per epoch, not O(history));
+    ``base`` records the global offset for sanity checks on read."""
     d = os.path.join(ckpt_dir, f"epoch={epoch}")
     os.makedirs(d, exist_ok=True)
     t = pa.table(
         {
-            "epoch": pa.array([e for e, _, _ in pop_order], pa.int32()),
-            "pop_ord": pa.array([o for _, o, _ in pop_order], pa.int64()),
-            "url": pa.array([u for _, _, u in pop_order], pa.string()),
+            "epoch": pa.array([e for e, _, _ in delta], pa.int32()),
+            "pop_ord": pa.array([o for _, o, _ in delta], pa.int64()),
+            "url": pa.array([u for _, _, u in delta], pa.string()),
         }
     )
+    t = t.replace_schema_metadata({b"base": str(base).encode()})
     tmp = os.path.join(d, "driver.parquet.tmp")
     pq.write_table(t, tmp)
     os.replace(tmp, os.path.join(d, "driver.parquet"))
+
+
+def _read_driver_ckpts(ckpt_dir: str, upto_epoch: int) -> list:
+    """Rebuild the pop-order history by concatenating the per-checkpoint
+    deltas of every COMPLETE (``_DONE``) checkpoint up to ``upto_epoch``."""
+    import glob as _glob
+    import re as _re
+
+    epochs = sorted(
+        int(m.group(1))
+        for p in _glob.glob(os.path.join(ckpt_dir, "epoch=*"))
+        if (m := _re.search(r"epoch=(\d+)$", p))
+        and int(m.group(1)) <= upto_epoch
+        and os.path.exists(os.path.join(p, "_DONE"))
+    )
+    out: list = []
+    for e in epochs:
+        drv = pq.read_table(os.path.join(ckpt_dir, f"epoch={e}", "driver.parquet"))
+        meta = drv.schema.metadata or {}
+        base = int(meta.get(b"base", b"0"))
+        assert base == len(out), (
+            f"checkpoint chain broken at epoch={e}: delta base {base} != {len(out)}"
+        )
+        out.extend(
+            zip(drv["epoch"].to_pylist(), drv["pop_ord"].to_pylist(),
+                drv["url"].to_pylist())
+        )
+    return out

@@ -61,15 +61,17 @@ def canonical_url(url: str, base: str | None = None) -> str | None:
         url = urljoin(base, url)
     try:
         parts = urlsplit(url)
+        scheme = parts.scheme.lower()
+        if scheme not in ("http", "https"):
+            return None
+        # .hostname/.port parse lazily and raise on junk ports
+        # (e.g. "http://h:abc/x", port > 65535) — treat as unparseable.
+        host = (parts.hostname or "").lower()
+        port = parts.port
     except ValueError:
         return None
-    scheme = parts.scheme.lower()
-    if scheme not in ("http", "https"):
-        return None
-    host = (parts.hostname or "").lower()
     if not host:
         return None
-    port = parts.port
     netloc = host
     if port is not None and str(port) != _DEFAULT_PORTS.get(scheme):
         netloc = f"{host}:{port}"

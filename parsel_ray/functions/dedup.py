@@ -35,7 +35,6 @@ def _ignore_overflow(fn):
 
     return wrapper
 
-_IGNORE_OVERFLOW = True
 
 
 # universal-hash parameters (fixed seeds → deterministic across runs/workers)
@@ -322,7 +321,7 @@ class SimHasher:
     def __init__(self, col: str = "text", out: str = "simhash", seed: int = 7) -> None:
         self.col = col
         self.out = out
-        self.a, self.b = _perm_params(1, seed)
+        self.seed = seed
 
     def _token_hashes(self, text: str) -> np.ndarray:
         toks = text.lower().split()

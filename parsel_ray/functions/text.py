@@ -29,7 +29,6 @@ def _ignore_overflow(fn):
 
     return wrapper
 
-_IGNORE_OVERFLOW = True
 
 
 TOKEN_RE = r"\S+"

@@ -525,7 +525,12 @@ def extract_attr_roundtrip(sf_dir: str):
     )
 
 
-ATTR_SQL = "SELECT doc_id, lang AS data_lang, source AS data_source, text AS p_text FROM documents"
+# nullif: an empty text builds <p class="t"></p>, whose css ::text get() is
+# null (no text node) — the oracle must agree for arbitrary data.
+ATTR_SQL = (
+    "SELECT doc_id, lang AS data_lang, source AS data_source, "
+    "nullif(text, '') AS p_text FROM documents"
+)
 
 
 def extract_links(sf_dir: str):
@@ -1282,10 +1287,12 @@ def extract_attrib_map(sf_dir: str):
     ).select_columns(["doc_id", "div_attrib"])
 
 
+# to_json() JSON-escapes each value (quotes/backslashes/control chars),
+# byte-identical to json.dumps(..., ensure_ascii=False) on the Ray side.
 ATTRIB_SQL = """
 SELECT doc_id,
-       '{"data-lang": "' || lang || '", "data-source": "' || source ||
-       '", "id": "d' || doc_id || '"}' AS div_attrib
+       '{"data-lang": ' || to_json(lang) || ', "data-source": ' || to_json(source) ||
+       ', "id": ' || to_json('d' || doc_id) || '}' AS div_attrib
 FROM documents
 """
 

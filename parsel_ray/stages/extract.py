@@ -93,7 +93,9 @@ def _run_spec(sel: Selector, spec: ExtractSpec) -> Any:
     if t == "attrib":
         import json
 
-        return json.dumps(sl.attrib, sort_keys=True)
+        # ensure_ascii=False keeps raw UTF-8, matching DuckDB to_json so
+        # the oracle contract holds for arbitrary attribute values
+        return json.dumps(sl.attrib, sort_keys=True, ensure_ascii=False)
     raise AssertionError(spec.terminal)
 
 

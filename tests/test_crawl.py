@@ -50,6 +50,11 @@ class TestUrlNorm:
             ("http://h.test/p#frag", "http://h.test/p"),
             ("mailto:x@y.z", None),
             ("javascript:void(0)", None),
+            # junk ports must yield None, not raise (one dirty href would
+            # otherwise crash a whole FetchExtract task)
+            ("http://host-1.test:abc/page/1", None),
+            ("http://host-1.test:99999999/x", None),
+            ("http://h.test:-1/x", None),
         ],
     )
     def test_canonical(self, raw, want):
@@ -273,6 +278,75 @@ class TestDistributedCrawl:
         fi = sorted(full.image_rows, key=lambda r: r["image_id"])
         ri = sorted(resumed.image_rows, key=lambda r: r["image_id"])
         assert [r["image_id"] for r in fi] == [r["image_id"] for r in ri]
+
+    def test_verify_off_bounded_state(self, tmp_path):
+        """verify=False (production mode) drops the O(total-URLs) driver/
+        shard verification artifacts but crawls the identical frontier:
+        metrics match the verify=True run and the image corpus is intact."""
+        from parsel_ray.crawl.frontier import run_crawl
+
+        gold = oracle_crawl(SMALL)
+        got = run_crawl(
+            SMALL, out_dir=str(tmp_path), collect_images=True, verify=False
+        )
+        assert got.pop_order == []
+        assert got.seen_urls == []
+        assert got.metrics["popped"] == len(gold.pop_order)
+        assert got.metrics["granted"] == len(gold.pop_order)
+        gi = sorted(got.image_rows, key=lambda r: r["image_id"])
+        oi = sorted(gold.image_rows, key=lambda r: r["image_id"])
+        assert gi == oi
+
+    def test_checkpoints_are_incremental_with_done_markers(self, tmp_path):
+        """Driver checkpoints carry only per-checkpoint pop-order DELTAS
+        (O(delta), not O(history)), each complete epoch dir has a _DONE
+        marker, and the concatenated chain rebuilds the full history."""
+        import glob
+        import os
+        import re
+
+        import pyarrow.parquet as pq
+
+        from parsel_ray.crawl.frontier import _read_driver_ckpts, run_crawl
+
+        ckpt = str(tmp_path / "ckpt")
+        full = run_crawl(SMALL, ckpt_dir=ckpt, checkpoint_every=2,
+                         collect_images=False)
+        dirs = sorted(
+            glob.glob(ckpt + "/epoch=*"),
+            key=lambda p: int(re.search(r"epoch=(\d+)", p).group(1)),
+        )
+        assert len(dirs) >= 2
+        total = 0
+        for d in dirs:
+            assert os.path.exists(os.path.join(d, "_DONE"))
+            n = pq.read_metadata(os.path.join(d, "driver.parquet")).num_rows
+            total += n
+        last_epoch = int(re.search(r"epoch=(\d+)", dirs[-1]).group(1))
+        chain = _read_driver_ckpts(ckpt, last_epoch)
+        assert total == len(chain)
+        assert chain == full.pop_order[: len(chain)]
+        # deltas are strictly smaller than the history they sum to
+        first = pq.read_metadata(
+            os.path.join(dirs[-1], "driver.parquet")
+        ).num_rows
+        assert first < total
+
+    def test_resume_refuses_incomplete_checkpoint(self, tmp_path):
+        import os
+
+        from parsel_ray.crawl.frontier import run_crawl
+
+        ckpt = str(tmp_path / "ckpt")
+        run_crawl(SMALL, ckpt_dir=ckpt, checkpoint_every=2, collect_images=False)
+        import glob
+        import re
+
+        d = sorted(glob.glob(ckpt + "/epoch=*"))[0]
+        e = int(re.search(r"epoch=(\d+)", d).group(1))
+        os.remove(os.path.join(d, "_DONE"))
+        with pytest.raises(AssertionError, match="_DONE"):
+            run_crawl(SMALL, ckpt_dir=ckpt, resume_epoch=e)
 
     def test_hot_host_politeness_and_metrics(self):
         """Skew (N12/N13): the hot host (host-0 has the most pages) is
