@@ -159,16 +159,13 @@ def bench_minhash(sf_dir: str) -> int:
         batch_size=None,
     )
     pairs = D.lsh_candidate_pairs(bands, "doc_id", 0.8, num_partitions=64)
-    import pyarrow as pa
-
-    import ray
-
-    pdf = pairs.to_pandas().drop_duplicates(["id_a", "id_b"])
-    sig_tables = [t for t in (ray.get(r) for r in sigs.to_arrow_refs())
-                  if t.num_columns]  # Ray may emit schema-less empty blocks
-    sig_t = pa.concat_tables(sig_tables)
-    ids_sorted, mat = D.sig_matrix(sig_t, "doc_id")
-    return len(D.verify_pairs(pdf, ids_sorted, mat, 0.8))
+    # distributed verify + components (same path as the gate query — no
+    # driver-side signature materialization)
+    verified = D.distributed_verify_pairs(
+        pairs, sigs, id_col="doc_id", num_perm=64, threshold=0.8
+    )
+    labels = D.label_propagation_components(verified)
+    return labels.count()
 
 
 def bench_knn(sf_dir: str) -> int:

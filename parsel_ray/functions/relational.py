@@ -112,16 +112,55 @@ def broadcast_semi_join(ds, keys_ref, key_col: str, anti: bool = False,
     )
 
 
+def vec_lookup(sorted_keys: np.ndarray, values: np.ndarray, keys: np.ndarray,
+               default) -> np.ndarray:
+    """Vectorized broadcast-map: values[position-of-key] with ``default``
+    for misses — searchsorted over the (sorted) broadcast key array, no
+    per-row Python.  The at-scale replacement for ``dict.get`` loops in
+    map_batches kernels."""
+    if len(sorted_keys) == 0:
+        return np.full(len(keys), default, dtype=np.asarray([default]).dtype)
+    idx = np.searchsorted(sorted_keys, keys)
+    idx_c = np.minimum(idx, len(sorted_keys) - 1)
+    ok = sorted_keys[idx_c] == keys
+    return np.where(ok, values[idx_c], default)
+
+
+def lookup_arrays(mapping: dict) -> tuple:
+    """(sorted_keys, values) numpy pair for :func:`vec_lookup` from a dict
+    — build once, ``ray.put`` the pair, resolve via LazyRef per worker."""
+    ks = np.fromiter(mapping.keys(), dtype=np.int64, count=len(mapping))
+    vs = np.fromiter(mapping.values(), dtype=np.int64, count=len(mapping))
+    order = np.argsort(ks, kind="stable")
+    return ks[order], vs[order]
+
+
 def _bucket_of(col: pa.ChunkedArray, buckets: int) -> pa.Array:
-    """Deterministic bucket id from an int64/string key column."""
+    """Deterministic bucket id from an int64/string key column.
+
+    String keys hash via polars' vectorized 64-bit row hash (fixed seeds —
+    deterministic across the processes of one run, which is all bucketing
+    needs); FNV fallback if polars is absent."""
     if pa.types.is_integer(col.type):
         v = col.to_numpy(zero_copy_only=False).astype(np.uint64)
         # Fibonacci hashing — spreads sequential keys
         h = (v * np.uint64(11400714819323198485)) >> np.uint64(40)
     else:
-        h = np.fromiter(
-            (_fnv(s) for s in col.to_pylist()), dtype=np.uint64, count=len(col)
-        )
+        try:
+            import polars as pl
+
+            h = (
+                pl.from_arrow(
+                    col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+                )
+                .hash(seed=0)
+                .to_numpy()
+                .astype(np.uint64)
+            )
+        except ImportError:  # pragma: no cover
+            h = np.fromiter(
+                (_fnv(s) for s in col.to_pylist()), dtype=np.uint64, count=len(col)
+            )
     return pa.array((h % np.uint64(buckets)).astype(np.int32))
 
 
@@ -170,7 +209,14 @@ def hash_bucket_join(left, right, on: str, buckets: int = 32,
         rg = g.filter(pc.invert(mask))
 
         def side(t: pa.Table, cols: list) -> pd.DataFrame:
-            return t.select([c for c in cols if c in t.column_names]).to_pandas()
+            df = t.select([c for c in cols if c in t.column_names]).to_pandas()
+            # a bucket whose rows all came from ONE side may lack the other
+            # side's columns entirely (the union keeps per-block schemas) —
+            # null-pad so outer merges keep a consistent column set
+            for c in cols:
+                if c not in df.columns:
+                    df[c] = np.nan
+            return df[cols]
 
         ldf, rdf = side(lg, left_cols), side(rg, right_cols)
         # merge unconditionally: pandas keeps the full merged column set

@@ -144,7 +144,12 @@ def embedding_near_dup_pairs(ds, dim: int, threshold: float = 0.95,
                              id_col: str = "vec_id",
                              emb_col: str = "embedding"):
     """Near-duplicate pairs by cosine ≥ threshold, LSH-bucketed: the scale
-    path.  Recall is per-bucket (boost with multiple tables/seeds)."""
+    path.  Recall is per-bucket (boost with multiple tables/seeds).
+    Routed through ``grouped_apply`` (coarse hash partitions, per-bucket
+    split inside) — ``groupby.map_groups`` would dispatch one task per
+    bucket and 2^bits tiny buckets pay ~350 µs each in dispatch."""
+    from .agg import grouped_apply
+
     bucketed = ds.map_batches(
         HyperplaneBucketer(dim=dim, bits=bits, seed=seed, emb_col=emb_col),
         batch_format="pyarrow",
@@ -168,7 +173,7 @@ def embedding_near_dup_pairs(ds, dim: int, threshold: float = 0.95,
              "cosine": sims[ia, ib][keep]}
         )
 
-    return bucketed.groupby("bucket").map_groups(pairs, batch_format="pandas")
+    return grouped_apply(bucketed, "bucket", pairs, num_partitions=64)
 
 
 def exact_near_dup_pairs(ds, threshold: float, id_col: str = "vec_id",

@@ -40,6 +40,8 @@ from ..functions.relational import (
     broadcast_lookup,
     broadcast_semi_join,
     hash_bucket_join,
+    lookup_arrays,
+    vec_lookup,
 )
 from ..functions.similarity import (
     _stack_embeddings,
@@ -140,10 +142,11 @@ GROUP BY l_returnflag, l_linestatus
 
 
 def q3_top_orders(sf_dir: str):
-    """Revenue top-10: semi-join via broadcast key set (customer segment),
-    pre-aggregated lineitem revenue, broadcast merge with orders, global
-    sort+limit with deterministic tie-break.  At 100 TB the orders side
-    switches to hash_bucket_join (demonstrated in hash_join_priority)."""
+    """Revenue top-10: semi-join via broadcast key set (customer segment —
+    genuinely small), pre-aggregated lineitem revenue, then the PARTITIONED
+    hash join with the filtered orders side (date filters keep ~half of
+    orders — NOT broadcastable at 100 TB), global sort+limit with
+    deterministic tie-break."""
     seg_date = datetime(1997, 3, 15)
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     building = set(
@@ -160,12 +163,11 @@ def q3_top_orders(sf_dir: str):
         ),
         bkeys,
         "o_custkey",
+    ).map_batches(
+        lambda t: t.select(["o_orderkey", "o_orderdate", "o_orderpriority"])
+        .rename_columns(["l_orderkey", "o_orderdate", "o_orderpriority"]),
+        batch_format="pyarrow",
     )
-    odf = orders_f.to_pandas()  # small after the two filters
-    odf = odf.rename(columns={"o_orderkey": "l_orderkey"})[
-        ["l_orderkey", "o_orderdate", "o_orderpriority"]
-    ]
-    oref = ray.put(odf)
 
     def rev(t: pa.Table) -> pa.Table:
         t = t.filter(pc.greater(t["l_shipdate"], pa.scalar(seg_date)))
@@ -181,7 +183,7 @@ def q3_top_orders(sf_dir: str):
         ["l_orderkey"],
         {"rev_cents": "revenue_cents"},
     )
-    joined = broadcast_lookup(li_rev, oref, on="l_orderkey", how="inner", concurrency=2)
+    joined = hash_bucket_join(li_rev, orders_f, on="l_orderkey", buckets=16)
     return joined.sort(
         ["revenue_cents", "l_orderkey"], descending=[True, False]
     ).limit(10)
@@ -214,8 +216,10 @@ def q5_region_revenue(sf_dir: str):
     asia = asia[asia["r_name"] == "ASIA"][["n_nationkey", "n_name"]]
     supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
-    s_map = ray.put(dict(zip(supp["s_suppkey"], supp["s_nationkey"])))
-    c_map = ray.put(dict(zip(cust["c_custkey"], cust["c_nationkey"])))
+    # broadcast as (sorted_keys, values) numpy pairs → vec_lookup per batch
+    # (searchsorted gather; no per-row dict.get in the lineitem hot path)
+    s_map = ray.put(lookup_arrays(dict(zip(supp["s_suppkey"], supp["s_nationkey"]))))
+    c_map = ray.put(lookup_arrays(dict(zip(cust["c_custkey"], cust["c_nationkey"]))))
     asia_keys = set(asia["n_nationkey"])
     name_of = dict(zip(asia["n_nationkey"], asia["n_name"]))
 
@@ -224,9 +228,9 @@ def q5_region_revenue(sf_dir: str):
             self.s = LazyRef(ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            lut = self.s.get()
+            keys, vals = self.s.get()
             sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
-            snat = np.array([lut.get(k, -1) for k in sk], dtype=np.int64)
+            snat = vec_lookup(keys, vals, sk, np.int64(-1))
             ext = t["l_extendedprice"].to_numpy(zero_copy_only=False)
             disc = t["l_discount"].to_numpy(zero_copy_only=False)
             out = pa.table(
@@ -250,9 +254,9 @@ def q5_region_revenue(sf_dir: str):
                     pc.less(t["o_orderdate"], pa.scalar(y1)),
                 )
             )
-            lut = self.c.get()
+            keys, vals = self.c.get()
             ck = t["o_custkey"].to_numpy(zero_copy_only=False)
-            cnat = np.array([lut.get(k, -2) for k in ck], dtype=np.int64)
+            cnat = vec_lookup(keys, vals, ck, np.int64(-2))
             return pa.table(
                 {"orderkey": t["o_orderkey"], "cust_nation": pa.array(cnat)}
             )
@@ -692,8 +696,12 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS 
 
 
 def dedup_minhash(sf_dir: str, threshold: float = 0.8):
-    """MinHash+LSH near-dup dedup: signature → banded buckets → estimated
-    Jaccard pairs → components → survivors (min id per component)."""
+    """MinHash+LSH near-dup dedup, distributed END-TO-END: signature →
+    banded buckets → candidate pairs → co-partitioned signature verify
+    (:func:`parsel_ray.functions.dedup.distributed_verify_pairs` — no
+    driver-side signature materialization) → min-label-propagation
+    components → survivors via a left bucket join (keep components' min
+    id + every unpaired doc)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     sigs = ds.map_batches(
         D.MinHasher(col="text", num_perm=64, k=5),
@@ -705,20 +713,27 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8):
         batch_format="pyarrow",
     )
     pairs = D.lsh_candidate_pairs(bands, "doc_id", threshold, num_partitions=64)
-    pdf = pairs.to_pandas().drop_duplicates(["id_a", "id_b"])
-    # verify candidates against broadcastable signatures (scale path for
-    # huge pair sets: hash-partition pairs + per-partition sig join)
-    import ray as _ray
+    verified = D.distributed_verify_pairs(
+        pairs, sigs, id_col="doc_id", num_perm=64, threshold=threshold
+    )
+    labels = D.label_propagation_components(verified)
+    # non-survivors: any node whose component label is another (smaller) id
+    def _dead_rows(t: pa.Table) -> pa.Table:
+        ids = t["node"].filter(pc.not_equal(t["node"], t["label"]))
+        return pa.table(
+            {
+                "doc_id": ids,
+                "__dead": pa.array(np.ones(len(ids), dtype=np.int8), pa.int8()),
+            }
+        )
 
-    sig_tables = [t for t in (_ray.get(r) for r in sigs.to_arrow_refs())
-                  if t.num_columns]  # Ray may emit schema-less empty blocks
-    sig_t = pa.concat_tables(sig_tables)
-    ids_sorted, mat = D.sig_matrix(sig_t, "doc_id")
-    pdf = D.verify_pairs(pdf, ids_sorted, mat, threshold)
-    comp = D.union_find_components(pdf)
-    ids = ds.select_columns(["doc_id"]).to_pandas()["doc_id"]
-    survivors = [i for i in ids if comp.get(i, i) == i]
-    return pa.table({"doc_id": pa.array(sorted(survivors), pa.int64())})
+    dead = labels.map_batches(_dead_rows, batch_format="pyarrow")
+    joined = hash_bucket_join(
+        ds.select_columns(["doc_id"]), dead, on="doc_id", how="left", buckets=16
+    )
+    return joined.map_batches(
+        lambda df: df[df["__dead"].isna()][["doc_id"]], batch_format="pandas"
+    )
 
 
 def dedup_simhash(sf_dir: str):
@@ -1137,12 +1152,19 @@ def events_sliding_hourly(sf_dir: str):
     minutes (each event belongs to exactly 2 windows) — implemented by
     exploding events to their member windows inside map_batches, then the
     combiner groupby.  Window grid anchored at floor-hour(min ts); the
-    anchor comes from a cheap driver-side column scan (at 100 TB: from
-    file statistics)."""
+    anchor comes from PARQUET ROW-GROUP STATISTICS (footer metadata only
+    — no data pages read, no driver column scan)."""
     import pyarrow.parquet as pq_
 
-    tmin = pq_.read_table(f"{sf_dir}/events.parquet", columns=["ts"])
-    lo = pc.floor_temporal(pc.min(tmin["ts"]), unit="hour")
+    md = pq_.ParquetFile(f"{sf_dir}/events.parquet").metadata
+    ts_idx = md.schema.names.index("ts")
+    rg_mins = [
+        md.row_group(i).column(ts_idx).statistics.min
+        for i in range(md.num_row_groups)
+        if md.row_group(i).column(ts_idx).statistics is not None
+    ]
+    assert rg_mins, "events.parquet has no ts statistics"
+    lo = pc.floor_temporal(pa.scalar(min(rg_mins)), unit="hour")
     lo_scalar = pa.scalar(lo.as_py())
 
     def explode(t: pa.Table) -> pa.Table:
@@ -1229,10 +1251,12 @@ def embedding_ivf_knn(sf_dir: str):
 
 
 def partitioned_write_docs(sf_dir: str):
-    """Partitioned parquet sink: documents written under one directory per
-    lang partition (atomic per-partition publish with _DONE markers — the
-    resumable-output layout); the returned artifact is the per-partition
-    row count read BACK from the written files."""
+    """Partitioned parquet sink in ONE streaming pass: tasks split each
+    batch by lang and write per-key shards directly (atomic tmp+rename);
+    the driver publishes per-partition _DONE markers after the pass — the
+    resumable-output layout with no per-key dataset re-scan.  The returned
+    artifact is the per-partition row count cross-checked against the
+    written files."""
     import glob as _glob
     import os as _os
     import shutil as _shutil
@@ -1240,33 +1264,67 @@ def partitioned_write_docs(sf_dir: str):
 
     import pyarrow.parquet as _pq
 
+    from ..sources import write_partitioned_parquet
+
     out = _tempfile.mkdtemp(prefix="docs_by_lang_", dir="/tmp")
     try:
         ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
-        langs = sorted(set(ds.unique("lang")))
-        for lang in langs:  # one directory per partition key
-            pdir = _os.path.join(out, f"lang={lang}")
-            if _os.path.exists(_os.path.join(pdir, "_DONE")):
-                continue  # a rerun skips finished partitions
-            _os.makedirs(pdir, exist_ok=True)
-            ds.filter(expr=f"lang == '{lang}'").write_parquet(pdir)
-            open(_os.path.join(pdir, "_DONE"), "w").close()
-        counts = []
-        for lang in langs:
+        counts = write_partitioned_parquet(ds, out, "lang")
+        # verification read-back: file metadata must agree with receipts
+        for lang, n in zip(counts["lang"].to_pylist(), counts["n"].to_pylist()):
             files = _glob.glob(_os.path.join(out, f"lang={lang}", "*.parquet"))
-            n = sum(_pq.read_metadata(f).num_rows for f in files)
-            counts.append((lang, n))
-        return pa.table(
-            {
-                "lang": pa.array([l for l, _ in counts], pa.string()),
-                "n": pa.array([n for _, n in counts], pa.int64()),
-            }
-        )
+            assert sum(_pq.read_metadata(f).num_rows for f in files) == n
+            assert _os.path.exists(_os.path.join(out, f"lang={lang}", "_DONE"))
+        return counts
     finally:
         _shutil.rmtree(out, ignore_errors=True)
 
 
 PARTWRITE_SQL = "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang"
+
+
+def pruned_partitioned_read(sf_dir: str):
+    """Predicate/partition pruning at the READ (the read-side scale
+    lever): documents written once as a hive-partitioned parquet dataset
+    (single-pass sink), then read back with column pruning + a partition
+    filter.  The fragment count under the filter is ASSERTED smaller than
+    the full dataset — proof the scan plans only the matching partition's
+    files — and the aggregate is oracle-checked against DuckDB."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    import pyarrow.dataset as pads
+
+    from ..sources import write_partitioned_parquet
+
+    out = _tempfile.mkdtemp(prefix="docs_pruned_", dir="/tmp")
+    try:
+        ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
+        write_partitioned_parquet(ds, out, "lang")
+        # plan-level proof: the filter prunes whole fragments (pyarrow
+        # ignores the _DONE markers via the default '_' prefix rule)
+        dset = pads.dataset(out, format="parquet", partitioning="hive")
+        n_all = sum(1 for _ in dset.get_fragments())
+        n_sel = sum(1 for _ in dset.get_fragments(pads.field("lang") == "en"))
+        assert 0 < n_sel < n_all, (n_sel, n_all)
+        pruned = rd.read_parquet(
+            out,
+            columns=["doc_id", "n_chars", "lang"],
+            filter=pads.field("lang") == "en",
+        )
+        # materialize the (≤ K-row) aggregate before the temp dir vanishes
+        return partial_sum_groupby(
+            pruned, ["lang"], {"n_chars": "sum_chars"}, count_as="n_docs"
+        ).materialize()
+    finally:
+        _shutil.rmtree(out, ignore_errors=True)
+
+
+PRUNED_SQL = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents WHERE lang = 'en' GROUP BY lang
+"""
 
 
 def extract_attrib_map(sf_dir: str):
@@ -1333,6 +1391,7 @@ QUERIES = {
     "deterministic_sample": deterministic_sample,
     "union_counts": union_counts,
     "partitioned_write_docs": partitioned_write_docs,
+    "pruned_partitioned_read": pruned_partitioned_read,
     "doc_bpe_tokens": doc_bpe_tokens,
     "hash_join_native": hash_join_native,
     "phash_near_dup": phash_near_dup,
@@ -1372,6 +1431,7 @@ ORACLE_SQL = {
     "deterministic_sample": SAMPLE_SQL,
     "union_counts": UNION_SQL,
     "partitioned_write_docs": PARTWRITE_SQL,
+    "pruned_partitioned_read": PRUNED_SQL,
     "doc_bpe_tokens": BPE_SQL,
     "hash_join_native": NATIVE_JOIN_SQL,
 }

@@ -1,0 +1,103 @@
+"""Partitioned parquet sink — the resumable-output layout (SURVEY §2.6).
+
+ONE streaming pass over the Dataset: each ``map_batches`` task splits its
+batch by the partition key and writes one shard per (key, batch) directly
+from the worker (atomic tmp+rename) under ``out_dir/<key>=<value>/``.
+After the pass the driver publishes a ``_DONE`` marker per partition
+directory.  A rerun:
+
+* skips ROWS of finished (``_DONE``) partitions inside the tasks, and
+* cleans partial shards of unfinished partitions up front,
+
+so a failed run resumes without rewriting completed partitions and
+without the O(K) full-dataset re-scans of a filter-per-key loop.  No
+driver materialization: the returned per-partition row counts come from
+the tasks' write receipts (plus metadata read-back for pre-finished
+partitions).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import uuid
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+
+def _partition_value(dirname: str, key_col: str) -> str | None:
+    base = os.path.basename(dirname.rstrip("/"))
+    prefix = f"{key_col}="
+    return base[len(prefix):] if base.startswith(prefix) else None
+
+
+def write_partitioned_parquet(ds, out_dir: str, key_col: str) -> pa.Table:
+    """Write ``ds`` under ``out_dir/<key_col>=<value>/shard-*.parquet``
+    in one pass; returns ``(key_col, n)`` per-partition row counts.
+
+    Key values are rendered with ``str()`` — callers with keys that are
+    unsafe as path segments should pre-map them to a safe column.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    done: set[str] = set()
+    for pdir in glob.glob(os.path.join(out_dir, f"{key_col}=*")):
+        val = _partition_value(pdir, key_col)
+        if val is None:
+            continue
+        if os.path.exists(os.path.join(pdir, "_DONE")):
+            done.add(val)
+        else:  # partial output of a failed run — rewritten by this pass
+            for f in glob.glob(os.path.join(pdir, "*.parquet*")):
+                os.remove(f)
+
+    def write_batch(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {key_col: pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+        )
+        if len(t) == 0:
+            return empty
+        keys = t[key_col]
+        out_keys: list[str] = []
+        out_ns: list[int] = []
+        for k in pc.unique(keys).to_pylist():
+            sval = str(k)
+            if sval in done:
+                continue
+            sub = t.filter(pc.equal(keys, k))
+            pdir = os.path.join(out_dir, f"{key_col}={sval}")
+            os.makedirs(pdir, exist_ok=True)
+            path = os.path.join(pdir, f"shard-{uuid.uuid4().hex}.parquet")
+            pq.write_table(sub, path + ".tmp")
+            os.replace(path + ".tmp", path)  # atomic publish
+            out_keys.append(sval)
+            out_ns.append(len(sub))
+        if not out_keys:
+            return empty
+        return pa.table(
+            {
+                key_col: pa.array(out_keys, pa.string()),
+                "n": pa.array(out_ns, pa.int64()),
+            }
+        )
+
+    from ..functions.agg import partial_sum_groupby
+
+    receipts = partial_sum_groupby(
+        ds.map_batches(write_batch, batch_format="pyarrow"), [key_col], {"n": "n"}
+    )
+    counts = {r[key_col]: int(r["n"]) for r in receipts.take_all()}  # ≤ K rows
+    # the aggregate consumed the stream → every shard is on disk: publish
+    for val in counts:
+        open(os.path.join(out_dir, f"{key_col}={val}", "_DONE"), "w").close()
+    for val in done:  # pre-finished partitions: count from file metadata
+        files = glob.glob(os.path.join(out_dir, f"{key_col}={val}", "*.parquet"))
+        counts[val] = sum(pq.read_metadata(f).num_rows for f in files)
+    keys = sorted(counts)
+    return pa.table(
+        {
+            key_col: pa.array(keys, pa.string()),
+            "n": pa.array([counts[k] for k in keys], pa.int64()),
+        }
+    )

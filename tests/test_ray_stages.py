@@ -338,6 +338,87 @@ class TestDedupKernels:
         comp = D.union_find_components(pairs)
         assert comp[3] == 1 and comp[2] == 1 and comp[11] == 10
 
+    @pytest.mark.usefixtures("ray_session")
+    def test_label_propagation_matches_union_find(self):
+        """Distributed min-label components == driver union-find on a graph
+        with a chain (propagation needs multiple rounds), a star, repeated
+        edges, and singleton pairs."""
+        import ray.data as rd
+
+        edges = [(1, 2), (2, 3), (3, 4), (4, 5),        # 5-chain
+                 (10, 11), (10, 12), (10, 13),           # star
+                 (2, 3),                                 # repeat
+                 (20, 21)]
+        pairs_t = pa.table(
+            {
+                "id_a": pa.array([a for a, _ in edges], pa.int64()),
+                "id_b": pa.array([b for _, b in edges], pa.int64()),
+            }
+        )
+        labels = D.label_propagation_components(rd.from_arrow(pairs_t), buckets=4)
+        got = {
+            r["node"]: r["label"] for r in labels.take_all()
+        }
+        comp = D.union_find_components(
+            pd.DataFrame({"id_a": [a for a, _ in edges],
+                          "id_b": [b for _, b in edges]})
+        )
+        want = {n: comp.get(n, n) for n in got}
+        assert got == want
+        assert got[5] == 1 and got[13] == 10 and got[21] == 20
+
+    @pytest.mark.usefixtures("ray_session")
+    def test_distributed_verify_pairs_matches_driver_verify(self):
+        """distributed_verify_pairs == driver-side verify_pairs on the same
+        candidates/signatures (incl. candidate dedup across partitions)."""
+        import ray.data as rd
+
+        texts = {
+            1: "the quick brown fox jumps over the lazy dog again and again",
+            2: "the quick brown fox jumps over the lazy dog again and again!",
+            3: "completely unrelated content about ray data pipelines",
+            4: "completely unrelated content about ray data pipelines",
+        }
+        mh = D.MinHasher(col="text", num_perm=64, k=5)
+        sig_t = mh(
+            pa.table(
+                {
+                    "doc_id": pa.array(list(texts), pa.int64()),
+                    "text": pa.array(list(texts.values())),
+                }
+            )
+        ).select(["doc_id", "sig"])
+        # candidates with duplicates across "partitions"
+        cand = pa.table(
+            {
+                "id_a": pa.array([1, 1, 3, 1], pa.int64()),
+                "id_b": pa.array([2, 2, 4, 3], pa.int64()),
+            }
+        )
+        got = (
+            D.distributed_verify_pairs(
+                rd.from_arrow(cand), rd.from_arrow(sig_t),
+                num_perm=64, threshold=0.8, buckets=4,
+            )
+            .to_pandas()
+            .sort_values(["id_a", "id_b"])
+            .reset_index(drop=True)
+        )
+        ids_sorted, mat = D.sig_matrix(sig_t, "doc_id")
+        want = (
+            D.verify_pairs(
+                cand.to_pandas().drop_duplicates(["id_a", "id_b"]),
+                ids_sorted, mat, 0.8,
+            )
+            .sort_values(["id_a", "id_b"])
+            .reset_index(drop=True)
+        )
+        assert got["id_a"].tolist() == want["id_a"].tolist()
+        assert got["id_b"].tolist() == want["id_b"].tolist()
+        assert np.allclose(got["est_jaccard"], want["est_jaccard"])
+        assert (3, 4) in set(zip(got["id_a"], got["id_b"]))
+        assert (1, 3) not in set(zip(got["id_a"], got["id_b"]))
+
     def test_simhash_near_far(self):
         sh = D.SimHasher()
         b = pa.table(
