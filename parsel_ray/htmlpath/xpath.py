@@ -8,11 +8,12 @@ variables (``$var``), EXSLT ``re:`` and ``set:`` functions, the ``has-class``
 extension, and a global extension-function registry equivalent to
 ``parsel.xpathfuncs.set_xpathfunc`` (xpathfuncs.py:16-34).
 
-Known exclusions (documented per SURVEY.md §7.0): ``id()``, ``lang()``,
-``processing-instruction()`` node tests, and the ``preceding``/``following``
-axes are approximated or unsupported; queries are compiled per worker with an
-LRU cache (mirrors the reference's translation cache policy,
-csstranslator.py:130-138).
+Round 2 closed the round-1 exclusions: the ``preceding``/``following``
+axes, ``processing-instruction()`` node tests, ``id()`` and ``lang()``
+are implemented (id-ness comes from the ``id`` attribute, libxml2's
+parsed-HTML behavior; XML DTD-declared IDs are not modeled).  Queries are
+compiled per worker with an LRU cache (mirrors the reference's
+translation cache policy, csstranslator.py:130-138).
 """
 
 from __future__ import annotations
@@ -1461,6 +1462,49 @@ def _fn_local_name(ev, args, ctx, pos, size):
         name = n.name
         return name.split("}", 1)[1] if name.startswith("{") else name
     return ""
+
+
+@_core("id")
+def _fn_id(ev, args, ctx, pos, size):
+    """XPath 1.0 ``id()``: elements whose ``id`` attribute matches any
+    whitespace-separated token of the argument (node-set args contribute
+    each node's string-value).  IDness comes from the ``id`` attribute —
+    libxml2's behavior for parsed HTML; XML DTD-declared ID attributes
+    are not modeled (documented divergence, niche)."""
+    if len(args) != 1:
+        raise XPathEvalError("id() takes exactly one argument")
+    val = ev._eval(args[0], ctx, pos, size)
+    tokens: list[str] = []
+    if isinstance(val, list):
+        for n in val:
+            tokens.extend(string_value(n).split())
+    else:
+        tokens.extend(to_string(val).split())
+    want = set(tokens)
+    if not want:
+        return []
+    root = document_root(ctx)
+    return [
+        n
+        for n in walk_descendants(root, True)
+        if isinstance(n, Element) and n.attrib.get("id") in want
+    ]
+
+
+@_core("lang")
+def _fn_lang(ev, args, ctx, pos, size):
+    """XPath 1.0 ``lang()``: nearest ancestor-or-self ``xml:lang`` equals
+    the argument case-insensitively or is a hyphen-refinement of it."""
+    want = _fn_string_arg(ev, args, ctx, pos, size).lower()
+    node = ctx
+    while node is not None:
+        if isinstance(node, Element):
+            v = node.attrib.get("xml:lang")
+            if v is not None:
+                v = v.lower()
+                return v == want or v.startswith(want + "-")
+        node = node_parent(node)
+    return False
 
 
 @_core("namespace-uri")

@@ -549,6 +549,8 @@ def extract_links(sf_dir: str):
                 ExtractSpec("first_href", "css", "a::attr(href)", "get"),
                 ExtractSpec("n_imgs", "xpath", "//a/img/@src", "count"),
                 ExtractSpec("first_img", "xpath", '//a/img/@src', "get"),
+                # full-document axis: every img follows the single div
+                ExtractSpec("n_following", "xpath", "//div/following::img", "count"),
             ],
             input_col="page",
             doc_type="html",),
@@ -562,7 +564,8 @@ SELECT doc_id,
        CAST(doc_id % 5 + 1 AS BIGINT) AS n_links,
        'http://site/' || doc_id || '/0' AS first_href,
        CAST(doc_id % 5 + 1 AS BIGINT) AS n_imgs,
-       'http://img/' || doc_id || '/0.jpg' AS first_img
+       'http://img/' || doc_id || '/0.jpg' AS first_img,
+       CAST(doc_id % 5 + 1 AS BIGINT) AS n_following
 FROM documents
 """
 
