@@ -614,6 +614,16 @@ def parse_xml(text: str, base_url: str | None = None, huge_tree: bool = True) ->
         elif m.group("doctype") is not None or m.group("pi") is not None:
             continue
         elif m.group("open") is not None:
+            if not huge_tree and len(stack) >= _MAX_DEPTH_NO_HUGE_TREE:
+                # libxml2-without-XML_PARSE_HUGE behavior: abort at the
+                # depth limit, keep the partial tree (recover=True)
+                warnings.warn(
+                    "Input data is too deep; elements beyond the depth limit "
+                    "were dropped. Pass huge_tree=True to parse such "
+                    "documents.",
+                    stacklevel=1,
+                )
+                break
             qname = m.group("open")
             raw_attrs = _XML_ATTR.findall(m.group("attrs") or "")
             decls: dict[str | None, str] = {}

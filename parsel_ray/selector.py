@@ -60,6 +60,24 @@ def _xml_or_html(type_: str | None) -> str:
     return "xml" if type_ == "xml" else "html"
 
 
+class SmartString(str):
+    """``str`` carrying the owning DOM element — the engine's analog of
+    lxml's smart strings (``_ElementUnicodeResult.getparent()``), produced
+    only by Selector subclasses that opt in with
+    ``_lxml_smart_strings = True`` (reference selector.py:428,
+    tests/test_selector.py test_smart_strings)."""
+
+    __slots__ = ("_parent",)
+
+    def __new__(cls, value: str, parent=None):
+        s = super().__new__(cls, value)
+        s._parent = parent
+        return s
+
+    def getparent(self):
+        return self._parent
+
+
 def create_root_node(
     text: str,
     type_: str = "html",
@@ -183,6 +201,9 @@ class Selector:
         "set": "http://exslt.org/sets",
     }
     selectorlist_cls = SelectorList
+    # opt-in smart strings (reference selector.py:428): subclasses set True
+    # to make text()/@attr results SmartString (carrying .getparent())
+    _lxml_smart_strings = False
 
     def __init__(
         self,
@@ -363,10 +384,19 @@ class Selector:
         from .htmlpath.xpath import AttrNode, NamespaceNode, TextNode
         from .htmlpath.dom import Comment, _strip_entity_refs
 
+        smart = getattr(self, "_lxml_smart_strings", False)
         wrapped = []
         for x in result:
             if isinstance(x, (TextNode, AttrNode)):
-                x = _strip_entity_refs(x.value)
+                v = _strip_entity_refs(x.value)
+                if smart:
+                    # lxml smart-string semantics: tail text belongs to the
+                    # element whose tail it is, not the container
+                    owner = x.parent
+                    if isinstance(x, TextNode) and x.slot:
+                        owner = x.parent.children[x.slot - 1]
+                    v = SmartString(v, owner)
+                x = v
             elif isinstance(x, NamespaceNode):
                 x = x.uri
             elif isinstance(x, Comment):

@@ -738,6 +738,18 @@ class TestSelector:
         assert len(sel.css("span")) == 282
         assert len(sel.css("td")) == 1
 
+    def test_deep_nesting_xml(self) -> None:
+        """huge_tree=False depth limiting applies to the XML parser too
+        (round 2: closes the documented P7 divergence)."""
+        content = "<r>" + "<a>" * 300 + "x" + "</a>" * 300 + "</r>"
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            sel = Selector(text=content, type="xml", huge_tree=False)
+            assert any("huge_tree" in str(x.message) for x in w)
+            assert len(sel.xpath("//a")) <= 256
+        sel = Selector(text=content, type="xml")
+        assert len(sel.xpath("//a")) == 300
+
     def test_invalid_type(self) -> None:
         with pytest.raises(ValueError, match="Invalid type: xhtml"):
             self.sscls("", type="xhtml")
@@ -1038,12 +1050,33 @@ class TestRemainingReferenceParity:
         assert divtwo.xpath("./li").getall() == []
 
     def test_smart_strings_analog(self):
-        """Reference: smart strings disabled → text/attr results carry no
-        parent pointer (selector.py:428; tests/test_selector.py
-        test_smart_strings).  The engine's text/attr results are plain
-        strings — never parent-linked; the opt-in smart-strings subclass
-        is an lxml-only surface (documented exclusion)."""
-        body = "<div class='one'><ul><li>one</li><li>two</li></ul></div>"
+        """Reference: smart strings off by default → text/attr results
+        carry no parent pointer; a subclass setting
+        ``_lxml_smart_strings = True`` opts in and results expose
+        ``.getparent()`` (selector.py:428; tests/test_selector.py
+        test_smart_strings)."""
+        body = (
+            "<div class='one'><ul><li>one</li><li>two</li></ul></div>"
+            "<div class='two'><ul><li>four</li></ul></div>"
+        )
         x = Selector(text=body)
         assert not any(hasattr(e.root, "getparent") for e in x.xpath("//li/text()"))
         assert not any(hasattr(e.root, "getparent") for e in x.xpath("//div/@class"))
+
+        class SmartStringsSelector(Selector):
+            _lxml_smart_strings = True
+
+        sx = SmartStringsSelector(text=body)
+        li_text = sx.xpath("//li/text()")
+        assert all(hasattr(e.root, "getparent") for e in li_text)
+        # the parent is the owning element
+        assert [e.root.getparent().tag for e in li_text] == ["li"] * 3
+        div_class = sx.xpath("//div/@class")
+        assert all(hasattr(e.root, "getparent") for e in div_class)
+        assert [e.root.getparent().tag for e in div_class] == ["div", "div"]
+        # smart strings still behave as strings end-to-end
+        assert li_text.getall() == ["one", "two", "four"]
+        # tail text belongs to the element whose tail it is (lxml rule)
+        tx = SmartStringsSelector(text="<p><b>x</b>tail</p>")
+        tails = tx.xpath("//p/text()")
+        assert [e.root.getparent().tag for e in tails] == ["b"]
