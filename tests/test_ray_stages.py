@@ -355,17 +355,20 @@ class TestDedupKernels:
                 "id_b": pa.array([b for _, b in edges], pa.int64()),
             }
         )
-        labels = D.label_propagation_components(rd.from_arrow(pairs_t), buckets=4)
-        got = {
-            r["node"]: r["label"] for r in labels.take_all()
-        }
         comp = D.union_find_components(
             pd.DataFrame({"id_a": [a for a, _ in edges],
                           "id_b": [b for _, b in edges]})
         )
-        want = {n: comp.get(n, n) for n in got}
-        assert got == want
-        assert got[5] == 1 and got[13] == 10 and got[21] == 20
+        # both regimes: single-task union-find AND iterative label
+        # propagation with pointer jumping (small_edges_threshold=0)
+        for thr in (2_000_000, 0):
+            labels = D.label_propagation_components(
+                rd.from_arrow(pairs_t), buckets=4, small_edges_threshold=thr
+            )
+            got = {r["node"]: r["label"] for r in labels.take_all()}
+            want = {n: comp.get(n, n) for n in got}
+            assert got == want, thr
+            assert got[5] == 1 and got[13] == 10 and got[21] == 20
 
     @pytest.mark.usefixtures("ray_session")
     def test_distributed_verify_pairs_matches_driver_verify(self):
