@@ -1095,9 +1095,15 @@ def phash_near_dup(sf_dir: str):
         ds, col="phash", id_col="image_id", max_hamming=6,
         num_partitions=8,
     )
-    pdf = pairs.to_pandas().drop_duplicates(["id_a", "id_b"]).sort_values(
-        ["id_a", "id_b"]
+    # distributed cross-band pair dedupe: id_a co-locates per partition,
+    # so in-partition drop_duplicates is exact and global
+    uniq = grouped_apply(
+        pairs,
+        "id_a",
+        lambda g: g.drop_duplicates(["id_a", "id_b"]),
+        num_partitions=8,
     )
+    pdf = uniq.to_pandas().sort_values(["id_a", "id_b"])  # small artifact
     return pa.Table.from_pandas(pdf.reset_index(drop=True), preserve_index=False)
 
 
