@@ -658,6 +658,142 @@ def simhash_bands(batch: pa.Table, col: str = "simhash", n_bands: int = 4) -> pa
 # -- exact n-gram Jaccard (verification-grade) ----------------------------
 
 
+def word_ngram_jaccard_pairs(ds, id_col: str = "doc_id",
+                             text_col: str = "text", n: int = 2,
+                             max_df: int = 50,
+                             threshold: "tuple[int, int]" = (3, 5),
+                             num_partitions: int = 32,
+                             attach_buckets: int = 16):
+    """EXACT word n-gram Jaccard near-dup pairs, distributed end-to-end
+    (the dedup family's exact-set variant; MinHash+LSH is the sampled
+    approximation of the same measure):
+
+    1. per-doc DISTINCT n-gram hash rows from ``map_batches`` (string
+       kernel per doc; token hashes FNV, gram hash a polynomial combine);
+    2. ONE ``grouped_apply`` shuffle partitions rows by gram: ubiquitous
+       grams (document frequency > ``max_df``) are DROPPED — the df cut
+       bounds the per-gram pair fan-out (stopword grams would otherwise
+       emit O(N²) rows) and is part of the operator contract, mirrored
+       exactly in the SQL oracle; surviving grams emit co-occurrence
+       pair rows and per-doc gram-count rows;
+    3. combiner groupbys: ``|A∩B|`` per pair, ``|A|`` per doc;
+    4. two :func:`_attach_by_key` co-partitions attach ``|A|``/``|B|``;
+       an integer cross-multiplication keeps pairs with Jaccard ≥
+       num/den — no float compare, byte-exact vs the oracle.
+
+    Returns a Dataset ``(id_a, id_b)`` with ``id_a < id_b``.
+    """
+    import pandas as pd_
+
+    from .agg import grouped_apply, partial_sum_groupby
+
+    num, den = threshold
+
+    @_ignore_overflow
+    def gram_rows(t: pa.Table) -> pa.Table:
+        ids_out: list[int] = []
+        grams_out: list[np.ndarray] = []
+        B = np.uint64(1_000_003)
+        for i, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            toks = (txt or "").strip().lower().split()
+            if len(toks) < n:
+                continue
+            th = np.fromiter(
+                (hash_str64(w) for w in toks), dtype=np.uint64, count=len(toks)
+            )
+            g = th[: len(th) - n + 1].copy()
+            for j in range(1, n):  # n-1 vectorized combines
+                g = g * B + th[j : len(th) - n + 1 + j]
+            g = np.unique(g)
+            ids_out.extend([i] * len(g))
+            grams_out.append(g)
+        g_all = (
+            np.concatenate(grams_out) if grams_out else np.empty(0, np.uint64)
+        )
+        return pa.table(
+            {
+                "doc": pa.array(ids_out, pa.int64()),
+                "g": pa.array(g_all.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def per_gram(sub: "pd_.DataFrame") -> "pd_.DataFrame":
+        d = np.sort(sub["doc"].to_numpy())
+        if len(d) > max_df:  # df cut: ubiquitous gram, no signal
+            return pd_.DataFrame({"a": [], "b": [], "w": []})
+        ia, ib = np.triu_indices(len(d), k=1)
+        # pair rows (a, b, 1) + per-doc count rows (doc, -1, 1);
+        # ids are non-negative, so b = -1 is a safe sentinel
+        return pd_.DataFrame(
+            {
+                "a": np.concatenate([d[ia], d]),
+                "b": np.concatenate([d[ib], np.full(len(d), -1, np.int64)]),
+                "w": np.ones(len(ia) + len(d), dtype=np.int64),
+            }
+        )
+
+    # materialized: consumed twice (pair split + count split) — lazy would
+    # re-run the gram shuffle per consumer
+    rows = grouped_apply(
+        ds.map_batches(gram_rows, batch_format="pyarrow"),
+        "g", per_gram, num_partitions=num_partitions,
+    ).materialize()
+    import pyarrow.compute as pc
+
+    def split_pairs(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "b" not in t.column_names:  # schema-less empties
+            return pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "w": pa.array([], pa.int64()),
+                }
+            )
+        return t.filter(pc.greater_equal(t["b"], 0)).rename_columns(
+            ["id_a", "id_b", "w"]
+        )
+
+    def split_counts(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "b" not in t.column_names:
+            return pa.table(
+                {"doc": pa.array([], pa.int64()), "w": pa.array([], pa.int64())}
+            )
+        return (
+            t.filter(pc.less(t["b"], 0)).select(["a", "w"]).rename_columns(
+                ["doc", "w"]
+            )
+        )
+
+    pair_rows = rows.map_batches(split_pairs, batch_format="pyarrow")
+    cnt_rows = rows.map_batches(split_counts, batch_format="pyarrow")
+    inter = partial_sum_groupby(pair_rows, ["id_a", "id_b"], {"w": "i"})
+    counts = partial_sum_groupby(cnt_rows, ["doc"], {"w": "n"})
+
+    def as_kv(key: str):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({key: t["doc"], "__val": t["n"]})
+
+        return f
+
+    p1 = _attach_by_key(
+        inter, counts.map_batches(as_kv("id_a"), batch_format="pyarrow"),
+        "id_a", "na", width=0, buckets=attach_buckets,
+    )
+    p2 = _attach_by_key(
+        p1, counts.map_batches(as_kv("id_b"), batch_format="pyarrow"),
+        "id_b", "nb", width=0, buckets=attach_buckets,
+    )
+
+    def keep(t: pa.Table) -> pa.Table:
+        i = t["i"].to_numpy(zero_copy_only=False)
+        na = t["na"].to_numpy(zero_copy_only=False)
+        nb = t["nb"].to_numpy(zero_copy_only=False)
+        mask = den * i >= num * (na + nb - i)
+        return t.select(["id_a", "id_b"]).filter(pa.array(mask))
+
+    return p2.map_batches(keep, batch_format="pyarrow")
+
+
 def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
     sa, sb = shingle_hashes(text_a, k), shingle_hashes(text_b, k)
     if len(sa) == 0 and len(sb) == 0:

@@ -739,6 +739,48 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8):
     )
 
 
+def dedup_ngram_jaccard(sf_dir: str):
+    """EXACT word-bigram Jaccard near-dup pairs (threshold 3/5, df cut 50)
+    — the exact-set member of the dedup family, fully distributed
+    (:func:`parsel_ray.functions.dedup.word_ngram_jaccard_pairs`) and
+    oracle-checked: integer cross-multiplied threshold, df cut mirrored in
+    SQL, so the pair set is byte-identical."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return D.word_ngram_jaccard_pairs(
+        ds, id_col="doc_id", text_col="text", n=2, max_df=50, threshold=(3, 5)
+    )
+
+
+# toks: generate_series cap 2000 ≫ max document token count in the test
+# tables (text ≤ ~600 chars); the Ray side tokenizes unbounded.
+NGRAM_SQL = r"""
+WITH arr AS (
+  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, ws[ord] AS w, ord
+  FROM arr, (SELECT unnest(generate_series(1, 2000)) AS ord)
+  WHERE ord <= len(ws) AND ws[ord] <> ''
+),
+bg AS (
+  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w AS g
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+),
+df AS (SELECT g FROM bg GROUP BY g HAVING COUNT(*) <= 50),
+fb AS (SELECT bg.doc_id, bg.g FROM bg JOIN df USING (g)),
+cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM fb GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS i
+  FROM fb a JOIN fb b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b
+FROM inter JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+WHERE 5 * i >= 3 * (ca.n + cb.n - i)
+"""
+
+
 def dedup_simhash(sf_dir: str):
     """SimHash fingerprints + exact-fingerprint duplicate groups."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
@@ -1385,6 +1427,7 @@ QUERIES = {
     "jmespath_props": jmespath_props,
     "doc_token_stats": doc_token_stats,
     "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "embedding_knn": embedding_knn,
     "embedding_near_dup": embedding_near_dup,
     # rows-only (non-SQL-expressible)
@@ -1432,6 +1475,7 @@ ORACLE_SQL = {
     "jmespath_props": JMES_SQL,
     "doc_token_stats": TOKEN_SQL,
     "dedup_exact": DEDUP_SQL,
+    "dedup_ngram_jaccard": NGRAM_SQL,
     "embedding_knn": KNN_SQL,
     "embedding_near_dup": NEARDUP_SQL,
     "q6_revenue": Q6_SQL,

@@ -371,6 +371,39 @@ class TestDedupKernels:
             assert got[5] == 1 and got[13] == 10 and got[21] == 20
 
     @pytest.mark.usefixtures("ray_session")
+    def test_word_ngram_jaccard_pairs(self):
+        """Exact bigram Jaccard: near-identical docs pair, distinct don't;
+        df cut drops ubiquitous grams."""
+        import ray.data as rd
+
+        docs = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": pa.array(
+                    [
+                        "the quick brown fox jumps over the lazy dog",
+                        "the quick brown fox jumps over the lazy cat",
+                        "completely different words entirely here now",
+                        "the quick brown fox jumps over the lazy dog",
+                    ]
+                ),
+            }
+        )
+        got = sorted(
+            map(
+                tuple,
+                D.word_ngram_jaccard_pairs(
+                    rd.from_arrow(docs), n=2, max_df=10, threshold=(3, 5),
+                    num_partitions=4, attach_buckets=4,
+                )
+                .to_pandas()[["id_a", "id_b"]]
+                .itertuples(index=False),
+            )
+        )
+        # 1~2 share 7/9 bigrams (>3/5); 1~4 identical; 2~4 same as 1~2
+        assert got == [(1, 2), (1, 4), (2, 4)]
+
+    @pytest.mark.usefixtures("ray_session")
     def test_distributed_verify_pairs_matches_driver_verify(self):
         """distributed_verify_pairs == driver-side verify_pairs on the same
         candidates/signatures (incl. candidate dedup across partitions)."""
