@@ -12,7 +12,11 @@ import zlib
 
 import numpy as np
 
+# formats the synthetic crawl corpus draws from (pagestore assigns by
+# hash % len — adding here would change the deterministic corpus)
 FORMATS = ("ppm", "png", "qjpg")
+# full codec surface (encode_image/decode_image): FORMATS + baseline JPEG
+ALL_FORMATS = ("ppm", "png", "qjpg", "jpeg")
 
 
 # -- PPM (P6 binary) -------------------------------------------------------
@@ -104,10 +108,24 @@ def _decode_qjpg(data: bytes) -> np.ndarray:
     return ((q << 3) | 4).astype(np.uint8)
 
 
-_ENC = {"ppm": _encode_ppm, "png": _encode_png, "qjpg": _encode_qjpg}
-_DEC = {"ppm": _decode_ppm, "png": _decode_png, "qjpg": _decode_qjpg}
+def _encode_jpeg(px: np.ndarray) -> bytes:
+    from .jpeg import encode_jpeg
 
-LOSSLESS = {"ppm": True, "png": True, "qjpg": False}
+    return encode_jpeg(px, quality=90)
+
+
+def _decode_jpeg(data: bytes) -> np.ndarray:
+    from .jpeg import decode_jpeg
+
+    return decode_jpeg(data)
+
+
+_ENC = {"ppm": _encode_ppm, "png": _encode_png, "qjpg": _encode_qjpg,
+        "jpeg": _encode_jpeg}
+_DEC = {"ppm": _decode_ppm, "png": _decode_png, "qjpg": _decode_qjpg,
+        "jpeg": _decode_jpeg}
+
+LOSSLESS = {"ppm": True, "png": True, "qjpg": False, "jpeg": False}
 
 
 def encode_image(px: np.ndarray, fmt: str) -> bytes:

@@ -963,6 +963,128 @@ def audio_frame_rms(sf_dir: str):
     return ds.map_batches(agg, batch_format="pyarrow")
 
 
+def _doc_image(doc_id: int) -> "np.ndarray":
+    """Deterministic smooth gradient image sized by doc_id (both the Ray
+    pipeline and the SQL oracle derive dims from the same arithmetic)."""
+    h = 16 + doc_id % 17
+    w = 16 + doc_id % 23
+    yy, xx = np.mgrid[0:h, 0:w]
+    r = (xx * 255) // max(1, w - 1)
+    g = (yy * 255) // max(1, h - 1)
+    b = ((xx + yy) * 255) // max(1, h + w - 2)
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+def image_jpeg_roundtrip(sf_dir: str):
+    """REAL baseline-JPEG encode→decode round-trip (pure-numpy T.81 codec,
+    round 2 de-stub): per-doc gradient images → encode_jpeg(q=90) →
+    DecodeJpeg stage.  Dims/decode_ok are oracle-checked; PSNR ≥ 35 dB is
+    asserted in-kernel (smooth content at q90 sits well above it)."""
+    from ..images.codecs import psnr
+    from ..images.jpeg import decode_jpeg, encode_jpeg
+    from ..stages.multimodal import DecodeJpeg
+
+    def build(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "bytes": pa.array(
+                    [encode_jpeg(_doc_image(i), quality=90) for i in ids],
+                    pa.binary(),
+                ),
+            }
+        )
+
+    def check(t: pa.Table) -> pa.Table:
+        for i, data, ok in zip(
+            t["doc_id"].to_pylist(), t["bytes"].to_pylist(),
+            t["decode_ok"].to_pylist(),
+        ):
+            assert ok, f"doc {i} failed decode"
+            p = psnr(_doc_image(i), decode_jpeg(data))
+            assert p >= 35.0, f"doc {i} psnr {p:.1f} < 35"
+        return t.select(["doc_id", "decoded_w", "decoded_h", "decode_ok"])
+
+    return (
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(build, batch_format="pyarrow", batch_size=256)
+        .map_batches(DecodeJpeg(), batch_format="pyarrow", batch_size=256)
+        .map_batches(check, batch_format="pyarrow")
+    )
+
+
+JPEG_SQL = """
+SELECT doc_id,
+       CAST(16 + doc_id % 23 AS INTEGER) AS decoded_w,
+       CAST(16 + doc_id % 17 AS INTEGER) AS decoded_h,
+       TRUE AS decode_ok
+FROM documents
+"""
+
+
+def video_frame_sample(sf_dir: str):
+    """NV1 container build → SampleVideoFrames stage (round-2 de-stub:
+    real container parse + selective frame decode).  Sampled count and
+    first/last frame indices are deterministic functions of the per-doc
+    frame count — oracle-checked."""
+    from ..images.video import encode_video
+    from ..stages.multimodal import SampleVideoFrames
+
+    def build(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        vids = []
+        for i in ids:
+            base = _doc_image(i)
+            n = 2 + i % 6
+            frames = [
+                np.clip(base.astype(np.int64) + 7 * k, 0, 255).astype(np.uint8)
+                for k in range(n)
+            ]
+            vids.append(encode_video(frames, fmt="png"))
+        return pa.table(
+            {"doc_id": t["doc_id"], "bytes": pa.array(vids, pa.binary())}
+        )
+
+    def summarize(t: pa.Table) -> pa.Table:
+        ns, firsts, lasts = [], [], []
+        for idxs, ok in zip(t["frame_indices"].to_pylist(),
+                            t["video_ok"].to_pylist()):
+            assert ok
+            ns.append(len(idxs))
+            firsts.append(idxs[0])
+            lasts.append(idxs[-1])
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_sampled": pa.array(ns, pa.int64()),
+                "first_idx": pa.array(firsts, pa.int32()),
+                "last_idx": pa.array(lasts, pa.int32()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(build, batch_format="pyarrow", batch_size=256)
+        .map_batches(SampleVideoFrames(n=3), batch_format="pyarrow",
+                     batch_size=256)
+        .map_batches(summarize, batch_format="pyarrow")
+    )
+
+
+# n_frames = 2 + doc_id % 6; sampling picks min(3, n) evenly spaced
+# indices over [0, n-1] (round(i*(n-1)/(k-1)) dedup'd) — first is always
+# 0, last is n-1, and k>=2 everywhere so n_sampled = 3 unless n = 2.
+VIDEO_SQL = """
+SELECT doc_id,
+       CAST(CASE WHEN 2 + doc_id % 6 >= 3 THEN 3 ELSE 2 END AS BIGINT)
+           AS n_sampled,
+       CAST(0 AS INTEGER) AS first_idx,
+       CAST(1 + doc_id % 6 AS INTEGER) AS last_idx
+FROM documents
+"""
+
+
 def q6_revenue(sf_dir: str):
     """Scalar aggregate (single-row result): discounted revenue in a
     shipdate/discount/quantity window — per-batch partial sums, one tiny
@@ -1453,6 +1575,8 @@ QUERIES = {
     "image_decode_stats": image_decode_stats,
     "image_resize": image_resize,
     "audio_frame_rms": audio_frame_rms,
+    "image_jpeg_roundtrip": image_jpeg_roundtrip,
+    "video_frame_sample": video_frame_sample,
 }
 
 ORACLE_SQL = {
@@ -1476,6 +1600,8 @@ ORACLE_SQL = {
     "doc_token_stats": TOKEN_SQL,
     "dedup_exact": DEDUP_SQL,
     "dedup_ngram_jaccard": NGRAM_SQL,
+    "image_jpeg_roundtrip": JPEG_SQL,
+    "video_frame_sample": VIDEO_SQL,
     "embedding_knn": KNN_SQL,
     "embedding_near_dup": NEARDUP_SQL,
     "q6_revenue": Q6_SQL,

@@ -1,0 +1,256 @@
+"""Round-2 multimodal de-stubs: baseline JPEG codec (pure numpy),
+NV1 video container + frame sampling, WAV parsing in AudioFeatures."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from parsel_ray.images.codecs import decode_image, encode_image, psnr
+from parsel_ray.images.jpeg import (
+    AC_CHROM,
+    AC_LUM,
+    DC_CHROM,
+    DC_LUM,
+    ZIGZAG,
+    _BitWriter,
+    _build_codes,
+    _quality_tables,
+    decode_jpeg,
+    encode_jpeg,
+)
+from parsel_ray.images.video import (
+    encode_video,
+    frame_offsets,
+    parse_header,
+    read_frame,
+)
+from parsel_ray.stages.multimodal import (
+    AudioFeatures,
+    DecodeJpeg,
+    SampleVideoFrames,
+    _parse_wav_pcm16,
+)
+
+
+def gradient(h, w, scale=1):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [(xx * 255) // max(1, w - 1), (yy * 255) // max(1, h - 1),
+         ((xx + yy) * scale) % 256],
+        axis=-1,
+    ).astype(np.uint8)
+
+
+class TestJpegCodec:
+    def test_roundtrip_smooth_high_psnr(self):
+        img = gradient(48, 64)
+        for q, bar in ((90, 40.0), (75, 33.0)):
+            out = decode_jpeg(encode_jpeg(img, q))
+            assert out.shape == img.shape
+            assert psnr(img, out) >= bar, q
+
+    def test_flat_color_exact(self):
+        img = np.full((24, 24, 3), 200, np.uint8)
+        out = decode_jpeg(encode_jpeg(img, 50))
+        assert int(np.abs(out.astype(int) - 200).max()) <= 1
+
+    def test_odd_dimensions(self):
+        # non-multiple-of-8 dims exercise edge padding + crop
+        img = gradient(33, 41)
+        out = decode_jpeg(encode_jpeg(img, 90))
+        assert out.shape == (33, 41, 3)
+        assert psnr(img, out) >= 33.0
+
+    def test_tiny_image(self):
+        img = gradient(3, 5)
+        out = decode_jpeg(encode_jpeg(img, 90))
+        assert out.shape == (3, 5, 3)
+
+    def test_deterministic_bytes(self):
+        img = gradient(20, 20)
+        assert encode_jpeg(img, 80) == encode_jpeg(img, 80)
+
+    def test_quality_monotone_size(self):
+        img = gradient(64, 64, scale=7)
+        assert len(encode_jpeg(img, 95)) > len(encode_jpeg(img, 30))
+
+    def test_registered_format(self):
+        img = gradient(16, 16)
+        out = decode_image(encode_image(img, "jpeg"), "jpeg")
+        assert out.shape == img.shape
+
+    def test_corrupt_raises(self):
+        with pytest.raises(ValueError):
+            decode_jpeg(b"not a jpeg at all")
+        good = bytearray(encode_jpeg(gradient(16, 16), 90))
+        with pytest.raises(ValueError):
+            decode_jpeg(bytes(good[:2]))  # SOI only
+
+    def test_progressive_rejected(self):
+        data = bytearray(encode_jpeg(gradient(16, 16), 90))
+        i = data.find(b"\xFF\xC0")
+        data[i + 1] = 0xC2  # flip SOF0 -> SOF2
+        with pytest.raises(ValueError, match="baseline"):
+            decode_jpeg(bytes(data))
+
+    @staticmethod
+    def _craft(h, w, sampling, dri=0):
+        """Hand-assemble a constant-gray baseline JPEG with the given
+        (h_factor, v_factor) luma sampling — exercises decoder paths the
+        4:4:4 encoder never emits (4:2:0 MCU interleave, restarts)."""
+        hs, vs = sampling
+        lq, cq = _quality_tables(90)
+        out = bytearray(b"\xFF\xD8")
+        for tid, tbl in ((0, lq), (1, cq)):
+            out += b"\xFF\xDB" + struct.pack(">HB", 67, tid)
+            out += bytes(int(x) for x in tbl.reshape(-1)[ZIGZAG])
+        out += b"\xFF\xC0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+        out += struct.pack(">BBB", 1, (hs << 4) | vs, 0)
+        out += struct.pack(">BBB", 2, 0x11, 1)
+        out += struct.pack(">BBB", 3, 0x11, 1)
+        for tclass, tid, (bits, values) in (
+            (0, 0, DC_LUM), (0, 1, DC_CHROM), (1, 0, AC_LUM), (1, 1, AC_CHROM)
+        ):
+            out += b"\xFF\xC4" + struct.pack(
+                ">HB", 19 + len(values), (tclass << 4) | tid
+            )
+            out += bytes(bits) + bytes(values)
+        if dri:
+            out += b"\xFF\xDD" + struct.pack(">HH", 4, dri)
+        out += b"\xFF\xDA" + struct.pack(">HB", 12, 3)
+        for cid, tabs in ((1, 0x00), (2, 0x11), (3, 0x11)):
+            out += struct.pack(">BB", cid, tabs)
+        out += b"\x00\x3F\x00"
+        # constant 128-gray: every block is DC diff 0 + EOB
+        dc_l, dc_c = _build_codes(*DC_LUM), _build_codes(*DC_CHROM)
+        ac_l, ac_c = _build_codes(*AC_LUM), _build_codes(*AC_CHROM)
+        mcux = -(-w // (8 * hs))
+        mcuy = -(-h // (8 * vs))
+        bw = _BitWriter()
+        scan = bytearray()
+        rst = 0
+        count = 0
+        for _ in range(mcux * mcuy):
+            if dri and count and count % dri == 0:
+                scan += bw.flush()
+                bw = _BitWriter()
+                scan += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+            count += 1
+            for _b in range(hs * vs):
+                c, ln = dc_l[0]; bw.write(c, ln)
+                c, ln = ac_l[0]; bw.write(c, ln)
+            for _c in range(2):
+                c, ln = dc_c[0]; bw.write(c, ln)
+                c, ln = ac_c[0]; bw.write(c, ln)
+        scan += bw.flush()
+        out += scan + b"\xFF\xD9"
+        return bytes(out)
+
+    def test_420_subsampled_decode(self):
+        data = self._craft(24, 24, (2, 2))
+        out = decode_jpeg(data)
+        assert out.shape == (24, 24, 3)
+        assert int(np.abs(out.astype(int) - 128).max()) <= 1
+
+    def test_422_subsampled_decode(self):
+        out = decode_jpeg(self._craft(16, 24, (2, 1)))
+        assert out.shape == (16, 24, 3)
+        assert int(np.abs(out.astype(int) - 128).max()) <= 1
+
+    def test_restart_markers(self):
+        out = decode_jpeg(self._craft(8, 32, (1, 1), dri=1))
+        assert out.shape == (8, 32, 3)
+        assert int(np.abs(out.astype(int) - 128).max()) <= 1
+
+
+class TestVideoContainer:
+    def test_header_offsets_and_selective_read(self):
+        frames = [gradient(12, 10, scale=k + 1) for k in range(5)]
+        data = encode_video(frames, "png")
+        n, w, h, fmt, _ = parse_header(data)
+        assert (n, w, h, fmt) == (5, 10, 12, "png")
+        offs, _ = frame_offsets(data)
+        assert len(offs) == 5
+        for k in (0, 2, 4):
+            assert np.array_equal(read_frame(data, k), frames[k])
+        with pytest.raises(IndexError):
+            read_frame(data, 5)
+
+    def test_not_a_video(self):
+        with pytest.raises(ValueError):
+            parse_header(b"garbage")
+
+
+class TestMultimodalStages:
+    def test_decode_jpeg_stage(self):
+        imgs = [gradient(16, 16), gradient(24, 18)]
+        t = pa.table(
+            {
+                "id": pa.array([1, 2, 3], pa.int64()),
+                "bytes": pa.array(
+                    [encode_jpeg(imgs[0], 90), encode_jpeg(imgs[1], 90),
+                     b"corrupt"],
+                    pa.binary(),
+                ),
+            }
+        )
+        out = DecodeJpeg()(t)
+        assert out["decode_ok"].to_pylist() == [True, True, False]
+        assert out["decoded_w"].to_pylist() == [16, 18, None]
+        px = np.frombuffer(out["rgb"][0].as_py(), np.uint8).reshape(16, 16, 3)
+        assert psnr(imgs[0], px) >= 35
+
+    def test_sample_video_frames_stage(self):
+        frames = [gradient(8, 8, scale=k) for k in range(6)]
+        t = pa.table(
+            {
+                "id": pa.array([1, 2], pa.int64()),
+                "bytes": pa.array(
+                    [encode_video(frames, "png"), b"nope"], pa.binary()
+                ),
+            }
+        )
+        out = SampleVideoFrames(n=3)(t)
+        assert out["video_ok"].to_pylist() == [True, False]
+        assert out["frame_indices"][0].as_py() == [0, 2, 5]
+        sampled = out["frames"][0].as_py()
+        assert len(sampled) == 3
+        got = decode_image(sampled[2], "png")
+        assert np.array_equal(got, frames[5])
+
+    def test_wav_parsing(self):
+        # 2-channel PCM16 WAV: stage must downmix via the fmt chunk
+        sr = 8000
+        tdur = np.arange(512)
+        left = (1000 * np.sin(tdur * 0.1)).astype("<i2")
+        right = (500 * np.sin(tdur * 0.1)).astype("<i2")
+        inter = np.empty(1024, "<i2")
+        inter[0::2] = left
+        inter[1::2] = right
+        body = inter.tobytes()
+        fmt = struct.pack("<HHIIHH", 1, 2, sr, sr * 4, 4, 16)
+        wav = (
+            b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(body))
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(body)) + body
+        )
+        pcm = _parse_wav_pcm16(wav)
+        assert pcm is not None and len(pcm) == 512
+        assert np.allclose(pcm, (left.astype(np.float64) + right) / 2)
+        out = AudioFeatures(frame=128)(
+            pa.table({"bytes": pa.array([wav], pa.binary())})
+        )
+        assert len(out["frame_rms"][0].as_py()) == 4
+
+    def test_raw_pcm_fallback(self):
+        raw = (np.arange(256, dtype="<i2")).tobytes()
+        assert _parse_wav_pcm16(raw) is None
+        out = AudioFeatures(frame=64)(
+            pa.table({"bytes": pa.array([raw], pa.binary())})
+        )
+        assert len(out["frame_rms"][0].as_py()) == 4
