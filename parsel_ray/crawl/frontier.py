@@ -500,9 +500,14 @@ def run_crawl(
             nimg_refs.append(rets[1])
             for i in range(cfg.shards):
                 routed_refs[i].append(rets[2 + i])
-        # barrier on the (tiny) image-count returns: all chunk side-effects
-        # (parquet shards) are on disk before the epoch _DONE marker
-        ray.get(nimg_refs)
+        if edir or collect_images:
+            # barrier on the (tiny) image-count returns: all chunk
+            # side-effects (parquet shards) are on disk before the epoch
+            # _DONE marker.  Without image output there is NO driver
+            # barrier here — the next epoch's admit_tick_pop blocks on the
+            # link refs inside the shards, overlapping fetch stragglers
+            # with the next admission round.
+            ray.get(nimg_refs)
         if edir:
             open(os.path.join(edir, "_DONE"), "w").close()
         if collect_images:
