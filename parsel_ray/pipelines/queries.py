@@ -1085,6 +1085,43 @@ FROM documents
 """
 
 
+def events_asof_order(sf_dir: str):
+    """AS-OF JOIN (custom operator — Ray Data has none): each event
+    matched to the user's most recent order at-or-before the event time.
+    One co-partition shuffle + vectorized segmented binary search
+    (:func:`parsel_ray.functions.asof.asof_join`); right side deduped to
+    one row per (custkey, date) with max orderkey so the match is
+    deterministic — the oracle is DuckDB's native ASOF LEFT JOIN."""
+    from ..functions.asof import asof_join
+
+    orders = partial_agg_groupby(
+        _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_orderkey"]),
+        ["o_custkey", "o_orderdate"],
+        [("o_orderkey", "max", "o_orderkey")],
+    ).map_batches(
+        lambda t: t.select(["o_custkey", "o_orderdate", "o_orderkey"])
+        .rename_columns(["user_id", "o_orderdate", "o_orderkey"]),
+        batch_format="pyarrow",
+    )
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    joined = asof_join(
+        events, orders, on="user_id", left_time="ts",
+        right_time="o_orderdate", right_cols=["o_orderkey"], buckets=16,
+    )
+    return joined.select_columns(["event_id", "user_id", "o_orderkey"])
+
+
+ASOF_SQL = """
+WITH o AS (
+  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, e.user_id, o.o_orderkey
+FROM events e ASOF LEFT JOIN o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+"""
+
+
 def q6_revenue(sf_dir: str):
     """Scalar aggregate (single-row result): discounted revenue in a
     shipdate/discount/quantity window — per-batch partial sums, one tiny
@@ -1542,6 +1579,7 @@ QUERIES = {
     "embedding_ivf_knn": embedding_ivf_knn,
     "nation_customer_agg": nation_customer_agg,
     "hash_join_priority": hash_join_priority,
+    "events_asof_order": events_asof_order,
     "extract_attr_roundtrip": extract_attr_roundtrip,
     "extract_links": extract_links,
     "extract_attrib_map": extract_attrib_map,
@@ -1592,6 +1630,7 @@ ORACLE_SQL = {
     "events_running_count": RUNNING_SQL,
     "nation_customer_agg": NATION_SQL,
     "hash_join_priority": HASHJOIN_SQL,
+    "events_asof_order": ASOF_SQL,
     "extract_attr_roundtrip": ATTR_SQL,
     "extract_links": LINKS_SQL,
     "extract_attrib_map": ATTRIB_SQL,

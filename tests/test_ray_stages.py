@@ -477,6 +477,71 @@ class TestDedupKernels:
 
 
 @pytest.mark.usefixtures("ray_session")
+@pytest.mark.usefixtures("ray_session")
+class TestAsofJoin:
+    def test_asof_semantics(self):
+        """Most-recent-at-or-before match; nulls for too-early left rows
+        and for keys with no right rows at all; exact-time ties to the
+        row AT the time."""
+        import ray.data as rd
+
+        from parsel_ray.functions.asof import asof_join
+
+        left = pa.table(
+            {
+                "eid": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+                "k": pa.array([10, 10, 10, 20, 20, 30], pa.int64()),
+                "t": pa.array([5, 15, 100, 1, 50, 7], pa.int64()),
+            }
+        )
+        right = pa.table(
+            {
+                "k": pa.array([10, 10, 20, 40], pa.int64()),
+                "rt": pa.array([10, 20, 50, 1], pa.int64()),
+                "val": pa.array([100, 200, 300, 400], pa.int64()),
+            }
+        )
+        out = (
+            asof_join(
+                rd.from_arrow(left), rd.from_arrow(right), on="k",
+                left_time="t", right_time="rt", right_cols=["val"],
+                buckets=4,
+            )
+            .to_pandas()
+            .sort_values("eid")
+        )
+        got = dict(zip(out["eid"], out["val"]))
+        assert pd.isna(got[1])        # t=5 before first rt=10
+        assert got[2] == 100          # t=15 → rt=10
+        assert got[3] == 200          # t=100 → rt=20 (latest)
+        assert pd.isna(got[4])        # t=1 before rt=50
+        assert got[5] == 300          # t=50 == rt=50 (at-or-before)
+        assert pd.isna(got[6])        # key 30 has no right rows
+
+    def test_asof_timestamp_columns(self):
+        import ray.data as rd
+
+        from parsel_ray.functions.asof import asof_join
+
+        ts = pa.array([1_000_000, 2_000_000], pa.timestamp("us"))
+        left = pa.table(
+            {"eid": pa.array([1, 2], pa.int64()),
+             "k": pa.array([1, 1], pa.int64()), "t": ts}
+        )
+        right = pa.table(
+            {"k": pa.array([1], pa.int64()),
+             "rt": pa.array([1_500_000], pa.timestamp("us")),
+             "val": pa.array([7], pa.int64())}
+        )
+        out = (
+            asof_join(rd.from_arrow(left), rd.from_arrow(right), on="k",
+                      left_time="t", right_time="rt", right_cols=["val"],
+                      buckets=2)
+            .to_pandas().sort_values("eid")
+        )
+        assert pd.isna(out["val"].iloc[0]) and out["val"].iloc[1] == 7
+
+
 class TestSimilarity:
     def test_ivf_recall_vs_brute_force(self):
         """IVF with nprobe=4/16 cells keeps high recall vs the exact path."""
