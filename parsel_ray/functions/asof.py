@@ -30,9 +30,10 @@ def _as_int64(col: "pa.ChunkedArray") -> np.ndarray:
 
 
 def _segmented_upper_bound(times_sorted: np.ndarray, starts: np.ndarray,
-                           ends: np.ndarray, queries: np.ndarray) -> np.ndarray:
-    """Per query i: count of elements ≤ queries[i] within
-    ``times_sorted[starts[i]:ends[i]]`` (0 ⇒ no match).  A global
+                           ends: np.ndarray, queries: np.ndarray,
+                           inclusive: bool = True) -> np.ndarray:
+    """Per query i: count of elements ≤ (or <, with ``inclusive=False``)
+    queries[i] within ``times_sorted[starts[i]:ends[i]]``.  A global
     searchsorted would leak across segments, so run one binary search per
     row — iterative halving, each pass vectorized over all rows."""
     lo = starts.astype(np.int64).copy()
@@ -44,7 +45,8 @@ def _segmented_upper_bound(times_sorted: np.ndarray, starts: np.ndarray,
             break
         mid = (lo + hi) // 2
         midv = times_sorted[np.minimum(mid, cap)]
-        go_right = active & (midv <= queries)
+        cond = midv <= queries if inclusive else midv < queries
+        go_right = active & cond
         lo = np.where(go_right, mid + 1, lo)
         hi = np.where(active & ~go_right, mid, hi)
     return lo - starts
@@ -136,3 +138,68 @@ def asof_join(left, right, on: str, left_time: str, right_time: str,
         return out
 
     return both.groupby("__bucket").map_groups(match, batch_format="pyarrow")
+
+
+def range_join_count(left, right, on: str, left_time: str, right_time: str,
+                     delta_lo: int, delta_hi: int, out_col: str = "n_in_range",
+                     buckets: int = 32):
+    """RANGE JOIN aggregate (custom operator): for every left row, the
+    COUNT of right rows with equal ``on`` key and ``right_time`` in the
+    half-open window ``[left_time + delta_lo, left_time + delta_hi)``
+    (µs for timestamp columns).  Same co-partition + segmented-binary-
+    search shape as :func:`asof_join`; the count is two bound queries per
+    row (< hi minus < lo), so the kernel stays O((|L|+|R|) log |R|) per
+    partition with no pair materialization — the scale advantage over an
+    expand-then-aggregate interval join."""
+    from .relational import _bucket_of
+
+    left_names = list(left.schema().names)
+
+    def tag(is_right: bool):
+        def f(t: pa.Table) -> pa.Table:
+            t = t.append_column("__bucket", _bucket_of(t[on], buckets))
+            return t.append_column(
+                "__right", pa.array(np.full(len(t), is_right), pa.bool_())
+            )
+
+        return f
+
+    both = left.map_batches(tag(False), batch_format="pyarrow",
+                            batch_size=65536).union(
+        right.map_batches(tag(True), batch_format="pyarrow", batch_size=65536)
+    )
+
+    def count(g: pa.Table) -> pa.Table:
+        if any(c not in g.column_names for c in left_names):
+            cols = {c: pa.array([], pa.int64()) for c in left_names}
+            t = pa.table(cols)
+            return t.append_column(out_col, pa.array([], pa.int64()))
+        mask = g["__right"].combine_chunks()
+        lt = g.filter(pc.invert(mask)).select(left_names)
+        if len(lt) == 0:
+            return lt.append_column(out_col, pa.array([], pa.int64()))
+        lkey = lt[on].to_numpy(zero_copy_only=False).astype(np.int64)
+        ltime = _as_int64(lt[left_time])
+        have_right = all(c in g.column_names for c in (on, right_time))
+        if not have_right:
+            return lt.append_column(
+                out_col, pa.array(np.zeros(len(lt), np.int64), pa.int64())
+            )
+        rt = g.filter(mask)
+        rkey = rt[on].to_numpy(zero_copy_only=False).astype(np.int64)
+        rtime = _as_int64(rt[right_time])
+        order = np.lexsort((rtime, rkey))
+        rkey_s, rtime_s = rkey[order], rtime[order]
+        starts = np.searchsorted(rkey_s, lkey, side="left")
+        ends = np.searchsorted(rkey_s, lkey, side="right")
+        n_below_hi = _segmented_upper_bound(
+            rtime_s, starts, ends, ltime + delta_hi, inclusive=False
+        )
+        n_below_lo = _segmented_upper_bound(
+            rtime_s, starts, ends, ltime + delta_lo, inclusive=False
+        )
+        return lt.append_column(
+            out_col, pa.array(n_below_hi - n_below_lo, pa.int64())
+        )
+
+    return both.groupby("__bucket").map_groups(count, batch_format="pyarrow")

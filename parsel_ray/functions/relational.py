@@ -112,6 +112,118 @@ def broadcast_semi_join(ds, keys_ref, key_col: str, anti: bool = False,
     )
 
 
+class BloomFilter:
+    """Vectorized Bloom filter over int64 keys (numpy bit array; k probes
+    via double hashing of two independent 64-bit mixes).  The at-scale
+    stand-in for an exact broadcast key set: a key set too large to ship
+    (1e9 urgent orderkeys ≈ 8 GB exact) fits as ~1.2 GB of bits at 1%
+    FPR.  NO false negatives — a Bloom PRE-filter followed by an exact
+    join stays exact while pruning most non-matching rows at the map
+    stage, before any shuffle."""
+
+    __slots__ = ("bits", "k", "m")
+
+    def __init__(self, capacity: int, fpr: float = 0.01) -> None:
+        m = max(64, int(-capacity * np.log(fpr) / (np.log(2) ** 2)))
+        self.m = ((m + 63) // 64) * 64
+        self.k = max(1, int(round(self.m / max(1, capacity) * np.log(2))))
+        self.bits = np.zeros(self.m // 64, dtype=np.uint64)
+
+    def _hashes(self, keys: np.ndarray) -> "tuple[np.ndarray, np.ndarray]":
+        with np.errstate(over="ignore"):
+            v = keys.astype(np.uint64)
+            h1 = v * np.uint64(11400714819323198485)
+            h1 ^= h1 >> np.uint64(33)
+            h2 = (v + np.uint64(0x9E3779B97F4A7C15)) * np.uint64(
+                14029467366897019727
+            )
+            h2 ^= h2 >> np.uint64(29)
+            h2 |= np.uint64(1)  # odd stride
+        return h1, h2
+
+    def add_many(self, keys: np.ndarray) -> None:
+        h1, h2 = self._hashes(np.asarray(keys, dtype=np.int64))
+        with np.errstate(over="ignore"):
+            for i in range(self.k):
+                pos = (h1 + np.uint64(i) * h2) % np.uint64(self.m)
+                np.bitwise_or.at(
+                    self.bits, (pos >> np.uint64(6)).astype(np.int64),
+                    np.uint64(1) << (pos & np.uint64(63)),
+                )
+
+    def may_contain(self, keys: np.ndarray) -> np.ndarray:
+        h1, h2 = self._hashes(np.asarray(keys, dtype=np.int64))
+        out = np.ones(len(keys), dtype=bool)
+        with np.errstate(over="ignore"):
+            for i in range(self.k):
+                pos = (h1 + np.uint64(i) * h2) % np.uint64(self.m)
+                word = self.bits[(pos >> np.uint64(6)).astype(np.int64)]
+                out &= (word >> (pos & np.uint64(63))) & np.uint64(1) != 0
+        return out
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        assert self.m == other.m and self.k == other.k
+        self.bits |= other.bits
+        return self
+
+
+def build_bloom(ds, col: str, capacity: int, fpr: float = 0.01):
+    """Distributed Bloom build: per-batch partial filters in map_batches,
+    OR-merged by a tree of Ray tasks (never one driver pass over keys),
+    returned as a ``ray.put`` ref for :func:`bloom_semi_join`."""
+    import ray
+
+    def partial(t: pa.Table):
+        bf = BloomFilter(capacity, fpr)
+        bf.add_many(t[col].to_numpy(zero_copy_only=False))
+        return pa.table({"__bloom": pa.array([bf.bits.tobytes()], pa.binary()),
+                         "__k": pa.array([bf.k], pa.int64()),
+                         "__m": pa.array([bf.m], pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    if not parts:
+        return ray.put(BloomFilter(capacity, fpr))
+
+    @ray.remote
+    def merge_two(a: bytes, b: bytes) -> bytes:
+        return (
+            np.frombuffer(a, np.uint64) | np.frombuffer(b, np.uint64)
+        ).tobytes()
+
+    refs = [ray.put(p["__bloom"]) for p in parts]
+    while len(refs) > 1:
+        nxt = [
+            merge_two.remote(refs[i], refs[i + 1])
+            if i + 1 < len(refs)
+            else refs[i]
+            for i in range(0, len(refs), 2)
+        ]
+        refs = nxt
+    bf = BloomFilter(capacity, fpr)
+    bf.k, bf.m = int(parts[0]["__k"]), int(parts[0]["__m"])
+    bf.bits = np.frombuffer(ray.get(refs[0]), np.uint64).copy()
+    return ray.put(bf)
+
+
+class _BloomFilterBatch:
+    def __init__(self, bloom_ref, key_col: str) -> None:
+        self.bloom = LazyRef(bloom_ref)
+        self.key_col = key_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        keys = t[self.key_col].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(self.bloom.get().may_contain(keys)))
+
+
+def bloom_semi_join(ds, bloom_ref, key_col: str):
+    """Approximate semi-join: keep rows whose key MAY be in the Bloom
+    filter (no false negatives; ~FPR of non-members slip through — follow
+    with an exact join when exactness matters)."""
+    return ds.map_batches(
+        _BloomFilterBatch(bloom_ref, key_col), batch_format="pyarrow"
+    )
+
+
 def vec_lookup(sorted_keys: np.ndarray, values: np.ndarray, keys: np.ndarray,
                default) -> np.ndarray:
     """Vectorized broadcast-map: values[position-of-key] with ``default``

@@ -1122,6 +1122,77 @@ FROM events e ASOF LEFT JOIN o
 """
 
 
+def events_range_count(sf_dir: str):
+    """RANGE JOIN aggregate (custom operator): per event, how many events
+    of the SAME user fell in the preceding hour ``[ts-1h, ts)`` —
+    co-partition + two segmented bound queries per row
+    (:func:`parsel_ray.functions.asof.range_join_count`); no pair
+    materialization.  Oracle: plain SQL interval self-join."""
+    from ..functions.asof import range_join_count
+
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    rhs = _read(sf_dir, "events", ["user_id", "ts"])
+    out = range_join_count(
+        events, rhs, on="user_id", left_time="ts", right_time="ts",
+        delta_lo=-3_600_000_000, delta_hi=0, out_col="n_prev_hour",
+        buckets=16,
+    )
+    return out.select_columns(["event_id", "user_id", "n_prev_hour"])
+
+
+RANGE_SQL = """
+SELECT e.event_id, e.user_id,
+       CAST(COUNT(r.ts) AS BIGINT) AS n_prev_hour
+FROM events e LEFT JOIN events r
+  ON r.user_id = e.user_id
+ AND r.ts >= e.ts - INTERVAL 1 HOUR AND r.ts < e.ts
+GROUP BY e.event_id, e.user_id
+"""
+
+
+def bloom_prefilter_join(sf_dir: str):
+    """Bloom-prefiltered exact join (the at-scale semi-join path when the
+    key set is too big to broadcast exactly): distributed Bloom build
+    over urgent orderkeys (per-batch partials + task-tree OR merge) →
+    Bloom map-stage prune of lineitem BEFORE the shuffle → exact bucket
+    join removes the ~FPR false positives, so the result is EXACT and
+    oracle-checked."""
+    from ..functions.relational import bloom_semi_join, build_bloom
+
+    urgent = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]).map_batches(
+        lambda t: t.filter(
+            pc.equal(t["o_orderpriority"], "1-URGENT")
+        ).select(["o_orderkey"]).rename_columns(["orderkey"]),
+        batch_format="pyarrow",
+    )
+    bloom = build_bloom(urgent, "orderkey", capacity=200_000, fpr=0.01)
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]).map_batches(
+        lambda t: t.rename_columns(["orderkey", "l_quantity"]),
+        batch_format="pyarrow",
+    )
+    pre = bloom_semi_join(li, bloom, "orderkey")
+    joined = hash_bucket_join(pre, urgent, on="orderkey", buckets=16)
+    out = partial_sum_groupby(
+        joined.map_batches(
+            lambda t: t.append_column(
+                "one", pa.array(np.ones(len(t), np.int64))
+            ),
+            batch_format="pyarrow",
+        ),
+        ["one"], {"l_quantity": "sum_qty"}, count_as="n_items",
+    )
+    return out.map_batches(
+        lambda t: t.select(["n_items", "sum_qty"]), batch_format="pyarrow"
+    )
+
+
+BLOOM_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_items, SUM(l_quantity) AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+"""
+
+
 def q6_revenue(sf_dir: str):
     """Scalar aggregate (single-row result): discounted revenue in a
     shipdate/discount/quantity window — per-batch partial sums, one tiny
@@ -1580,6 +1651,8 @@ QUERIES = {
     "nation_customer_agg": nation_customer_agg,
     "hash_join_priority": hash_join_priority,
     "events_asof_order": events_asof_order,
+    "events_range_count": events_range_count,
+    "bloom_prefilter_join": bloom_prefilter_join,
     "extract_attr_roundtrip": extract_attr_roundtrip,
     "extract_links": extract_links,
     "extract_attrib_map": extract_attrib_map,
@@ -1631,6 +1704,8 @@ ORACLE_SQL = {
     "nation_customer_agg": NATION_SQL,
     "hash_join_priority": HASHJOIN_SQL,
     "events_asof_order": ASOF_SQL,
+    "events_range_count": RANGE_SQL,
+    "bloom_prefilter_join": BLOOM_SQL,
     "extract_attr_roundtrip": ATTR_SQL,
     "extract_links": LINKS_SQL,
     "extract_attrib_map": ATTRIB_SQL,

@@ -477,6 +477,42 @@ class TestDedupKernels:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestBloomFilter:
+    def test_no_false_negatives_and_fpr(self):
+        from parsel_ray.functions.relational import BloomFilter
+
+        rng = np.random.RandomState(3)
+        members = rng.randint(0, 1 << 60, 20_000).astype(np.int64)
+        bf = BloomFilter(capacity=20_000, fpr=0.01)
+        bf.add_many(members)
+        assert bf.may_contain(members).all()  # NO false negatives, ever
+        probes = rng.randint(0, 1 << 60, 50_000).astype(np.int64)
+        fresh = probes[~np.isin(probes, members)]
+        fpr = bf.may_contain(fresh).mean()
+        assert fpr < 0.03, fpr  # ~1% target with headroom
+
+    @pytest.mark.usefixtures("ray_session")
+    def test_distributed_build_and_prefilter(self):
+        import ray
+        import ray.data as rd
+
+        from parsel_ray.functions.relational import (
+            bloom_semi_join,
+            build_bloom,
+        )
+
+        keys = pa.table({"k": pa.array(np.arange(0, 10_000, 7), pa.int64())})
+        ref = build_bloom(rd.from_arrow(keys).repartition(8), "k",
+                          capacity=2_000, fpr=0.01)
+        big = pa.table({"k": pa.array(np.arange(10_000), pa.int64()),
+                        "v": pa.array(np.arange(10_000), pa.int64())})
+        kept = bloom_semi_join(rd.from_arrow(big), ref, "k").to_pandas()
+        member = set(range(0, 10_000, 7))
+        # every true member survives; most non-members pruned
+        assert member.issubset(set(kept["k"]))
+        assert len(kept) < 0.25 * len(big)
+        _ = ray  # session fixture
+
 @pytest.mark.usefixtures("ray_session")
 class TestAsofJoin:
     def test_asof_semantics(self):
