@@ -146,6 +146,11 @@ def bench_minhash(sf_dir: str) -> int:
     survivors = partial_agg_groupby(
         fps, ["fingerprint"], [("doc_id", "min", "doc_id")]
     )
+    # survivor-id broadcast: right at bench scale (ids ≈ distinct docs,
+    # tiny here).  At 100 TB the survivor set is corpus-sized — swap this
+    # for the fingerprint-keyed first-wins shuffle carrying full rows
+    # (one groupby("__part").map_groups pass, measured ~2× slower here
+    # because fixed shuffle cost dominates at small N).
     keep = set(survivors.to_pandas()["doc_id"])
     distinct = broadcast_semi_join(ds, ray.put(keep), "doc_id")
     sigs = distinct.map_batches(
