@@ -11,15 +11,19 @@ Two layers:
   crawl frontier state, parquet (Lance-schema) sources/sinks.
 """
 
+from . import xpathfuncs
 from .htmlpath.csstranslate import ExpressionError, SelectorSyntaxError, css2xpath
 from .htmlpath.xpath import set_xpathfunc
 from .selector import (
     CannotDropElementWithoutParent,
     CannotRemoveElementWithoutParent,
     CannotRemoveElementWithoutRoot,
+    SafeXMLParser,
     Selector,
     SelectorList,
 )
+
+xpathfuncs.setup()  # reference __init__ parity (parsel/__init__.py:20)
 
 __version__ = "0.1.0"
 

@@ -56,6 +56,20 @@ class CannotDropElementWithoutParent(CannotRemoveElementWithoutParent):
     pass
 
 
+class SafeXMLParser:
+    """API-parity marker (reference selector.py:57-63 wraps lxml's
+    XMLParser with ``resolve_entities=False``).  This engine's XML parser
+    NEVER resolves external/recursive entities (``htmlpath.dom.parse_xml``
+    keeps them as references — the billion-laughs corpus parses in O(1)
+    memory, see the xml-attack conformance cases), so safety is
+    unconditional and this class carries no behavior; it exists so
+    reference imports port unchanged."""
+
+    def __init__(self, *args, **kwargs) -> None:
+        self.args = args
+        self.kwargs = kwargs
+
+
 def _xml_or_html(type_: str | None) -> str:
     return "xml" if type_ == "xml" else "html"
 

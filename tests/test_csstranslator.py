@@ -191,3 +191,29 @@ class TestCSSSelector:
 
 class TestCSSSelectorBytes(TestCSSSelector):
     sel = Selector(body=bytes(HTMLBODY, encoding="utf-8"))
+
+
+class TestReferenceLayoutCompat:
+    """Reference import-path parity (round 2): the class surface of
+    parsel.csstranslator / parsel.xpathfuncs / SafeXMLParser ports
+    unchanged."""
+
+    def test_translator_classes(self):
+        from parsel_ray.csstranslator import GenericTranslator, HTMLTranslator
+
+        ht = HTMLTranslator()
+        assert ht.css_to_xpath("p.a::text").endswith("/text()")
+        # HTML flavor lowercases names; generic preserves case
+        assert "div" in HTMLTranslator().css_to_xpath("DIV")
+        assert "DIV" in GenericTranslator().css_to_xpath("DIV")
+        # per-instance cache: same object back for the same query
+        assert ht.css_to_xpath("p.a") is ht.css_to_xpath("p.a")
+
+    def test_xpathfuncs_setup_and_safexml(self):
+        import parsel_ray
+        from parsel_ray import SafeXMLParser
+        from parsel_ray.xpathfuncs import set_xpathfunc, setup
+
+        setup()  # idempotent
+        assert set_xpathfunc is parsel_ray.set_xpathfunc
+        SafeXMLParser(resolve_entities=False)  # constructible, inert
