@@ -1150,6 +1150,33 @@ GROUP BY e.event_id, e.user_id
 """
 
 
+def price_quantiles(sf_dir: str):
+    """EXACT distributed quantiles (p25/p50/p75/p99 of lineitem price in
+    integer cents) via the value-histogram method
+    (:func:`parsel_ray.functions.agg.exact_quantiles` — the shuffled
+    state is O(distinct cents values), domain-bounded).  Oracle:
+    DuckDB ``quantile_disc``."""
+    from ..functions.agg import exact_quantiles
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"]).map_batches(
+        lambda t: pa.table({"cents": pa.array(_cents(t["l_extendedprice"]))}),
+        batch_format="pyarrow",
+    )
+    t = exact_quantiles(ds, "cents", [0.25, 0.5, 0.75, 0.99])
+    return pa.table(
+        {"q": t["q"], "value_cents": t["value"].cast(pa.int64())}
+    )
+
+
+QUANTILE_SQL = f"""
+WITH c AS (SELECT {_CENTS_SQL.format(expr='l_extendedprice')} AS v FROM lineitem)
+SELECT 0.25 AS q, quantile_disc(v, 0.25) AS value_cents FROM c
+UNION ALL SELECT 0.5, quantile_disc(v, 0.5) FROM c
+UNION ALL SELECT 0.75, quantile_disc(v, 0.75) FROM c
+UNION ALL SELECT 0.99, quantile_disc(v, 0.99) FROM c
+"""
+
+
 def bloom_prefilter_join(sf_dir: str):
     """Bloom-prefiltered exact join (the at-scale semi-join path when the
     key set is too big to broadcast exactly): distributed Bloom build
@@ -1653,6 +1680,7 @@ QUERIES = {
     "events_asof_order": events_asof_order,
     "events_range_count": events_range_count,
     "bloom_prefilter_join": bloom_prefilter_join,
+    "price_quantiles": price_quantiles,
     "extract_attr_roundtrip": extract_attr_roundtrip,
     "extract_links": extract_links,
     "extract_attrib_map": extract_attrib_map,
@@ -1706,6 +1734,7 @@ ORACLE_SQL = {
     "events_asof_order": ASOF_SQL,
     "events_range_count": RANGE_SQL,
     "bloom_prefilter_join": BLOOM_SQL,
+    "price_quantiles": QUANTILE_SQL,
     "extract_attr_roundtrip": ATTR_SQL,
     "extract_links": LINKS_SQL,
     "extract_attrib_map": ATTRIB_SQL,

@@ -477,6 +477,28 @@ class TestDedupKernels:
 
 
 @pytest.mark.usefixtures("ray_session")
+@pytest.mark.usefixtures("ray_session")
+class TestExactQuantiles:
+    def test_matches_rank_rule(self):
+        """exact_quantiles == element at rank ceil(q*N) of the sorted
+        multiset (DuckDB quantile_disc semantics), duplicates included."""
+        import ray.data as rd
+
+        from parsel_ray.functions.agg import exact_quantiles
+
+        rng = np.random.RandomState(11)
+        vals = rng.randint(0, 500, 10_000).astype(np.int64)  # heavy dupes
+        ds = rd.from_arrow(
+            pa.table({"v": pa.array(vals, pa.int64())})
+        ).repartition(8)
+        qs = [0.01, 0.25, 0.5, 0.75, 0.99, 1.0]
+        got = exact_quantiles(ds, "v", qs)
+        s = np.sort(vals)
+        for q, v in zip(got["q"].to_pylist(), got["value"].to_pylist()):
+            want = s[max(1, int(np.ceil(q * len(s)))) - 1]
+            assert v == want, (q, v, want)
+
+
 class TestBloomFilter:
     def test_no_false_negatives_and_fpr(self):
         from parsel_ray.functions.relational import BloomFilter
