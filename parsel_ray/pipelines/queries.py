@@ -1177,6 +1177,51 @@ UNION ALL SELECT 0.99, quantile_disc(v, 0.99) FROM c
 """
 
 
+def price_quantiles_sketch(sf_dir: str):
+    """APPROXIMATE quantiles by mergeable t-digest (the unbounded-domain
+    path where the exact value histogram would blow up): per-batch
+    partial digests, task-tree merge, O(δ) state.  Rows-only gate; the
+    rank error vs the EXACT value-histogram result is asserted < 0.5 %
+    in here, so a green run certifies the bound."""
+    from ..functions.agg import exact_quantiles
+    from ..functions.sketch import build_tdigest
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"]).map_batches(
+        lambda t: pa.table(
+            {"cents": pa.array(_cents(t["l_extendedprice"]))}
+        ),
+        batch_format="pyarrow",
+    ).materialize()  # two consumers: sketch + exact cross-check
+    qs = [0.25, 0.5, 0.75, 0.99]
+    td = build_tdigest(ds, "cents", delta=200)
+    exact = exact_quantiles(ds, "cents", qs)
+    n = ds.count()
+    # rank-error certification: position of the estimate in the exact
+    # histogram must sit within 0.5% of the requested quantile
+    hist = ds.map_batches(
+        lambda t: t.group_by(["cents"]).aggregate([([], "count_all")]),
+        batch_format="pyarrow",
+    ).groupby("cents").aggregate(Sum("count_all", alias_name="n")).take_all()
+    vals = np.array([r["cents"] for r in hist])
+    ns = np.array([r["n"] for r in hist], dtype=np.int64)
+    order = np.argsort(vals)
+    vals, cum = vals[order], np.cumsum(ns[order])
+    ests = []
+    for q in qs:
+        est = td.quantile(q)
+        idx = int(np.searchsorted(vals, est, side="right")) - 1
+        rank = (cum[idx] if idx >= 0 else 0) / n
+        assert abs(rank - q) < 0.005, (q, est, rank)
+        ests.append(int(round(est)))
+    return pa.table(
+        {
+            "q": pa.array(qs, pa.float64()),
+            "value_cents_est": pa.array(ests, pa.int64()),
+            "value_cents_exact": exact["value"].cast(pa.int64()),
+        }
+    )
+
+
 def bloom_prefilter_join(sf_dir: str):
     """Bloom-prefiltered exact join (the at-scale semi-join path when the
     key set is too big to broadcast exactly): distributed Bloom build
@@ -1681,6 +1726,7 @@ QUERIES = {
     "events_range_count": events_range_count,
     "bloom_prefilter_join": bloom_prefilter_join,
     "price_quantiles": price_quantiles,
+    "price_quantiles_sketch": price_quantiles_sketch,
     "extract_attr_roundtrip": extract_attr_roundtrip,
     "extract_links": extract_links,
     "extract_attrib_map": extract_attrib_map,

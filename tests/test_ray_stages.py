@@ -371,6 +371,35 @@ class TestDedupKernels:
             assert got[5] == 1 and got[13] == 10 and got[21] == 20
 
     @pytest.mark.usefixtures("ray_session")
+    def test_label_propagation_random_graph_big_path(self):
+        """Pointer-jumping label propagation on a 3k-edge random graph
+        (forced big path) == union-find — chains, stars, singletons and
+        merges all at once."""
+        import ray.data as rd
+
+        rng = np.random.RandomState(5)
+        a = rng.randint(0, 2000, 3000).astype(np.int64)
+        b = rng.randint(0, 2000, 3000).astype(np.int64)
+        keep = a != b
+        pairs_t = pa.table(
+            {
+                "id_a": pa.array(np.minimum(a[keep], b[keep]), pa.int64()),
+                "id_b": pa.array(np.maximum(a[keep], b[keep]), pa.int64()),
+            }
+        )
+        labels = D.label_propagation_components(
+            rd.from_arrow(pairs_t).repartition(8), buckets=8,
+            small_edges_threshold=0,
+        )
+        got = {r["node"]: r["label"] for r in labels.take_all()}
+        comp = D.union_find_components(
+            pd.DataFrame({"id_a": pairs_t["id_a"].to_pylist(),
+                          "id_b": pairs_t["id_b"].to_pylist()})
+        )
+        want = {n: comp.get(n, n) for n in got}
+        assert got == want
+
+    @pytest.mark.usefixtures("ray_session")
     def test_word_ngram_jaccard_pairs(self):
         """Exact bigram Jaccard: near-identical docs pair, distinct don't;
         df cut drops ubiquitous grams."""
@@ -497,6 +526,52 @@ class TestExactQuantiles:
         for q, v in zip(got["q"].to_pylist(), got["value"].to_pylist()):
             want = s[max(1, int(np.ceil(q * len(s)))) - 1]
             assert v == want, (q, v, want)
+
+
+class TestTDigest:
+    def test_rank_error_and_merge_associativity(self):
+        from parsel_ray.functions.sketch import TDigest
+
+        rng = np.random.RandomState(2)
+        vals = rng.lognormal(3, 2, 100_000)
+        # split three ways, merge in two different orders
+        a, b, c = np.array_split(vals, 3)
+        t1 = TDigest(200).add_many(a).merge(TDigest(200).add_many(b)).merge(
+            TDigest(200).add_many(c)
+        )
+        t2 = TDigest(200).add_many(c).merge(
+            TDigest(200).add_many(a).merge(TDigest(200).add_many(b))
+        )
+        s = np.sort(vals)
+        for td in (t1, t2):
+            assert len(td.means) < 300  # bounded state
+            for q in (0.01, 0.5, 0.99):
+                rank = np.searchsorted(s, td.quantile(q)) / len(s)
+                assert abs(rank - q) < 0.01, (q, rank)
+
+    def test_serialization_roundtrip(self):
+        from parsel_ray.functions.sketch import TDigest
+
+        td = TDigest(100).add_many(np.arange(1000.0))
+        td2 = TDigest.from_bytes(td.to_bytes(), 100)
+        assert td2.quantile(0.5) == td.quantile(0.5)
+
+    @pytest.mark.usefixtures("ray_session")
+    def test_distributed_build(self):
+        import ray.data as rd
+
+        from parsel_ray.functions.sketch import build_tdigest
+
+        rng = np.random.RandomState(4)
+        vals = rng.uniform(0, 1e6, 50_000)
+        ds = rd.from_arrow(
+            pa.table({"v": pa.array(vals, pa.float64())})
+        ).repartition(16)
+        td = build_tdigest(ds, "v", delta=200)
+        s = np.sort(vals)
+        for q in (0.1, 0.5, 0.9):
+            rank = np.searchsorted(s, td.quantile(q)) / len(s)
+            assert abs(rank - q) < 0.01
 
 
 class TestBloomFilter:
