@@ -1,0 +1,81 @@
+"""Resumable partitioned parquet sink (round 2: single-pass rewrite)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from parsel_ray.sources import write_partitioned_parquet
+
+
+def _docs(n=200):
+    rng = np.random.RandomState(7)
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(n), pa.int64()),
+            "lang": pa.array(
+                [["en", "de", "fr"][i] for i in rng.randint(0, 3, n)]
+            ),
+            "text": pa.array([f"doc {i}" for i in range(n)]),
+        }
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPartitionedSink:
+    def test_single_pass_counts_and_done_markers(self, tmp_path):
+        t = _docs()
+        out = str(tmp_path / "out")
+        counts = write_partitioned_parquet(
+            rd.from_arrow(t).repartition(4), out, "lang"
+        )
+        want = {}
+        for lang in t["lang"].to_pylist():
+            want[lang] = want.get(lang, 0) + 1
+        got = dict(zip(counts["lang"].to_pylist(), counts["n"].to_pylist()))
+        assert got == want
+        for lang in want:
+            pdir = os.path.join(out, f"lang={lang}")
+            assert os.path.exists(os.path.join(pdir, "_DONE"))
+            n = sum(
+                pq.read_metadata(f).num_rows
+                for f in glob.glob(os.path.join(pdir, "*.parquet"))
+            )
+            assert n == want[lang]
+
+    def test_rerun_skips_done_and_cleans_partial(self, tmp_path):
+        t = _docs()
+        out = str(tmp_path / "out")
+        write_partitioned_parquet(rd.from_arrow(t).repartition(4), out, "lang")
+        # simulate a failed follow-up run: one partition loses its _DONE
+        # and gains a stray partial shard
+        broken = os.path.join(out, "lang=de")
+        os.remove(os.path.join(broken, "_DONE"))
+        stray = os.path.join(broken, "shard-partial.parquet")
+        pq.write_table(pa.table({"doc_id": pa.array([999], pa.int64()),
+                                 "lang": pa.array(["de"]),
+                                 "text": pa.array(["junk"])}), stray)
+        en_files_before = sorted(
+            glob.glob(os.path.join(out, "lang=en", "*.parquet"))
+        )
+        counts = write_partitioned_parquet(
+            rd.from_arrow(t).repartition(4), out, "lang"
+        )
+        # finished partitions untouched (same files), broken one rebuilt
+        # without the stray shard, totals correct everywhere
+        assert sorted(
+            glob.glob(os.path.join(out, "lang=en", "*.parquet"))
+        ) == en_files_before
+        assert not os.path.exists(stray)
+        assert os.path.exists(os.path.join(broken, "_DONE"))
+        want = {}
+        for lang in t["lang"].to_pylist():
+            want[lang] = want.get(lang, 0) + 1
+        got = dict(zip(counts["lang"].to_pylist(), counts["n"].to_pylist()))
+        assert got == want

@@ -715,3 +715,49 @@ class TestSimilarity:
         # the query vector itself always lands in a probed cell
         for qid in range(5):
             assert qid in set(approx[approx["query_id"] == qid]["neighbor_id"])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSaltedJoin:
+    def test_salted_equals_unsalted(self):
+        """A 50%-hot-key skewed join: salted results == plain pandas
+        merge; the hot key really spreads over multiple sub-keys."""
+        import ray.data as rd
+
+        from parsel_ray.functions.relational import salted_bucket_join
+
+        rng = np.random.RandomState(9)
+        n = 20_000
+        keys = np.where(rng.rand(n) < 0.5, 7, rng.randint(0, 100, n))
+        left = pa.table(
+            {
+                "k": pa.array(keys.astype(np.int64), pa.int64()),
+                "line": pa.array(np.arange(n), pa.int64()),
+            }
+        )
+        right = pa.table(
+            {
+                "k": pa.array(np.arange(100, dtype=np.int64), pa.int64()),
+                "name": pa.array([f"dim-{i}" for i in range(100)]),
+            }
+        )
+        got = (
+            salted_bucket_join(
+                rd.from_arrow(left).repartition(8), rd.from_arrow(right),
+                on="k", hot_keys=[7], salt=8, salt_col="line", buckets=8,
+            )
+            .to_pandas()
+            .sort_values("line")
+            .reset_index(drop=True)
+        )
+        want = (
+            left.to_pandas()
+            .merge(right.to_pandas(), on="k")
+            .sort_values("line")
+            .reset_index(drop=True)
+        )
+        assert got[["k", "line", "name"]].equals(want[["k", "line", "name"]])
+        # the salt actually spreads the hot key
+        basis = left.to_pandas().query("k == 7")["line"].to_numpy().astype(np.uint64)
+        sgen = ((basis * np.uint64(11400714819323198485)) >> np.uint64(33)) % np.uint64(8)
+        assert len(np.unique(sgen)) >= 6
