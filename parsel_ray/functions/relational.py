@@ -7,10 +7,13 @@ Ray-Data-idiomatic way).
   dimension tables / vocab / blocklists.
 * ``hash_bucket_join`` — both sides large: add ``bucket = hash(key) % B``
   to each side, tag, union, one ``groupby("bucket")`` shuffle, pairwise
-  pandas merge inside ``map_groups``.  B is explicit; salt hot keys by
-  raising B or pre-splitting (documented per call site).
-* ``broadcast_semi_join`` / ``anti`` — key-set (or Bloom-style) membership
-  filter inside ``map_batches``.
+  pandas merge inside ``map_groups``.  B is explicit.
+* ``salted_bucket_join`` — the skew mitigation: hot keys replicated on
+  the right / content-salted on the left, joined on composite sub-keys.
+* ``broadcast_semi_join`` / ``anti`` — exact key-set membership filter
+  inside ``map_batches``; ``BloomFilter`` / ``build_bloom`` /
+  ``bloom_semi_join`` — the at-scale approximate prefilter (no false
+  negatives; pair with an exact join for exact results).
 """
 
 from __future__ import annotations
