@@ -417,8 +417,11 @@ def run_crawl(
             os.path.join(ckpt_dir, f"epoch={resume_epoch}", "_DONE")
         ), f"checkpoint epoch={resume_epoch} is incomplete (no _DONE marker)"
         ray.get([s.restore.remote(ckpt_dir, resume_epoch) for s in shards])
-        pop_order = _read_driver_ckpts(ckpt_dir, resume_epoch) if verify else []
-        n_popped = len(pop_order)
+        chain, popped_total = _read_driver_ckpts(ckpt_dir, resume_epoch)
+        pop_order = chain if verify else []
+        # the cumulative count survives verify=False checkpoints (empty
+        # deltas carry popped_total metadata), so metrics stay correct
+        n_popped = popped_total
         start_epoch = resume_epoch + 1
         if collect_images:
             # recover pre-resume image rows from the partitioned output
@@ -446,7 +449,9 @@ def run_crawl(
             [s.admit_batch.remote(routed[i]) for i, s in enumerate(shards)]
         )
 
-    pop_ord = pop_order[-1][1] + 1 if pop_order else 0
+    # ordinals continue from the restored cumulative count even when the
+    # pop-order history itself is absent (verify=False checkpoints)
+    pop_ord = pop_order[-1][1] + 1 if pop_order else n_popped
     last_ckpt_len = len(pop_order)
     fetcher = FetchExtract(cfg)
     # per-shard lists of OBJECT REFS of link tables — the driver routes
@@ -514,11 +519,15 @@ def run_crawl(
             image_tables.extend(t for t in ray.get(img_refs) if t is not None)
 
         if checkpoint_every and ckpt_dir and (epoch + 1) % checkpoint_every == 0:
-            if verify:
-                _write_driver_ckpt(
-                    ckpt_dir, epoch, pop_order[last_ckpt_len:], base=last_ckpt_len
-                )
-                last_ckpt_len = len(pop_order)
+            # always written: with verify=False the delta is empty but the
+            # popped_total metadata still rides along, so a resume (at
+            # EITHER verify setting) restores the cumulative pop count
+            _write_driver_ckpt(
+                ckpt_dir, epoch,
+                pop_order[last_ckpt_len:] if verify else [],
+                base=last_ckpt_len, popped_total=n_popped,
+            )
+            last_ckpt_len = len(pop_order)
             ray.get(
                 [
                     s.checkpoint.remote(ckpt_dir, epoch, routed_refs[i])
@@ -564,11 +573,14 @@ def run_crawl(
 
 
 def _write_driver_ckpt(
-    ckpt_dir: str, epoch: int, delta: list, base: int = 0
+    ckpt_dir: str, epoch: int, delta: list, base: int = 0,
+    popped_total: int = 0,
 ) -> None:
     """INCREMENTAL driver snapshot: only the pop-order rows appended since
     the previous checkpoint (O(delta) per epoch, not O(history));
-    ``base`` records the global offset for sanity checks on read."""
+    ``base`` records the global offset for sanity checks on read, and
+    ``popped_total`` the cumulative grant count (the one piece of driver
+    state that must survive verify=False runs, whose deltas are empty)."""
     d = os.path.join(ckpt_dir, f"epoch={epoch}")
     os.makedirs(d, exist_ok=True)
     t = pa.table(
@@ -578,15 +590,19 @@ def _write_driver_ckpt(
             "url": pa.array([u for _, _, u in delta], pa.string()),
         }
     )
-    t = t.replace_schema_metadata({b"base": str(base).encode()})
+    t = t.replace_schema_metadata(
+        {b"base": str(base).encode(), b"popped": str(popped_total).encode()}
+    )
     tmp = os.path.join(d, "driver.parquet.tmp")
     pq.write_table(t, tmp)
     os.replace(tmp, os.path.join(d, "driver.parquet"))
 
 
-def _read_driver_ckpts(ckpt_dir: str, upto_epoch: int) -> list:
-    """Rebuild the pop-order history by concatenating the per-checkpoint
-    deltas of every COMPLETE (``_DONE``) checkpoint up to ``upto_epoch``."""
+def _read_driver_ckpts(ckpt_dir: str, upto_epoch: int) -> "tuple[list, int]":
+    """(pop-order history, cumulative popped count) from the per-checkpoint
+    deltas of every COMPLETE (``_DONE``) checkpoint up to ``upto_epoch``.
+    verify=False checkpoints contribute empty deltas but still carry the
+    popped count; a missing driver file gets a clear error."""
     import glob as _glob
     import re as _re
 
@@ -598,15 +614,25 @@ def _read_driver_ckpts(ckpt_dir: str, upto_epoch: int) -> list:
         and os.path.exists(os.path.join(p, "_DONE"))
     )
     out: list = []
+    popped = 0
     for e in epochs:
-        drv = pq.read_table(os.path.join(ckpt_dir, f"epoch={e}", "driver.parquet"))
+        path = os.path.join(ckpt_dir, f"epoch={e}", "driver.parquet")
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"checkpoint epoch={e} has _DONE but no driver.parquet — "
+                "it was written by an incompatible (pre-round-2) layout"
+            )
+        drv = pq.read_table(path)
         meta = drv.schema.metadata or {}
-        base = int(meta.get(b"base", b"0"))
-        assert base == len(out), (
-            f"checkpoint chain broken at epoch={e}: delta base {base} != {len(out)}"
-        )
-        out.extend(
-            zip(drv["epoch"].to_pylist(), drv["pop_ord"].to_pylist(),
-                drv["url"].to_pylist())
-        )
-    return out
+        if len(drv):
+            base = int(meta.get(b"base", b"0"))
+            assert base == len(out), (
+                f"checkpoint chain broken at epoch={e}: delta base {base} != "
+                f"{len(out)}"
+            )
+            out.extend(
+                zip(drv["epoch"].to_pylist(), drv["pop_ord"].to_pylist(),
+                    drv["url"].to_pylist())
+            )
+        popped = int(meta.get(b"popped", str(len(out)).encode()))
+    return out, popped

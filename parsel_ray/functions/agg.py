@@ -86,8 +86,14 @@ def exact_quantiles(ds, col: str, qs: Sequence[float]):
     need a sketch (t-digest) instead.
 
     Returns an Arrow table ``(q, value)`` with one row per requested
-    quantile.
+    quantile — or, with ``return_hist=True``, ``(table, vals, cum)`` so
+    callers can reuse the sorted value histogram without a second pass.
+    Raises ``ValueError`` on an empty input (quantiles are undefined).
     """
+    return _exact_quantiles(ds, col, qs, return_hist=False)
+
+
+def _exact_quantiles(ds, col: str, qs: Sequence[float], return_hist: bool):
     import numpy as np
 
     def partial(t: pa.Table) -> pa.Table:
@@ -100,21 +106,26 @@ def exact_quantiles(ds, col: str, qs: Sequence[float]):
         .aggregate(Sum("n", alias_name="n"))
         .take_all()
     )  # O(distinct values) rows
+    if not hist:
+        raise ValueError("exact_quantiles: empty input (no values)")
     vals = np.array([r[col] for r in hist])
     ns = np.array([r["n"] for r in hist], dtype=np.int64)
     order = np.argsort(vals, kind="stable")
     vals, ns = vals[order], ns[order]
     cum = np.cumsum(ns)
-    total = int(cum[-1]) if len(cum) else 0
+    total = int(cum[-1])
     out_q, out_v = [], []
     for q in qs:
         rank = max(1, int(np.ceil(q * total)))
         idx = int(np.searchsorted(cum, rank, side="left"))
         out_q.append(float(q))
         out_v.append(vals[idx])
-    return pa.table(
+    table = pa.table(
         {"q": pa.array(out_q, pa.float64()), "value": pa.array(out_v)}
     )
+    if return_hist:
+        return table, vals, cum
+    return table
 
 
 def grouped_apply(

@@ -61,7 +61,9 @@ def asof_join(left, right, on: str, left_time: str, right_time: str,
     upstream (e.g. keep the max id per key+time)."""
     from .relational import _bucket_of
 
-    left_names = list(left.schema().names)
+    _ls = left.schema()
+    left_names = list(_ls.names)
+    ltypes = dict(zip(_ls.names, _ls.types))
     rschema = right.schema()
     rtypes = dict(zip(rschema.names, rschema.types))
 
@@ -85,7 +87,7 @@ def asof_join(left, right, on: str, left_time: str, right_time: str,
             cols[c] = (
                 g[c].combine_chunks().slice(0, 0)
                 if c in g.column_names
-                else pa.array([], pa.int64())
+                else pa.array([], ltypes[c])
             )
         t = pa.table(cols)
         for c in right_cols:
@@ -153,7 +155,9 @@ def range_join_count(left, right, on: str, left_time: str, right_time: str,
     expand-then-aggregate interval join."""
     from .relational import _bucket_of
 
-    left_names = list(left.schema().names)
+    _ls = left.schema()
+    left_names = list(_ls.names)
+    ltypes = dict(zip(_ls.names, _ls.types))
 
     def tag(is_right: bool):
         def f(t: pa.Table) -> pa.Table:
@@ -171,7 +175,7 @@ def range_join_count(left, right, on: str, left_time: str, right_time: str,
 
     def count(g: pa.Table) -> pa.Table:
         if any(c not in g.column_names for c in left_names):
-            cols = {c: pa.array([], pa.int64()) for c in left_names}
+            cols = {c: pa.array([], ltypes[c]) for c in left_names}
             t = pa.table(cols)
             return t.append_column(out_col, pa.array([], pa.int64()))
         mask = g["__right"].combine_chunks()

@@ -170,42 +170,58 @@ class BloomFilter:
         return self
 
 
-def build_bloom(ds, col: str, capacity: int, fpr: float = 0.01):
+def build_bloom(ds, col: str, capacity: int, fpr: float = 0.01,
+                batch_size: int = 1 << 20):
     """Distributed Bloom build: per-batch partial filters in map_batches,
-    OR-merged by a tree of Ray tasks (never one driver pass over keys),
-    returned as a ``ray.put`` ref for :func:`bloom_semi_join`."""
+    OR-merged by a tree of Ray tasks over the partials' OBJECT REFS — the
+    partial bitmaps (each O(capacity) bits) stay in the object store; the
+    driver holds only refs and the single final filter.  ``batch_size``
+    coalesces input blocks so the number of full-size partials stays
+    small.  Returns a ``ray.put`` ref for :func:`bloom_semi_join`."""
     import ray
 
     def partial(t: pa.Table):
         bf = BloomFilter(capacity, fpr)
         bf.add_many(t[col].to_numpy(zero_copy_only=False))
-        return pa.table({"__bloom": pa.array([bf.bits.tobytes()], pa.binary()),
-                         "__k": pa.array([bf.k], pa.int64()),
-                         "__m": pa.array([bf.m], pa.int64())})
+        return pa.table({"__bloom": pa.array([bf.bits.tobytes()], pa.binary())})
 
-    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
-    if not parts:
-        return ray.put(BloomFilter(capacity, fpr))
+    proto = BloomFilter(capacity, fpr)
+    nwords = len(proto.bits)
+    refs = list(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
+        .to_arrow_refs()
+    )
+    if not refs:
+        return ray.put(proto)
+
+    def _bits(x) -> np.ndarray:
+        out = np.zeros(nwords, dtype=np.uint64)
+        if isinstance(x, pa.Table):  # leaf: a block of partial rows
+            if "__bloom" in x.column_names:
+                for v in x["__bloom"]:
+                    out |= np.frombuffer(v.as_py(), np.uint64)
+        else:  # inner node: merged bytes
+            out |= np.frombuffer(x, np.uint64)
+        return out
 
     @ray.remote
-    def merge_two(a: bytes, b: bytes) -> bytes:
-        return (
-            np.frombuffer(a, np.uint64) | np.frombuffer(b, np.uint64)
-        ).tobytes()
+    def merge_two(a, b) -> bytes:
+        return (_bits(a) | _bits(b)).tobytes()
 
-    refs = [ray.put(p["__bloom"]) for p in parts]
+    @ray.remote
+    def finalize(x) -> bytes:
+        return _bits(x).tobytes()
+
     while len(refs) > 1:
-        nxt = [
+        refs = [
             merge_two.remote(refs[i], refs[i + 1])
             if i + 1 < len(refs)
             else refs[i]
             for i in range(0, len(refs), 2)
         ]
-        refs = nxt
-    bf = BloomFilter(capacity, fpr)
-    bf.k, bf.m = int(parts[0]["__k"]), int(parts[0]["__m"])
-    bf.bits = np.frombuffer(ray.get(refs[0]), np.uint64).copy()
-    return ray.put(bf)
+    proto.bits = np.frombuffer(ray.get(finalize.remote(refs[0])),
+                               np.uint64).copy()
+    return ray.put(proto)
 
 
 class _BloomFilterBatch:
@@ -308,7 +324,16 @@ def salted_bucket_join(left, right, on: str, hot_keys, salt: int = 8,
 
     ``hot_keys``: iterable of int64 key values to salt (find them with a
     cheap count-combiner pass upstream).
+
+    Only ``inner``/``left`` joins: an outer/right join would emit each
+    UNMATCHED replicated hot right row ``salt`` times (every replica
+    survives null-padded), silently breaking result equality.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_bucket_join supports how='inner'/'left' (got {how!r}): "
+            "replicated unmatched right rows would duplicate in outer joins"
+        )
     hot = np.array(sorted(int(k) for k in hot_keys), dtype=np.int64)
     S = np.int64(salt)
 

@@ -1183,7 +1183,7 @@ def price_quantiles_sketch(sf_dir: str):
     partial digests, task-tree merge, O(δ) state.  Rows-only gate; the
     rank error vs the EXACT value-histogram result is asserted < 0.5 %
     in here, so a green run certifies the bound."""
-    from ..functions.agg import exact_quantiles
+    from ..functions.agg import _exact_quantiles
     from ..functions.sketch import build_tdigest
 
     ds = _read(sf_dir, "lineitem", ["l_extendedprice"]).map_batches(
@@ -1194,18 +1194,10 @@ def price_quantiles_sketch(sf_dir: str):
     ).materialize()  # two consumers: sketch + exact cross-check
     qs = [0.25, 0.5, 0.75, 0.99]
     td = build_tdigest(ds, "cents", delta=200)
-    exact = exact_quantiles(ds, "cents", qs)
-    n = ds.count()
-    # rank-error certification: position of the estimate in the exact
-    # histogram must sit within 0.5% of the requested quantile
-    hist = ds.map_batches(
-        lambda t: t.group_by(["cents"]).aggregate([([], "count_all")]),
-        batch_format="pyarrow",
-    ).groupby("cents").aggregate(Sum("count_all", alias_name="n")).take_all()
-    vals = np.array([r["cents"] for r in hist])
-    ns = np.array([r["n"] for r in hist], dtype=np.int64)
-    order = np.argsort(vals)
-    vals, cum = vals[order], np.cumsum(ns[order])
+    # rank-error certification against the exact value histogram (one
+    # pass — _exact_quantiles hands back its sorted (vals, cum) arrays)
+    exact, vals, cum = _exact_quantiles(ds, "cents", qs, return_hist=True)
+    n = int(cum[-1])
     ests = []
     for q in qs:
         est = td.quantile(q)

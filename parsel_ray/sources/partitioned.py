@@ -19,12 +19,30 @@ partitions).
 from __future__ import annotations
 
 import glob
+import hashlib
+import io
 import os
-import uuid
 
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.ipc as ipc
 import pyarrow.parquet as pq
+
+
+def _content_name(sub: pa.Table) -> str:
+    """Shard filename from a digest of the batch CONTENT: a retried Ray
+    task (same input batch) writes the same name and the atomic
+    ``os.replace`` makes the rewrite idempotent — a uuid name would leave
+    a duplicate shard behind on retry.
+
+    Caveat: two batches with BYTE-IDENTICAL content collide to one shard.
+    Real tables carry unique ids so this is pathological, and the
+    verification read-back (receipt counts vs file metadata) would
+    surface it loudly rather than silently double-count."""
+    sink = io.BytesIO()
+    with ipc.new_stream(sink, sub.schema) as w:
+        w.write_table(sub)
+    return f"shard-{hashlib.md5(sink.getvalue()).hexdigest()[:20]}.parquet"
 
 
 def _partition_value(dirname: str, key_col: str) -> str | None:
@@ -68,9 +86,10 @@ def write_partitioned_parquet(ds, out_dir: str, key_col: str) -> pa.Table:
             sub = t.filter(pc.equal(keys, k))
             pdir = os.path.join(out_dir, f"{key_col}={sval}")
             os.makedirs(pdir, exist_ok=True)
-            path = os.path.join(pdir, f"shard-{uuid.uuid4().hex}.parquet")
-            pq.write_table(sub, path + ".tmp")
-            os.replace(path + ".tmp", path)  # atomic publish
+            path = os.path.join(pdir, _content_name(sub))
+            tmp = path + f".tmp{os.getpid()}"
+            pq.write_table(sub, tmp)
+            os.replace(tmp, path)  # atomic publish; idempotent on retry
             out_keys.append(sval)
             out_ns.append(len(sub))
         if not out_keys:

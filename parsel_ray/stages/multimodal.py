@@ -179,9 +179,15 @@ class AudioFeatures:
         self.frame = frame
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        feats = []
+        feats, oks = [], []
         for data in t[self.bytes_col].to_pylist():
-            pcm = _parse_wav_pcm16(bytes(data))
+            try:
+                pcm = _parse_wav_pcm16(bytes(data))
+            except ValueError:  # WAV header but non-PCM codec: flag row,
+                feats.append(None)  # don't fail the batch
+                oks.append(False)
+                continue
+            oks.append(True)
             if pcm is None:
                 pcm = np.frombuffer(
                     data[: (len(data) // 2) * 2], dtype=np.int16
@@ -195,7 +201,9 @@ class AudioFeatures:
                 continue
             frames = pcm[: n * self.frame].reshape(n, self.frame)
             feats.append([float(x) for x in np.sqrt((frames**2).mean(axis=1))])
-        return t.append_column("frame_rms", pa.array(feats, pa.list_(pa.float64())))
+        return t.append_column(
+            "frame_rms", pa.array(feats, pa.list_(pa.float64()))
+        ).append_column("audio_ok", pa.array(oks, pa.bool_()))
 
 
 class SampleVideoFrames:
@@ -216,31 +224,39 @@ class SampleVideoFrames:
         from ..images.codecs import decode_image, encode_image
         from ..images.video import frame_offsets, parse_header
 
+        import struct as _struct
+
         sampled, indices, oks = [], [], []
         for data in t[self.bytes_col].to_pylist():
+            # the WHOLE per-row pipeline is guarded: a truncated frame
+            # payload or 0-frame header flags the row (video_ok=False)
+            # instead of failing the batch — same contract as DecodeJpeg
             try:
                 data = bytes(data)
                 n_frames, _, _, fmt, _ = parse_header(data)
                 offs, fmt = frame_offsets(data)
+                if n_frames == 0:
+                    raise ValueError("empty video")
+                k = min(self.n, n_frames)
+                idx = (
+                    [int(i * (n_frames - 1) / (k - 1)) for i in range(k)]
+                    if k > 1
+                    else [0]
+                )
+                idx = sorted(set(idx))
+                frames, fidx = [], []
+                for i in idx:
+                    off = offs[i]
+                    ln = _struct.unpack(">I", data[off - 4:off])[0]
+                    px = decode_image(data[off:off + ln], fmt)
+                    frames.append(encode_image(px, self.out_fmt))
+                    fidx.append(i)
             except Exception:
                 oks.append(False)
                 sampled.append(None)
                 indices.append(None)
                 continue
             oks.append(True)
-            k = min(self.n, n_frames)
-            idx = [int(i * (n_frames - 1) / max(1, k - 1)) for i in range(k)] \
-                if k > 1 else [0]
-            idx = sorted(set(idx))
-            frames, fidx = [], []
-            import struct as _struct
-
-            for i in idx:
-                off = offs[i]
-                ln = _struct.unpack(">I", data[off - 4:off])[0]
-                px = decode_image(data[off:off + ln], fmt)
-                frames.append(encode_image(px, self.out_fmt))
-                fidx.append(i)
             sampled.append(frames)
             indices.append(fidx)
         return (

@@ -323,14 +323,41 @@ class TestDistributedCrawl:
             n = pq.read_metadata(os.path.join(d, "driver.parquet")).num_rows
             total += n
         last_epoch = int(re.search(r"epoch=(\d+)", dirs[-1]).group(1))
-        chain = _read_driver_ckpts(ckpt, last_epoch)
+        chain, popped = _read_driver_ckpts(ckpt, last_epoch)
         assert total == len(chain)
         assert chain == full.pop_order[: len(chain)]
+        assert popped == len(chain)
         # deltas are strictly smaller than the history they sum to
         first = pq.read_metadata(
             os.path.join(dirs[-1], "driver.parquet")
         ).num_rows
         assert first < total
+
+    def test_verify_off_checkpoint_resume_metrics(self, tmp_path):
+        """A verify=False run checkpoints (empty deltas + popped_total
+        metadata) and resumes — at either verify setting — with the
+        cumulative popped count intact."""
+        from parsel_ray.crawl.frontier import run_crawl
+
+        ckpt = str(tmp_path / "ckpt")
+        full = run_crawl(SMALL, ckpt_dir=ckpt, checkpoint_every=2,
+                         collect_images=False, verify=False)
+        import glob
+        import re
+
+        epochs = sorted(
+            int(re.search(r"epoch=(\d+)", p).group(1))
+            for p in glob.glob(ckpt + "/epoch=*")
+        )
+        mid = epochs[len(epochs) // 2]
+        resumed = run_crawl(SMALL, ckpt_dir=ckpt, resume_epoch=mid,
+                            collect_images=False, verify=False)
+        assert resumed.metrics["popped"] == full.metrics["popped"]
+        # resuming the same verify=False checkpoints with verify=True must
+        # not crash (no pop-order history to rebuild, count still right)
+        resumed2 = run_crawl(SMALL, ckpt_dir=ckpt, resume_epoch=mid,
+                             collect_images=False, verify=True)
+        assert resumed2.metrics["popped"] == full.metrics["popped"]
 
     def test_resume_refuses_incomplete_checkpoint(self, tmp_path):
         import os

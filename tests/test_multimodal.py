@@ -254,3 +254,32 @@ class TestMultimodalStages:
             pa.table({"bytes": pa.array([raw], pa.binary())})
         )
         assert len(out["frame_rms"][0].as_py()) == 4
+
+
+class TestRobustnessRegressions:
+    """Round-2 review fixes: corrupt/unsupported rows flag, never fail
+    the batch."""
+
+    def test_zero_frame_and_truncated_video_rows(self):
+        good = encode_video([gradient(8, 8)], "png")
+        zero = b"NV1\n0 4 4 png\n"
+        truncated = encode_video([gradient(8, 8)], "png")[:-10]
+        t = pa.table({"bytes": pa.array([good, zero, truncated], pa.binary())})
+        out = SampleVideoFrames(n=3)(t)
+        assert out["video_ok"].to_pylist() == [True, False, False]
+        assert out["frame_indices"][0].as_py() == [0]
+
+    def test_non_pcm_wav_row_flags_not_raises(self):
+        fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)  # IEEE float
+        wav = (
+            b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 4) + b"\x00" * 4
+        )
+        raw = np.arange(256, dtype="<i2").tobytes()
+        out = AudioFeatures(frame=64)(
+            pa.table({"bytes": pa.array([wav, raw], pa.binary())})
+        )
+        assert out["audio_ok"].to_pylist() == [False, True]
+        assert out["frame_rms"][0].as_py() is None
+        assert len(out["frame_rms"][1].as_py()) == 4

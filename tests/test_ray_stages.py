@@ -761,3 +761,54 @@ class TestSaltedJoin:
         basis = left.to_pandas().query("k == 7")["line"].to_numpy().astype(np.uint64)
         sgen = ((basis * np.uint64(11400714819323198485)) >> np.uint64(33)) % np.uint64(8)
         assert len(np.unique(sgen)) >= 6
+
+
+class TestReviewRegressions:
+    def test_salted_join_rejects_outer(self):
+        from parsel_ray.functions.relational import salted_bucket_join
+
+        with pytest.raises(ValueError, match="inner.*left"):
+            salted_bucket_join(None, None, on="k", hot_keys=[1], how="outer")
+
+    @pytest.mark.usefixtures("ray_session")
+    def test_exact_quantiles_empty_raises(self):
+        import ray.data as rd
+
+        from parsel_ray.functions.agg import exact_quantiles
+
+        empty = rd.from_arrow(pa.table({"v": pa.array([], pa.int64())}))
+        with pytest.raises(ValueError, match="empty"):
+            exact_quantiles(empty, "v", [0.5])
+
+    @pytest.mark.usefixtures("ray_session")
+    def test_asof_right_only_keys_with_timestamp_left(self):
+        """Buckets containing only right rows must emit empty blocks with
+        the LEFT schema's real types (timestamp, string), not int64."""
+        import ray.data as rd
+
+        from parsel_ray.functions.asof import asof_join
+
+        left = pa.table(
+            {
+                "eid": pa.array([1], pa.int64()),
+                "k": pa.array([1], pa.int64()),
+                "t": pa.array([5_000_000], pa.timestamp("us")),
+                "tag": pa.array(["x"], pa.string()),
+            }
+        )
+        # right keys 2..40 land in buckets with no left rows
+        right = pa.table(
+            {
+                "k": pa.array(np.arange(1, 40), pa.int64()),
+                "rt": pa.array(
+                    np.full(39, 1_000_000), pa.timestamp("us")
+                ),
+                "val": pa.array(np.arange(39), pa.int64()),
+            }
+        )
+        out = asof_join(
+            rd.from_arrow(left), rd.from_arrow(right), on="k",
+            left_time="t", right_time="rt", right_cols=["val"], buckets=8,
+        ).to_pandas()
+        assert len(out) == 1 and out["val"].iloc[0] == 0
+        assert str(out["tag"].iloc[0]) == "x"
