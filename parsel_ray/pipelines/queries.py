@@ -1700,6 +1700,12 @@ FROM documents
 """
 
 
+def _llm_data_prep_entry(sf_dir: str):
+    from .llm_prep import llm_data_prep
+
+    return llm_data_prep(sf_dir)
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -1719,6 +1725,7 @@ QUERIES = {
     "bloom_prefilter_join": bloom_prefilter_join,
     "price_quantiles": price_quantiles,
     "price_quantiles_sketch": price_quantiles_sketch,
+    "llm_data_prep": _llm_data_prep_entry,
     "extract_attr_roundtrip": extract_attr_roundtrip,
     "extract_links": extract_links,
     "extract_attrib_map": extract_attrib_map,
