@@ -449,9 +449,11 @@ def run_crawl(
             [s.admit_batch.remote(routed[i]) for i, s in enumerate(shards)]
         )
 
-    # ordinals continue from the restored cumulative count even when the
-    # pop-order history itself is absent (verify=False checkpoints)
-    pop_ord = pop_order[-1][1] + 1 if pop_order else n_popped
+    # ordinals continue from whichever is further along: the restored
+    # history's tail OR the cumulative count (a verify=False interlude
+    # advances the count without extending the history — restarting from
+    # the stale tail would reuse ordinals)
+    pop_ord = max(pop_order[-1][1] + 1 if pop_order else 0, n_popped)
     last_ckpt_len = len(pop_order)
     fetcher = FetchExtract(cfg)
     # per-shard lists of OBJECT REFS of link tables — the driver routes

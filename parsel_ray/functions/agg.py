@@ -97,7 +97,12 @@ def _exact_quantiles(ds, col: str, qs: Sequence[float], return_hist: bool):
     import numpy as np
 
     def partial(t: pa.Table) -> pa.Table:
-        out = t.select([col]).group_by([col]).aggregate([([], "count_all")])
+        # drop_null: NULLs are not values (DuckDB quantile_disc semantics —
+        # a null group row would also poison the numpy sort below)
+        out = (
+            t.select([col]).drop_null().group_by([col])
+            .aggregate([([], "count_all")])
+        )
         return out.rename_columns([col, "n"])
 
     hist = (
@@ -106,8 +111,9 @@ def _exact_quantiles(ds, col: str, qs: Sequence[float], return_hist: bool):
         .aggregate(Sum("n", alias_name="n"))
         .take_all()
     )  # O(distinct values) rows
+    hist = [r for r in hist if r[col] is not None]
     if not hist:
-        raise ValueError("exact_quantiles: empty input (no values)")
+        raise ValueError("exact_quantiles: empty input (no non-null values)")
     vals = np.array([r[col] for r in hist])
     ns = np.array([r["n"] for r in hist], dtype=np.int64)
     order = np.argsort(vals, kind="stable")

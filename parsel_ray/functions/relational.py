@@ -304,8 +304,8 @@ def _fnv(s) -> np.uint64:
     return h
 
 
-def salted_bucket_join(left, right, on: str, hot_keys, salt: int = 8,
-                       salt_col: str | None = None, buckets: int = 32,
+def salted_bucket_join(left, right, on: str, hot_keys, salt_col: str,
+                       salt: int = 8, buckets: int = 32,
                        how: str = "inner", suffixes=("", "_r")):
     """Hot-key-salted partitioned join — the concrete mitigation for the
     bucket join's documented skew hazard (one key dominating a bucket):
@@ -314,10 +314,10 @@ def salted_bucket_join(left, right, on: str, hot_keys, salt: int = 8,
       0..salt-1) — right sides are the small/dimension side, so the
       replication is cheap;
     * LEFT hot rows get a deterministic content-based salt (Fibonacci
-      hash of ``salt_col``, default the ``on`` column's row VALUES are
-      constant within a hot key, so callers pass a roughly-unique column
-      — e.g. the fact table's line number) spreading the key over
-      ``salt`` sub-keys;
+      hash of ``salt_col`` — REQUIRED, and it must vary within the hot
+      key, e.g. the fact table's line/row id; the join key itself is
+      constant within a hot key and would yield one sub-key, i.e. no
+      mitigation at all) spreading the key over ``salt`` sub-keys;
     * the join runs on the composite sub-key, so each bucket sees at most
       ~|hot|/salt rows of the hot key.  Results are identical to the
       unsalted join (verified by test).
@@ -337,12 +337,15 @@ def salted_bucket_join(left, right, on: str, hot_keys, salt: int = 8,
     hot = np.array(sorted(int(k) for k in hot_keys), dtype=np.int64)
     S = np.int64(salt)
 
+    if salt_col == on:
+        raise ValueError(
+            "salt_col must differ from the join key: the key is constant "
+            "within a hot key, so salting by it spreads nothing"
+        )
+
     def salt_left(t: pa.Table) -> pa.Table:
         keys = t[on].to_numpy(zero_copy_only=False).astype(np.int64)
-        if salt_col is not None:
-            basis = t[salt_col].to_numpy(zero_copy_only=False).astype(np.uint64)
-        else:
-            basis = keys.astype(np.uint64)
+        basis = t[salt_col].to_numpy(zero_copy_only=False).astype(np.uint64)
         with np.errstate(over="ignore"):
             sgen = (
                 (basis * np.uint64(11400714819323198485)) >> np.uint64(33)

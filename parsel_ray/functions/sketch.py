@@ -46,34 +46,27 @@ class TDigest:
         return self
 
     def _k(self, q: np.ndarray) -> np.ndarray:
-        return self.delta / (2 * np.pi) * np.arcsin(2 * q - 1)
+        return self.delta / (2 * np.pi) * np.arcsin(2 * np.clip(q, 0, 1) - 1)
 
     def _compress(self) -> None:
+        """Ertl-style merging pass, FULLY VECTORIZED (no per-value Python
+        loop): sort by mean, map each point's mid-quantile through the k₁
+        scale, bucket by floor(k), and collapse each bucket to its
+        weighted mean with ``np.add.reduceat``."""
         if len(self.means) <= 1:
             return
         order = np.argsort(self.means, kind="stable")
         m, w = self.means[order], self.weights[order]
         total = w.sum()
-        out_m: list[float] = []
-        out_w: list[float] = []
-        cur_m, cur_w = m[0], w[0]
-        w_before = 0.0
-        for i in range(1, len(m)):
-            q0 = w_before / total
-            q1 = (w_before + cur_w + w[i]) / total
-            if self._k(np.array([q1]))[0] - self._k(np.array([q0]))[0] <= 1.0:
-                # merge into the current centroid (weighted mean)
-                cur_m = (cur_m * cur_w + m[i] * w[i]) / (cur_w + w[i])
-                cur_w += w[i]
-            else:
-                out_m.append(cur_m)
-                out_w.append(cur_w)
-                w_before += cur_w
-                cur_m, cur_w = m[i], w[i]
-        out_m.append(cur_m)
-        out_w.append(cur_w)
-        self.means = np.array(out_m)
-        self.weights = np.array(out_w)
+        cum = np.cumsum(w)
+        q_mid = (cum - w / 2.0) / total
+        bucket = np.floor(self._k(q_mid)).astype(np.int64)
+        # reduceat over bucket-change boundaries
+        starts = np.flatnonzero(np.r_[True, np.diff(bucket) != 0])
+        wsum = np.add.reduceat(w, starts)
+        msum = np.add.reduceat(m * w, starts)
+        self.means = msum / wsum
+        self.weights = wsum
 
     # -- query -------------------------------------------------------------
 

@@ -69,17 +69,12 @@ def llm_data_prep(sf_dir: str, quality_min: float = 0.35,
     ).map_batches(
         lambda t: t.select(["doc_id"]), batch_format="pyarrow"
     )
+    # survivors is one row per kept doc_id, so an inner join IS the
+    # semi-join: exactly the surviving (doc_id, text) rows come back
     exact = hash_bucket_join(
-        filtered, survivors.map_batches(
-            lambda t: t.append_column(
-                "__keep", pa.array(np.ones(len(t), np.int8), pa.int8())
-            ),
-            batch_format="pyarrow",
-        ),
-        on="doc_id", buckets=16, how="left",
+        filtered, survivors, on="doc_id", buckets=16, how="inner"
     ).map_batches(
-        lambda df: df[df["__keep"].notna()][["doc_id", "text"]],
-        batch_format="pandas",
+        lambda df: df[["doc_id", "text"]], batch_format="pandas"
     ).materialize()
     funnel.append(("exact_distinct", exact.count()))
 

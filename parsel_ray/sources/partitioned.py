@@ -30,19 +30,24 @@ import pyarrow.parquet as pq
 
 
 def _content_name(sub: pa.Table) -> str:
-    """Shard filename from a digest of the batch CONTENT: a retried Ray
-    task (same input batch) writes the same name and the atomic
-    ``os.replace`` makes the rewrite idempotent — a uuid name would leave
-    a duplicate shard behind on retry.
-
-    Caveat: two batches with BYTE-IDENTICAL content collide to one shard.
-    Real tables carry unique ids so this is pathological, and the
-    verification read-back (receipt counts vs file metadata) would
-    surface it loudly rather than silently double-count."""
+    """Shard filename from a digest of (batch content, Ray task id): a
+    RETRIED task reuses its task id, so the rewrite lands on the same
+    name and the atomic ``os.replace`` is idempotent — while two
+    DIFFERENT tasks that happen to produce byte-identical batches get
+    distinct names (no silent collapse).  Remaining corner: identical
+    batches within ONE task would still collide — caught loudly by the
+    ``verify`` read-back, not silently dropped."""
     sink = io.BytesIO()
     with ipc.new_stream(sink, sub.schema) as w:
         w.write_table(sub)
-    return f"shard-{hashlib.md5(sink.getvalue()).hexdigest()[:20]}.parquet"
+    try:
+        import ray
+
+        tid = ray.get_runtime_context().get_task_id() or ""
+    except Exception:  # not inside a Ray task (unit tests, driver)
+        tid = ""
+    digest = hashlib.md5(sink.getvalue() + tid.encode()).hexdigest()[:20]
+    return f"shard-{digest}.parquet"
 
 
 def _partition_value(dirname: str, key_col: str) -> str | None:
@@ -51,12 +56,17 @@ def _partition_value(dirname: str, key_col: str) -> str | None:
     return base[len(prefix):] if base.startswith(prefix) else None
 
 
-def write_partitioned_parquet(ds, out_dir: str, key_col: str) -> pa.Table:
+def write_partitioned_parquet(ds, out_dir: str, key_col: str,
+                              verify: bool = True) -> pa.Table:
     """Write ``ds`` under ``out_dir/<key_col>=<value>/shard-*.parquet``
     in one pass; returns ``(key_col, n)`` per-partition row counts.
 
     Key values are rendered with ``str()`` — callers with keys that are
     unsafe as path segments should pre-map them to a safe column.
+    ``verify`` (default) cross-checks write receipts against parquet file
+    metadata BEFORE publishing ``_DONE`` — any shard-name collision or
+    lost write raises instead of silently corrupting counts (metadata
+    footer reads only, O(shards)).
     """
     os.makedirs(out_dir, exist_ok=True)
     done: set[str] = set()
@@ -107,7 +117,18 @@ def write_partitioned_parquet(ds, out_dir: str, key_col: str) -> pa.Table:
         ds.map_batches(write_batch, batch_format="pyarrow"), [key_col], {"n": "n"}
     )
     counts = {r[key_col]: int(r["n"]) for r in receipts.take_all()}  # ≤ K rows
-    # the aggregate consumed the stream → every shard is on disk: publish
+    # the aggregate consumed the stream → every shard is on disk
+    if verify:
+        for val, n in counts.items():
+            files = glob.glob(
+                os.path.join(out_dir, f"{key_col}={val}", "*.parquet")
+            )
+            on_disk = sum(pq.read_metadata(f).num_rows for f in files)
+            if on_disk != n:
+                raise RuntimeError(
+                    f"partition {key_col}={val}: receipts say {n} rows but "
+                    f"files hold {on_disk} — shard collision or lost write"
+                )
     for val in counts:
         open(os.path.join(out_dir, f"{key_col}={val}", "_DONE"), "w").close()
     for val in done:  # pre-finished partitions: count from file metadata

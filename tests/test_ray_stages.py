@@ -768,7 +768,8 @@ class TestReviewRegressions:
         from parsel_ray.functions.relational import salted_bucket_join
 
         with pytest.raises(ValueError, match="inner.*left"):
-            salted_bucket_join(None, None, on="k", hot_keys=[1], how="outer")
+            salted_bucket_join(None, None, on="k", hot_keys=[1],
+                               salt_col="line", how="outer")
 
     @pytest.mark.usefixtures("ray_session")
     def test_exact_quantiles_empty_raises(self):
@@ -812,3 +813,21 @@ class TestReviewRegressions:
         ).to_pandas()
         assert len(out) == 1 and out["val"].iloc[0] == 0
         assert str(out["tag"].iloc[0]) == "x"
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSecondReviewRegressions:
+    def test_exact_quantiles_ignores_nulls(self):
+        import ray.data as rd
+
+        from parsel_ray.functions.agg import exact_quantiles
+
+        t = pa.table({"v": pa.array([1, None, 2, 3, None, 4], pa.int64())})
+        got = exact_quantiles(rd.from_arrow(t), "v", [0.5])
+        assert got["value"].to_pylist() == [2]  # ceil(0.5*4)=2nd of [1,2,3,4]
+
+    def test_salted_join_requires_varying_salt_col(self):
+        from parsel_ray.functions.relational import salted_bucket_join
+
+        with pytest.raises(ValueError, match="salt_col must differ"):
+            salted_bucket_join(None, None, on="k", hot_keys=[1], salt_col="k")
