@@ -32,15 +32,35 @@ def llm_data_prep(sf_dir: str, quality_min: float = 0.35,
     import tempfile as _tempfile
 
     import ray
+    import ray.data as rd
 
     from ..functions import dedup as D
     from ..functions import text as T
     from ..functions.agg import partial_agg_groupby
     from ..functions.relational import broadcast_semi_join, hash_bucket_join
     from ..sources import write_partitioned_parquet
-    from .queries import _read
+    from .queries import _demo_crawl_cfg, _read
 
     funnel: list[tuple[str, int]] = []
+
+    # 0. multimodal branch: crawl the synthetic web (actor frontier) and
+    # count phash near-dup image pairs (hamming-banded)
+    from ..crawl.frontier import IMAGE_SCHEMA, run_crawl
+
+    crawl = run_crawl(_demo_crawl_cfg(), verify=False)
+    imgs = pa.Table.from_pylist(crawl.image_rows, schema=IMAGE_SCHEMA)
+    funnel.append(("crawled_images", imgs.num_rows))
+    if imgs.num_rows:
+        phash_pairs = (
+            D.hamming_near_dup_pairs(
+                rd.from_arrow(imgs.select(["image_id", "phash"])),
+                col="phash", id_col="image_id", max_hamming=6,
+                num_partitions=8,
+            )
+            .to_pandas()
+            .drop_duplicates(["id_a", "id_b"])
+        )
+        funnel.append(("image_near_dup_pairs", len(phash_pairs)))
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"]).materialize()
     funnel.append(("raw_docs", docs.count()))
@@ -119,9 +139,14 @@ def llm_data_prep(sf_dir: str, quality_min: float = 0.35,
         )
         funnel.append(("partitions", n_parts))
         # funnel invariants: monotone counts; sink receipts match input
-        ns = [n for _, n in funnel[:4]]
-        assert ns == sorted(ns, reverse=True), funnel
-        assert written == funnel[3][1], funnel
+        by = dict(funnel)
+        doc_ns = [
+            by[s]
+            for s in ("raw_docs", "quality_filtered", "exact_distinct",
+                      "near_dup_deduped")
+        ]
+        assert doc_ns == sorted(doc_ns, reverse=True), funnel
+        assert written == by["near_dup_deduped"], funnel
         assert n_parts >= 1
     finally:
         if out_dir is None:
