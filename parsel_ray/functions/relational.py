@@ -304,6 +304,43 @@ def _fnv(s) -> np.uint64:
     return h
 
 
+def detect_hot_keys(ds, on: str, threshold: int | None = None,
+                    keep: int = 64, batch_size: int = 65536) -> list:
+    """Cheap count-combiner hot-key pass for :func:`salted_bucket_join` /
+    ``hash_bucket_join(auto_salt_col=...)``: each batch emits its
+    top-``keep`` key counts plus a null-keyed batch-total row (tiny
+    partials — O(keep) rows per batch, NO shuffle of the data); the driver
+    sums the partials (a few KB regardless of input size) and returns keys
+    whose summed count ≥ ``threshold`` (default: 1% of total rows, floor
+    1024).  Per-key sums are LOWER bounds (a key outside a batch's
+    top-``keep`` is dropped there) — the right bias for hotness: a truly
+    hot key dominates the batches it appears in."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t[on].combine_chunks()
+        vc = col.value_counts()
+        vals = vc.field("values")
+        cs = vc.field("counts").to_numpy(zero_copy_only=False)
+        if len(cs) > keep:
+            topi = np.argpartition(cs, -keep)[-keep:]
+            vals = vals.take(pa.array(topi, pa.int64()))
+            cs = cs[topi]
+        k_arr = pa.concat_arrays([vals, pa.nulls(1, vals.type)])
+        cnt = pa.array(np.append(cs, len(t)).astype(np.int64), pa.int64())
+        return pa.table({"k": k_arr, "cnt": cnt})
+
+    parts = (
+        ds.select_columns([on])
+        .map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
+        .to_pandas()  # small: ≤ keep+1 rows per input batch
+    )
+    total = int(parts.loc[parts["k"].isna(), "cnt"].sum())
+    if threshold is None:
+        threshold = max(1024, int(0.01 * total))
+    agg = parts.dropna(subset=["k"]).groupby("k")["cnt"].sum()
+    return [k for k, c in agg.items() if int(c) >= threshold]
+
+
 def salted_bucket_join(left, right, on: str, hot_keys, salt_col: str,
                        salt: int = 8, buckets: int = 32,
                        how: str = "inner", suffixes=("", "_r")):
@@ -322,8 +359,9 @@ def salted_bucket_join(left, right, on: str, hot_keys, salt_col: str,
       ~|hot|/salt rows of the hot key.  Results are identical to the
       unsalted join (verified by test).
 
-    ``hot_keys``: iterable of int64 key values to salt (find them with a
-    cheap count-combiner pass upstream).
+    ``hot_keys``: iterable of int64 key values to salt (find them with
+    :func:`detect_hot_keys`, or let ``hash_bucket_join(auto_salt_col=...)``
+    run that pass for you).
 
     Only ``inner``/``left`` joins: an outer/right join would emit each
     UNMATCHED replicated hot right row ``salt`` times (every replica
@@ -376,27 +414,73 @@ def salted_bucket_join(left, right, on: str, hot_keys, salt_col: str,
                               suffixes=suffixes)
     drop = ["__salted"] + ([f"{on}{suffixes[1]}"] if suffixes[1] else [])
 
-    def clean(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop(columns=[c for c in drop if c in df.columns])
+    def clean(t: pa.Table) -> pa.Table:
+        return t.drop_columns([c for c in drop if c in t.column_names])
 
-    return joined.map_batches(clean, batch_format="pandas")
+    return joined.map_batches(clean, batch_format="pyarrow")
+
+
+def _pa_side_schema(ds) -> pa.Schema:
+    """Typed pyarrow schema of a Dataset side, whatever block format backs
+    it (arrow blocks expose ``base_schema`` directly; pandas-block schemas
+    carry numpy dtypes, mapped field-by-field with ``string`` for object)."""
+    sch = ds.schema()
+    base = getattr(sch, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base
+    fields = []
+    for name, typ in zip(sch.names, sch.types):
+        if isinstance(typ, pa.DataType):
+            fields.append(pa.field(name, typ))
+        else:
+            try:
+                fields.append(pa.field(name, pa.from_numpy_dtype(typ)))
+            except (pa.ArrowNotImplementedError, TypeError, ValueError):
+                fields.append(pa.field(name, pa.string()))
+    return pa.schema(fields)
+
+
+_JOIN_TYPE = {
+    "inner": "inner",
+    "left": "left outer",
+    "right": "right outer",
+    "outer": "full outer",
+}
 
 
 def hash_bucket_join(left, right, on: str, buckets: int = 32,
                      how: str = "inner", left_tag: str = "__l",
-                     suffixes=("", "_r")):
+                     suffixes=("", "_r"), auto_salt_col: str | None = None,
+                     hot_threshold: int | None = None, salt: int = 8):
     """Partitioned hash join: ONE groupby shuffle over the union of both
-    (tagged, bucketed) sides, pandas merge per bucket.
+    (tagged, bucketed) sides, Arrow-native ``pa.Table.join`` per bucket —
+    no pandas conversion, no dtype upcasts, typed-null padding for
+    one-sided buckets (each bucket reconstructs its sides from the
+    RECORDED side schemas — types, not just names — so a bucket whose rows
+    all came from one side still emits schema-consistent blocks).
 
     Scale notes: ``buckets`` bounds per-group memory (≈ |L|+|R| / buckets);
-    skewed keys → raise ``buckets`` or pre-salt the hot key.  Schemas of the
-    two sides may differ — the union aligns by name with nulls; each
-    bucket reconstructs its sides from the RECORDED side schemas, so
-    outer joins keep a consistent column set even when one side is empty
-    or all-null within a bucket.
+    skewed keys → raise ``buckets``, or pass ``auto_salt_col`` (a left
+    column varying within a key, e.g. the fact table's row id) to run the
+    cheap count-combiner hot-key pass and route through
+    :func:`salted_bucket_join` automatically when hot keys are found.
+
+    Null-key semantics are SQL's (null never matches null), unlike
+    pandas ``merge`` which pairs NaN keys.
     """
-    left_cols = list(left.schema().names)
-    right_cols = list(right.schema().names)
+    if auto_salt_col is not None:
+        if how not in ("inner", "left"):
+            raise ValueError("auto_salt_col requires how='inner'/'left' "
+                             "(salting replicates right rows)")
+        hot = detect_hot_keys(left, on, threshold=hot_threshold)
+        if hot:
+            return salted_bucket_join(
+                left, right, on=on, hot_keys=hot, salt_col=auto_salt_col,
+                salt=salt, buckets=buckets, how=how, suffixes=suffixes)
+
+    lschema = _pa_side_schema(left)
+    rschema = _pa_side_schema(right)
+    join_type = _JOIN_TYPE[how]
 
     def add_bucket(tag: bool):
         def f(t: pa.Table) -> pa.Table:
@@ -409,28 +493,30 @@ def hash_bucket_join(left, right, on: str, buckets: int = 32,
     r = right.map_batches(add_bucket(False), batch_format="pyarrow")
     both = l.union(r)
 
-    def merge(g: pa.Table) -> pd.DataFrame:
-        # Split sides in Arrow, THEN convert each to pandas separately:
-        # within one side no column is null-padded, so int64 stays int64
-        # (a unioned pandas frame would upcast to float64).
+    def merge(g: pa.Table) -> pa.Table:
         mask = g[left_tag].combine_chunks()
         lg = g.filter(mask)
         rg = g.filter(pc.invert(mask))
 
-        def side(t: pa.Table, cols: list) -> pd.DataFrame:
-            df = t.select([c for c in cols if c in t.column_names]).to_pandas()
-            # a bucket whose rows all came from ONE side may lack the other
-            # side's columns entirely (the union keeps per-block schemas) —
-            # null-pad so outer merges keep a consistent column set
-            for c in cols:
-                if c not in df.columns:
-                    df[c] = np.nan
-            return df[cols]
+        def side(t: pa.Table, schema: pa.Schema) -> pa.Table:
+            cols = []
+            for f in schema:
+                if f.name in t.column_names:
+                    col = t[f.name]
+                    if col.type != f.type:
+                        col = col.cast(f.type)
+                    cols.append(col)
+                else:
+                    # one-sided bucket: pad with TYPED nulls so blocks from
+                    # different buckets share one schema
+                    cols.append(pa.nulls(len(t), f.type))
+            return pa.table(cols, names=list(schema.names))
 
-        ldf, rdf = side(lg, left_cols), side(rg, right_cols)
-        # merge unconditionally: pandas keeps the full merged column set
-        # for empty sides, so outer/right buckets with no left rows still
-        # emit their rows (and schemas stay consistent across buckets)
-        return ldf.merge(rdf, on=on, how=how, suffixes=suffixes)
+        lt, rt = side(lg, lschema), side(rg, rschema)
+        return lt.join(
+            rt, keys=on, join_type=join_type,
+            left_suffix=suffixes[0] or None,
+            right_suffix=suffixes[1] or None,
+        )
 
     return both.groupby("__bucket").map_groups(merge, batch_format="pyarrow")

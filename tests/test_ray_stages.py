@@ -763,6 +763,81 @@ class TestSaltedJoin:
         assert len(np.unique(sgen)) >= 6
 
 
+    def test_one_sided_string_buckets_schema_consistent(self):
+        """ADVICE r2 medium: a left join where whole buckets contain only
+        left rows and the right side carries STRING columns must emit
+        schema-consistent blocks (typed nulls, not float64 NaN pads) —
+        materializing used to raise 'Schema at index 1 was different'."""
+        import ray.data as rd
+
+        left = pa.table(
+            {
+                "k": pa.array(np.arange(200, dtype=np.int64), pa.int64()),
+                "x": pa.array(np.arange(200), pa.int64()),
+            }
+        )
+        # only 3 right keys → nearly every bucket is left-only
+        right = pa.table(
+            {
+                "k": pa.array([5, 50, 150], pa.int64()),
+                "name": pa.array(["a", "b", "c"], pa.string()),
+            }
+        )
+        out = hash_bucket_join(
+            rd.from_arrow(left).repartition(4), rd.from_arrow(right),
+            on="k", buckets=16, how="left",
+        ).to_pandas()
+        assert len(out) == 200
+        assert out["name"].notna().sum() == 3
+        assert out["x"].dtype == np.int64  # no upcast anywhere
+        got = out.set_index("k")["name"].dropna().to_dict()
+        assert got == {5: "a", 50: "b", 150: "c"}
+
+    def test_auto_salt_matches_unsalted_zipf(self):
+        """hash_bucket_join(auto_salt_col=...) detects the zipf-hot key via
+        the count-combiner pass and produces the same rows as the plain
+        join."""
+        import ray.data as rd
+
+        from parsel_ray.functions.relational import detect_hot_keys
+
+        rng = np.random.RandomState(11)
+        n = 30_000
+        # zipf-ish: ~60% of rows on key 3, rest uniform over 0..199
+        keys = np.where(rng.rand(n) < 0.6, 3, rng.randint(0, 200, n))
+        left = pa.table(
+            {
+                "k": pa.array(keys.astype(np.int64), pa.int64()),
+                "line": pa.array(np.arange(n), pa.int64()),
+            }
+        )
+        right = pa.table(
+            {
+                "k": pa.array(np.arange(200, dtype=np.int64), pa.int64()),
+                "name": pa.array([f"d{i}" for i in range(200)], pa.string()),
+            }
+        )
+        lds = rd.from_arrow(left).repartition(8)
+        hot = detect_hot_keys(lds, "k")
+        assert hot == [3]
+        got = (
+            hash_bucket_join(
+                lds, rd.from_arrow(right), on="k", buckets=8,
+                auto_salt_col="line", salt=8,
+            )
+            .to_pandas()
+            .sort_values("line")
+            .reset_index(drop=True)
+        )
+        want = (
+            left.to_pandas()
+            .merge(right.to_pandas(), on="k")
+            .sort_values("line")
+            .reset_index(drop=True)
+        )
+        assert got[["k", "line", "name"]].equals(want[["k", "line", "name"]])
+
+
 class TestReviewRegressions:
     def test_salted_join_rejects_outer(self):
         from parsel_ray.functions.relational import salted_bucket_join
