@@ -31,36 +31,49 @@ def llm_data_prep(sf_dir: str, quality_min: float = 0.35,
     import shutil as _shutil
     import tempfile as _tempfile
 
-    import ray
     import ray.data as rd
 
     from ..functions import dedup as D
     from ..functions import text as T
     from ..functions.agg import partial_agg_groupby
-    from ..functions.relational import broadcast_semi_join, hash_bucket_join
+    from ..functions.relational import hash_bucket_join
     from ..sources import write_partitioned_parquet
     from .queries import _demo_crawl_cfg, _read
 
     funnel: list[tuple[str, int]] = []
 
-    # 0. multimodal branch: crawl the synthetic web (actor frontier) and
-    # count phash near-dup image pairs (hamming-banded)
-    from ..crawl.frontier import IMAGE_SCHEMA, run_crawl
+    # 0. multimodal branch: crawl the synthetic web (actor frontier) with
+    # WORKER-SIDE image shards (collect_images=False + out_dir — the
+    # production path; the driver never holds image payloads), read the
+    # corpus back column-pruned, and count phash near-dup image pairs
+    # (hamming-banded) with a distributed distinct
+    from ..crawl.frontier import run_crawl
 
-    crawl = run_crawl(_demo_crawl_cfg(), verify=False)
-    imgs = pa.Table.from_pylist(crawl.image_rows, schema=IMAGE_SCHEMA)
-    funnel.append(("crawled_images", imgs.num_rows))
-    if imgs.num_rows:
-        phash_pairs = (
-            D.hamming_near_dup_pairs(
-                rd.from_arrow(imgs.select(["image_id", "phash"])),
-                col="phash", id_col="image_id", max_hamming=6,
+    crawl_out = _tempfile.mkdtemp(prefix="llm_crawl_", dir="/tmp")
+    try:
+        run_crawl(_demo_crawl_cfg(), out_dir=crawl_out,
+                  collect_images=False, verify=False)
+        shard_files = sorted(_glob.glob(
+            _os.path.join(crawl_out, "images", "epoch=*", "chunk-*.parquet")
+        ))
+        n_images = 0
+        if shard_files:
+            imgs_ds = rd.read_parquet(
+                shard_files, columns=["image_id", "phash"]
+            ).materialize()
+            n_images = imgs_ds.count()
+        funnel.append(("crawled_images", n_images))
+        if n_images:
+            pair_ds = D.hamming_near_dup_pairs(
+                imgs_ds, col="phash", id_col="image_id", max_hamming=6,
                 num_partitions=8,
             )
-            .to_pandas()
-            .drop_duplicates(["id_a", "id_b"])
-        )
-        funnel.append(("image_near_dup_pairs", len(phash_pairs)))
+            n_pairs = partial_agg_groupby(
+                pair_ds, ["id_a", "id_b"], [], count_as="c"
+            ).count()
+            funnel.append(("image_near_dup_pairs", n_pairs))
+    finally:
+        _shutil.rmtree(crawl_out, ignore_errors=True)
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"]).materialize()
     funnel.append(("raw_docs", docs.count()))
@@ -94,7 +107,7 @@ def llm_data_prep(sf_dir: str, quality_min: float = 0.35,
     exact = hash_bucket_join(
         filtered, survivors, on="doc_id", buckets=16, how="inner"
     ).map_batches(
-        lambda df: df[["doc_id", "text"]], batch_format="pandas"
+        lambda t: t.select(["doc_id", "text"]), batch_format="pyarrow"
     ).materialize()
     funnel.append(("exact_distinct", exact.count()))
 
@@ -111,17 +124,25 @@ def llm_data_prep(sf_dir: str, quality_min: float = 0.35,
     verified = D.distributed_verify_pairs(pairs, sigs, threshold=0.8)
     labels = D.label_propagation_components(verified)
 
+    # near-dup victims filtered DISTRIBUTED: a left bucket join against a
+    # slim (doc_id, __dead) marker table — the victim set is O(duplicates)
+    # (30–50% of a web corpus) and never touches the driver (same shape as
+    # the dedup_minhash gate query)
     def dead_rows(t: pa.Table) -> pa.Table:
         ids = t["node"].filter(pc.not_equal(t["node"], t["label"]))
-        return pa.table({"doc_id": ids})
+        return pa.table(
+            {
+                "doc_id": ids,
+                "__dead": pa.array(np.ones(len(ids), dtype=np.int8), pa.int8()),
+            }
+        )
 
-    dead_ids = set(
-        r["doc_id"] for r in labels.map_batches(
-            dead_rows, batch_format="pyarrow"
-        ).take_all()
-    )  # near-dup victims: small relative to corpus (components' non-minima)
-    deduped = broadcast_semi_join(
-        exact, ray.put(dead_ids), "doc_id", anti=True
+    dead = labels.map_batches(dead_rows, batch_format="pyarrow")
+    deduped = hash_bucket_join(
+        exact, dead, on="doc_id", how="left", buckets=16
+    ).map_batches(
+        lambda t: t.filter(pc.is_null(t["__dead"])).select(["doc_id", "text"]),
+        batch_format="pyarrow",
     ).materialize()
     funnel.append(("near_dup_deduped", deduped.count()))
 
