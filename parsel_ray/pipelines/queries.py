@@ -1574,15 +1574,27 @@ FROM events
 
 def embedding_ivf_knn(sf_dir: str):
     """IVF ANN top-5 (rows-only: approximate — recall measured against the
-    exact brute-force result in tests)."""
-    import pyarrow.parquet as pq_
+    exact brute-force result in tests).  100 TB shape: centroids are
+    trained on a seeded distributed ``random_sample`` (the driver only
+    ever holds the ≤8k-row sample — a driver-scale k-means problem), and
+    the 10 query vectors come from a predicate-pushdown parquet read; the
+    full embedding table is never materialized on the driver."""
+    import pyarrow.dataset as pads
 
     from ..functions.similarity import ivf_topk, train_centroids
 
-    t = pq_.read_table(f"{sf_dir}/embeddings.parquet")
-    mat = _stack_embeddings(t["embedding"])
-    cent = train_centroids(mat, k=16)
-    qt = t.filter(pc.less(t["vec_id"], pa.scalar(10, pa.int64())))
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    n = ds.count()  # parquet metadata only — no scan
+    frac = min(1.0, 8192.0 / max(n, 1))
+    sample = ds.random_sample(frac, seed=42).take_batch(
+        16384, batch_format="pyarrow"
+    )
+    cent = train_centroids(_stack_embeddings(sample["embedding"]), k=16)
+    qt = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filter=pads.field("vec_id") < 10,
+    ).take_batch(32, batch_format="pyarrow")
     qmat = _stack_embeddings(qt["embedding"])
     norms = np.linalg.norm(qmat, axis=1)
     norms[norms == 0] = 1.0
