@@ -131,28 +131,16 @@ def bench_minhash(sf_dir: str) -> int:
     replica-heavy), then MinHash-LSH near-dup over the distinct texts —
     the pair stage sees the true near-dup structure, not replica floods."""
     from parsel_ray.functions import dedup as D
-    from parsel_ray.functions.agg import partial_agg_groupby
-    from parsel_ray.functions.relational import broadcast_semi_join
     from parsel_ray.functions.text import fingerprint
 
-    import numpy as np
-    import ray
-
     ds = replicated_docs(sf_dir, max(1, REPLICATE // 5))
-    fps = ds.map_batches(
-        lambda t: fingerprint(t).select(["doc_id", "fingerprint"]),
-        batch_format="pyarrow",
-    )
-    survivors = partial_agg_groupby(
-        fps, ["fingerprint"], [("doc_id", "min", "doc_id")]
-    )
-    # survivor-id broadcast: right at bench scale (ids ≈ distinct docs,
-    # tiny here).  At 100 TB the survivor set is corpus-sized — swap this
-    # for the fingerprint-keyed first-wins shuffle carrying full rows
-    # (one groupby("__part").map_groups pass, measured ~2× slower here
-    # because fixed shuffle cost dominates at small N).
-    keep = set(survivors.to_pandas()["doc_id"])
-    distinct = broadcast_semi_join(ds, ray.put(keep), "doc_id")
+    # fingerprint-keyed first-wins shuffle carrying full rows — the 100 TB
+    # shape (no driver-side survivor-id set; per-batch combiner bounds the
+    # shuffle at one row per distinct fingerprint per batch)
+    distinct = D.exact_dedup_rows(
+        ds.map_batches(fingerprint, batch_format="pyarrow"),
+        fp_col="fingerprint", id_col="doc_id", num_partitions=32,
+    ).drop_columns(["fingerprint"])
     sigs = distinct.map_batches(
         D.MinHasher(col="text", num_perm=64, k=5),
         batch_format="pyarrow",

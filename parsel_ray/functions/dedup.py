@@ -48,6 +48,52 @@ def _perm_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]
     return a, b
 
 
+def exact_dedup_rows(ds, fp_col: str = "fingerprint",
+                     id_col: str = "doc_id", num_partitions: int = 64):
+    """First-wins exact dedup CARRYING FULL ROWS — the 100 TB shape for
+    "give me the distinct corpus", as opposed to the slim
+    (fingerprint → min id) aggregate of ``partial_agg_groupby`` followed
+    by a survivor-id broadcast (which needs a corpus-sized driver set).
+
+    One fingerprint-keyed shuffle: each batch first keeps only its local
+    min-``id_col`` row per fingerprint (Arrow sort + adjacent-run mask, so
+    the shuffle moves one full row per distinct fingerprint per batch),
+    then coarse hash partitions resolve global first-wins with a
+    vectorized sort + ``duplicated`` inside each partition.  A fingerprint
+    never spans partitions, so semantics are exact.
+    """
+    import pyarrow.compute as pc
+
+    from .relational import _bucket_of
+
+    def batch_first(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t.append_column("__part", pa.array([], pa.int32()))
+        idx = pc.sort_indices(
+            t, sort_keys=[(fp_col, "ascending"), (id_col, "ascending")]
+        )
+        t = t.take(idx)
+        fp = t[fp_col].combine_chunks()
+        first = pa.concat_arrays(
+            [pa.array([True]), pc.not_equal(fp.slice(1), fp.slice(0, len(fp) - 1))]
+        )
+        t = t.filter(first)
+        return t.append_column("__part", _bucket_of(t[fp_col], num_partitions))
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([fp_col, id_col], kind="mergesort")
+        return g.loc[~g[fp_col].duplicated()].drop(columns="__part")
+
+    return (
+        # large batch_size: coalesces small upstream blocks so (a) the
+        # per-batch combiner sees more duplicates and (b) the sort
+        # shuffle, whose cost tracks block count, gets few fat blocks
+        ds.map_batches(batch_first, batch_format="pyarrow", batch_size=65536)
+        .groupby("__part")
+        .map_groups(per_partition, batch_format="pandas")
+    )
+
+
 @_ignore_overflow
 def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
     """Distinct 64-bit polynomial hashes of all ``k``-byte shingles of the

@@ -311,6 +311,27 @@ class TestTextKernels:
 
 
 class TestDedupKernels:
+    def test_exact_dedup_rows_first_wins_full_rows(self):
+        import ray.data as rd
+
+        t = pa.table(
+            {
+                "doc_id": [7, 3, 9, 1, 5, 2, 8],
+                "text": ["a", "a", "b", "a", "c", "b", "c"],
+                "fingerprint": ["fa", "fa", "fb", "fa", "fc", "fb", "fc"],
+            }
+        )
+        # split across blocks so global first-wins must cross batches
+        out = (
+            D.exact_dedup_rows(rd.from_arrow(t).repartition(4))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out["doc_id"].tolist() == [1, 2, 5]
+        assert out["text"].tolist() == ["a", "b", "c"]  # full rows survive
+        assert set(out.columns) == {"doc_id", "text", "fingerprint"}
+
     def test_shingle_hashes_deterministic(self):
         a = D.shingle_hashes("hello world hello", 5)
         b = D.shingle_hashes("hello world hello", 5)
