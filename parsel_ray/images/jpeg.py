@@ -478,25 +478,34 @@ def _decode_scan(data, pos, frame, comps, qtables, htables,
     br = _BitReader(data, pos)
     pred = [0] * len(comps)
     mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and \
-                    mcu_count % restart_interval == 0:
-                br.sync_restart()
-                pred = [0] * len(comps)
-            mcu_count += 1
-            for ci, c in enumerate(comps):
-                dc_tab = htables[(0, c["dc"])]
-                ac_tab = htables[(1, c["ac"])]
-                q = qtables[c["tq"]]
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        blk = _decode_block(br, dc_tab, ac_tab, pred, ci)
-                        coef = blk[UNZIGZAG].reshape(8, 8) * q
-                        pix = _D.T @ coef @ _D
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        planes[ci][y0:y0 + 8, x0:x0 + 8] = pix
+    try:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and mcu_count and \
+                        mcu_count % restart_interval == 0:
+                    br.sync_restart()
+                    pred = [0] * len(comps)
+                mcu_count += 1
+                for ci, c in enumerate(comps):
+                    dc_tab = htables[(0, c["dc"])]
+                    ac_tab = htables[(1, c["ac"])]
+                    q = qtables[c["tq"]]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            blk = _decode_block(br, dc_tab, ac_tab, pred, ci)
+                            coef = blk[UNZIGZAG].reshape(8, 8) * q
+                            pix = _D.T @ coef @ _D
+                            y0 = (my * c["v"] + by) * 8
+                            x0 = (mx * c["h"] + bx) * 8
+                            planes[ci][y0:y0 + 8, x0:x0 + 8] = pix
+    except _RestartMarker as rst:
+        # an RSTn at anything but an exact restart-interval boundary is a
+        # corrupt/truncated stream — surface it as the documented error
+        # type instead of leaking the internal control-flow exception
+        raise ValueError(
+            "corrupt JPEG: unexpected restart marker "
+            f"0xFF{rst.marker:02X} mid-entropy-decode (MCU {mcu_count})"
+        ) from None
     # upsample to full resolution, crop, color-convert
     full = []
     for ci, c in enumerate(comps):

@@ -29,14 +29,22 @@ import pyarrow.ipc as ipc
 import pyarrow.parquet as pq
 
 
+# (task_id, next_seq) of the task currently running in this worker — a
+# worker executes one map task at a time, so one slot suffices
+_TASK_SEQ: list = ["", 0]
+
+
 def _content_name(sub: pa.Table) -> str:
-    """Shard filename from a digest of (batch content, Ray task id): a
-    RETRIED task reuses its task id, so the rewrite lands on the same
-    name and the atomic ``os.replace`` is idempotent — while two
-    DIFFERENT tasks that happen to produce byte-identical batches get
-    distinct names (no silent collapse).  Remaining corner: identical
-    batches within ONE task would still collide — caught loudly by the
-    ``verify`` read-back, not silently dropped."""
+    """Shard filename from a digest of (batch content, Ray task id,
+    per-task write ordinal): a RETRIED task reuses its task id and
+    replays its batches in order from a fresh worker (ordinal restarts
+    at 0), so the rewrite lands on the same name and the atomic
+    ``os.replace`` is idempotent — while two DIFFERENT tasks, or two
+    byte-identical sub-batches within ONE task, get distinct names (no
+    silent collapse, with or without ``verify``).  Remaining corner: a
+    same-process re-execution of one task id would continue the ordinal
+    instead of restarting — that run double-writes (extra shards), which
+    ``verify`` flags; rows are never silently dropped."""
     sink = io.BytesIO()
     with ipc.new_stream(sink, sub.schema) as w:
         w.write_table(sub)
@@ -46,7 +54,12 @@ def _content_name(sub: pa.Table) -> str:
         tid = ray.get_runtime_context().get_task_id() or ""
     except Exception:  # not inside a Ray task (unit tests, driver)
         tid = ""
-    digest = hashlib.md5(sink.getvalue() + tid.encode()).hexdigest()[:20]
+    if _TASK_SEQ[0] != tid:
+        _TASK_SEQ[0], _TASK_SEQ[1] = tid, 0
+    seq, _TASK_SEQ[1] = _TASK_SEQ[1], _TASK_SEQ[1] + 1
+    digest = hashlib.md5(
+        sink.getvalue() + tid.encode() + seq.to_bytes(8, "little")
+    ).hexdigest()[:20]
     return f"shard-{digest}.parquet"
 
 

@@ -90,6 +90,17 @@ class TestJpegCodec:
         with pytest.raises(ValueError):
             decode_jpeg(bytes(good[:2]))  # SOI only
 
+    def test_off_interval_restart_marker_raises_valueerror(self):
+        # inject an RSTn into the entropy segment of a stream encoded
+        # WITHOUT restarts: must surface as ValueError, not the internal
+        # _RestartMarker control-flow exception
+        data = bytearray(encode_jpeg(gradient(32, 32), 90))
+        i = data.find(b"\xFF\xDA")  # SOS
+        scan_start = i + 2 + int.from_bytes(data[i + 2:i + 4], "big")
+        data[scan_start + 4:scan_start + 4] = b"\xFF\xD0"
+        with pytest.raises(ValueError, match="restart marker"):
+            decode_jpeg(bytes(data))
+
     def test_progressive_rejected(self):
         data = bytearray(encode_jpeg(gradient(16, 16), 90))
         i = data.find(b"\xFF\xC0")

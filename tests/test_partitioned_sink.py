@@ -29,6 +29,19 @@ def _docs(n=200):
 
 @pytest.mark.usefixtures("ray_session")
 class TestPartitionedSink:
+    def test_identical_subbatches_get_distinct_shard_names(self):
+        # two byte-identical batches written by one task must not collide
+        # (the second os.replace would silently drop the first's rows)
+        from parsel_ray.sources.partitioned import _TASK_SEQ, _content_name
+
+        t = pa.table({"doc_id": [1, 2], "text": ["a", "b"]})
+        _TASK_SEQ[0], _TASK_SEQ[1] = "", 0  # fresh "task"
+        first, second = _content_name(t), _content_name(t)
+        assert first != second
+        # a replayed task (fresh ordinal, same content) reuses the names
+        _TASK_SEQ[0], _TASK_SEQ[1] = "", 0
+        assert _content_name(t) == first and _content_name(t) == second
+
     def test_single_pass_counts_and_done_markers(self, tmp_path):
         t = _docs()
         out = str(tmp_path / "out")
