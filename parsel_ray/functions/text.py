@@ -132,43 +132,87 @@ def rolling_fingerprint(
 
 _LANG_PROFILES = {
     # top character trigrams per language (hand-built public-knowledge
-    # profiles; Cavnar & Trenkle 1994 n-gram ranking, truncated)
+    # profiles; Cavnar & Trenkle 1994 n-gram ranking, truncated).  Order
+    # matters for tie-breaking: earlier language wins equal scores.
     "en": ["the", "ing", "and", " th", "he ", "ion", " of", "of ", "tio", "ed "],
     "de": ["der", "ein", "ich", "sch", "die", "und", " de", "en ", "ch ", "ung"],
     "fr": ["es ", "de ", " de", "ent", "le ", "que", " le", "la ", " la", "ion"],
     "es": ["de ", " de", "os ", "la ", " la", "el ", " el", "que", " qu", "ión"],
+    "it": ["di ", " di", "che", " ch", "la ", " la", "to ", "re ", "del", "ell"],
+    "pt": ["de ", " de", "os ", "ão ", "ção", "da ", " da", "em ", " co", "ara"],
+    "nl": ["en ", "de ", " de", "van", " va", "een", " ee", "het", " he", "aar"],
+    "ru": ["ого", "ени", " на", "ост", "ние", " по", "ть ", " не", "при", "ста"],
     "zh": [],  # CJK handled by codepoint range
 }
 
 
 class LangId:
-    """Actor-pool language-ID stage: trigram-profile scoring with a CJK
-    codepoint fast path.  Profiles are built once per actor."""
+    """Actor-pool language-ID stage: char-trigram-profile scoring with a
+    CJK codepoint fast path.  Fully vectorized: each batch's texts are
+    lowered with the Arrow kernel, concatenated into ONE utf-32 codepoint
+    array, every trigram is packed EXACTLY into a uint64 (21 bits per
+    codepoint), and profile matching is a single ``searchsorted`` against
+    the union profile table with per-(doc, lang) ``bincount``
+    accumulation — no per-row Python in the scoring path.  The union
+    table (one row per distinct trigram, weight column per language) is
+    built once per actor."""
 
     def __init__(self, col: str = "text", out: str = "lang_guess") -> None:
         self.col = col
         self.out = out
-        self.profiles = {
-            lang: {g: len(grams) - i for i, g in enumerate(grams)}
-            for lang, grams in _LANG_PROFILES.items()
-            if grams
-        }
-
-    def _guess(self, text: str) -> str:
-        if not text:
-            return "und"
-        cjk = sum(1 for ch in text[:200] if "一" <= ch <= "鿿")
-        if cjk > len(text[:200]) * 0.2:
-            return "zh"
-        t = text.lower()
-        grams = [t[i : i + 3] for i in range(len(t) - 2)]
-        best_lang, best_score = "und", 0
-        for lang, prof in self.profiles.items():
-            score = sum(prof.get(g, 0) for g in grams)
-            if score > best_score:
-                best_lang, best_score = lang, score
-        return best_lang
+        self.langs = [l for l, g in _LANG_PROFILES.items() if g]
+        keyed: dict[int, list[tuple[int, int]]] = {}
+        for li, lang in enumerate(self.langs):
+            grams = _LANG_PROFILES[lang]
+            for i, g in enumerate(grams):
+                cs = [ord(c) for c in g]
+                k = (cs[0] << 42) | (cs[1] << 21) | cs[2]
+                keyed.setdefault(k, []).append((li, len(grams) - i))
+        self._keys = np.array(sorted(keyed), dtype=np.uint64)
+        self._wm = np.zeros((len(self._keys), len(self.langs)), np.float64)
+        for j, k in enumerate(self._keys.tolist()):
+            for li, w in keyed[k]:
+                self._wm[j, li] = w
+        self._lang_arr = np.array(self.langs, dtype=object)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vals = [None if v is None else self._guess(v) for v in batch[self.col].to_pylist()]
-        return batch.append_column(self.out, pa.array(vals, pa.string()))
+        col = batch[self.col]
+        n = len(col)
+        if n == 0:
+            return batch.append_column(self.out, pa.array([], pa.string()))
+        lowered = pc.utf8_lower(col).to_pylist()
+        bufs = [("" if v is None else v).encode("utf-32-le") for v in lowered]
+        lens = np.fromiter((len(b) >> 2 for b in bufs), dtype=np.int64, count=n)
+        big = np.frombuffer(b"".join(bufs), dtype="<u4").astype(np.uint64)
+        starts = np.concatenate(([0], np.cumsum(lens)))
+        total = int(starts[-1])
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+        pos_in_doc = np.arange(total, dtype=np.int64) - starts[doc_of]
+
+        cjk = (big >= 0x4E00) & (big <= 0x9FFF) & (pos_in_doc < 200)
+        cjk_n = np.bincount(doc_of[cjk], minlength=n)
+        is_zh = cjk_n > np.minimum(lens, 200) * 0.2
+
+        scores = np.zeros((n, len(self.langs)), np.float64)
+        if total >= 3:
+            m = total - 2
+            h = (big[:-2] << np.uint64(42)) | (big[1:-1] << np.uint64(21)) | big[2:]
+            valid = pos_in_doc[:m] + 3 <= lens[doc_of[:m]]
+            hv = h[valid]
+            pos = np.minimum(
+                np.searchsorted(self._keys, hv), len(self._keys) - 1
+            )
+            hit = self._keys[pos] == hv
+            docs_w = doc_of[:m][valid][hit]
+            uidx = pos[hit]
+            for li in range(len(self.langs)):
+                scores[:, li] = np.bincount(
+                    docs_w, weights=self._wm[uidx, li], minlength=n
+                )
+        best = np.argmax(scores, axis=1)  # first max wins = profile order
+        best_score = scores[np.arange(n), best]
+        vals = np.where(best_score > 0, self._lang_arr[best], "und")
+        vals = np.where(is_zh, "zh", vals)
+        nulls = pc.is_null(col).to_numpy(zero_copy_only=False)
+        out = [None if nl else str(v) for nl, v in zip(nulls, vals)]
+        return batch.append_column(self.out, pa.array(out, pa.string()))

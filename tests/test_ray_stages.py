@@ -309,6 +309,57 @@ class TestTextKernels:
         assert out["lang_guess"].to_pylist()[0] == "en"
         assert out["lang_guess"].to_pylist()[1] == "zh"
 
+    def test_langid_widened_profiles_and_edges(self):
+        li = T.LangId()
+        b = pa.table(
+            {
+                "text": [
+                    "wij zijn van een het aardige mensen van het land",
+                    "при этом не было ого ничего кроме ста рых домов",
+                    "",  # empty → und
+                    None,  # null stays null
+                    "xy",  # shorter than a trigram → und
+                ]
+            }
+        )
+        out = li(b)["lang_guess"].to_pylist()
+        assert out[0] == "nl"
+        assert out[1] == "ru"
+        assert out[2] == "und"
+        assert out[3] is None
+        assert out[4] == "und"
+
+    def test_langid_matches_rowwise_reference(self):
+        # the vectorized kernel must agree with a straightforward per-row
+        # scorer over the same profiles
+        li = T.LangId()
+        texts = [
+            "the quick brown fox of the morning",
+            "der ich ein und der die schule",
+            "le que de la maison ent",
+            "os de la que el señor ión",
+            "mixed 123 !!",
+        ]
+
+        def rowwise(text):
+            if not text:
+                return "und"
+            t = text.lower()
+            grams = [t[i:i + 3] for i in range(len(t) - 2)]
+            best_lang, best_score = "und", 0
+            for lang in li.langs:
+                prof = {
+                    g: len(T._LANG_PROFILES[lang]) - i
+                    for i, g in enumerate(T._LANG_PROFILES[lang])
+                }
+                score = sum(prof.get(g, 0) for g in grams)
+                if score > best_score:
+                    best_lang, best_score = lang, score
+            return best_lang
+
+        out = li(pa.table({"text": texts}))["lang_guess"].to_pylist()
+        assert out == [rowwise(t) for t in texts]
+
 
 class TestDedupKernels:
     def test_exact_dedup_rows_first_wins_full_rows(self):
