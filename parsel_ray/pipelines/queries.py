@@ -646,12 +646,16 @@ FROM documents GROUP BY 2
 def embedding_knn(sf_dir: str):
     """Exact cosine top-5 for 10 query vectors: broadcast query matrix →
     per-batch matmul partial top-k → tiny merge.  Output is rank-only
-    (floats never cross the compare boundary)."""
-    import pyarrow.parquet as pq
+    (floats never cross the compare boundary).  The query vectors come
+    from a predicate-pushdown read — the full table never lands on the
+    driver."""
+    import pyarrow.dataset as pads
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    mask = pc.less(t["vec_id"], pa.scalar(10, pa.int64()))
-    qt = t.filter(mask)
+    qt = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filter=pads.field("vec_id") < 10,
+    ).take_batch(32, batch_format="pyarrow")
     qmat = _stack_embeddings(qt["embedding"])
     norms = np.linalg.norm(qmat, axis=1)
     norms[norms == 0] = 1.0

@@ -37,8 +37,14 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i:i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=8, include_dashboard=False,
                  ignore_reinit_error=True, logging_level="ERROR")
@@ -57,6 +63,19 @@ def main() -> int:
 
     qs, oracles = E.queries(), E.oracle_sql()
     failed = []
+    # one record per queries() entry, in the driver's CORRECTNESS_r{N}.json
+    # shape, so the committed self-check artifact always covers the full
+    # registry (the driver's own snapshot has missed late additions)
+    records: dict[str, dict] = {}
+
+    def rec(name, rows_match=None, schema_match=None, hash_match=None,
+            spark_rows=None, oracle_rows=None, err=None):
+        records[name] = {
+            "rows_match": rows_match, "schema_match": schema_match,
+            "hash_match": hash_match, "spark_rows": spark_rows,
+            "oracle_rows": oracle_rows, "err": err,
+        }
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -66,10 +85,12 @@ def main() -> int:
             print(f"FAIL {name}: query raised")
             traceback.print_exc()
             failed.append(name)
+            rec(name, err=f"query raised: {traceback.format_exc(limit=1)}")
             continue
         sql = oracles.get(name)
         if sql is None:
             print(f"ok   {name}: rows={len(got)} (rows-only, no oracle)")
+            rec(name, spark_rows=len(got), err="no_oracle")
             continue
         try:
             want = canon(con.execute(sql).fetchdf())
@@ -77,14 +98,20 @@ def main() -> int:
             print(f"FAIL {name}: oracle SQL raised")
             traceback.print_exc()
             failed.append(name)
+            rec(name, spark_rows=len(got),
+                err=f"oracle raised: {traceback.format_exc(limit=1)}")
             continue
         if len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} != {len(want)}")
             failed.append(name)
+            rec(name, rows_match=False, spark_rows=len(got),
+                oracle_rows=len(want))
             continue
         if list(got.columns) != list(want.columns):
             print(f"FAIL {name}: cols {list(got.columns)} != {list(want.columns)}")
             failed.append(name)
+            rec(name, rows_match=True, schema_match=False,
+                spark_rows=len(got), oracle_rows=len(want))
             continue
         try:
             gv = got.astype(str).values.tolist()
@@ -93,13 +120,27 @@ def main() -> int:
                 bad = next(i for i, (a, b) in enumerate(zip(gv, wv)) if a != b)
                 print(f"FAIL {name}: value mismatch at row {bad}:\n  ray {gv[bad]}\n  sql {wv[bad]}")
                 failed.append(name)
+                rec(name, rows_match=True, schema_match=True,
+                    hash_match=False, spark_rows=len(got),
+                    oracle_rows=len(want))
                 continue
         except Exception:
             print(f"FAIL {name}: compare raised")
             traceback.print_exc()
             failed.append(name)
+            rec(name, rows_match=True, schema_match=True,
+                spark_rows=len(got), oracle_rows=len(want),
+                err=f"compare raised: {traceback.format_exc(limit=1)}")
             continue
         print(f"ok   {name}: rows={len(got)} MATCH")
+        rec(name, rows_match=True, schema_match=True, hash_match=True,
+            spark_rows=len(got), oracle_rows=len(want))
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(records, f, indent=2)
+        print(f"wrote {len(records)} records to {json_out}")
     print(f"\n{len(failed)} failures" + (f": {failed}" if failed else ""))
     return 1 if failed else 0
 
