@@ -73,6 +73,13 @@ class FrontierShard:
         self.seen: list[str] = []
         self.metrics = {"granted": 0, "dup_skipped": 0, "robots_blocked": 0,
                         "depth_dropped": 0, "admitted": 0}
+        # keys successfully inserted into the cuckoo filter since the last
+        # checkpoint — the O(delta) replay log for incremental checkpoints
+        # (cuckoo inserts are a pure function of the insert sequence, so
+        # replaying the log from a full snapshot is byte-identical)
+        self._insert_log: list[str] = []
+        self._last_full_epoch: int | None = None
+        self._deltas_since_full = 0
 
     # -- admission (links arrive pre-canonicalized, pre-sorted) -----------
 
@@ -85,6 +92,7 @@ class FrontierShard:
             if not self.filter.add_if_new(cu):
                 self.metrics["dup_skipped"] += 1
                 continue
+            self._insert_log.append(cu)
             if self.verify:
                 self.seen.append(cu)
             if not self.robots.allowed(host, path_of(cu)):
@@ -179,11 +187,20 @@ class FrontierShard:
     # -- checkpoint (N11) --------------------------------------------------
 
     def checkpoint(self, ckpt_dir: str, epoch: int,
-                   pending_admit_refs: "list | None" = None) -> str:
+                   pending_admit_refs: "list | None" = None,
+                   full_every: int = 8) -> str:
         """``pending_admit_refs``: object refs of this epoch's extracted
         link tables that have not yet gone through admit_tick_pop — they
         belong to the snapshot (the op sequence on resume replays them
-        first, in the same shard-side deterministic order)."""
+        first, in the same shard-side deterministic order).
+
+        INCREMENTAL: every ``full_every``-th checkpoint writes the full
+        filter bitmap + seen list; the ones between write only the keys
+        inserted since the previous checkpoint (O(delta) bytes — cuckoo
+        inserts are a pure function of the insert sequence, so replaying
+        the delta chain from the base snapshot is byte-identical).  The
+        small frontier state (pending/preadmit/buckets/robots/metrics)
+        rides along in full every time."""
         # read-only: the same refs are admitted via admit_tick_pop next
         # epoch, so the snapshot must not stash them into _preadmit
         pending_admits = (
@@ -192,52 +209,127 @@ class FrontierShard:
         )
         d = os.path.join(ckpt_dir, f"epoch={epoch}")
         os.makedirs(d, exist_ok=True)
-        st = self.filter.state()
-        t = pa.table(
-            {
-                "shard": pa.array([self.shard_id], pa.int32()),
-                "epoch": pa.array([epoch], pa.int32()),
-                "filter_table": pa.array([st["table"].tobytes()], pa.binary()),
-                "filter_buckets": pa.array([st["table"].shape[0]], pa.int64()),
-                "filter_count": pa.array([st["count"]], pa.int64()),
-                "filter_kick": pa.array([st["kick"]], pa.int64()),
-                "buckets_json": pa.array([json.dumps(self.buckets.state())]),
-                "robots_json": pa.array([json.dumps(self.robots.state())]),
-                "pending_depth": pa.array([[d for d, _ in self.pending]],
-                                          pa.list_(pa.int32())),
-                "pending_url": pa.array([[u for _, u in self.pending]],
-                                        pa.list_(pa.string())),
-                "seen": pa.array([self.seen], pa.list_(pa.string())),
-                "preadmit_depth": pa.array([[d_ for d_, _ in pending_admits]],
-                                           pa.list_(pa.int32())),
-                "preadmit_url": pa.array([[u for _, u in pending_admits]],
-                                         pa.list_(pa.string())),
-                "metrics_json": pa.array([json.dumps(self.metrics)]),
-            }
+        is_full = (
+            self._last_full_epoch is None
+            or self._deltas_since_full >= full_every - 1
         )
+        cols = {
+            "shard": pa.array([self.shard_id], pa.int32()),
+            "epoch": pa.array([epoch], pa.int32()),
+            "kind": pa.array(["full" if is_full else "delta"]),
+            "buckets_json": pa.array([json.dumps(self.buckets.state())]),
+            "robots_json": pa.array([json.dumps(self.robots.state())]),
+            "pending_depth": pa.array([[d for d, _ in self.pending]],
+                                      pa.list_(pa.int32())),
+            "pending_url": pa.array([[u for _, u in self.pending]],
+                                    pa.list_(pa.string())),
+            "preadmit_depth": pa.array([[d_ for d_, _ in pending_admits]],
+                                       pa.list_(pa.int32())),
+            "preadmit_url": pa.array([[u for _, u in pending_admits]],
+                                     pa.list_(pa.string())),
+            "metrics_json": pa.array([json.dumps(self.metrics)]),
+        }
+        if is_full:
+            st = self.filter.state()
+            cols.update(
+                {
+                    "filter_table": pa.array([st["table"].tobytes()],
+                                             pa.binary()),
+                    "filter_buckets": pa.array([st["table"].shape[0]],
+                                               pa.int64()),
+                    "filter_count": pa.array([st["count"]], pa.int64()),
+                    "filter_kick": pa.array([st["kick"]], pa.int64()),
+                    "seen": pa.array([self.seen], pa.list_(pa.string())),
+                }
+            )
+        else:
+            cols.update(
+                {
+                    "base_epoch": pa.array([self._last_full_epoch],
+                                           pa.int32()),
+                    "insert_log": pa.array([self._insert_log],
+                                           pa.list_(pa.string())),
+                }
+            )
         path = os.path.join(d, f"shard-{self.shard_id}.parquet")
         tmp = path + ".tmp"
-        pq.write_table(t, tmp)
+        pq.write_table(pa.table(cols), tmp)
         os.replace(tmp, path)  # atomic publish
+        if is_full:
+            self._last_full_epoch = epoch
+            self._deltas_since_full = 0
+        else:
+            self._deltas_since_full += 1
+        self._insert_log = []
         return path
 
-    def restore(self, ckpt_dir: str, epoch: int) -> None:
-        path = os.path.join(ckpt_dir, f"epoch={epoch}", f"shard-{self.shard_id}.parquet")
+    def _shard_ckpt_row(self, ckpt_dir: str, epoch: int) -> dict:
+        path = os.path.join(
+            ckpt_dir, f"epoch={epoch}", f"shard-{self.shard_id}.parquet"
+        )
         t = pq.read_table(path)
-        row = {c: t[c][0].as_py() for c in t.column_names}
-        table = np.frombuffer(row["filter_table"], dtype=np.uint16).reshape(
-            row["filter_buckets"], -1
-        )
+        return {c: t[c][0].as_py() for c in t.column_names}
+
+    def restore(self, ckpt_dir: str, epoch: int) -> None:
+        row = self._shard_ckpt_row(ckpt_dir, epoch)
+        if row.get("kind", "full") == "full":
+            base_row, deltas = row, []
+            self._last_full_epoch = epoch
+            self._deltas_since_full = 0
+        else:
+            # delta chain: base full snapshot, then every checkpoint of
+            # this shard in (base, epoch] in epoch order (byte-match
+            # determinism makes files from a killed run identical to the
+            # rerun's, so the chain is well-defined across resumes)
+            import glob as _glob
+
+            base = int(row["base_epoch"])
+            base_row = self._shard_ckpt_row(ckpt_dir, base)
+            assert base_row.get("kind", "full") == "full", (
+                f"delta at epoch={epoch} points at base epoch={base} "
+                "which is not a full snapshot"
+            )
+            chain_epochs = sorted(
+                e
+                for p in _glob.glob(os.path.join(ckpt_dir, "epoch=*"))
+                if (e := int(os.path.basename(p).split("=")[1])) > base
+                and e <= epoch
+                and os.path.exists(
+                    os.path.join(p, f"shard-{self.shard_id}.parquet")
+                )
+            )
+            deltas = [self._shard_ckpt_row(ckpt_dir, e) for e in chain_epochs]
+            self._last_full_epoch = base
+            self._deltas_since_full = len(deltas)
+        table = np.frombuffer(
+            base_row["filter_table"], dtype=np.uint16
+        ).reshape(base_row["filter_buckets"], -1)
         self.filter = CuckooFilter.from_state(
-            {"table": table, "count": row["filter_count"], "kick": row["filter_kick"]}
+            {
+                "table": table,
+                "count": base_row["filter_count"],
+                "kick": base_row["filter_kick"],
+            }
         )
+        self.seen = list(base_row["seen"])
+        for drow in deltas:
+            assert drow.get("kind") == "delta" and \
+                int(drow["base_epoch"]) == self._last_full_epoch, (
+                "checkpoint chain mixes bases — remove stale epochs"
+            )
+            for cu in drow["insert_log"]:
+                if not self.filter.add(cu):  # pragma: no cover
+                    raise RuntimeError("cuckoo filter full during replay")
+                if self.verify:
+                    self.seen.append(cu)
+        # the small frontier state always comes from the TARGET epoch's row
         self.buckets = TokenBuckets.from_state(json.loads(row["buckets_json"]))
         self.robots.restore(json.loads(row["robots_json"]))
         self.pending = list(zip(row["pending_depth"], row["pending_url"]))
-        self.seen = list(row["seen"])
         self._preadmit = list(zip(row.get("preadmit_depth", []),
                                   row.get("preadmit_url", [])))
         self.metrics = json.loads(row["metrics_json"])
+        self._insert_log = []
 
 
 class FetchExtract:

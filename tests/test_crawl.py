@@ -279,6 +279,46 @@ class TestDistributedCrawl:
         ri = sorted(resumed.image_rows, key=lambda r: r["image_id"])
         assert [r["image_id"] for r in fi] == [r["image_id"] for r in ri]
 
+    def test_incremental_checkpoints_delta_chain(self, tmp_path):
+        """Checkpoints between full snapshots carry only the insert-log
+        delta (O(delta) bytes, no filter bitmap / seen list); resuming
+        from a delta epoch replays the chain byte-identically."""
+        import glob
+        import os
+        import re
+
+        import pyarrow.parquet as pq
+
+        from parsel_ray.crawl.frontier import run_crawl
+
+        ckpt = str(tmp_path / "ckpt")
+        full = run_crawl(SMALL, ckpt_dir=ckpt, checkpoint_every=1)
+        epochs = sorted(
+            int(re.search(r"epoch=(\d+)", p).group(1))
+            for p in glob.glob(ckpt + "/epoch=*")
+        )
+        assert len(epochs) >= 3
+        kinds, sizes = {}, {}
+        for e in epochs:
+            p = f"{ckpt}/epoch={e}/shard-0.parquet"
+            t = pq.read_table(p)
+            kinds[e] = t["kind"][0].as_py()
+            sizes[e] = os.path.getsize(p)
+            if kinds[e] == "delta":
+                assert "filter_table" not in t.column_names
+                assert "seen" not in t.column_names
+        assert kinds[epochs[0]] == "full"
+        deltas = [e for e in epochs if kinds[e] == "delta"]
+        assert deltas, "expected delta checkpoints between full snapshots"
+        assert max(sizes[e] for e in deltas) < min(
+            sizes[e] for e in epochs if kinds[e] == "full"
+        )
+        # resume from the LAST delta epoch: chain = full + every delta
+        resumed = run_crawl(SMALL, ckpt_dir=ckpt, resume_epoch=deltas[-1])
+        assert resumed.pop_order == full.pop_order
+        assert resumed.seen_urls == full.seen_urls
+        assert resumed.metrics == full.metrics
+
     def test_verify_off_bounded_state(self, tmp_path):
         """verify=False (production mode) drops the O(total-URLs) driver/
         shard verification artifacts but crawls the identical frontier:
