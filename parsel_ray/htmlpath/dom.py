@@ -69,13 +69,21 @@ _MAX_DEPTH_NO_HUGE_TREE = 255
 
 
 class Document:
-    """Owner document; parent of the root element and top-level comments."""
+    """Owner document; parent of the root element and top-level comments.
 
-    __slots__ = ("children", "base_url")
+    ``doc_type`` ("html"/"xml") and ``id_attrs`` (DTD-declared ID
+    attributes, ``{element_qname: {attr_name, ...}}``) drive XPath
+    ``id()`` semantics: parsed HTML treats the ``id`` attribute as the
+    ID, XML honors only DTD declarations (libxml2's rules)."""
 
-    def __init__(self, base_url: str | None = None) -> None:
+    __slots__ = ("children", "base_url", "doc_type", "id_attrs")
+
+    def __init__(self, base_url: str | None = None,
+                 doc_type: str = "html") -> None:
         self.children: list[Any] = []
         self.base_url = base_url
+        self.doc_type = doc_type
+        self.id_attrs: dict[str, set[str]] | None = None
 
     @property
     def root(self) -> "Element | None":
@@ -553,7 +561,17 @@ _XML_PREDEFINED = {"amp": "&", "lt": "<", "gt": ">", "quot": '"', "apos": "'"}
 XML_NS = "http://www.w3.org/XML/1998/namespace"
 
 
-def _decode_xml_text(s: str) -> str:
+def _decode_xml_text(s: str, entities: dict[str, str] | None = None,
+                     _budget: list | None = None, _depth: int = 0) -> str:
+    """Decode char/predefined references.  With ``entities`` (attribute
+    context only — libxml2 expands declared internal entities in
+    attribute values even with resolve_entities=False), declared
+    entities expand recursively under a total-output budget and depth
+    cap (billion-laughs guard); undeclared/external entities always stay
+    as literal references (XXE-safe)."""
+    if entities and _budget is None:
+        _budget = [65536]
+
     def sub(m: re.Match[str]) -> str:
         ref = m.group(1)
         if ref.startswith("#x") or ref.startswith("#X"):
@@ -562,19 +580,63 @@ def _decode_xml_text(s: str) -> str:
             return chr(int(ref[1:]))
         if ref in _XML_PREDEFINED:
             return _XML_PREDEFINED[ref]
+        if entities and ref in entities and _depth < 32:
+            val = entities[ref]
+            _budget[0] -= len(val)
+            if _budget[0] > 0:
+                return _decode_xml_text(val, entities, _budget, _depth + 1)
         # Unresolved entity: keep the reference, never expand (XXE-safe).
         return f"{_ENT_OPEN}{ref}{_ENT_OPEN}"
 
     return _CHARREF.sub(sub, s)
 
 
+def _parse_dtd(subset: str) -> tuple[dict[str, str], dict[str, set[str]]]:
+    """Internal-DTD-subset scan: general INTERNAL entity values (external
+    SYSTEM/PUBLIC ids and parameter entities are intentionally ignored —
+    resolve_entities=False / no-network semantics) and ATTLIST
+    declarations whose type is ID."""
+    entities: dict[str, str] = {}
+    for m in re.finditer(
+        r"<!ENTITY\s+(%?)\s*([\w.:-]+)\s+(?:\"([^\"]*)\"|'([^']*)')\s*>",
+        subset,
+    ):
+        if m.group(1):  # parameter entity
+            continue
+        name = m.group(2)
+        val = m.group(3) if m.group(3) is not None else m.group(4)
+        if name not in entities and len(entities) < 64 and len(val) <= 4096:
+            entities[name] = val
+    id_attrs: dict[str, set[str]] = {}
+    for m in re.finditer(r"<!ATTLIST\s+([\w.:-]+)\s+([^>]*)>", subset,
+                         re.DOTALL):
+        elem, body = m.group(1), m.group(2)
+        toks = re.findall(r"\([^)]*\)|\"[^\"]*\"|'[^']*'|\S+", body)
+        i = 0
+        while i + 1 < len(toks):
+            attr, typ = toks[i], toks[i + 1]
+            i += 2
+            if typ == "NOTATION" and i < len(toks):
+                i += 1  # the notation enumeration
+            if i < len(toks) and toks[i] == "#FIXED":
+                i += 2
+            elif i < len(toks) and (
+                toks[i].startswith("#") or toks[i][0] in "\"'"
+            ):
+                i += 1
+            if typ == "ID":
+                id_attrs.setdefault(elem, set()).add(attr)
+    return entities, id_attrs
+
+
 def parse_xml(text: str, base_url: str | None = None, huge_tree: bool = True) -> Element:
     """Recovering XML parse with namespace expansion and unresolved entities
     preserved as references (resolve_entities=False semantics,
     tests/test_selector.py:843-852)."""
-    doc = Document(base_url)
+    doc = Document(base_url, doc_type="xml")
     stack: list[Element] = []
     ns_stack: list[dict[str | None, str]] = [{"xml": XML_NS}]
+    entities: dict[str, str] = {}
     pos = 0
     n = len(text)
 
@@ -611,7 +673,13 @@ def parse_xml(text: str, base_url: str | None = None, huge_tree: bool = True) ->
             append_text(m.group("cdata"))
         elif m.group("comment") is not None:
             append_node(Comment(m.group("comment")))
-        elif m.group("doctype") is not None or m.group("pi") is not None:
+        elif m.group("doctype") is not None:
+            sub = re.search(r"\[(.*)\]", m.group("doctype"), re.DOTALL)
+            if sub is not None:
+                entities, doc.id_attrs = _parse_dtd(sub.group(1))
+                doc.id_attrs = doc.id_attrs or None
+            continue
+        elif m.group("pi") is not None:
             continue
         elif m.group("open") is not None:
             if not huge_tree and len(stack) >= _MAX_DEPTH_NO_HUGE_TREE:
@@ -629,7 +697,7 @@ def parse_xml(text: str, base_url: str | None = None, huge_tree: bool = True) ->
             decls: dict[str | None, str] = {}
             plain_attrs: list[tuple[str, str]] = []
             for name, _q, v1, v2 in raw_attrs:
-                value = _decode_xml_text(v1 if v1 else v2)
+                value = _decode_xml_text(v1 if v1 else v2, entities or None)
                 if name == "xmlns":
                     decls[None] = value
                 elif name.startswith("xmlns:"):

@@ -1466,11 +1466,13 @@ def _fn_local_name(ev, args, ctx, pos, size):
 
 @_core("id")
 def _fn_id(ev, args, ctx, pos, size):
-    """XPath 1.0 ``id()``: elements whose ``id`` attribute matches any
+    """XPath 1.0 ``id()``: elements whose ID-typed attribute matches any
     whitespace-separated token of the argument (node-set args contribute
-    each node's string-value).  IDness comes from the ``id`` attribute —
-    libxml2's behavior for parsed HTML; XML DTD-declared ID attributes
-    are not modeled (documented divergence, niche)."""
+    each node's string-value).  ID-ness follows libxml2: parsed HTML
+    documents treat the ``id`` attribute as the ID; XML documents honor
+    only DTD-declared ID attributes (``<!ATTLIST e a ID ...>`` in the
+    internal subset; no declarations → empty node-set).  Reference gets
+    the same via lxml (/root/reference/parsel/selector.py:601-607)."""
     if len(args) != 1:
         raise XPathEvalError("id() takes exactly one argument")
     val = ev._eval(args[0], ctx, pos, size)
@@ -1484,6 +1486,23 @@ def _fn_id(ev, args, ctx, pos, size):
     if not want:
         return []
     root = document_root(ctx)
+    if getattr(root, "doc_type", "html") == "xml":
+        id_attrs = getattr(root, "id_attrs", None)
+        if not id_attrs:
+            return []
+
+        def is_hit(el: Element) -> bool:
+            local = el.tag.rsplit("}", 1)[-1]
+            qname = f"{el.prefix}:{local}" if el.prefix else local
+            for attr in id_attrs.get(qname, ()):  # DTD names are qnames
+                if el.attrib.get(attr) in want:
+                    return True
+            return False
+
+        return [
+            n for n in walk_descendants(root, True)
+            if isinstance(n, Element) and is_hit(n)
+        ]
     return [
         n
         for n in walk_descendants(root, True)

@@ -115,3 +115,62 @@ class TestLangFunction:
     def test_lang_absent(self):
         sel = Selector(text="<html><body><p>x</p></body></html>")
         assert sel.xpath("//p[lang('en')]").getall() == []
+
+
+class TestDtdIdAndEntities:
+    """Round-3 close of the last documented divergences: XML DTD-declared
+    ID attributes for id(), and declared-internal-entity expansion in
+    attribute values (libxml2 resolve_entities=False semantics —
+    reference gets both via lxml, /root/reference/parsel/selector.py)."""
+
+    def test_xml_dtd_declared_id(self):
+        xml = (
+            "<!DOCTYPE r [<!ATTLIST e xid ID #IMPLIED>"
+            "<!ATTLIST f name CDATA #IMPLIED fid ID #REQUIRED>]>"
+            '<r><e xid="k1">one</e><f fid="k2" name="n">two</f>'
+            '<e id="k3">three</e></r>'
+        )
+        sel = Selector(text=xml, type="xml")
+        assert sel.xpath("id('k1')/text()").getall() == ["one"]
+        assert sel.xpath("id('k2')/text()").getall() == ["two"]
+        assert sel.xpath("id('k1 k2')/text()").getall() == ["one", "two"]
+        # the plain `id` attribute is NOT an ID in XML (no declaration)
+        assert sel.xpath("id('k3')").getall() == []
+
+    def test_xml_without_dtd_has_no_ids(self):
+        sel = Selector(text='<r><e id="k">x</e></r>', type="xml")
+        assert sel.xpath("id('k')").getall() == []
+        # HTML rule unchanged: id attribute is the ID
+        html = Selector(text='<html><p id="k">x</p></html>')
+        assert html.xpath("id('k')/text()").getall() == ["x"]
+
+    def test_declared_entity_expands_in_attribute_only(self):
+        xml = '<!DOCTYPE r [<!ENTITY a "X">]><r attr="&a;b">&a;c</r>'
+        sel = Selector(text=xml, type="xml")
+        # attribute values expand declared internal entities (libxml2
+        # expands them even with resolve_entities=False) ...
+        assert sel.xpath("//r/@attr").get() == "Xb"
+        # ... content keeps the reference (serializes like lxml's
+        # entity node)
+        assert sel.get() == '<r attr="Xb">&a;c</r>'
+
+    def test_entity_bomb_bounded_and_cycles_safe(self):
+        bomb = (
+            '<!DOCTYPE r [<!ENTITY a "bbbb">'
+            '<!ENTITY b "&a;&a;&a;&a;&a;&a;&a;&a;">'
+            '<!ENTITY c "&b;&b;&b;&b;&b;&b;&b;&b;">]>'
+            '<r x="&c;&c;&c;"/>'
+        )
+        v = Selector(text=bomb, type="xml").xpath("//r/@x").get()
+        assert len(v) < 100_000  # expansion budget holds
+        cyc = '<!DOCTYPE r [<!ENTITY a "&b;"><!ENTITY b "&a;">]><r x="&a;"/>'
+        out = Selector(text=cyc, type="xml").xpath("//r/@x").get()
+        assert "&" in out  # gives up, keeps a literal reference
+
+    def test_external_entity_never_resolved(self):
+        xxe = (
+            '<!DOCTYPE r [<!ENTITY xxe SYSTEM "file:///etc/passwd">]>'
+            '<r x="&xxe;">&xxe;</r>'
+        )
+        sel = Selector(text=xxe, type="xml")
+        assert sel.get() == '<r x="&xxe;">&xxe;</r>'
