@@ -274,49 +274,99 @@ class IvfAssign:
         return t.append_column("ivf_cell", pa.array(cell, pa.int32()))
 
 
-class IvfScore(BruteForceTopK):
-    """BruteForceTopK restricted to each query's own probe cells: rows
-    outside a query's nprobe cells are masked out of that query's top-k
-    (true IVF semantics, not the union superset)."""
+class IvfCellScore:
+    """Per-cell partial top-k: each batch's rows are grouped by their
+    ``ivf_cell`` and scored ONLY against the queries probing that cell —
+    compute is Σ_cells N_c·Q_c (true IVF cost) instead of the union
+    matmul's N_union·Q.  Semantics: a corpus row lives in exactly one
+    cell, so a query's candidate set is exactly the rows of its nprobe
+    cells; per-(batch, cell) partial top-k rows merge in
+    :func:`finalize_topk`.  (This also fixes the union path's quirk of
+    taking the batch top-k BEFORE the probe mask, which could drop valid
+    probed-cell candidates behind unprobed-cell rows.)"""
+
+    _EMPTY = pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            "neighbor_id": pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64()),
+        }
+    )
 
     def __init__(self, queries_ref, probes_ref, k: int,
                  id_col: str = "vec_id", emb_col: str = "embedding") -> None:
-        super().__init__(queries_ref, k, id_col, emb_col)
         from .relational import LazyRef
 
+        self._q = LazyRef(queries_ref)
         self._probes = LazyRef(probes_ref)
+        self.k = k
+        self.id_col = id_col
+        self.emb_col = emb_col
+        self._cell2q: "dict | None" = None  # built once per actor/worker
+
+    def _build(self) -> None:
+        q = self._q.get()
+        self._qids = np.asarray(q["ids"], dtype=np.int64)
+        self._qmat = np.asarray(q["mat"], dtype=np.float64)
+        probes = self._probes.get()
+        cell2q: dict[int, list[int]] = {}
+        for row, cells in enumerate(np.asarray(probes["cells"])):
+            for c in cells:
+                cell2q.setdefault(int(c), []).append(row)
+        self._cell2q = {
+            c: np.array(rs, dtype=np.int64) for c, rs in cell2q.items()
+        }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        t = super().__call__(batch)
-        if len(t) == 0 or len(batch) == 0:
-            return t
-        # recompute membership mask per (query, neighbor) pair on the
-        # partial top-k rows (small) rather than the full sim matrix
-        probes = self._probes.get()  # (Q, nprobe) int cells, row per query
-        cells = dict(
-            zip(
-                batch[self.id_col].to_pylist(),
-                batch["ivf_cell"].to_pylist(),
-            )
+        if len(batch) == 0:
+            return self._EMPTY
+        if self._cell2q is None:
+            self._build()
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cells = batch["ivf_cell"].to_numpy(zero_copy_only=False)
+        mat = _stack_embeddings(batch[self.emb_col])
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        mat = mat / norms[:, None]
+        order = np.argsort(cells, kind="stable")
+        sc = cells[order]
+        seg_starts = np.concatenate(
+            ([0], np.flatnonzero(np.diff(sc)) + 1, [len(sc)])
         )
-        probe_sets = {int(q): set(int(c) for c in row)
-                      for q, row in zip(probes["ids"], probes["cells"])}
-        keep = [
-            cells.get(n) in probe_sets.get(int(qid), ())
-            for qid, n in zip(t["query_id"].to_pylist(),
-                              t["neighbor_id"].to_pylist())
-        ]
-        return t.filter(pa.array(keep, pa.bool_()))
+        out_q, out_n, out_s = [], [], []
+        for si in range(len(seg_starts) - 1):
+            seg = order[seg_starts[si]:seg_starts[si + 1]]
+            qrows = self._cell2q.get(int(sc[seg_starts[si]]))
+            if qrows is None:
+                continue
+            sims = mat[seg] @ self._qmat[qrows].T  # (n_c, q_c)
+            k = min(self.k, len(seg))
+            part = np.argpartition(-sims, k - 1, axis=0)[:k]  # (k, q_c)
+            seg_ids = ids[seg]
+            for j, qrow in enumerate(qrows):
+                rows = part[:, j]
+                out_q.append(np.full(k, self._qids[qrow]))
+                out_n.append(seg_ids[rows])
+                out_s.append(sims[rows, j])
+        if not out_q:
+            return self._EMPTY
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+                "cosine": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
 
 
 def ivf_topk(ds, queries_ref, centroids_ref, k: int, nprobe: int = 4,
              id_col: str = "vec_id", emb_col: str = "embedding"):
     """IVF ANN top-k: corpus rows are assigned to centroid cells once;
     each query's candidates are restricted to its ``nprobe`` nearest
-    cells (recall < 1).  The corpus is first filtered to the UNION of all
-    probed cells (cost N_union·Q for the matmul, N·Q·nprobe/k_cells
-    after per-query masking); at scale, group rows by cell and score
-    per-cell to avoid the union matmul entirely.
+    cells (recall < 1).  Rows in cells no query probes are dropped by a
+    cheap filter, then :class:`IvfCellScore` scores each cell's rows
+    only against the queries probing that cell — Σ N_c·Q_c compute, no
+    union matmul.
     """
     import ray
 
@@ -339,7 +389,7 @@ def ivf_topk(ds, queries_ref, centroids_ref, k: int, nprobe: int = 4,
         batch_format="pyarrow",
     )
     partials = filtered.map_batches(
-        IvfScore(queries_ref, probes_ref, k, id_col, emb_col),
+        IvfCellScore(queries_ref, probes_ref, k, id_col, emb_col),
         batch_format="pyarrow",
         batch_size=4096,
     )

@@ -269,8 +269,8 @@ def q5_region_revenue(sf_dir: str):
     )
     joined = hash_bucket_join(li, orders, on="orderkey", buckets=16)
     matched = joined.map_batches(
-        lambda df: df[df["supp_nation"] == df["cust_nation"]],
-        batch_format="pandas",
+        lambda t: t.filter(pc.equal(t["supp_nation"], t["cust_nation"])),
+        batch_format="pyarrow",
     )
     agg = partial_sum_groupby(
         matched, ["supp_nation"], {"rev_cents": "revenue_cents"}
