@@ -552,19 +552,27 @@ def run_crawl(
     # references, never rows; shards pull + order their own partitions
     routed_refs: dict[int, list] = {i: [] for i in range(cfg.shards)}
 
+    def _submit_admission(refs: dict) -> list:
+        # one actor RTT per shard per epoch: admit the previous epoch's
+        # links (shards block on the chunk link refs themselves), tick,
+        # pop the next epoch's grants
+        return [
+            s.admit_tick_pop.remote(refs[i]) for i, s in enumerate(shards)
+        ]
+
+    admit_futs = _submit_admission(routed_refs)
+    routed_refs = {i: [] for i in range(cfg.shards)}
     for epoch in range(start_epoch, cfg.max_epochs):
-        # single barrier: admit previous epoch's links, tick, pop this
-        # epoch's grants — one actor RTT per shard per epoch
-        results = ray.get(
-            [s.admit_tick_pop.remote(routed_refs[i]) for i, s in enumerate(shards)]
-        )
-        routed_refs = {i: [] for i in range(cfg.shards)}
+        results = ray.get(admit_futs)
+        admit_futs = None
         grants = sorted(
             (g for lst, _ in results for g in lst), key=lambda du: (du[0], du[1])
         )
         if not grants:
             if sum(p for _, p in results) == 0:
                 break
+            if epoch + 1 < cfg.max_epochs:
+                admit_futs = _submit_admission(routed_refs)  # empty tick
             continue
         if verify:
             for d, u in grants:
@@ -599,6 +607,23 @@ def run_crawl(
             nimg_refs.append(rets[1])
             for i in range(cfg.shards):
                 routed_refs[i].append(rets[2 + i])
+        will_ckpt = bool(
+            checkpoint_every and ckpt_dir
+            and (epoch + 1) % checkpoint_every == 0
+        )
+        if epoch + 1 < cfg.max_epochs and not will_ckpt:
+            # PIPELINED admission: submit next epoch's admit_tick_pop now
+            # (shards block on the chunk link refs themselves and start
+            # admitting the moment the last chunk lands), overlapping the
+            # driver's image barrier / _DONE publish / pop bookkeeping
+            # with shard-side admission.  Checkpoint epochs keep the
+            # serial order — the snapshot must capture pre-admission
+            # state, and per-actor submission order would run
+            # admit_tick_pop before checkpoint otherwise.  The last epoch
+            # also stays serial so its leftover links go through the
+            # post-loop admit_and_tick (no pop), matching the oracle.
+            admit_futs = _submit_admission(routed_refs)
+            routed_refs = {i: [] for i in range(cfg.shards)}
         if edir or collect_images:
             # barrier on the (tiny) image-count returns: all chunk
             # side-effects (parquet shards) are on disk before the epoch
@@ -612,7 +637,7 @@ def run_crawl(
         if collect_images:
             image_tables.extend(t for t in ray.get(img_refs) if t is not None)
 
-        if checkpoint_every and ckpt_dir and (epoch + 1) % checkpoint_every == 0:
+        if will_ckpt:
             # always written: with verify=False the delta is empty but the
             # popped_total metadata still rides along, so a resume (at
             # EITHER verify setting) restores the cumulative pop count
@@ -631,6 +656,12 @@ def run_crawl(
             # epoch-level atomic publish: only a checkpoint with driver
             # delta AND all K shard snapshots counts for resume
             open(os.path.join(ckpt_dir, f"epoch={epoch}", "_DONE"), "w").close()
+            if epoch + 1 < cfg.max_epochs:
+                # serial (non-pipelined) admission after the snapshot —
+                # the snapshot captured these refs as preadmit, so
+                # admission must happen strictly after it
+                admit_futs = _submit_admission(routed_refs)
+                routed_refs = {i: [] for i in range(cfg.shards)}
 
     # max_epochs may truncate the crawl with links still un-admitted — the
     # oracle admits (and ticks) them inside its final iteration, so the seen
