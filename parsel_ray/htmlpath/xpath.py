@@ -10,8 +10,10 @@ extension, and a global extension-function registry equivalent to
 
 Round 2 closed the round-1 exclusions: the ``preceding``/``following``
 axes, ``processing-instruction()`` node tests, ``id()`` and ``lang()``
-are implemented (id-ness comes from the ``id`` attribute, libxml2's
-parsed-HTML behavior; XML DTD-declared IDs are not modeled).  Queries are
+are implemented (id-ness comes from the ``id`` attribute for parsed HTML,
+libxml2's behavior, plus DTD-declared ID attributes for XML).  Round 3
+added whole-node-set FilterExpr predicates (``(//a)[2]``), plain-decimal
+number->string conversion, and spec substring() bounds.  Queries are
 compiled per worker with an LRU cache (mirrors the reference's
 translation cache policy, csstranslator.py:130-138).
 """
@@ -20,6 +22,7 @@ from __future__ import annotations
 
 import math
 import re
+from decimal import Decimal
 from functools import lru_cache
 from typing import Any, Callable, Iterator
 
@@ -339,13 +342,20 @@ class Node:
 
 
 class PathExpr(Node):
-    __slots__ = ("absolute", "abbreviated_root", "steps", "filter_expr")
+    __slots__ = ("absolute", "abbreviated_root", "steps", "filter_expr",
+                 "filter_predicates")
 
-    def __init__(self, absolute, steps, filter_expr=None, abbreviated_root=False):
+    def __init__(self, absolute, steps, filter_expr=None,
+                 abbreviated_root=False, filter_predicates=None):
         self.absolute = absolute
         self.steps = steps
         self.filter_expr = filter_expr
         self.abbreviated_root = abbreviated_root
+        # predicates on the FilterExpr itself: unlike step predicates,
+        # position() here indexes the WHOLE node-set in document order,
+        # so (//a)[2] is the second <a> in the document — not "every <a>
+        # that is its own first self::node()"
+        self.filter_predicates = filter_predicates or []
 
 
 class Step(Node):
@@ -543,16 +553,15 @@ class Parser:
         while self.peek().kind == "sym" and self.peek().value == "[":
             predicates.append(self._parse_predicate())
         steps: list[Step] = []
-        if predicates:
-            steps.append(Step("self", "node", None, None, predicates))
         while self.peek().kind == "sym" and self.peek().value in ("/", "//"):
             sep = self.next().value
             if sep == "//":
                 steps.append(Step("descendant-or-self", "node", None, None, []))
             steps.append(self._parse_step())
-        if not steps:
+        if not steps and not predicates:
             return fe
-        return PathExpr(False, steps, filter_expr=fe)
+        return PathExpr(False, steps, filter_expr=fe,
+                        filter_predicates=predicates)
 
     def _is_function_call(self) -> bool:
         # name [':' name] '('
@@ -759,7 +768,12 @@ def xpath_number_to_string(v: float) -> str:
         return "Infinity" if v > 0 else "-Infinity"
     if v == int(v):
         return str(int(v))
-    return repr(v)
+    s = repr(v)
+    if "e" in s or "E" in s:
+        # XPath 1.0 number->string never uses exponential notation;
+        # Decimal(shortest-repr) expands it without inventing digits
+        s = format(Decimal(s), "f")
+    return s
 
 
 def to_string(v: Any) -> str:
@@ -945,6 +959,8 @@ class Evaluator:
                 # e.g. jmespath-like chaining on scalars is not a node-set
                 start = [start] if start not in (None, "") else []
             current = list(start)
+            for pred in node.filter_predicates:
+                current = self._apply_predicate(pred, current)
         elif node.absolute:
             root = document_root(ctx)
             if node.abbreviated_root and not node.steps:
@@ -1353,8 +1369,12 @@ def _fn_substring(ev, args, ctx, pos, size):
     if math.isnan(length) or (math.isinf(length) and length < 0):
         return ""
     begin = math.floor(start + 0.5)  # XPath round(), not banker's rounding
-    end = begin + (
-        math.floor(length + 0.5) if not math.isinf(length) else len(s) + 1
+    # spec: keep positions p with round(start) <= p < round(start)+round(len);
+    # an infinite length keeps the upper bound infinite even for begin << 0
+    end = (
+        begin + math.floor(length + 0.5)
+        if not math.isinf(length)
+        else float("inf")
     )
     return "".join(c for i, c in enumerate(s, start=1) if begin <= i < end)
 

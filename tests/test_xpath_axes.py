@@ -174,3 +174,72 @@ class TestDtdIdAndEntities:
         )
         sel = Selector(text=xxe, type="xml")
         assert sel.get() == '<r x="&xxe;">&xxe;</r>'
+
+
+class TestFilterExprPredicates:
+    """Predicates on a parenthesized FilterExpr index the WHOLE node-set
+    in document order ((//a)[2] = second <a> anywhere), unlike step
+    predicates which are per-context-node (//a[2]).  lxml/libxml2
+    semantics; round-3 fix (the old compilation as a self::node() step
+    made every position()-predicate vacuously true)."""
+
+    DOC = """<html><body>
+      <div id="a"><a href="1">one</a><a href="2">two</a></div>
+      <div id="b"><a href="3">three</a></div>
+      <p class="x y">para1</p><p>para2</p>
+    </body></html>"""
+
+    def sel(self):
+        return Selector(text=self.DOC)
+
+    def test_positional_filter(self):
+        assert self.sel().xpath("(//a)[1]/@href").get() == "1"
+        assert self.sel().xpath("(//a)[last()]/@href").get() == "3"
+        assert self.sel().xpath("(//a/@href)[2]").get() == "2"
+
+    def test_filter_then_path_continuation(self):
+        assert self.sel().xpath("(//div)[2]/a/@href").getall() == ["3"]
+        assert self.sel().xpath("(//div)[last()]//text()").getall() == ["three"]
+
+    def test_chained_filter_predicates(self):
+        got = self.sel().xpath("(//a)[position()>1][1]/@href").get()
+        assert got == "2"
+
+    def test_union_inside_filter(self):
+        got = self.sel().xpath("(//a | //p)[3]").get()
+        assert got == '<a href="3">three</a>'
+
+    def test_step_predicates_stay_per_context(self):
+        # contrast case: //a[1] is first-within-each-div (two matches)
+        assert self.sel().xpath("//a[1]/@href").getall() == ["1", "3"]
+
+    def test_nested_parens(self):
+        assert self.sel().xpath("((//a)[2])/text()").get() == "two"
+
+
+class TestNumberStringEdges:
+    """XPath 1.0 number->string conversion never uses exponential
+    notation, and substring() handles non-finite bounds per spec."""
+
+    def sel(self):
+        return Selector(text="<p>x</p>")
+
+    def test_no_exponential_notation(self):
+        assert self.sel().xpath("string(0.000001)").get() == "0.000001"
+        assert self.sel().xpath("string(0.00000001)").get() == "0.00000001"
+        assert self.sel().xpath("string(-0.5 + 0.25)").get() == "-0.25"
+
+    def test_nonfinite_names(self):
+        assert self.sel().xpath("string(1 div 0)").get() == "Infinity"
+        assert self.sel().xpath("string(-1 div 0)").get() == "-Infinity"
+        assert self.sel().xpath("string(0 div 0)").get() == "NaN"
+
+    def test_substring_infinite_length(self):
+        s = self.sel()
+        assert s.xpath("substring('12345', -42, 1 div 0)").get() == "12345"
+        assert s.xpath("substring('12345', 2, 1 div 0)").get() == "2345"
+        assert s.xpath("substring('12345', 1 div 0, 1 div 0)").get() == ""
+        assert s.xpath("substring('12345', 0 div 0)").get() == ""
+
+    def test_substring_rounding(self):
+        assert self.sel().xpath("substring('12345', 1.5, 2.6)").get() == "234"
