@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 
 import numpy as np
 import pyarrow as pa
@@ -560,10 +561,17 @@ def run_crawl(
             s.admit_tick_pop.remote(refs[i]) for i, s in enumerate(shards)
         ]
 
+    # driver-side phase timings ride along in metrics (lineage: where the
+    # epoch-BSP wall-time goes — admission RTT, fetch dispatch, barriers)
+    phase_s = {"admit_wait": 0.0, "dispatch": 0.0, "img_barrier": 0.0,
+               "epochs": 0}
     admit_futs = _submit_admission(routed_refs)
     routed_refs = {i: [] for i in range(cfg.shards)}
     for epoch in range(start_epoch, cfg.max_epochs):
+        _t0 = time.perf_counter()
         results = ray.get(admit_futs)
+        phase_s["admit_wait"] += time.perf_counter() - _t0
+        phase_s["epochs"] += 1
         admit_futs = None
         grants = sorted(
             (g for lst, _ in results for g in lst), key=lambda du: (du[0], du[1])
@@ -590,6 +598,7 @@ def run_crawl(
             edir = os.path.join(out_dir, "images", f"epoch={epoch}")
             os.makedirs(edir, exist_ok=True)
         img_refs, nimg_refs = [], []
+        _t0 = time.perf_counter()
         nchunks = -(-len(grants) // chunk)
         for ci in range(nchunks):
             # stripe: consecutive (depth,url)-sorted grants cluster same-host
@@ -607,6 +616,7 @@ def run_crawl(
             nimg_refs.append(rets[1])
             for i in range(cfg.shards):
                 routed_refs[i].append(rets[2 + i])
+        phase_s["dispatch"] += time.perf_counter() - _t0
         will_ckpt = bool(
             checkpoint_every and ckpt_dir
             and (epoch + 1) % checkpoint_every == 0
@@ -631,7 +641,9 @@ def run_crawl(
             # barrier here — the next epoch's admit_tick_pop blocks on the
             # link refs inside the shards, overlapping fetch stragglers
             # with the next admission round.
+            _t0 = time.perf_counter()
             ray.get(nimg_refs)
+            phase_s["img_barrier"] += time.perf_counter() - _t0
         if edir:
             open(os.path.join(edir, "_DONE"), "w").close()
         if collect_images:
@@ -684,6 +696,9 @@ def run_crawl(
         for k, v in m.items():
             metrics[k] = metrics.get(k, 0) + v
     metrics["popped"] = n_popped  # total grants (survives verify=False)
+    metrics["driver_epochs"] = phase_s["epochs"]
+    for k in ("admit_wait", "dispatch", "img_barrier"):
+        metrics[f"driver_{k}_ms"] = int(phase_s[k] * 1000)
     img_table = (
         pa.concat_tables(image_tables) if image_tables else IMAGE_SCHEMA.empty_table()
     )

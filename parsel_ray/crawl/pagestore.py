@@ -177,7 +177,6 @@ class PageStore:
         rng = np.random.RandomState(s)
         w = self.cfg.img_size_min + s % self.cfg.img_size_span
         h = self.cfg.img_size_min + (s >> 8) % self.cfg.img_size_span
-        yy, xx = np.mgrid[0:h, 0:w]
         # seeded sinusoid pattern per channel (distinct spatial structure
         # per image — a plain gradient would make every perceptual hash
         # collapse to the same bit pattern)
@@ -186,10 +185,16 @@ class PageStore:
         px_ = rng.uniform(0, 2 * np.pi, size=3)
         py_ = rng.uniform(0, 2 * np.pi, size=3)
         base = np.empty((h, w, 3))
+        xs_ = np.arange(w)
+        ys_ = np.arange(h)
         for c in range(3):
-            base[..., c] = 127.0 + 55.0 * np.sin(
-                2 * np.pi * fx[c] * xx / w + px_[c]
-            ) + 55.0 * np.cos(2 * np.pi * fy[c] * yy / h + py_[c])
+            # the pattern is separable (sin over x + cos over y): evaluate
+            # the trig on 1-D axes and broadcast — O(w+h) transcendentals
+            # instead of O(w*h), bit-identical results (same per-element
+            # expressions and addition order as the 2-D mgrid form)
+            sx = 127.0 + 55.0 * np.sin(2 * np.pi * fx[c] * xs_ / w + px_[c])
+            cy = 55.0 * np.cos(2 * np.pi * fy[c] * ys_ / h + py_[c])
+            base[..., c] = sx[None, :] + cy[:, None]
         noise = rng.randint(0, 32, size=(h, w, 3))
         return np.clip(base / 1.45 + noise, 0, 255).astype(np.uint8)
 

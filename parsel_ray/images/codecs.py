@@ -54,7 +54,9 @@ def _encode_png(px: np.ndarray) -> bytes:
     raw = np.empty((h, 1 + w * 3), dtype=np.uint8)
     raw[:, 0] = 0
     raw[:, 1:] = px.reshape(h, w * 3)
-    idat = zlib.compress(raw.tobytes(), level=6)
+    # level 1: container compression is not the contract (lossless
+    # either way); ~2x faster encode for ~4% larger payloads
+    idat = zlib.compress(raw.tobytes(), level=1)
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
@@ -94,7 +96,8 @@ def _decode_png(data: bytes) -> np.ndarray:
 def _encode_qjpg(px: np.ndarray) -> bytes:
     h, w, _ = px.shape
     q = (px >> 3).astype(np.uint8)  # 5 bits per channel
-    return b"QJ1\n%d %d\n" % (w, h) + zlib.compress(q.tobytes(), level=6)
+    # level 1 (see _encode_png): speed over a few % of payload size
+    return b"QJ1\n%d %d\n" % (w, h) + zlib.compress(q.tobytes(), level=1)
 
 
 def _decode_qjpg(data: bytes) -> np.ndarray:
@@ -161,13 +164,12 @@ def phash64(px: np.ndarray) -> int:
     h, w = gray.shape
     ys = (np.arange(9) * h) // 8
     xs = (np.arange(9) * w) // 8
-    cells = np.empty((8, 8), dtype=np.float64)
-    for i in range(8):
-        for j in range(8):
-            cells[i, j] = gray[ys[i] : ys[i + 1], xs[j] : xs[j + 1]].mean()
+    # two reduceat passes = all 64 block sums in two vector ops
+    row_sums = np.add.reduceat(gray, ys[:8], axis=0)
+    cells = np.add.reduceat(row_sums, xs[:8], axis=1)
+    cells /= np.outer(np.diff(ys), np.diff(xs))
     bits = (cells > cells.mean()).reshape(-1)
-    val = np.uint64(0)
-    for i, b in enumerate(bits):
-        if b:
-            val |= np.uint64(1) << np.uint64(i)
-    return int(val.astype(np.int64))
+    val = int.from_bytes(
+        np.packbits(bits, bitorder="little").tobytes(), "little"
+    )
+    return val - (1 << 64) if val >= 1 << 63 else val
