@@ -183,3 +183,45 @@ def grouped_apply(
         .groupby("__part")
         .map_groups(per_partition, batch_format="pandas")
     )
+
+
+def grouped_topk(
+    ds,
+    keys,
+    order_by,
+    ascending,
+    k: int = 1,
+    num_partitions: int = 64,
+):
+    """Distributed per-group top-k (the window-function
+    ``row_number() OVER (PARTITION BY keys ORDER BY ...) <= k`` shape).
+
+    Scale shape: a per-BATCH combiner keeps only k rows per key per block
+    before the shuffle — the exchange carries O(k * distinct-keys-per-
+    block) rows, never the full input — then :func:`grouped_apply`
+    re-applies the same top-k per key within coarse hash partitions.
+    ``order_by``/``ascending`` must give a TOTAL order (include a unique
+    tie-break column) for deterministic output.
+    """
+    import pandas as pd
+    import pyarrow as pa
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    order_by = [order_by] if isinstance(order_by, str) else list(order_by)
+
+    def combine(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df.sort_values(order_by, ascending=ascending, kind="mergesort")
+        out = df.groupby(keys, sort=False).head(k)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_by, ascending=ascending, kind="mergesort")
+        return g.head(k)
+
+    return grouped_apply(
+        ds.map_batches(combine, batch_format="pyarrow"),
+        keys,
+        final,
+        num_partitions=num_partitions,
+    )

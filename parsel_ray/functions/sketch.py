@@ -12,6 +12,8 @@ quantiles using t-digests" (2019).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pyarrow as pa
 
@@ -130,3 +132,132 @@ def build_tdigest(ds, col: str, delta: int = 200):
             for i in range(0, len(refs), 2)
         ]
     return TDigest.from_bytes(ray.get(refs[0]), delta)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog count-distinct sketch
+# ---------------------------------------------------------------------------
+
+
+def _hash64(col) -> np.ndarray:
+    """Vectorized stable 64-bit hash of an int/string column (uint64).
+
+    Integers go through the splitmix64 finalizer (full avalanche — HLL
+    consumes the HIGH bits for the register index and counts leading
+    zeros of the rest, so weak low-bit mixes are not enough).  Strings
+    hash via polars' vectorized row hash, FNV fallback without it.
+    Stable within one run, which is all a sketch needs."""
+    if pa.types.is_integer(col.type):
+        z = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+    try:
+        import polars as pl
+
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        return pl.from_arrow(arr).hash(seed=0).to_numpy().astype(np.uint64)
+    except ImportError:  # pragma: no cover
+        from .relational import _fnv
+
+        return np.fromiter(
+            (_fnv(s) for s in col.to_pylist()), dtype=np.uint64, count=len(col)
+        )
+
+
+class HyperLogLog:
+    """Flajolet et al. HLL: ``m = 2**p`` one-byte registers, each the max
+    leading-zero rank seen in its substream — O(m) state regardless of
+    cardinality, merges by elementwise max (associative + idempotent, so
+    task-tree merging and at-least-once batch delivery are both safe).
+    Standard error ≈ 1.04/sqrt(m) (p=14 → ~0.8%).
+
+    Public literature: Flajolet, Fusy, Gandouet, Meunier, "HyperLogLog:
+    the analysis of a near-optimal cardinality estimation algorithm"
+    (2007); small-range correction per the original paper."""
+
+    __slots__ = ("p", "registers")
+
+    def __init__(self, p: int = 14) -> None:
+        if not 4 <= p <= 18:
+            raise ValueError("p must be in [4, 18]")
+        self.p = p
+        self.registers = np.zeros(1 << p, dtype=np.uint8)
+
+    def add_hashes(self, h: np.ndarray) -> "HyperLogLog":
+        """Fold a uint64 hash array in, fully vectorized."""
+        p = self.p
+        w = np.uint64(64 - p)
+        idx = (h >> w).astype(np.int64)
+        rest = h & ((np.uint64(1) << w) - np.uint64(1))
+        # rho = leading zeros within the (64-p)-bit window + 1.
+        # floor(log2(v)) exactly: frexp on float64 (rest < 2**50 is
+        # exactly representable), v = m * 2**e with m in [0.5, 1).
+        rho = np.empty(len(rest), dtype=np.uint8)
+        nz = rest != 0
+        _, e = np.frexp(rest[nz].astype(np.float64))
+        rho[nz] = (int(w) - (e - 1)).astype(np.uint8)
+        rho[~nz] = np.uint8(int(w) + 1)
+        np.maximum.at(self.registers, idx, rho)
+        return self
+
+    def add_column(self, col) -> "HyperLogLog":
+        if len(col):
+            self.add_hashes(_hash64(col))
+        return self
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        if other.p != self.p:
+            raise ValueError("cannot merge HLLs of different precision")
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def estimate(self) -> float:
+        m = float(len(self.registers))
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        est = alpha * m * m / np.sum(np.ldexp(1.0, -self.registers.astype(np.int64)))
+        if est <= 2.5 * m:
+            zeros = int(np.count_nonzero(self.registers == 0))
+            if zeros:
+                return m * math.log(m / zeros)
+        return float(est)
+
+    def to_bytes(self) -> bytes:
+        return bytes([self.p]) + self.registers.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "HyperLogLog":
+        hll = cls(data[0])
+        hll.registers = np.frombuffer(data[1:], dtype=np.uint8).copy()
+        return hll
+
+
+def build_hll(ds, col: str, p: int = 14):
+    """Distributed count-distinct: per-batch partial HLLs in
+    ``map_batches`` (one 16 KiB register array per batch leaves each
+    task — never the values), merged by a task tree like
+    :func:`build_tdigest`.  Returns the final :class:`HyperLogLog`."""
+    import ray
+
+    def partial(t: pa.Table) -> pa.Table:
+        hll = HyperLogLog(p)
+        hll.add_column(t[col])
+        return pa.table({"__hll": pa.array([hll.to_bytes()], pa.binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    if not parts:
+        return HyperLogLog(p)
+
+    @ray.remote
+    def merge_two(a: bytes, b: bytes) -> bytes:
+        return HyperLogLog.from_bytes(a).merge(HyperLogLog.from_bytes(b)).to_bytes()
+
+    refs = [ray.put(r["__hll"]) for r in parts]
+    while len(refs) > 1:
+        refs = [
+            merge_two.remote(refs[i], refs[i + 1])
+            if i + 1 < len(refs)
+            else refs[i]
+            for i in range(0, len(refs), 2)
+        ]
+    return HyperLogLog.from_bytes(ray.get(refs[0]))

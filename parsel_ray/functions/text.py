@@ -216,3 +216,41 @@ class LangId:
         nulls = pc.is_null(col).to_numpy(zero_copy_only=False)
         out = [None if nl else str(v) for nl, v in zip(nulls, vals)]
         return batch.append_column(self.out, pa.array(out, pa.string()))
+
+
+def term_doc_tf(
+    batch: pa.Table, col: str = "text", id_col: str = "doc_id",
+    min_len: int = 2,
+) -> pa.Table:
+    """(doc_id, term, tf) rows for the batch: term = maximal ASCII
+    lowercase run (``[a-z]{min_len,}``), tf = occurrences within the doc.
+
+    Inverted-index / tf-idf building block.  Fully vectorized: RE2 split
+    into token lists, flatten with ``np.repeat`` doc alignment, distinct
+    (term, doc) counting via Arrow ``group_by`` — no Python loop over
+    rows or tokens.  Because one document is always one row (never split
+    across batches), per-batch counts are exact, and a downstream sum /
+    distinct-count over batches is exact too.
+
+    Matches DuckDB ``unnest(regexp_extract_all(text, '[a-z]{2,}'))``:
+    splitting on ``[^a-z]+`` yields the same maximal runs, minus the
+    short (< min_len) ones, which the length filter drops."""
+    text = pc.fill_null(batch[col], "")
+    toks = pc.split_pattern_regex(text, "[^a-z]+")
+    n = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(toks)
+    doc = np.repeat(
+        batch[id_col].to_numpy(zero_copy_only=False), n
+    )
+    keep = pc.greater_equal(pc.utf8_length(flat), min_len)
+    t = pa.table(
+        {
+            "term": (
+                flat.combine_chunks() if isinstance(flat, pa.ChunkedArray)
+                else flat
+            ),
+            id_col: pa.array(doc),
+        }
+    ).filter(keep)
+    out = t.group_by(["term", id_col]).aggregate([([], "count_all")])
+    return out.rename_columns(["term", id_col, "tf"])

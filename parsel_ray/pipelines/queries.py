@@ -21,6 +21,7 @@ shuffle is, what becomes the 100 TB path.
 from __future__ import annotations
 
 import html as _html
+import math
 from datetime import datetime
 
 import numpy as np
@@ -1722,6 +1723,174 @@ def _llm_data_prep_entry(sf_dir: str):
     return llm_data_prep(sf_dir)
 
 
+def doc_term_df(sf_dir: str, k: int = 20):
+    """Inverted-index document frequency: top-``k`` terms by df (ties by
+    term).  Scale shape: per-batch (term, doc) distinct + count is an
+    exact partial (a doc never spans batches), the shuffle carries one
+    (term, df_partial) row per term per block, and the final top-k runs
+    a per-block partial top-k before one tiny merge sort — vocabulary
+    never sits in one place."""
+    pairs = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda t: T.term_doc_tf(t)
+        .group_by("term")
+        .aggregate([("doc_id", "count")])
+        .rename_columns(["term", "df"]),
+        batch_format="pyarrow",
+    )
+    df = partial_sum_groupby(pairs, ["term"], {"df": "df"})
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("df", "descending"), ("term", "ascending")])
+        return t.slice(0, k)
+
+    return (
+        df.map_batches(block_topk, batch_format="pyarrow")
+        .sort(["df", "term"], descending=[True, False])
+        .limit(k)
+    )
+
+
+TERMDF_SQL = """
+SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+FROM (SELECT DISTINCT doc_id, unnest(regexp_extract_all(text, '[a-z]{2,}')) AS term
+      FROM documents)
+GROUP BY term ORDER BY df DESC, term LIMIT 20
+"""
+
+
+def doc_tfidf_top_term(sf_dir: str):
+    """Per-document top term by tf·idf (linear idf = N/df — ranking by
+    tf/df, which orders identically and keeps both engines in exact
+    int64/float64 agreement; ties by term).  Composition: term_doc_tf →
+    df via one keyed sum → bucket join pairs⨝df on term → grouped_topk
+    per doc.  Float ratios of int64s this small are exactly ordered in
+    double, so the DuckDB window oracle matches hash-for-hash."""
+    from ..functions.agg import grouped_topk
+
+    pairs = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        T.term_doc_tf, batch_format="pyarrow"
+    ).materialize()  # two consumers: df aggregation + the join probe side
+    df = partial_sum_groupby(
+        pairs.map_batches(
+            lambda t: t.group_by("term")
+            .aggregate([("doc_id", "count")])
+            .rename_columns(["term", "df"]),
+            batch_format="pyarrow",
+        ),
+        ["term"],
+        {"df": "df"},
+    )
+    joined = hash_bucket_join(pairs, df, on="term", buckets=32)
+
+    def ratio(t: pa.Table) -> pa.Table:
+        r = pc.divide(
+            pc.cast(t["tf"], pa.float64()), pc.cast(t["df"], pa.float64())
+        )
+        return t.append_column("__r", r)
+
+    top = grouped_topk(
+        joined.map_batches(ratio, batch_format="pyarrow"),
+        "doc_id",
+        ["__r", "term"],
+        [False, True],
+        k=1,
+        num_partitions=16,
+    )
+    return top.map_batches(
+        lambda t: t.select(["doc_id", "term", "tf", "df"]).rename_columns(
+            ["doc_id", "top_term", "tf", "df"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+TFIDF_SQL = """
+WITH pairs AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '[a-z]{2,}')) AS term
+        FROM documents)
+  GROUP BY doc_id, term
+), dfs AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM pairs GROUP BY term
+)
+SELECT doc_id, term AS top_term, tf, df FROM (
+  SELECT p.doc_id, p.term, p.tf, d.df,
+         row_number() OVER (
+           PARTITION BY p.doc_id
+           ORDER BY CAST(p.tf AS DOUBLE) / d.df DESC, p.term
+         ) AS rn
+  FROM pairs p JOIN dfs d USING (term)
+) WHERE rn = 1
+"""
+
+
+def top3_orders_per_customer(sf_dir: str):
+    """Per-group top-k (k=3) via :func:`grouped_topk`: per-batch combiner
+    bounds the shuffle at 3 rows per customer per block, coarse hash
+    partitions do the final rank — the distributed
+    ``row_number() <= 3`` window."""
+    from ..functions.agg import grouped_topk
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "o_orderkey": t["o_orderkey"],
+                "price_cents": pa.array(_cents(t["o_totalprice"])),
+            }
+        )
+
+    ds = _read(
+        sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"]
+    ).map_batches(prep, batch_format="pyarrow")
+    return grouped_topk(
+        ds,
+        "o_custkey",
+        ["price_cents", "o_orderkey"],
+        [False, True],
+        k=3,
+        num_partitions=16,
+    )
+
+
+TOP3CUST_SQL = f"""
+SELECT o_custkey, o_orderkey, price_cents FROM (
+  SELECT o_custkey, o_orderkey,
+         {_CENTS_SQL.format(expr='o_totalprice')} AS price_cents,
+         row_number() OVER (
+           PARTITION BY o_custkey
+           ORDER BY {_CENTS_SQL.format(expr='o_totalprice')} DESC, o_orderkey
+         ) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+def events_distinct_users_hll(sf_dir: str):
+    """Mergeable HyperLogLog count-distinct (the sketch a 10^10-URL
+    frontier would use for seen-URL cardinality): per-batch 16 KiB
+    register partials, task-tree merge — values never leave their
+    batch.  Rows-only gate with in-kernel certification: the estimate
+    is asserted within 3σ (σ = 1.04/√m, p=14 → ~0.8 %) of the exact
+    distinct count computed alongside, so a green run certifies the
+    bound."""
+    from ..functions.sketch import build_hll
+
+    ds = _read(sf_dir, "events", ["user_id"]).materialize()  # 2 consumers
+    hll = build_hll(ds, "user_id", p=14)
+    est = hll.estimate()
+    exact = partial_sum_groupby(ds, ["user_id"], {}, count_as="n").count()
+    rel_err = abs(est - exact) / max(exact, 1)
+    assert rel_err < 3 * 1.04 / math.sqrt(1 << 14), (est, exact)
+    return pa.table(
+        {
+            "n_distinct_exact": pa.array([exact], pa.int64()),
+            "n_distinct_est": pa.array([int(round(est))], pa.int64()),
+            "within_3sigma": pa.array([True]),
+        }
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -1777,6 +1946,10 @@ QUERIES = {
     "audio_frame_rms": audio_frame_rms,
     "image_jpeg_roundtrip": image_jpeg_roundtrip,
     "video_frame_sample": video_frame_sample,
+    "doc_term_df": doc_term_df,
+    "doc_tfidf_top_term": doc_tfidf_top_term,
+    "top3_orders_per_customer": top3_orders_per_customer,
+    "events_distinct_users_hll": events_distinct_users_hll,
 }
 
 ORACLE_SQL = {
@@ -1817,4 +1990,7 @@ ORACLE_SQL = {
     "pruned_partitioned_read": PRUNED_SQL,
     "doc_bpe_tokens": BPE_SQL,
     "hash_join_native": NATIVE_JOIN_SQL,
+    "doc_term_df": TERMDF_SQL,
+    "doc_tfidf_top_term": TFIDF_SQL,
+    "top3_orders_per_customer": TOP3CUST_SQL,
 }

@@ -978,3 +978,108 @@ class TestSecondReviewRegressions:
 
         with pytest.raises(ValueError, match="salt_col must differ"):
             salted_bucket_join(None, None, on="k", hot_keys=[1], salt_col="k")
+
+
+class TestHyperLogLog:
+    def test_accuracy_and_merge_idempotence(self):
+        from parsel_ray.functions.sketch import HyperLogLog
+
+        rng = np.random.RandomState(7)
+        for n in (100, 10_000, 200_000):
+            vals = rng.randint(0, 2**62, n * 2)[:n]  # may repeat — count uniques
+            col = pa.array(vals, pa.int64())
+            exact = len(np.unique(vals))
+            hll = HyperLogLog(14).add_column(col)
+            assert abs(hll.estimate() - exact) / exact < 3 * 1.04 / np.sqrt(1 << 14)
+            # idempotent merge: folding the same data twice changes nothing
+            again = HyperLogLog(14).add_column(col).merge(hll)
+            assert np.array_equal(again.registers, hll.registers)
+
+    def test_merge_equals_union_and_roundtrip(self):
+        from parsel_ray.functions.sketch import HyperLogLog
+
+        a = pa.array(np.arange(0, 50_000), pa.int64())
+        b = pa.array(np.arange(25_000, 75_000), pa.int64())
+        u = pa.array(np.arange(0, 75_000), pa.int64())
+        merged = HyperLogLog(12).add_column(a).merge(HyperLogLog(12).add_column(b))
+        whole = HyperLogLog(12).add_column(u)
+        assert np.array_equal(merged.registers, whole.registers)
+        back = HyperLogLog.from_bytes(merged.to_bytes())
+        assert back.p == 12 and np.array_equal(back.registers, merged.registers)
+
+    def test_string_column(self):
+        from parsel_ray.functions.sketch import HyperLogLog
+
+        col = pa.array([f"user-{i % 3000}" for i in range(20_000)])
+        est = HyperLogLog(14).add_column(col).estimate()
+        assert abs(est - 3000) / 3000 < 0.05
+
+    @pytest.mark.usefixtures("ray_session")
+    def test_distributed_build(self):
+        import ray.data as rd
+
+        from parsel_ray.functions.sketch import build_hll
+
+        vals = np.arange(40_000, dtype=np.int64) % 9_777
+        ds = rd.from_arrow(pa.table({"v": pa.array(vals)})).repartition(8)
+        est = build_hll(ds, "v", p=14).estimate()
+        assert abs(est - 9_777) / 9_777 < 3 * 1.04 / np.sqrt(1 << 14)
+
+
+class TestGroupedTopK:
+    @pytest.mark.usefixtures("ray_session")
+    def test_matches_pandas_window(self):
+        import ray.data as rd
+
+        from parsel_ray.functions.agg import grouped_topk
+
+        rng = np.random.RandomState(11)
+        n = 5_000
+        df = pd.DataFrame(
+            {
+                "g": rng.randint(0, 200, n),
+                "v": rng.randint(0, 1000, n),
+                "id": np.arange(n),
+            }
+        )
+        ds = rd.from_pandas(df).repartition(16)
+        got = (
+            grouped_topk(ds, "g", ["v", "id"], [False, True], k=3)
+            .to_pandas()
+            .sort_values(["g", "v", "id"], ascending=[True, False, True])
+            .reset_index(drop=True)
+        )
+        want = (
+            df.sort_values(["v", "id"], ascending=[False, True], kind="mergesort")
+            .groupby("g", sort=False)
+            .head(3)
+            .sort_values(["g", "v", "id"], ascending=[True, False, True])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got[["g", "v", "id"]], want[["g", "v", "id"]])
+
+
+class TestTermDocTF:
+    def test_matches_naive_and_duckdb_semantics(self):
+        import re
+
+        from parsel_ray.functions.text import term_doc_tf
+
+        docs = [
+            "The quick brown fox JUMPED over the lazy dog the fox",
+            "a bb ccc bb a!!!x yz",
+            "",
+            None,
+            "punctuation, only... 123 456",
+        ]
+        t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                      "text": pa.array(docs, pa.string())})
+        got = {
+            (r["term"], r["doc_id"]): r["tf"]
+            for r in term_doc_tf(t).to_pylist()
+        }
+        want = {}
+        for i, d in enumerate(docs):
+            for tok in re.findall(r"[a-z]{2,}", d or ""):
+                want[(tok, i)] = want.get((tok, i), 0) + 1
+        assert got == want
