@@ -225,3 +225,53 @@ def grouped_topk(
         final,
         num_partitions=num_partitions,
     )
+
+
+def grouped_quantiles(ds, group, col, qs):
+    """EXACT per-group quantiles (DuckDB ``quantile_disc`` rank rule,
+    ``ceil(q*N)``) via the value-histogram trick of
+    :func:`exact_quantiles`, grouped: per-batch (group, value, n)
+    combiner -> one keyed sum over O(groups x distinct-values) rows ->
+    per-group cumsum rank pick inside :func:`grouped_apply` coarse
+    partitions.  Exact and cheap whenever the VALUE domain is bounded
+    (the shuffle state is domain-sized, not corpus-sized); unbounded
+    domains want a per-group t-digest instead.
+
+    Returns a Dataset with columns ``(group, q, value)``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    qs = list(qs)
+
+    def partial(t: pa.Table) -> pa.Table:
+        out = (
+            t.select([group, col]).drop_null()
+            .group_by([group, col]).aggregate([([], "count_all")])
+        )
+        return out.rename_columns([group, col, "n"])
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([group, col])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(col, kind="mergesort")
+        cum = g["n"].to_numpy(dtype=np.int64).cumsum()
+        total = int(cum[-1])
+        vals = g[col].to_numpy()
+        ranks = [max(1, int(np.ceil(q * total))) for q in qs]
+        idx = np.searchsorted(cum, ranks, side="left")
+        return pd.DataFrame(
+            {
+                group: g[group].iloc[0],
+                "q": np.asarray(qs, dtype=np.float64),
+                "value": vals[idx],
+            }
+        )
+
+    return grouped_apply(hist, group, per_group, num_partitions=16)

@@ -261,3 +261,112 @@ def build_hll(ds, col: str, p: int = 14):
             for i in range(0, len(refs), 2)
         ]
     return HyperLogLog.from_bytes(ray.get(refs[0]))
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy-hitters sketch (mergeable)
+# ---------------------------------------------------------------------------
+
+
+class MisraGries:
+    """Mergeable Misra-Gries frequency sketch with ``k`` counters.
+
+    Guarantee (Agarwal et al., "Mergeable Summaries", PODS 2012): after
+    any sequence of adds and merges over a stream of total length ``n``,
+    every retained estimate satisfies ``true - n/(k+1) <= est <= true``,
+    and every item with true frequency > ``n/(k+1)`` is retained.  So a
+    two-pass heavy-hitters (sketch -> candidate recount) is EXACT for
+    any threshold >= n/(k+1).
+
+    State is a pandas int64 Series indexed by item (<= k entries) — all
+    fold/merge/trim work is vectorized (index-aligned add, npartition
+    for the (k+1)-th largest), no per-item Python loop."""
+
+    __slots__ = ("k", "counts", "n")
+
+    def __init__(self, k: int) -> None:
+        import pandas as pd
+
+        if k < 1:
+            raise ValueError("k must be >= 1")
+        self.k = k
+        self.counts = pd.Series(dtype=np.int64)
+        self.n = 0
+
+    def add_exact_counts(self, items, ns) -> "MisraGries":
+        """Fold a (item, exact-count) summary of a batch in."""
+        import pandas as pd
+
+        other = pd.Series(np.asarray(ns, dtype=np.int64), index=items)
+        self.counts = self.counts.add(other, fill_value=0).astype(np.int64)
+        self.n += int(other.sum())
+        return self._trim()
+
+    def merge(self, other: "MisraGries") -> "MisraGries":
+        if other.k != self.k:
+            raise ValueError("cannot merge MG sketches of different k")
+        self.counts = self.counts.add(other.counts, fill_value=0).astype(
+            np.int64
+        )
+        self.n += other.n
+        return self._trim()
+
+    def _trim(self) -> "MisraGries":
+        extra = len(self.counts) - self.k
+        if extra > 0:
+            v = self.counts.to_numpy()
+            # (k+1)-th largest = the largest of the `extra` smallest
+            sub = np.partition(v, extra - 1)[extra - 1]
+            self.counts = self.counts[self.counts > sub] - sub
+        return self
+
+    def candidates(self, threshold: float) -> list:
+        """Items possibly exceeding ``threshold`` true occurrences: est
+        is an undercount by at most n/(k+1), so prune anything whose
+        est + n/(k+1) still falls short."""
+        bound = self.counts.to_numpy() + self.n / (self.k + 1)
+        return list(self.counts.index[bound > threshold])
+
+    def to_table(self) -> pa.Table:
+        return pa.table(
+            {
+                "item": pa.array(self.counts.index.tolist()),
+                "est": pa.array(self.counts.to_numpy(), pa.int64()),
+                "n": pa.array([self.n] * len(self.counts), pa.int64()),
+            }
+        )
+
+
+def build_misra_gries(ds, k: int, count_fn):
+    """Distributed MG build: ``count_fn(pa.Table) -> (items, ns)`` gives
+    each batch's EXACT item counts (the best per-batch summary); partials
+    are <= k counters each and merge by a task tree.  Returns the final
+    :class:`MisraGries`."""
+    import pickle
+
+    import ray
+
+    def partial(t: pa.Table) -> pa.Table:
+        mg = MisraGries(k)
+        items, ns = count_fn(t)
+        if len(items):
+            mg.add_exact_counts(items, ns)
+        return pa.table({"__mg": pa.array([pickle.dumps(mg)], pa.binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    if not parts:
+        return MisraGries(k)
+
+    @ray.remote
+    def merge_two(a: bytes, b: bytes) -> bytes:
+        return pickle.dumps(pickle.loads(a).merge(pickle.loads(b)))
+
+    refs = [ray.put(r["__mg"]) for r in parts]
+    while len(refs) > 1:
+        refs = [
+            merge_two.remote(refs[i], refs[i + 1])
+            if i + 1 < len(refs)
+            else refs[i]
+            for i in range(0, len(refs), 2)
+        ]
+    return pickle.loads(ray.get(refs[0]))

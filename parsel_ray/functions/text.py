@@ -254,3 +254,20 @@ def term_doc_tf(
     ).filter(keep)
     out = t.group_by(["term", id_col]).aggregate([([], "count_all")])
     return out.rename_columns(["term", id_col, "tf"])
+
+
+def term_counts(batch: pa.Table, col: str = "text", min_len: int = 2):
+    """EXACT per-batch term totals: (terms ndarray, counts ndarray) for
+    maximal ``[a-z]{min_len,}`` runs across the whole batch — the
+    per-batch summary a mergeable frequency sketch folds in.  Same RE2
+    split + Arrow value_counts path as :func:`term_doc_tf`."""
+    toks = pc.split_pattern_regex(pc.fill_null(batch[col], ""), "[^a-z]+")
+    flat = pc.list_flatten(toks)
+    flat = flat.filter(pc.greater_equal(pc.utf8_length(flat), min_len))
+    vc = flat.value_counts()
+    if isinstance(vc, pa.ChunkedArray):
+        vc = vc.combine_chunks()
+    return (
+        np.asarray(vc.field("values").to_pylist(), dtype=object),
+        vc.field("counts").to_numpy(zero_copy_only=False),
+    )

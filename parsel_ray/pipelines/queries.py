@@ -1891,6 +1891,80 @@ def events_distinct_users_hll(sf_dir: str):
     )
 
 
+def doc_heavy_terms(sf_dir: str, phi: float = 0.001, k: int = 4096):
+    """Two-pass EXACT heavy hitters over document terms: (1) a mergeable
+    Misra-Gries sketch (per-batch exact counts folded into <= k counters,
+    task-tree merge) yields every candidate that COULD exceed
+    ``phi * total`` — the MG guarantee (est undercounts by at most
+    n/(k+1)) makes the candidate set complete for any threshold
+    >= n/(k+1), and k is chosen so phi >= 1/(k+1); (2) a broadcast of
+    the <= k candidate terms prunes a second counting pass whose keyed
+    sum is exact.  Values never sit in one place; the driver holds only
+    the k-counter sketch and the final heavy rows."""
+    from ..functions.sketch import build_misra_gries
+    from ..functions.text import term_counts
+
+    assert phi >= 1.0 / (k + 1), "k too small for the MG guarantee"
+    docs = _read(sf_dir, "documents", ["text"])
+    mg = build_misra_gries(docs, k, term_counts)
+    thr = phi * mg.n
+    cand = frozenset(mg.candidates(thr))  # <= k terms, broadcast-size
+
+    def count_candidates(t: pa.Table) -> pa.Table:
+        items, ns = term_counts(t)
+        keep = np.fromiter((i in cand for i in items), dtype=bool,
+                           count=len(items))
+        return pa.table(
+            {
+                "term": pa.array(items[keep].tolist(), pa.string()),
+                "n": pa.array(ns[keep], pa.int64()),
+            }
+        )
+
+    exact = partial_sum_groupby(
+        docs.map_batches(count_candidates, batch_format="pyarrow"),
+        ["term"],
+        {"n": "n"},
+    )
+    return exact.map_batches(
+        lambda b: b.filter(pc.greater(b["n"], thr)), batch_format="pyarrow"
+    )
+
+
+HEAVY_SQL = """
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(text, '[a-z]{2,}')) AS term
+  FROM documents
+)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM toks
+GROUP BY term HAVING COUNT(*) > 0.001 * (SELECT COUNT(*) FROM toks)
+"""
+
+
+def lineitem_grouped_quantiles(sf_dir: str):
+    """Per-group exact quantiles (``quantile_disc`` rank rule) over a
+    domain-bounded value column: shuffle state is O(groups x distinct
+    values), corpus-size-independent."""
+    from ..functions.agg import grouped_quantiles
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    return grouped_quantiles(
+        ds, "l_returnflag", "l_quantity", [0.25, 0.5, 0.75]
+    )
+
+
+GROUPQ_SQL = """
+SELECT l_returnflag, CAST(q AS DOUBLE) AS q, value FROM (
+  SELECT l_returnflag,
+         unnest([0.25, 0.5, 0.75]) AS q,
+         unnest([quantile_disc(l_quantity, 0.25),
+                 quantile_disc(l_quantity, 0.5),
+                 quantile_disc(l_quantity, 0.75)]) AS value
+  FROM lineitem GROUP BY l_returnflag
+)
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -1950,6 +2024,8 @@ QUERIES = {
     "doc_tfidf_top_term": doc_tfidf_top_term,
     "top3_orders_per_customer": top3_orders_per_customer,
     "events_distinct_users_hll": events_distinct_users_hll,
+    "doc_heavy_terms": doc_heavy_terms,
+    "lineitem_grouped_quantiles": lineitem_grouped_quantiles,
 }
 
 ORACLE_SQL = {
@@ -1993,4 +2069,6 @@ ORACLE_SQL = {
     "doc_term_df": TERMDF_SQL,
     "doc_tfidf_top_term": TFIDF_SQL,
     "top3_orders_per_customer": TOP3CUST_SQL,
+    "doc_heavy_terms": HEAVY_SQL,
+    "lineitem_grouped_quantiles": GROUPQ_SQL,
 }

@@ -1083,3 +1083,88 @@ class TestTermDocTF:
             for tok in re.findall(r"[a-z]{2,}", d or ""):
                 want[(tok, i)] = want.get((tok, i), 0) + 1
         assert got == want
+
+
+class TestMisraGries:
+    def test_guarantee_and_merge(self):
+        from parsel_ray.functions.sketch import MisraGries
+
+        rng = np.random.RandomState(3)
+        vals = rng.zipf(1.3, 100_000)
+        vals = vals[vals < 5_000]
+        n = len(vals)
+        k = 200
+        exact = pd.Series(vals).value_counts()
+        # fold in chunks, then also merge two half-stream sketches
+        mg = MisraGries(k)
+        for chunk in np.array_split(vals, 17):
+            u, c = np.unique(chunk, return_counts=True)
+            mg.add_exact_counts(u, c)
+        half = np.array_split(vals, 2)
+        mgs = []
+        for h in half:
+            m = MisraGries(k)
+            u, c = np.unique(h, return_counts=True)
+            m.add_exact_counts(u, c)
+            mgs.append(m)
+        merged = mgs[0].merge(mgs[1])
+        for sk in (mg, merged):
+            assert sk.n == n and len(sk.counts) <= k
+            thr = n / (k + 1)
+            heavy = set(exact.index[exact > thr])
+            cands = set(sk.candidates(thr))
+            assert heavy <= cands  # completeness
+            for it, true in exact.items():  # undercount bound
+                est = int(sk.counts.get(it, 0))
+                assert true - n / (k + 1) <= est <= true
+
+    @pytest.mark.usefixtures("ray_session")
+    def test_distributed_build(self):
+        import pyarrow.compute as _pc
+
+        import ray.data as rd
+
+        from parsel_ray.functions.sketch import build_misra_gries
+
+        rng = np.random.RandomState(5)
+        vals = rng.zipf(1.5, 30_000).astype(np.int64)
+        ds = rd.from_arrow(pa.table({"v": pa.array(vals)})).repartition(8)
+
+        def count_fn(t):
+            vc = t["v"].combine_chunks().value_counts()
+            return (
+                vc.field("values").to_numpy(zero_copy_only=False),
+                vc.field("counts").to_numpy(zero_copy_only=False),
+            )
+
+        mg = build_misra_gries(ds, 64, count_fn)
+        assert mg.n == len(vals)
+        exact = pd.Series(vals).value_counts()
+        thr = len(vals) / 65
+        heavy = set(exact.index[exact > thr])
+        assert heavy <= set(mg.candidates(thr))
+
+
+class TestGroupedQuantiles:
+    @pytest.mark.usefixtures("ray_session")
+    def test_matches_quantile_disc(self):
+        import ray.data as rd
+
+        from parsel_ray.functions.agg import grouped_quantiles
+
+        rng = np.random.RandomState(9)
+        n = 20_000
+        df = pd.DataFrame(
+            {"g": rng.randint(0, 7, n), "v": rng.randint(1, 51, n)}
+        )
+        ds = rd.from_pandas(df).repartition(12)
+        got = (
+            grouped_quantiles(ds, "g", "v", [0.1, 0.5, 0.9])
+            .to_pandas()
+            .sort_values(["g", "q"])
+            .reset_index(drop=True)
+        )
+        for _, row in got.iterrows():
+            s = np.sort(df.loc[df.g == row.g, "v"].to_numpy())
+            want = s[max(1, int(np.ceil(row.q * len(s)))) - 1]
+            assert row.value == want, (row.g, row.q, row.value, want)
