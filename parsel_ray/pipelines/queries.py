@@ -1767,11 +1767,17 @@ def doc_tfidf_top_term(sf_dir: str):
     double, so the DuckDB window oracle matches hash-for-hash."""
     from ..functions.agg import grouped_topk
 
-    pairs = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        T.term_doc_tf, batch_format="pyarrow"
-    ).materialize()  # two consumers: df aggregation + the join probe side
+    def pairs():
+        # recompute per consumer: tokenization is cheap CPU; re-reading
+        # the pruned 2-column parquet twice streams at any corpus size,
+        # where materializing the (bigger-than-input) token-pair table
+        # mid-pipeline would pin it in the object store
+        return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            T.term_doc_tf, batch_format="pyarrow"
+        )
+
     df = partial_sum_groupby(
-        pairs.map_batches(
+        pairs().map_batches(
             lambda t: t.group_by("term")
             .aggregate([("doc_id", "count")])
             .rename_columns(["term", "df"]),
@@ -1780,7 +1786,7 @@ def doc_tfidf_top_term(sf_dir: str):
         ["term"],
         {"df": "df"},
     )
-    joined = hash_bucket_join(pairs, df, on="term", buckets=32)
+    joined = hash_bucket_join(pairs(), df, on="term", buckets=32)
 
     def ratio(t: pa.Table) -> pa.Table:
         r = pc.divide(
@@ -1876,10 +1882,13 @@ def events_distinct_users_hll(sf_dir: str):
     bound."""
     from ..functions.sketch import build_hll
 
-    ds = _read(sf_dir, "events", ["user_id"]).materialize()  # 2 consumers
-    hll = build_hll(ds, "user_id", p=14)
+    # two passes over the pruned one-column read (streams; no pinned
+    # materialization): sketch pass + exact-count certification pass
+    hll = build_hll(_read(sf_dir, "events", ["user_id"]), "user_id", p=14)
     est = hll.estimate()
-    exact = partial_sum_groupby(ds, ["user_id"], {}, count_as="n").count()
+    exact = partial_sum_groupby(
+        _read(sf_dir, "events", ["user_id"]), ["user_id"], {}, count_as="n"
+    ).count()
     rel_err = abs(est - exact) / max(exact, 1)
     assert rel_err < 3 * 1.04 / math.sqrt(1 << 14), (est, exact)
     return pa.table(
