@@ -1974,6 +1974,82 @@ SELECT l_returnflag, CAST(q AS DOUBLE) AS q, value FROM (
 """
 
 
+def warc_extract_roundtrip(sf_dir: str):
+    """WARC archive round-trip (the format a real crawl exchanges):
+    worker-side tasks serialize each batch of synthesized pages as one
+    .warc.gz shard (content-digest names — retries rewrite identical
+    bytes); a fresh ``read_warc`` Dataset streams the records back (one
+    task per shard, multi-member gzip) and the Selector kernel extracts
+    the source values from the HTTP payload BYTES (the reference's
+    bytes+encoding entry point).  Oracle-checked: extraction must
+    round-trip documents exactly, doc ids recovered from the
+    WARC-Target-URI.  Driver never touches page bytes."""
+    import tempfile as _tempfile
+
+    from ..sources.warc import read_warc, write_warc_batch
+
+    out = _tempfile.mkdtemp(prefix="warc_corpus_", dir="/tmp")
+
+    def write_shard(t: pa.Table) -> pa.Table:
+        pages = _doc_html(t)
+        uris = [
+            f"http://corpus/doc/{i}" for i in pages["doc_id"].to_pylist()
+        ]
+        bodies = [
+            pg.encode("utf-8") for pg in pages["page"].to_pylist()
+        ]
+        path = write_warc_batch(out, uris, bodies, compress=True)
+        return pa.table(
+            {"shard": pa.array([path]), "n": pa.array([len(t)], pa.int64())}
+        )
+
+    shards = (
+        _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+        .map_batches(write_shard, batch_format="pyarrow", batch_size=256)
+        .take_all()
+    )  # tiny: one (path, count) row per shard
+    assert sum(r["n"] for r in shards) > 0
+
+    recs = read_warc(out)
+    extracted = recs.map_batches(
+        SelectorExtract(
+            specs=[
+                ExtractSpec("data_lang", "css", "div::attr(data-lang)", "get"),
+                ExtractSpec("data_source", "xpath", "//div/@data-source", "get"),
+                ExtractSpec("p_text", "css", "p.t::text", "get"),
+            ],
+            input_col="payload",
+            doc_type="html",
+        ),
+        batch_format="pyarrow",
+        batch_size=512,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        doc_id = pc.cast(
+            pc.replace_substring_regex(t["target_uri"], r"^.*/", ""),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "doc_id": doc_id,
+                "data_lang": t["data_lang"],
+                "data_source": t["data_source"],
+                "p_text": t["p_text"],
+                "http_status": pc.cast(t["http_status"], pa.int64()),
+            }
+        )
+
+    return extracted.map_batches(finish, batch_format="pyarrow")
+
+
+WARC_SQL = """
+SELECT doc_id, lang AS data_lang, source AS data_source,
+       nullif(text, '') AS p_text, CAST(200 AS BIGINT) AS http_status
+FROM documents
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -2035,6 +2111,7 @@ QUERIES = {
     "events_distinct_users_hll": events_distinct_users_hll,
     "doc_heavy_terms": doc_heavy_terms,
     "lineitem_grouped_quantiles": lineitem_grouped_quantiles,
+    "warc_extract_roundtrip": warc_extract_roundtrip,
 }
 
 ORACLE_SQL = {
@@ -2080,4 +2157,5 @@ ORACLE_SQL = {
     "top3_orders_per_customer": TOP3CUST_SQL,
     "doc_heavy_terms": HEAVY_SQL,
     "lineitem_grouped_quantiles": GROUPQ_SQL,
+    "warc_extract_roundtrip": WARC_SQL,
 }
