@@ -370,3 +370,68 @@ def build_misra_gries(ds, k: int, count_fn):
             for i in range(0, len(refs), 2)
         ]
     return pickle.loads(ray.get(refs[0]))
+
+
+def grouped_hll_partials(t: pa.Table, group: str, col: str, p: int):
+    """One (group, registers) row per distinct group in the batch,
+    fully vectorized: a single ``np.maximum.at`` scatter into a
+    (n_groups x m) register matrix — no per-group Python loop."""
+    import pandas as pd
+
+    if len(t) == 0:
+        return pa.table(
+            {group: pa.array([], t.schema.field(group).type),
+             "__regs": pa.array([], pa.binary())}
+        )
+    h = _hash64(t[col])
+    codes, uniques = pd.factorize(
+        pd.Series(t[group].to_numpy(zero_copy_only=False)), sort=False
+    )
+    m = 1 << p
+    w = np.uint64(64 - p)
+    idx = (h >> w).astype(np.int64)
+    rest = h & ((np.uint64(1) << w) - np.uint64(1))
+    rho = np.empty(len(rest), dtype=np.uint8)
+    nz = rest != 0
+    _, e = np.frexp(rest[nz].astype(np.float64))
+    rho[nz] = (int(w) - (e - 1)).astype(np.uint8)
+    rho[~nz] = np.uint8(int(w) + 1)
+    regs = np.zeros((len(uniques), m), dtype=np.uint8)
+    np.maximum.at(regs, (codes, idx), rho)
+    return pa.table(
+        {
+            group: pa.array(list(uniques)),
+            "__regs": pa.array([r.tobytes() for r in regs], pa.binary()),
+        }
+    )
+
+
+def grouped_hll(ds, group: str, col: str, p: int = 12):
+    """Approximate COUNT(DISTINCT col) GROUP BY group: per-batch
+    per-group register partials (one m-byte row per group per batch —
+    values never shuffle), merged per group by elementwise max inside
+    :func:`grouped_apply` coarse partitions.  Returns a Dataset of
+    ``(group, n_distinct_est)``."""
+    import pandas as pd
+
+    from .agg import grouped_apply
+
+    partials = ds.map_batches(
+        lambda t: grouped_hll_partials(t, group, col, p),
+        batch_format="pyarrow",
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        regs = np.maximum.reduce(
+            [np.frombuffer(b, dtype=np.uint8) for b in g["__regs"]]
+        )
+        hll = HyperLogLog(p)
+        hll.registers = regs.copy()
+        return pd.DataFrame(
+            {
+                group: [g[group].iloc[0]],
+                "n_distinct_est": [float(hll.estimate())],
+            }
+        )
+
+    return grouped_apply(partials, group, merge, num_partitions=16)

@@ -2050,6 +2050,63 @@ FROM documents
 """
 
 
+def events_user_distinct_by_type(sf_dir: str):
+    """COUNT(DISTINCT) per group two ways — a per-group HyperLogLog
+    (m-byte register rows shuffle, never values) AND the exact
+    distinct count (per-batch distinct-pair combiner -> per-group
+    nunique in coarse partitions) — then certifies the sketch within
+    3σ per group.  ORACLE-CHECKED certification: the output carries
+    (group, exact, within_3sigma); a sketch outside its error bound
+    flips the boolean and fails the DuckDB compare."""
+    from ..functions.agg import grouped_apply
+    from ..functions.sketch import grouped_hll
+
+    def ds():
+        return _read(sf_dir, "events", ["event_type", "user_id"])
+
+    est = grouped_hll(ds(), "event_type", "user_id", p=12).to_pandas()
+
+    pairs = ds().map_batches(
+        lambda t: t.group_by(["event_type", "user_id"]).aggregate([]),
+        batch_format="pyarrow",
+    )
+    exact = grouped_apply(
+        pairs,
+        "event_type",
+        lambda g: pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "n_distinct_exact": [int(g["user_id"].nunique())],
+            }
+        ),
+        num_partitions=8,
+    ).to_pandas()
+
+    m = exact.merge(est, on="event_type", how="left")
+    sigma = 1.04 / math.sqrt(1 << 12)
+    m["within_3sigma"] = (
+        (m["n_distinct_est"] - m["n_distinct_exact"]).abs()
+        / m["n_distinct_exact"].clip(lower=1)
+    ) < 3 * sigma
+    return pa.table(
+        {
+            "event_type": pa.array(m["event_type"], pa.string()),
+            "n_distinct_exact": pa.array(
+                m["n_distinct_exact"], pa.int64()
+            ),
+            "within_3sigma": pa.array(m["within_3sigma"], pa.bool_()),
+        }
+    )
+
+
+DISTINCT_BY_TYPE_SQL = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct_exact,
+       true AS within_3sigma
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -2112,6 +2169,7 @@ QUERIES = {
     "doc_heavy_terms": doc_heavy_terms,
     "lineitem_grouped_quantiles": lineitem_grouped_quantiles,
     "warc_extract_roundtrip": warc_extract_roundtrip,
+    "events_user_distinct_by_type": events_user_distinct_by_type,
 }
 
 ORACLE_SQL = {
@@ -2158,4 +2216,5 @@ ORACLE_SQL = {
     "doc_heavy_terms": HEAVY_SQL,
     "lineitem_grouped_quantiles": GROUPQ_SQL,
     "warc_extract_roundtrip": WARC_SQL,
+    "events_user_distinct_by_type": DISTINCT_BY_TYPE_SQL,
 }

@@ -1168,3 +1168,29 @@ class TestGroupedQuantiles:
             s = np.sort(df.loc[df.g == row.g, "v"].to_numpy())
             want = s[max(1, int(np.ceil(row.q * len(s)))) - 1]
             assert row.value == want, (row.g, row.q, row.value, want)
+
+
+class TestGroupedHLL:
+    @pytest.mark.usefixtures("ray_session")
+    def test_per_group_accuracy(self):
+        import ray.data as rd
+
+        from parsel_ray.functions.sketch import grouped_hll
+
+        rng = np.random.RandomState(21)
+        n = 60_000
+        df = pd.DataFrame(
+            {
+                "g": rng.choice(["a", "b", "c"], n),
+                # different true cardinalities per group
+                "v": rng.randint(0, 5000, n),
+            }
+        )
+        df.loc[df.g == "b", "v"] %= 700
+        df.loc[df.g == "c", "v"] %= 64
+        ds = rd.from_pandas(df).repartition(10)
+        got = grouped_hll(ds, "g", "v", p=12).to_pandas()
+        sigma = 1.04 / np.sqrt(1 << 12)
+        for _, row in got.iterrows():
+            exact = df.loc[df.g == row.g, "v"].nunique()
+            assert abs(row.n_distinct_est - exact) / exact < 3 * sigma
