@@ -394,3 +394,240 @@ def ivf_topk(ds, queries_ref, centroids_ref, k: int, nprobe: int = 4,
         batch_size=4096,
     )
     return finalize_topk(partials, k)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) ANN — the memory-scale path
+# ---------------------------------------------------------------------------
+
+
+def train_pq(sample: np.ndarray, m: int = 8, ksub: int = 16, iters: int = 10,
+             seed: int = 7) -> np.ndarray:
+    """Train PQ codebooks on a driver-scale sample: split D into ``m``
+    subspaces, run seeded Lloyd k-means (ksub codewords) per subspace.
+    Returns (m, ksub, D/m) float64.  Public literature: Jegou, Douze,
+    Schmid, "Product quantization for nearest neighbor search" (TPAMI
+    2011).  At 100 TB the sample comes from ``ds.random_sample`` (same
+    contract as :func:`train_centroids`); codes compress each vector to
+    ``m`` bytes — a 64-dim float corpus shrinks 32x, which is what lets
+    the candidate set live in worker memory."""
+    rng = np.random.RandomState(seed)
+    sample = sample.astype(np.float64)
+    norms = np.linalg.norm(sample, axis=1)
+    sample = sample[norms > 0] / norms[norms > 0, None]
+    n, d = sample.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    books = np.empty((m, ksub, dsub), dtype=np.float64)
+    for j in range(m):
+        sub = sample[:, j * dsub : (j + 1) * dsub]
+        k = min(ksub, len(sub))
+        idx = rng.choice(len(sub), size=k, replace=False)
+        cent = sub[np.sort(idx)].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(k):
+                members = sub[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        if k < ksub:  # pad degenerate books so codes stay uint8-stable
+            cent = np.vstack([cent, np.repeat(cent[-1:], ksub - k, axis=0)])
+        books[j] = cent
+    return books
+
+
+def pq_encode_kernel(mat: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(N, D) -> (N, m) uint8 codes, vectorized per subspace."""
+    n, d = mat.shape
+    m, ksub, dsub = books.shape
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    mat = mat / norms[:, None]
+    codes = np.empty((n, m), dtype=np.uint8)
+    for j in range(m):
+        sub = mat[:, j * dsub : (j + 1) * dsub]
+        # argmin ||x - c||^2 = argmax 2<x,c> - ||c||^2
+        dots = sub @ books[j].T
+        codes[:, j] = np.argmax(
+            2 * dots - (books[j] ** 2).sum(axis=1)[None, :], axis=1
+        ).astype(np.uint8)
+    return codes
+
+
+class PqEncode:
+    """Append ``pq_code`` (m-byte binary) from broadcast codebooks."""
+
+    def __init__(self, books_ref, emb_col: str = "embedding") -> None:
+        from .relational import LazyRef
+
+        self._b = LazyRef(books_ref)
+        self.emb_col = emb_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t.append_column("pq_code", pa.array([], pa.binary()))
+        codes = pq_encode_kernel(
+            _stack_embeddings(t[self.emb_col]), self._b.get()
+        )
+        return t.append_column(
+            "pq_code", pa.array([c.tobytes() for c in codes], pa.binary())
+        )
+
+
+class PqAdcScore:
+    """Asymmetric-distance partial top-k: per batch, build one
+    (m, ksub) inner-product lookup table per query from the broadcast
+    codebooks, score every code row with a flat ``np.take`` — the
+    embedding column itself is NOT read (codes only), which is the
+    point of PQ at scale."""
+
+    def __init__(self, queries_ref, books_ref, k: int,
+                 id_col: str = "vec_id") -> None:
+        from .relational import LazyRef
+
+        self._q = LazyRef(queries_ref)
+        self._b = LazyRef(books_ref)
+        self.k = k
+        self.id_col = id_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+        if len(t) == 0:
+            return empty
+        q = self._q.get()
+        books = self._b.get()
+        m, ksub, dsub = books.shape
+        codes = np.frombuffer(
+            b"".join(t["pq_code"].to_pylist()), dtype=np.uint8
+        ).reshape(len(t), m)
+        flat = codes.astype(np.int64) + (np.arange(m) * ksub)[None, :]
+        ids = t[self.id_col].to_numpy(zero_copy_only=False)
+        out_q, out_n, out_s = [], [], []
+        for qid, qv in zip(q["ids"], q["mat"]):
+            lut = np.einsum(
+                "msd,md->ms", books, qv.reshape(m, dsub)
+            )  # (m, ksub) sub-inner-products
+            scores = np.take(lut.reshape(-1), flat).sum(axis=1)
+            k = min(self.k, len(scores))
+            top = np.argpartition(-scores, k - 1)[:k]
+            top = top[np.argsort(-scores[top], kind="stable")]
+            out_q.extend([int(qid)] * k)
+            out_n.extend(ids[top].tolist())
+            out_s.extend(scores[top].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "cosine": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def pq_topk(ds, queries_ref, books_ref, k: int, id_col: str = "vec_id",
+            emb_col: str = "embedding"):
+    """PQ ANN top-k: encode (once, m bytes/vector) -> ADC partial top-k
+    per batch -> tiny global merge.  No shuffle of vectors at all; the
+    only all-to-all is the O(Q*k) partial-result merge."""
+    encoded = ds.map_batches(
+        PqEncode(books_ref, emb_col), batch_format="pyarrow",
+        batch_size=4096,
+    ).select_columns([id_col, "pq_code"])
+    partials = encoded.map_batches(
+        PqAdcScore(queries_ref, books_ref, k, id_col),
+        batch_format="pyarrow",
+        batch_size=4096,
+    )
+    return finalize_topk(partials, k)
+
+
+class ExactReRank:
+    """Second PQ stage: exact cosine scoring of each query against ONLY
+    its broadcast shortlist ids (per-query candidate masks via
+    ``np.isin`` over the batch's id column) — the standard
+    PQ-shortlist -> exact-re-rank ANN shape.  Vectors for non-candidates
+    never get scored; the batch matmul runs once for all queries."""
+
+    def __init__(self, queries_ref, short_ref, k: int,
+                 id_col: str = "vec_id", emb_col: str = "embedding"):
+        from .relational import LazyRef
+
+        self._q = LazyRef(queries_ref)
+        self._s = LazyRef(short_ref)
+        self.k = k
+        self.id_col = id_col
+        self.emb_col = emb_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+        if len(t) == 0:
+            return empty
+        q = self._q.get()
+        short = self._s.get()  # {query_id: np.ndarray of candidate ids}
+        ids = t[self.id_col].to_numpy(zero_copy_only=False)
+        mat = _stack_embeddings(t[self.emb_col])
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        mat = mat / norms[:, None]
+        scores = mat @ q["mat"].T  # (N, Q)
+        out_q, out_n, out_s = [], [], []
+        for c, qid in enumerate(q["ids"]):
+            mask = np.isin(ids, short[int(qid)], assume_unique=False)
+            if not mask.any():
+                continue
+            s = scores[mask, c]
+            cand_ids = ids[mask]
+            k = min(self.k, len(s))
+            top = np.argpartition(-s, k - 1)[:k]
+            top = top[np.argsort(-s[top], kind="stable")]
+            out_q.extend([int(qid)] * k)
+            out_n.extend(cand_ids[top].tolist())
+            out_s.extend(s[top].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "cosine": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def pq_topk_rerank(ds_factory, queries_ref, books_ref, k: int,
+                   shortlist: int, id_col: str = "vec_id",
+                   emb_col: str = "embedding"):
+    """Full two-stage PQ ANN: (1) ADC over m-byte codes produces a
+    per-query shortlist (k=``shortlist``); (2) a second streaming pass
+    re-ranks only shortlist members with exact cosine.  The driver holds
+    Q x shortlist (id, score) rows between stages — never vectors.
+    ``ds_factory`` builds a fresh Dataset per pass (two pruned reads
+    beat pinning the corpus in the object store)."""
+    import ray
+
+    short = pq_topk(
+        ds_factory(), queries_ref, books_ref, shortlist, id_col, emb_col
+    ).take_all()
+    by_q: dict[int, list] = {}
+    for r in short:
+        by_q.setdefault(int(r["query_id"]), []).append(int(r["neighbor_id"]))
+    short_ref = ray.put(
+        {qid: np.asarray(v, dtype=np.int64) for qid, v in by_q.items()}
+    )
+    partials = ds_factory().map_batches(
+        ExactReRank(queries_ref, short_ref, k, id_col, emb_col),
+        batch_format="pyarrow",
+        batch_size=4096,
+    )
+    return finalize_topk(partials, k)

@@ -2129,6 +2129,67 @@ def image_augment(sf_dir: str):
     return tbl
 
 
+def embedding_pq_knn(sf_dir: str):
+    """Product-quantization ANN top-5 (rows-only: approximate) with the
+    production two-stage shape — m-byte ADC codes produce a per-query
+    shortlist, a second streaming pass re-ranks the shortlist with
+    exact cosine.  In-kernel certification: recall@5 vs the exact
+    brute-force result must be >= 0.9 (asserted here, so a green run
+    certifies it).  Codebooks train on a seeded ``random_sample``;
+    query vectors come from a pushdown read; the corpus is read per
+    pass, never pinned."""
+    import pyarrow.dataset as pads
+
+    from ..functions.similarity import (
+        brute_force_topk,
+        pq_topk_rerank,
+        train_pq,
+    )
+
+    def ds():
+        return _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    n = ds().count()  # parquet metadata only
+    frac = min(1.0, 8192.0 / max(n, 1))
+    sample = ds().random_sample(frac, seed=42).take_batch(
+        16384, batch_format="pyarrow"
+    )
+    books = train_pq(_stack_embeddings(sample["embedding"]), m=8, ksub=64)
+    qt = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filter=pads.field("vec_id") < 10,
+    ).take_batch(32, batch_format="pyarrow")
+    qmat = _stack_embeddings(qt["embedding"])
+    qn = np.linalg.norm(qmat, axis=1)
+    qn[qn == 0] = 1.0
+    qref = ray.put(
+        {
+            "ids": qt["vec_id"].to_numpy(zero_copy_only=False),
+            "mat": qmat / qn[:, None],
+        }
+    )
+    bref = ray.put(books)
+    shortlist = max(150, int(0.05 * n))  # >=5% candidate budget
+    approx = pq_topk_rerank(ds, qref, bref, k=5, shortlist=shortlist)
+    got = approx.select_columns(["query_id", "neighbor_id", "rank"])
+    tbl = pa.concat_tables(got.iter_batches(batch_format="pyarrow"))
+
+    exact = brute_force_topk(ds(), qref, k=5).select_columns(
+        ["query_id", "neighbor_id"]
+    )
+    want: dict[int, set] = {}
+    for r in exact.take_all():
+        want.setdefault(int(r["query_id"]), set()).add(int(r["neighbor_id"]))
+    have: dict[int, set] = {}
+    for r in tbl.to_pylist():
+        have.setdefault(int(r["query_id"]), set()).add(int(r["neighbor_id"]))
+    hits = sum(len(want[q] & have.get(q, set())) for q in want)
+    recall = hits / sum(len(v) for v in want.values())
+    assert recall >= 0.9, f"PQ recall@5 {recall:.3f} < 0.9"
+    return tbl
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -2193,6 +2254,7 @@ QUERIES = {
     "warc_extract_roundtrip": warc_extract_roundtrip,
     "events_user_distinct_by_type": events_user_distinct_by_type,
     "image_augment": image_augment,
+    "embedding_pq_knn": embedding_pq_knn,
 }
 
 ORACLE_SQL = {

@@ -1194,3 +1194,68 @@ class TestGroupedHLL:
         for _, row in got.iterrows():
             exact = df.loc[df.g == row.g, "v"].nunique()
             assert abs(row.n_distinct_est - exact) / exact < 3 * sigma
+
+
+class TestProductQuantization:
+    def _data(self, n_per=150, seed=0):
+        rng = np.random.RandomState(seed)
+        centers = rng.randn(10, 64)
+        X = np.vstack([c + 0.3 * rng.randn(n_per, 64) for c in centers])
+        return X / np.linalg.norm(X, axis=1, keepdims=True)
+
+    def test_encode_shapes_and_determinism(self):
+        from parsel_ray.functions.similarity import (
+            pq_encode_kernel, train_pq,
+        )
+
+        X = self._data()
+        books = train_pq(X, m=8, ksub=32)
+        assert books.shape == (8, 32, 8)
+        c1 = pq_encode_kernel(X, books)
+        c2 = pq_encode_kernel(X, books)
+        assert c1.dtype == np.uint8 and np.array_equal(c1, c2)
+        # same books from the same sample (seeded)
+        assert np.array_equal(books, train_pq(X, m=8, ksub=32))
+
+    def test_dim_not_divisible_raises(self):
+        from parsel_ray.functions.similarity import train_pq
+
+        with pytest.raises(ValueError, match="not divisible"):
+            train_pq(self._data(), m=7)
+
+    @pytest.mark.usefixtures("ray_session")
+    def test_two_stage_recall(self):
+        import ray
+
+        import ray.data as rd
+
+        from parsel_ray.functions.similarity import (
+            brute_force_topk, pq_topk_rerank, train_pq,
+        )
+
+        X = self._data(n_per=100, seed=4)
+        t = pa.table(
+            {
+                "vec_id": pa.array(np.arange(len(X)), pa.int64()),
+                "embedding": pa.array(
+                    [row.astype(np.float32).tolist() for row in X],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        )
+
+        def ds():
+            return rd.from_arrow(t).repartition(6)
+
+        books = train_pq(X, m=8, ksub=64)
+        qref = ray.put({"ids": np.arange(5), "mat": X[:5]})
+        bref = ray.put(books)
+        approx = pq_topk_rerank(ds, qref, bref, k=10, shortlist=100)
+        exact = brute_force_topk(ds(), qref, k=10)
+        want, have = {}, {}
+        for r in exact.take_all():
+            want.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        for r in approx.take_all():
+            have.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        hits = sum(len(want[q] & have.get(q, set())) for q in want)
+        assert hits / 50 >= 0.9
