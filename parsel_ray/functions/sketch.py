@@ -435,3 +435,50 @@ def grouped_hll(ds, group: str, col: str, p: int = 12):
         )
 
     return grouped_apply(partials, group, merge, num_partitions=16)
+
+
+def grouped_tdigest(ds, group: str, col: str, delta: int = 200):
+    """Per-group t-digest (the unbounded-domain grouped-quantile path —
+    :func:`parsel_ray.functions.agg.grouped_quantiles`' value-histogram
+    trick needs a bounded value domain; a digest's state is O(delta)
+    per group regardless of the domain).  Per-batch per-group digest
+    partials, merged per group inside ``grouped_apply`` coarse
+    partitions.  Returns a Dataset of ``(group, __digest: binary)``."""
+    import pandas as pd
+
+    from .agg import grouped_apply
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {group: pa.array([], t.schema.field(group).type),
+                 "__digest": pa.array([], pa.binary())}
+            )
+        vals = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        codes, uniques = pd.factorize(
+            pd.Series(t[group].to_numpy(zero_copy_only=False)), sort=False
+        )
+        order = np.argsort(codes, kind="stable")
+        bounds = np.searchsorted(codes[order], np.arange(len(uniques)))
+        bounds = np.append(bounds, len(codes))
+        out = []
+        for i in range(len(uniques)):
+            seg = vals[order[bounds[i] : bounds[i + 1]]]
+            seg = seg[~np.isnan(seg)]
+            out.append(TDigest(delta).add_many(seg).to_bytes())
+        return pa.table(
+            {group: pa.array(list(uniques)),
+             "__digest": pa.array(out, pa.binary())}
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        acc = TDigest.from_bytes(g["__digest"].iloc[0], delta)
+        for b in g["__digest"].iloc[1:]:
+            acc = acc.merge(TDigest.from_bytes(b, delta))
+        return pd.DataFrame(
+            {group: [g[group].iloc[0]], "__digest": [acc.to_bytes()]}
+        )
+
+    return grouped_apply(partials, group, merge, num_partitions=16)

@@ -2190,6 +2190,123 @@ def embedding_pq_knn(sf_dir: str):
     return tbl
 
 
+def jsonl_roundtrip(sf_dir: str):
+    """JSONL sink -> source round-trip (the other interchange format
+    web-scale text corpora actually use): worker-side ``write_json``
+    shards, a fresh ``read_json`` streams them back (one task per
+    shard), and a combiner groupby aggregates — values must survive the
+    JSON round-trip byte-exactly (unicode text included).  Oracle: the
+    same aggregate straight off the parquet."""
+    import tempfile as _tempfile
+
+    out = _tempfile.mkdtemp(prefix="docs_jsonl_", dir="/tmp")
+    _read(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"]).write_json(
+        out
+    )
+    back = rd.read_json(out)
+    return partial_sum_groupby(
+        back.map_batches(
+            lambda t: t.append_column(
+                "text_chars",
+                pc.cast(pc.utf8_length(pc.fill_null(t["text"], "")), pa.int64()),
+            ),
+            batch_format="pyarrow",
+        ),
+        ["lang"],
+        {"n_chars": "sum_nchars", "text_chars": "sum_text_chars"},
+        count_as="n_docs",
+    )
+
+
+JSONL_SQL = """
+SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS sum_nchars,
+       CAST(SUM(length(coalesce(text, ''))) AS BIGINT) AS sum_text_chars,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY lang
+"""
+
+
+def events_value_quantiles_by_type(sf_dir: str):
+    """Per-group quantiles over an UNBOUNDED double domain via per-group
+    t-digests (O(delta) state per group — the histogram trick of
+    ``lineitem_grouped_quantiles`` would shuffle every distinct value
+    here).  ORACLE-CHECKED certification, fully distributed: the tiny
+    (group, q, est) triple set broadcasts into one combiner pass that
+    counts values <= est per group; the realized rank must sit within
+    1.5% of q (t-digest delta=200 bound), and the boolean is part of
+    the DuckDB compare."""
+    from ..functions.sketch import TDigest, grouped_tdigest
+
+    qs = [0.25, 0.5, 0.75]
+
+    def ds():
+        return _read(sf_dir, "events", ["event_type", "value"])
+
+    digs = grouped_tdigest(ds(), "event_type", "value").take_all()
+    trip = [
+        (r["event_type"], q,
+         TDigest.from_bytes(r["__digest"]).quantile(q))
+        for r in digs
+        for q in qs
+    ]  # |groups| x |qs| rows — driver-scale by construction
+
+    ests = {g: {} for g, _, _ in trip}
+    for g, q, v in trip:
+        ests[g][q] = v
+    thresholds = {g: np.array([d[q] for q in qs]) for g, d in ests.items()}
+
+    def rank_partial(t: pa.Table) -> pa.Table:
+        gs, qout, le, tot = [], [], [], []
+        codes, uniques = pd.factorize(
+            pd.Series(t["event_type"].to_numpy(zero_copy_only=False)),
+            sort=False,
+        )
+        vals = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        for i, g in enumerate(uniques):
+            seg = vals[codes == i]
+            seg = seg[~np.isnan(seg)]
+            th = thresholds.get(g)
+            if th is None:
+                continue
+            for q, bound in zip(qs, th):
+                gs.append(g)
+                qout.append(q)
+                le.append(int((seg <= bound).sum()))
+                tot.append(len(seg))
+        return pa.table(
+            {
+                "event_type": pa.array(gs, pa.string()),
+                "q": pa.array(qout, pa.float64()),
+                "n_le": pa.array(le, pa.int64()),
+                "n": pa.array(tot, pa.int64()),
+            }
+        )
+
+    ranks = partial_sum_groupby(
+        ds().map_batches(rank_partial, batch_format="pyarrow"),
+        ["event_type", "q"],
+        {"n_le": "n_le", "n": "n"},
+    ).to_pandas()
+    ranks["rank_ok"] = (
+        (ranks["n_le"] / ranks["n"] - ranks["q"]).abs() <= 0.015
+    )
+    ranks = ranks.sort_values(["event_type", "q"]).reset_index(drop=True)
+    return pa.table(
+        {
+            "event_type": pa.array(ranks["event_type"], pa.string()),
+            "q": pa.array(ranks["q"], pa.float64()),
+            "rank_ok": pa.array(ranks["rank_ok"], pa.bool_()),
+        }
+    )
+
+
+TDIGEST_BY_TYPE_SQL = """
+SELECT event_type, q, true AS rank_ok
+FROM (SELECT DISTINCT event_type FROM events),
+     (SELECT unnest([0.25, 0.5, 0.75]) AS q)
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -2255,6 +2372,8 @@ QUERIES = {
     "events_user_distinct_by_type": events_user_distinct_by_type,
     "image_augment": image_augment,
     "embedding_pq_knn": embedding_pq_knn,
+    "jsonl_roundtrip": jsonl_roundtrip,
+    "events_value_quantiles_by_type": events_value_quantiles_by_type,
 }
 
 ORACLE_SQL = {
@@ -2302,4 +2421,6 @@ ORACLE_SQL = {
     "lineitem_grouped_quantiles": GROUPQ_SQL,
     "warc_extract_roundtrip": WARC_SQL,
     "events_user_distinct_by_type": DISTINCT_BY_TYPE_SQL,
+    "jsonl_roundtrip": JSONL_SQL,
+    "events_value_quantiles_by_type": TDIGEST_BY_TYPE_SQL,
 }

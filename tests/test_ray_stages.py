@@ -1259,3 +1259,33 @@ class TestProductQuantization:
             have.setdefault(r["query_id"], set()).add(r["neighbor_id"])
         hits = sum(len(want[q] & have.get(q, set())) for q in want)
         assert hits / 50 >= 0.9
+
+
+class TestGroupedTDigest:
+    @pytest.mark.usefixtures("ray_session")
+    def test_per_group_rank_error(self):
+        import ray.data as rd
+
+        from parsel_ray.functions.sketch import TDigest, grouped_tdigest
+
+        rng = np.random.RandomState(13)
+        n = 40_000
+        df = pd.DataFrame(
+            {
+                "g": rng.choice(["x", "y"], n),
+                "v": np.where(
+                    rng.rand(n) < 0.5,
+                    rng.lognormal(2, 1.5, n),
+                    rng.normal(100, 5, n),
+                ),
+            }
+        )
+        ds = rd.from_pandas(df).repartition(10)
+        out = grouped_tdigest(ds, "g", "v").take_all()
+        assert sorted(r["g"] for r in out) == ["x", "y"]
+        for r in out:
+            td = TDigest.from_bytes(r["__digest"])
+            s = np.sort(df.loc[df.g == r["g"], "v"].to_numpy())
+            for q in (0.1, 0.5, 0.9):
+                rank = np.searchsorted(s, td.quantile(q)) / len(s)
+                assert abs(rank - q) < 0.015, (r["g"], q, rank)
