@@ -2307,6 +2307,94 @@ FROM (SELECT DISTINCT event_type FROM events),
 """
 
 
+def stratified_sample_orders(sf_dir: str, per_group: int = 50):
+    """EXACTLY-N-per-stratum deterministic sample: rank rows inside each
+    stratum by md5(key) (the same expression the oracle evaluates — the
+    selection is reproducible across engines, runs and parallelism) and
+    keep the first N via the distributed window top-k.  The per-batch
+    combiner bounds the shuffle at N rows per stratum per block — the
+    standard way to draw a balanced training subset from a skewed
+    100 TB corpus without a full sort."""
+    import hashlib
+
+    from ..functions.agg import grouped_topk
+
+    def keyed(t: pa.Table) -> pa.Table:
+        h = [
+            hashlib.md5(str(k).encode()).hexdigest()
+            for k in t["o_orderkey"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "o_orderkey": t["o_orderkey"],
+                "__h": pa.array(h, pa.string()),
+            }
+        )
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]).map_batches(
+        keyed, batch_format="pyarrow"
+    )
+    out = grouped_topk(
+        ds,
+        "o_orderpriority",
+        ["__h", "o_orderkey"],
+        [True, True],
+        k=per_group,
+        num_partitions=8,
+    )
+    return out.map_batches(
+        lambda t: t.select(["o_orderpriority", "o_orderkey"]),
+        batch_format="pyarrow",
+    )
+
+
+STRATIFIED_SQL = """
+SELECT o_orderpriority, o_orderkey FROM (
+  SELECT o_orderpriority, o_orderkey,
+         row_number() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey
+         ) AS rn
+  FROM orders
+) WHERE rn <= 50
+"""
+
+
+def events_type_pivot(sf_dir: str):
+    """Pivot/reshape: per-user event counts spread across one column per
+    event type (conditional aggregation).  Vectorized: one boolean mask
+    + combiner sum per type inside map_batches; the shuffle carries one
+    row per user per block."""
+    types = ["click", "error", "purchase", "signup", "view"]
+
+    def widen(t: pa.Table) -> pa.Table:
+        cols = {"user_id": t["user_id"]}
+        for ty in types:
+            cols[f"n_{ty}"] = pc.cast(
+                pc.equal(t["event_type"], ty), pa.int64()
+            )
+        return pa.table(cols)
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"]).map_batches(
+        widen, batch_format="pyarrow"
+    )
+    return partial_sum_groupby(
+        ds, ["user_id"], {f"n_{ty}": f"n_{ty}" for ty in types}
+    )
+
+
+PIVOT_SQL = """
+SELECT user_id,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+FROM events GROUP BY user_id
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -2374,6 +2462,8 @@ QUERIES = {
     "embedding_pq_knn": embedding_pq_knn,
     "jsonl_roundtrip": jsonl_roundtrip,
     "events_value_quantiles_by_type": events_value_quantiles_by_type,
+    "stratified_sample_orders": stratified_sample_orders,
+    "events_type_pivot": events_type_pivot,
 }
 
 ORACLE_SQL = {
@@ -2423,4 +2513,6 @@ ORACLE_SQL = {
     "events_user_distinct_by_type": DISTINCT_BY_TYPE_SQL,
     "jsonl_roundtrip": JSONL_SQL,
     "events_value_quantiles_by_type": TDIGEST_BY_TYPE_SQL,
+    "stratified_sample_orders": STRATIFIED_SQL,
+    "events_type_pivot": PIVOT_SQL,
 }
