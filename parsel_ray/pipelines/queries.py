@@ -2395,6 +2395,43 @@ FROM events GROUP BY user_id
 """
 
 
+def customers_without_orders(sf_dir: str):
+    """Distributed ANTI-join (NOT IN at scale) — customers with no
+    URGENT order: the right side filters early and reduces to one
+    distinct-key marker row per urgent-ordering customer (combiner
+    groupby — the shuffle carries keys, not orders), a LEFT bucket join
+    attaches the marker, and null-marker rows survive.  Exact — unlike
+    a Bloom prefilter, which can only serve the SEMI direction (false
+    positives would silently DELETE rows here)."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    marks = partial_sum_groupby(
+        _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"]).map_batches(
+            lambda t: t.filter(
+                pc.equal(t["o_orderpriority"], "1-URGENT")
+            ).select(["o_custkey"]).rename_columns(["c_custkey"]),
+            batch_format="pyarrow",
+        ),
+        ["c_custkey"],
+        {},
+        count_as="__m",
+    )
+    joined = hash_bucket_join(cust, marks, on="c_custkey", how="left",
+                              buckets=16)
+    return joined.map_batches(
+        lambda t: t.filter(pc.is_null(t["__m"])).select(
+            ["c_custkey", "c_name"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+ANTI_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN
+      (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -2464,6 +2501,7 @@ QUERIES = {
     "events_value_quantiles_by_type": events_value_quantiles_by_type,
     "stratified_sample_orders": stratified_sample_orders,
     "events_type_pivot": events_type_pivot,
+    "customers_without_orders": customers_without_orders,
 }
 
 ORACLE_SQL = {
@@ -2515,4 +2553,5 @@ ORACLE_SQL = {
     "events_value_quantiles_by_type": TDIGEST_BY_TYPE_SQL,
     "stratified_sample_orders": STRATIFIED_SQL,
     "events_type_pivot": PIVOT_SQL,
+    "customers_without_orders": ANTI_SQL,
 }
