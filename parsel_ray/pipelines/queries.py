@@ -2432,6 +2432,79 @@ WHERE c_custkey NOT IN
 """
 
 
+def events_lag_delta(sf_dir: str):
+    """Window lag(): per-user milliseconds since the previous event in
+    event-time order — partition by key, order within the partition,
+    vectorized shift.  Same coarse-partition shape as the running
+    count; total order pinned by (ts, event_id)."""
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).copy()
+        # DuckDB date_diff counts BOUNDARY CROSSINGS: floor each ts to
+        # the millisecond, then subtract.  float64 so the first event's
+        # null round-trips as NaN like the oracle's CAST(... AS DOUBLE)
+        ems = g["ts"].astype("int64") // 1000  # us -> whole ms
+        g["ms_since_prev"] = ems.diff().astype("float64")
+        return g[["user_id", "event_id", "ms_since_prev"]]
+
+    return grouped_apply(
+        _read(sf_dir, "events", ["user_id", "ts", "event_id"]),
+        "user_id",
+        run,
+        num_partitions=16,
+    )
+
+
+LAG_SQL = """
+SELECT user_id, event_id,
+       CAST(date_diff('millisecond',
+                      lag(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id),
+                      ts) AS DOUBLE) AS ms_since_prev
+FROM events
+"""
+
+
+def docs_rollup(sf_dir: str):
+    """GROUPING SETS / ROLLUP as a union of combiner groupbys: counts
+    by (lang, source), by (lang), and the grand total — each level its
+    own partial-aggregated shuffle, the union is three tiny Datasets.
+    At scale the finer level feeds the coarser ones (re-aggregation of
+    partials), which is exactly what the per-level combiner does."""
+    base = _read(sf_dir, "documents", ["lang", "source"])
+    fine = partial_sum_groupby(base, ["lang", "source"], {}, count_as="n")
+    mid = partial_sum_groupby(
+        fine,
+        ["lang"],
+        {"n": "n"},
+    ).map_batches(
+        lambda t: t.append_column(
+            "source", pa.array([None] * len(t), pa.string())
+        ).select(["lang", "source", "n"]),
+        batch_format="pyarrow",
+    )
+    total = pa.table(
+        {
+            "lang": pa.array([None], pa.string()),
+            "source": pa.array([None], pa.string()),
+            "n": pa.array(
+                [sum(r["n"] for r in fine.select_columns(["n"]).take_all())],
+                pa.int64(),
+            ),
+        }
+    )
+    fine = fine.map_batches(
+        lambda t: t.select(["lang", "source", "n"]), batch_format="pyarrow"
+    )
+    return fine.union(mid).union(rd.from_arrow(total))
+
+
+ROLLUP_SQL = """
+SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+FROM documents GROUP BY ROLLUP (lang, source)
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -2502,6 +2575,8 @@ QUERIES = {
     "stratified_sample_orders": stratified_sample_orders,
     "events_type_pivot": events_type_pivot,
     "customers_without_orders": customers_without_orders,
+    "events_lag_delta": events_lag_delta,
+    "docs_rollup": docs_rollup,
 }
 
 ORACLE_SQL = {
@@ -2554,4 +2629,6 @@ ORACLE_SQL = {
     "stratified_sample_orders": STRATIFIED_SQL,
     "events_type_pivot": PIVOT_SQL,
     "customers_without_orders": ANTI_SQL,
+    "events_lag_delta": LAG_SQL,
+    "docs_rollup": ROLLUP_SQL,
 }
