@@ -106,6 +106,7 @@ class TDigest:
 
 def build_tdigest(ds, col: str, delta: int = 200):
     """Distributed t-digest: per-batch partial digests in ``map_batches``,
+    reduced inside the Dataset (fan-in 256) until driver-scale, then
     merged by a tree of Ray tasks (no driver pass over values).  Returns
     the final :class:`TDigest`."""
     import ray
@@ -115,7 +116,18 @@ def build_tdigest(ds, col: str, delta: int = 200):
         td.add_many(t[col].to_numpy(zero_copy_only=False))
         return pa.table({"__td": pa.array([td.to_bytes()], pa.binary())})
 
-    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    def merge_batch(t: pa.Table) -> pa.Table:
+        acc = None
+        for b in t["__td"].to_pylist():
+            d = TDigest.from_bytes(b, delta)
+            acc = d if acc is None else acc.merge(d)
+        if acc is None:
+            return t
+        return pa.table({"__td": pa.array([acc.to_bytes()], pa.binary())})
+
+    parts = _reduce_sketch_rows(
+        ds.map_batches(partial, batch_format="pyarrow"), "__td", merge_batch
+    )
     if not parts:
         return TDigest(delta)
 
@@ -232,11 +244,27 @@ class HyperLogLog:
         return hll
 
 
+def _reduce_sketch_rows(parts, col: str, merge_batch, fanin: int = 256,
+                        max_driver_rows: int = 4096):
+    """Collapse a Dataset of one-sketch-per-row partials INSIDE the
+    Dataset (map_batches merges ``fanin`` rows -> 1) until few enough
+    rows remain to take_all — at corpus scale the per-batch partials
+    are millions of rows; the driver must only ever see O(fanin)."""
+    while True:
+        n = parts.count()
+        if n <= max_driver_rows:
+            return parts.take_all()
+        parts = parts.repartition(
+            max(1, n // fanin)
+        ).map_batches(merge_batch, batch_format="pyarrow")
+
+
 def build_hll(ds, col: str, p: int = 14):
     """Distributed count-distinct: per-batch partial HLLs in
     ``map_batches`` (one 16 KiB register array per batch leaves each
-    task — never the values), merged by a task tree like
-    :func:`build_tdigest`.  Returns the final :class:`HyperLogLog`."""
+    task — never the values), reduced INSIDE the Dataset (fan-in 256)
+    until driver-scale, then task-tree merged.  Returns the final
+    :class:`HyperLogLog`."""
     import ray
 
     def partial(t: pa.Table) -> pa.Table:
@@ -244,7 +272,18 @@ def build_hll(ds, col: str, p: int = 14):
         hll.add_column(t[col])
         return pa.table({"__hll": pa.array([hll.to_bytes()], pa.binary())})
 
-    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    def merge_batch(t: pa.Table) -> pa.Table:
+        acc = None
+        for b in t["__hll"].to_pylist():
+            h = HyperLogLog.from_bytes(b)
+            acc = h if acc is None else acc.merge(h)
+        if acc is None:
+            return t
+        return pa.table({"__hll": pa.array([acc.to_bytes()], pa.binary())})
+
+    parts = _reduce_sketch_rows(
+        ds.map_batches(partial, batch_format="pyarrow"), "__hll", merge_batch
+    )
     if not parts:
         return HyperLogLog(p)
 
@@ -353,7 +392,18 @@ def build_misra_gries(ds, k: int, count_fn):
             mg.add_exact_counts(items, ns)
         return pa.table({"__mg": pa.array([pickle.dumps(mg)], pa.binary())})
 
-    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    def merge_batch(t: pa.Table) -> pa.Table:
+        acc = None
+        for b in t["__mg"].to_pylist():
+            m = pickle.loads(b)
+            acc = m if acc is None else acc.merge(m)
+        if acc is None:
+            return t
+        return pa.table({"__mg": pa.array([pickle.dumps(acc)], pa.binary())})
+
+    parts = _reduce_sketch_rows(
+        ds.map_batches(partial, batch_format="pyarrow"), "__mg", merge_batch
+    )
     if not parts:
         return MisraGries(k)
 
