@@ -59,10 +59,15 @@ class FrontierShard:
     per-host budgets and the seen set need no cross-shard coordination.
     """
 
-    def __init__(self, shard_id: int, cfg: CrawlConfig, verify: bool = True) -> None:
+    def __init__(self, shard_id: int, cfg: CrawlConfig, verify: bool = True,
+                 keep_insert_log: bool = True) -> None:
         self.shard_id = shard_id
         self.cfg = cfg
         self.verify = verify
+        # the O(delta) replay log only has a consumer when checkpointing
+        # is on; without one it would quietly grow into the full URL
+        # string set the verify=False contract promises NOT to hold
+        self.keep_insert_log = keep_insert_log
         store = PageStore(cfg.store)
         self.filter = CuckooFilter(cfg.filter_capacity)
         self.buckets = TokenBuckets(cfg.bucket_capacity, cfg.bucket_refill)
@@ -93,7 +98,8 @@ class FrontierShard:
             if not self.filter.add_if_new(cu):
                 self.metrics["dup_skipped"] += 1
                 continue
-            self._insert_log.append(cu)
+            if self.keep_insert_log:
+                self._insert_log.append(cu)
             if self.verify:
                 self.seen.append(cu)
             if not self.robots.allowed(host, path_of(cu)):
@@ -497,7 +503,9 @@ def run_crawl(
     carry the counts instead.
     """
     shards = [
-        FrontierShard.remote(i, cfg, verify) for i in range(cfg.shards)
+        FrontierShard.remote(i, cfg, verify,
+                             keep_insert_log=checkpoint_every > 0)
+        for i in range(cfg.shards)
     ]
     pop_order: list[tuple[int, int, str]] = []
     n_popped = 0

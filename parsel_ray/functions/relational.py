@@ -329,16 +329,21 @@ def detect_hot_keys(ds, on: str, threshold: int | None = None,
         cnt = pa.array(np.append(cs, len(t)).astype(np.int64), pa.int64())
         return pa.table({"k": k_arr, "cnt": cnt})
 
-    parts = (
+    rows = (
         ds.select_columns([on])
         .map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
-        .to_pandas()  # small: ≤ keep+1 rows per input batch
+        .take_all()  # small: ≤ keep+1 rows per input batch; plain dicts
+        # keep int64 keys exact (a pandas int64-with-null column would
+        # upcast to float64 and corrupt keys ≥ 2^53)
     )
-    total = int(parts.loc[parts["k"].isna(), "cnt"].sum())
+    total = sum(r["cnt"] for r in rows if r["k"] is None)
     if threshold is None:
         threshold = max(1024, int(0.01 * total))
-    agg = parts.dropna(subset=["k"]).groupby("k")["cnt"].sum()
-    return [k for k, c in agg.items() if int(c) >= threshold]
+    agg: dict = {}
+    for r in rows:
+        if r["k"] is not None:
+            agg[r["k"]] = agg.get(r["k"], 0) + r["cnt"]
+    return [k for k, c in agg.items() if c >= threshold]
 
 
 def salted_bucket_join(left, right, on: str, hot_keys, salt_col: str,

@@ -250,13 +250,16 @@ def _reduce_sketch_rows(parts, col: str, merge_batch, fanin: int = 256,
     Dataset (map_batches merges ``fanin`` rows -> 1) until few enough
     rows remain to take_all — at corpus scale the per-batch partials
     are millions of rows; the driver must only ever see O(fanin)."""
+    parts = parts.materialize()  # sketch rows only (bytes per batch),
+    # never input data — count() and any further level must not re-run
+    # the full input scan
     while True:
         n = parts.count()
         if n <= max_driver_rows:
             return parts.take_all()
         parts = parts.repartition(
             max(1, n // fanin)
-        ).map_batches(merge_batch, batch_format="pyarrow")
+        ).map_batches(merge_batch, batch_format="pyarrow").materialize()
 
 
 def build_hll(ds, col: str, p: int = 14):
@@ -425,7 +428,9 @@ def build_misra_gries(ds, k: int, count_fn):
 def grouped_hll_partials(t: pa.Table, group: str, col: str, p: int):
     """One (group, registers) row per distinct group in the batch,
     fully vectorized: a single ``np.maximum.at`` scatter into a
-    (n_groups x m) register matrix — no per-group Python loop."""
+    (n_groups x m) register matrix — no per-group Python loop.
+    Null-group rows are excluded (the same contract as the pandas
+    ``groupby(dropna=True)`` the exact path uses)."""
     import pandas as pd
 
     if len(t) == 0:
@@ -447,7 +452,9 @@ def grouped_hll_partials(t: pa.Table, group: str, col: str, p: int):
     rho[nz] = (int(w) - (e - 1)).astype(np.uint8)
     rho[~nz] = np.uint8(int(w) + 1)
     regs = np.zeros((len(uniques), m), dtype=np.uint8)
-    np.maximum.at(regs, (codes, idx), rho)
+    ok = codes >= 0  # factorize marks null groups -1; without the mask
+    # they would scatter into regs[-1] (the LAST group) and inflate it
+    np.maximum.at(regs, (codes[ok], idx[ok]), rho[ok])
     return pa.table(
         {
             group: pa.array(list(uniques)),

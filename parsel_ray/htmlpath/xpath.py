@@ -1361,8 +1361,13 @@ def _fn_substring_after(ev, args, ctx, pos, size):
 def _fn_substring(ev, args, ctx, pos, size):
     s = _fn_string_arg(ev, args, ctx, pos, size, 0)
     start = to_number(ev._eval(args[1], ctx, pos, size))
-    if math.isnan(start) or math.isinf(start):
-        return ""  # XPath 1.0: non-finite start selects nothing
+    if math.isnan(start) or (math.isinf(start) and start > 0):
+        return ""  # NaN / +Infinity start selects nothing
+    if math.isinf(start):  # -Infinity start
+        # two-arg form keeps every p >= round(-inf) -> the whole string;
+        # three-arg upper bound is -inf + round(len): NaN for infinite
+        # len, -inf for finite — either way nothing qualifies
+        return s if len(args) <= 2 else ""
     length = (
         to_number(ev._eval(args[2], ctx, pos, size)) if len(args) > 2 else float("inf")
     )

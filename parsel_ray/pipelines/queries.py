@@ -2472,7 +2472,10 @@ def docs_rollup(sf_dir: str):
     At scale the finer level feeds the coarser ones (re-aggregation of
     partials), which is exactly what the per-level combiner does."""
     base = _read(sf_dir, "documents", ["lang", "source"])
-    fine = partial_sum_groupby(base, ["lang", "source"], {}, count_as="n")
+    fine = partial_sum_groupby(
+        base, ["lang", "source"], {}, count_as="n"
+    ).materialize()  # one row per (lang, source) — group-domain-sized,
+    # NOT corpus-sized; three consumers below must not re-scan documents
     mid = partial_sum_groupby(
         fine,
         ["lang"],

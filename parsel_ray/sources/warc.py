@@ -29,6 +29,7 @@ import gzip
 import hashlib
 import io
 import os
+from urllib.parse import quote
 from typing import Iterator
 
 import pyarrow as pa
@@ -65,6 +66,10 @@ def warc_record_bytes(
     else:
         block = body
         content_type = "application/warc-fields"
+    # WARC headers are ASCII: percent-encode any raw non-ASCII in the
+    # URI (IRIs are routine in real crawls) instead of crashing the
+    # shard task; already-escaped sequences pass through untouched
+    target_uri = quote(target_uri, safe=":/?#[]@!$&'()*+,;=%~._-")
     rid = hashlib.md5(
         warc_type.encode() + b"\x00" + target_uri.encode() + b"\x00" + block
     ).hexdigest()

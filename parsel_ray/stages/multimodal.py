@@ -311,8 +311,11 @@ class AugmentImages:
     out, parameters derived from ``image_id`` only.  In-kernel
     certification (``aug_ok``): the emitted bytes are decoded back and
     must reproduce ``apply_augment(decode(original))`` exactly for
-    lossless formats (PSNR >= 40 dB for lossy), the same per-row
-    invariant the crawl verifier enforces."""
+    lossless formats, within the codec's own error bound for lossy
+    ones (qjpg: |err| <= 4 by construction — its quantization drops 3
+    bits with midpoint reconstruction; DCT jpeg: PSNR >= 35 dB, the
+    realistic floor on arbitrarily small crops where 8x8 blocking
+    dominates)."""
 
     def __init__(self, bytes_col: str = "bytes", fmt_col: str = "fmt",
                  id_col: str = "image_id") -> None:

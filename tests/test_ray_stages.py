@@ -1289,3 +1289,25 @@ class TestGroupedTDigest:
             for q in (0.1, 0.5, 0.9):
                 rank = np.searchsorted(s, td.quantile(q)) / len(s)
                 assert abs(rank - q) < 0.015, (r["g"], q, rank)
+
+
+class TestGroupedHLLNulls:
+    def test_null_groups_excluded_not_scattered(self):
+        from parsel_ray.functions.sketch import (
+            HyperLogLog, grouped_hll_partials,
+        )
+
+        t = pa.table(
+            {
+                "g": pa.array(["a", None, "b", "a"] * 500),
+                "v": pa.array(np.arange(2000) % 97, pa.int64()),
+            }
+        )
+        out = grouped_hll_partials(t, "g", "v", 12)
+        assert sorted(x for x in out["g"].to_pylist()) == ["a", "b"]
+        for r in out.to_pylist():
+            h = HyperLogLog(12)
+            h.registers = np.frombuffer(r["__regs"], np.uint8).copy()
+            df = pd.DataFrame({"g": t["g"].to_pylist(), "v": t["v"].to_pylist()})
+            exact = df[df.g == r["g"]].v.nunique()
+            assert abs(h.estimate() - exact) / exact < 0.1

@@ -243,3 +243,12 @@ class TestNumberStringEdges:
 
     def test_substring_rounding(self):
         assert self.sel().xpath("substring('12345', 1.5, 2.6)").get() == "234"
+
+    def test_substring_negative_infinity_start(self):
+        # two-arg: every position >= round(-inf) — the whole string
+        # (libxml2 agrees); three-arg: the upper bound is -inf + len
+        # (-inf, or NaN for infinite len) — nothing qualifies
+        s = self.sel()
+        assert s.xpath("substring('12345', -1 div 0)").get() == "12345"
+        assert s.xpath("substring('12345', -1 div 0, 3)").get() == ""
+        assert s.xpath("substring('12345', -1 div 0, 1 div 0)").get() == ""
