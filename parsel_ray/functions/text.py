@@ -189,9 +189,20 @@ class LangId:
         doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)
         pos_in_doc = np.arange(total, dtype=np.int64) - starts[doc_of]
 
-        cjk = (big >= 0x4E00) & (big <= 0x9FFF) & (pos_in_doc < 200)
+        head = pos_in_doc < 200
+        window = np.minimum(lens, 200)
+        cjk = (big >= 0x4E00) & (big <= 0x9FFF) & head
         cjk_n = np.bincount(doc_of[cjk], minlength=n)
-        is_zh = cjk_n > np.minimum(lens, 200) * 0.2
+        # script separation inside the CJK fast path: kana => Japanese,
+        # hangul => Korean, else han-dominant => Chinese (vectorized
+        # codepoint-range tests, same 200-cp head window)
+        kana = (big >= 0x3040) & (big <= 0x30FF) & head
+        kana_n = np.bincount(doc_of[kana], minlength=n)
+        hangul = ((big >= 0xAC00) & (big <= 0xD7AF) | (big >= 0x1100) & (big <= 0x11FF)) & head
+        hangul_n = np.bincount(doc_of[hangul], minlength=n)
+        is_ja = kana_n > window * 0.05
+        is_ko = (hangul_n > window * 0.2) & ~is_ja
+        is_zh = (cjk_n > window * 0.2) & ~is_ja & ~is_ko
 
         scores = np.zeros((n, len(self.langs)), np.float64)
         if total >= 3:
@@ -213,6 +224,8 @@ class LangId:
         best_score = scores[np.arange(n), best]
         vals = np.where(best_score > 0, self._lang_arr[best], "und")
         vals = np.where(is_zh, "zh", vals)
+        vals = np.where(is_ko, "ko", vals)
+        vals = np.where(is_ja, "ja", vals)
         nulls = pc.is_null(col).to_numpy(zero_copy_only=False)
         out = [None if nl else str(v) for nl, v in zip(nulls, vals)]
         return batch.append_column(self.out, pa.array(out, pa.string()))

@@ -1311,3 +1311,18 @@ class TestGroupedHLLNulls:
             df = pd.DataFrame({"g": t["g"].to_pylist(), "v": t["v"].to_pylist()})
             exact = df[df.g == r["g"]].v.nunique()
             assert abs(h.estimate() - exact) / exact < 0.1
+
+
+class TestLangIdScripts:
+    def test_ja_ko_zh_separation(self):
+        from parsel_ray.functions.text import LangId
+
+        texts = [
+            "这是一个中文句子，用来测试语言识别的准确性和稳定性。",
+            "これは日本語の文章です。ひらがなとカタカナが混ざっています。",
+            "이것은 한국어 문장입니다. 언어 감지를 테스트합니다.",
+            # kanji-heavy Japanese still flags ja via the kana present
+            "日本語の文章で漢字が多いですが、かなもあります。",
+        ]
+        out = LangId()(pa.table({"text": pa.array(texts)}))
+        assert out["lang_guess"].to_pylist() == ["zh", "ja", "ko", "ja"]
