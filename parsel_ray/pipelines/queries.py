@@ -2508,6 +2508,78 @@ FROM documents GROUP BY ROLLUP (lang, source)
 """
 
 
+def sitemap_extract(sf_dir: str):
+    """Sitemap-protocol XML (the crawl seed-expansion format) through
+    the DISTRIBUTED namespaced-XML path: each batch of documents
+    becomes one urlset sitemap (proper sitemaps.org namespace), and
+    ``SelectorExtract(namespaces=...)`` — the reference's
+    register_namespace lifted to the actor-pool stage — pulls loc /
+    lastmod / priority back out per <url> entry.  Oracle: the values
+    reconstruct straight from the documents table."""
+
+    def build(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        chars = t["n_chars"].to_pylist()
+        entries = "".join(
+            f"<url><loc>http://corpus/doc/{i}</loc>"
+            f"<lastmod>2026-01-{(i % 28) + 1:02d}</lastmod>"
+            f"<priority>0.{(c or 0) % 10}</priority></url>"
+            for i, c in zip(ids, chars)
+        )
+        xml = (
+            '<?xml version="1.0" encoding="UTF-8"?>'
+            '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+            + entries
+            + "</urlset>"
+        )
+        return pa.table({"sitemap": pa.array([xml], pa.string())})
+
+    maps = _read(sf_dir, "documents", ["doc_id", "n_chars"]).map_batches(
+        build, batch_format="pyarrow", batch_size=256
+    )
+    per_url = maps.map_batches(
+        SelectorExtract(
+            specs=[
+                ExtractSpec("loc", "xpath", "//sm:url/sm:loc/text()",
+                            "getall"),
+                ExtractSpec("lastmod", "xpath",
+                            "//sm:url/sm:lastmod/text()", "getall"),
+                ExtractSpec("priority", "xpath",
+                            "//sm:url/sm:priority/text()", "getall"),
+            ],
+            input_col="sitemap",
+            doc_type="xml",
+            namespaces={"sm": "http://www.sitemaps.org/schemas/sitemap/0.9"},
+        ),
+        batch_format="pyarrow",
+        batch_size=64,
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        loc = pc.list_flatten(t["loc"])
+        return pa.table(
+            {
+                "doc_id": pc.cast(
+                    pc.replace_substring_regex(loc, r"^.*/", ""), pa.int64()
+                ),
+                "loc": loc,
+                "lastmod": pc.list_flatten(t["lastmod"]),
+                "priority": pc.list_flatten(t["priority"]),
+            }
+        )
+
+    return per_url.map_batches(explode, batch_format="pyarrow")
+
+
+SITEMAP_SQL = """
+SELECT doc_id,
+       'http://corpus/doc/' || CAST(doc_id AS VARCHAR) AS loc,
+       '2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS lastmod,
+       '0.' || CAST(coalesce(n_chars, 0) % 10 AS VARCHAR) AS priority
+FROM documents
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -2580,6 +2652,7 @@ QUERIES = {
     "customers_without_orders": customers_without_orders,
     "events_lag_delta": events_lag_delta,
     "docs_rollup": docs_rollup,
+    "sitemap_extract": sitemap_extract,
 }
 
 ORACLE_SQL = {
@@ -2634,4 +2707,5 @@ ORACLE_SQL = {
     "customers_without_orders": ANTI_SQL,
     "events_lag_delta": LAG_SQL,
     "docs_rollup": ROLLUP_SQL,
+    "sitemap_extract": SITEMAP_SQL,
 }

@@ -130,6 +130,7 @@ class SelectorExtract:
         base_url_col: str | None = None,
         keep_input: bool = False,
         xpath_funcs: "dict[str, Any] | None" = None,
+        namespaces: "dict[str, str] | None" = None,
     ) -> None:
         """``xpath_funcs``: the user-extension surface (reference
         ``set_xpathfunc``, xpathfuncs.py:16-34) lifted to the distributed
@@ -145,6 +146,9 @@ class SelectorExtract:
         self.base_url_col = base_url_col
         self.keep_input = keep_input
         self.xpath_funcs = dict(xpath_funcs or {})
+        # prefix -> uri map applied to every per-document Selector (the
+        # reference's register_namespace lifted to the distributed layer)
+        self.namespaces = dict(namespaces or {})
         self._register_and_warm()
 
     def _register_and_warm(self) -> None:
@@ -175,21 +179,27 @@ class SelectorExtract:
             "base_url_col": self.base_url_col,
             "keep_input": self.keep_input,
             "xpath_funcs": self.xpath_funcs,
+            "namespaces": self.namespaces,
         }
 
     def __setstate__(self, st):
+        st.setdefault("namespaces", {})
         self.__dict__.update(st)
         self._register_and_warm()
 
     def _make_selector(self, value: Any, encoding: str, base_url: str | None) -> Selector:
         if isinstance(value, (bytes, bytearray)):
-            return Selector(
+            sel = Selector(
                 body=bytes(value),
                 encoding=encoding or "utf-8",
                 type=self.doc_type,
                 base_url=base_url,
             )
-        return Selector(text=value, type=self.doc_type, base_url=base_url)
+        else:
+            sel = Selector(text=value, type=self.doc_type, base_url=base_url)
+        for prefix, uri in self.namespaces.items():
+            sel.register_namespace(prefix, uri)
+        return sel
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         docs = batch[self.input_col].to_pylist()

@@ -1326,3 +1326,31 @@ class TestLangIdScripts:
         ]
         out = LangId()(pa.table({"text": pa.array(texts)}))
         assert out["lang_guess"].to_pylist() == ["zh", "ja", "ko", "ja"]
+
+
+class TestSelectorExtractNamespaces:
+    @pytest.mark.usefixtures("ray_session")
+    def test_namespaced_xml_extraction(self):
+        import ray.data as rd
+
+        from parsel_ray.stages.extract import ExtractSpec, SelectorExtract
+
+        xml = (
+            '<r xmlns:a="http://a" xmlns="http://d">'
+            "<a:item>1</a:item><item>2</item></r>"
+        )
+        ds = rd.from_arrow(pa.table({"doc": pa.array([xml] * 5)}))
+        out = ds.map_batches(
+            SelectorExtract(
+                specs=[
+                    ExtractSpec("a_item", "xpath", "//a:item/text()", "get"),
+                    ExtractSpec("d_item", "xpath", "//d:item/text()", "get"),
+                ],
+                input_col="doc",
+                doc_type="xml",
+                namespaces={"a": "http://a", "d": "http://d"},
+            ),
+            batch_format="pyarrow",
+        ).to_pandas()
+        assert list(out["a_item"]) == ["1"] * 5
+        assert list(out["d_item"]) == ["2"] * 5
