@@ -2580,6 +2580,50 @@ FROM documents
 """
 
 
+def events_forward_fill(sf_dir: str):
+    """Per-key forward fill (time-series gap fill): purchase rows carry
+    a value, other rows inherit the latest preceding purchase value
+    within their user's event-time order — partition by key, order
+    inside the partition, vectorized pandas ffill.  The distributed
+    last_value(... IGNORE NULLS) window."""
+
+    def prep(t: pa.Table) -> pa.Table:
+        v = pc.if_else(
+            pc.equal(t["event_type"], "purchase"),
+            t["value"],
+            pa.nulls(len(t), pa.float64()),
+        )
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "event_id": t["event_id"],
+                "pv": v,
+            }
+        )
+
+    def fill(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).copy()
+        g["last_purchase_value"] = g["pv"].ffill()
+        return g[["user_id", "event_id", "last_purchase_value"]]
+
+    ds = _read(
+        sf_dir, "events", ["user_id", "ts", "event_id", "event_type", "value"]
+    ).map_batches(prep, batch_format="pyarrow")
+    return grouped_apply(ds, "user_id", fill, num_partitions=16)
+
+
+FFILL_SQL = """
+SELECT user_id, event_id,
+       last_value(CASE WHEN event_type = 'purchase' THEN value END
+                  IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS last_purchase_value
+FROM events
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -2653,6 +2697,7 @@ QUERIES = {
     "events_lag_delta": events_lag_delta,
     "docs_rollup": docs_rollup,
     "sitemap_extract": sitemap_extract,
+    "events_forward_fill": events_forward_fill,
 }
 
 ORACLE_SQL = {
@@ -2708,4 +2753,5 @@ ORACLE_SQL = {
     "events_lag_delta": LAG_SQL,
     "docs_rollup": ROLLUP_SQL,
     "sitemap_extract": SITEMAP_SQL,
+    "events_forward_fill": FFILL_SQL,
 }
