@@ -149,6 +149,11 @@ def grouped_apply(
     dominates.  Coarse-partitioning bounds the task count at
     ``num_partitions`` while keeping per-key semantics exact (a key never
     spans partitions: partition = hash(key) % P).
+
+    Contract: key columns must be NON-NULL — the in-partition pandas
+    ``groupby`` drops null-keyed rows (SQL's PARTITION BY would give
+    them their own group).  Callers joining against a SQL oracle must
+    guarantee (or pre-filter) non-null keys.
     """
     import numpy as np
     import pandas as pd

@@ -200,7 +200,10 @@ class LangId:
         kana_n = np.bincount(doc_of[kana], minlength=n)
         hangul = ((big >= 0xAC00) & (big <= 0xD7AF) | (big >= 0x1100) & (big <= 0x11FF)) & head
         hangul_n = np.bincount(doc_of[hangul], minlength=n)
-        is_ja = kana_n > window * 0.05
+        # ja needs BOTH kana presence and CJK-script dominance — a short
+        # kana quote inside an English document must not outrank the
+        # trigram classifier (kana alone is >5% only in running Japanese)
+        is_ja = (kana_n > window * 0.05) & (kana_n + cjk_n > window * 0.2)
         is_ko = (hangul_n > window * 0.2) & ~is_ja
         is_zh = (cjk_n > window * 0.2) & ~is_ja & ~is_ko
 

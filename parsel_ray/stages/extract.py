@@ -189,17 +189,15 @@ class SelectorExtract:
 
     def _make_selector(self, value: Any, encoding: str, base_url: str | None) -> Selector:
         if isinstance(value, (bytes, bytearray)):
-            sel = Selector(
+            return Selector(
                 body=bytes(value),
                 encoding=encoding or "utf-8",
                 type=self.doc_type,
                 base_url=base_url,
+                namespaces=self.namespaces or None,
             )
-        else:
-            sel = Selector(text=value, type=self.doc_type, base_url=base_url)
-        for prefix, uri in self.namespaces.items():
-            sel.register_namespace(prefix, uri)
-        return sel
+        return Selector(text=value, type=self.doc_type, base_url=base_url,
+                        namespaces=self.namespaces or None)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         docs = batch[self.input_col].to_pylist()

@@ -1354,3 +1354,14 @@ class TestSelectorExtractNamespaces:
         ).to_pandas()
         assert list(out["a_item"]) == ["1"] * 5
         assert list(out["d_item"]) == ["2"] * 5
+
+    def test_kana_quote_in_english_stays_en(self):
+        from parsel_ray.functions.text import LangId
+
+        text = (
+            "The quick brown fox jumps over the lazy dog and then says "
+            "こんにちは世界 before running away into the forest with the "
+            "other animals that live there"
+        )
+        out = LangId()(pa.table({"text": pa.array([text])}))
+        assert out["lang_guess"].to_pylist() == ["en"]
