@@ -503,8 +503,12 @@ def run_crawl(
     carry the counts instead.
     """
     shards = [
-        FrontierShard.remote(i, cfg, verify,
-                             keep_insert_log=checkpoint_every > 0)
+        FrontierShard.remote(
+            i, cfg, verify,
+            # the log's only consumer is checkpoint(); both knobs must be
+            # set for checkpoints to actually run
+            keep_insert_log=checkpoint_every > 0 and ckpt_dir is not None,
+        )
         for i in range(cfg.shards)
     ]
     pop_order: list[tuple[int, int, str]] = []

@@ -321,6 +321,13 @@ def detect_hot_keys(ds, on: str, threshold: int | None = None,
         vc = col.value_counts()
         vals = vc.field("values")
         cs = vc.field("counts").to_numpy(zero_copy_only=False)
+        # drop the null-key row Arrow value_counts emits: null keys never
+        # join, must not occupy top-`keep` slots, and would conflate with
+        # the null-keyed batch-total sentinel below
+        valid = vals.is_valid().to_numpy(zero_copy_only=False)
+        if not valid.all():
+            vals = vals.filter(pa.array(valid))
+            cs = cs[valid]
         if len(cs) > keep:
             topi = np.argpartition(cs, -keep)[-keep:]
             vals = vals.take(pa.array(topi, pa.int64()))
@@ -329,21 +336,22 @@ def detect_hot_keys(ds, on: str, threshold: int | None = None,
         cnt = pa.array(np.append(cs, len(t)).astype(np.int64), pa.int64())
         return pa.table({"k": k_arr, "cnt": cnt})
 
-    rows = (
-        ds.select_columns([on])
-        .map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
-        .take_all()  # small: ≤ keep+1 rows per input batch; plain dicts
-        # keep int64 keys exact (a pandas int64-with-null column would
-        # upcast to float64 and corrupt keys ≥ 2^53)
+    partials = ds.select_columns([on]).map_batches(
+        partial, batch_format="pyarrow", batch_size=batch_size
     )
+    # keyed in-Dataset sum BEFORE the driver collect (the same
+    # reduce-before-collect discipline as the sketch builders): the
+    # driver sees one row per distinct surviving key, not keep+1 rows
+    # per input batch.  take_all (not to_pandas) keeps int64 keys exact
+    # — a pandas int64-with-null column would upcast to float64 and
+    # corrupt keys >= 2^53.
+    from .agg import partial_sum_groupby
+
+    rows = partial_sum_groupby(partials, ["k"], {"cnt": "cnt"}).take_all()
     total = sum(r["cnt"] for r in rows if r["k"] is None)
     if threshold is None:
         threshold = max(1024, int(0.01 * total))
-    agg: dict = {}
-    for r in rows:
-        if r["k"] is not None:
-            agg[r["k"]] = agg.get(r["k"], 0) + r["cnt"]
-    return [k for k, c in agg.items() if c >= threshold]
+    return [r["k"] for r in rows if r["k"] is not None and r["cnt"] >= threshold]
 
 
 def salted_bucket_join(left, right, on: str, hot_keys, salt_col: str,
@@ -364,7 +372,9 @@ def salted_bucket_join(left, right, on: str, hot_keys, salt_col: str,
       ~|hot|/salt rows of the hot key.  Results are identical to the
       unsalted join (verified by test).
 
-    ``hot_keys``: iterable of int64 key values to salt (find them with
+    ``hot_keys``: iterable of key values to salt — int64 keys compose an
+    arithmetic sub-key, any other scalar type composes an injective
+    string sub-key (find them with
     :func:`detect_hot_keys`, or let ``hash_bucket_join(auto_salt_col=...)``
     run that pass for you).
 
@@ -377,7 +387,13 @@ def salted_bucket_join(left, right, on: str, hot_keys, salt_col: str,
             f"salted_bucket_join supports how='inner'/'left' (got {how!r}): "
             "replicated unmatched right rows would duplicate in outer joins"
         )
-    hot = np.array(sorted(int(k) for k in hot_keys), dtype=np.int64)
+    hot_list = sorted(hot_keys)
+    int_keys = all(isinstance(k, (int, np.integer)) for k in hot_list)
+    hot = (
+        np.array(hot_list, dtype=np.int64)
+        if int_keys
+        else np.array([str(k) for k in hot_list], dtype=object)
+    )
     S = np.int64(salt)
 
     if salt_col == on:
@@ -386,19 +402,32 @@ def salted_bucket_join(left, right, on: str, hot_keys, salt_col: str,
             "within a hot key, so salting by it spreads nothing"
         )
 
+    def _subkey(keys: np.ndarray, salts: np.ndarray) -> pa.Array:
+        # integer keys: injective arithmetic composite; other key types:
+        # injective string composite (US unit separator never appears in
+        # the stringified key of the supported scalar types)
+        if int_keys:
+            return pa.array(
+                keys.astype(np.int64) * S + salts.astype(np.int64),
+                pa.int64(),
+            )
+        return pa.array(
+            [f"{k}\x1f{si}" for k, si in zip(keys, salts)], pa.string()
+        )
+
     def salt_left(t: pa.Table) -> pa.Table:
-        keys = t[on].to_numpy(zero_copy_only=False).astype(np.int64)
+        keys = t[on].to_numpy(zero_copy_only=False)
         basis = t[salt_col].to_numpy(zero_copy_only=False).astype(np.uint64)
         with np.errstate(over="ignore"):
             sgen = (
                 (basis * np.uint64(11400714819323198485)) >> np.uint64(33)
             ) % np.uint64(salt)
         is_hot = np.isin(keys, hot)
-        sub = keys * S + np.where(is_hot, sgen.astype(np.int64), 0)
-        return t.append_column("__salted", pa.array(sub, pa.int64()))
+        salts = np.where(is_hot, sgen.astype(np.int64), 0)
+        return t.append_column("__salted", _subkey(keys, salts))
 
     def salt_right(t: pa.Table) -> pa.Table:
-        keys = t[on].to_numpy(zero_copy_only=False).astype(np.int64)
+        keys = t[on].to_numpy(zero_copy_only=False)
         is_hot = np.isin(keys, hot)
         base_idx = np.arange(len(t), dtype=np.int64)
         # non-hot rows once (salt 0), hot rows replicated salt times
@@ -410,8 +439,10 @@ def salted_bucket_join(left, right, on: str, hot_keys, salt_col: str,
             + [np.full(is_hot.sum(), s, np.int64) for s in range(salt)]
         )
         out = t.take(pa.array(rep_idx, pa.int64()))
-        sub = out[on].to_numpy(zero_copy_only=False).astype(np.int64) * S + salts
-        return out.append_column("__salted", pa.array(sub, pa.int64()))
+        return out.append_column(
+            "__salted",
+            _subkey(out[on].to_numpy(zero_copy_only=False), salts),
+        )
 
     l = left.map_batches(salt_left, batch_format="pyarrow")
     r = right.map_batches(salt_right, batch_format="pyarrow")

@@ -578,11 +578,20 @@ class ExactReRank:
         q = self._q.get()
         short = self._s.get()  # {query_id: np.ndarray of candidate ids}
         ids = t[self.id_col].to_numpy(zero_copy_only=False)
-        mat = _stack_embeddings(t[self.emb_col])
+        # subset to the UNION of shortlists BEFORE any vector math —
+        # non-candidate rows are never decoded into the matmul (the
+        # docstring's contract, and the point of the PQ prune: the
+        # re-rank pass costs |shortlist-hits|, not |batch| x Q)
+        union = np.unique(np.concatenate(list(short.values()))) if short else np.array([], np.int64)
+        hit = np.isin(ids, union, assume_unique=False)
+        if not hit.any():
+            return empty
+        ids = ids[hit]
+        mat = _stack_embeddings(t[self.emb_col].filter(pa.array(hit)))
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0] = 1.0
         mat = mat / norms[:, None]
-        scores = mat @ q["mat"].T  # (N, Q)
+        scores = mat @ q["mat"].T  # (|hits|, Q)
         out_q, out_n, out_s = [], [], []
         for c, qid in enumerate(q["ids"]):
             mask = np.isin(ids, short[int(qid)], assume_unique=False)

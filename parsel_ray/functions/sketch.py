@@ -16,6 +16,7 @@ import math
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 class TDigest:
@@ -177,6 +178,24 @@ def _hash64(col) -> np.ndarray:
         )
 
 
+def _rho_and_index(h: np.ndarray, p: int):
+    """(register index, rank) for each uint64 hash — the HLL kernel
+    shared by the global and per-group paths.  rho = leading zeros
+    within the (64-p)-bit window + 1; floor(log2(v)) exactly via frexp
+    on float64 (rest < 2**50 is exactly representable for p >= 14; for
+    smaller p the 2**53 float mantissa still covers the window because
+    ranks only matter near the top bits)."""
+    w = np.uint64(64 - p)
+    idx = (h >> w).astype(np.int64)
+    rest = h & ((np.uint64(1) << w) - np.uint64(1))
+    rho = np.empty(len(rest), dtype=np.uint8)
+    nz = rest != 0
+    _, e = np.frexp(rest[nz].astype(np.float64))
+    rho[nz] = (int(w) - (e - 1)).astype(np.uint8)
+    rho[~nz] = np.uint8(int(w) + 1)
+    return idx, rho
+
+
 class HyperLogLog:
     """Flajolet et al. HLL: ``m = 2**p`` one-byte registers, each the max
     leading-zero rank seen in its substream — O(m) state regardless of
@@ -198,22 +217,13 @@ class HyperLogLog:
 
     def add_hashes(self, h: np.ndarray) -> "HyperLogLog":
         """Fold a uint64 hash array in, fully vectorized."""
-        p = self.p
-        w = np.uint64(64 - p)
-        idx = (h >> w).astype(np.int64)
-        rest = h & ((np.uint64(1) << w) - np.uint64(1))
-        # rho = leading zeros within the (64-p)-bit window + 1.
-        # floor(log2(v)) exactly: frexp on float64 (rest < 2**50 is
-        # exactly representable), v = m * 2**e with m in [0.5, 1).
-        rho = np.empty(len(rest), dtype=np.uint8)
-        nz = rest != 0
-        _, e = np.frexp(rest[nz].astype(np.float64))
-        rho[nz] = (int(w) - (e - 1)).astype(np.uint8)
-        rho[~nz] = np.uint8(int(w) + 1)
+        idx, rho = _rho_and_index(h, self.p)
         np.maximum.at(self.registers, idx, rho)
         return self
 
     def add_column(self, col) -> "HyperLogLog":
+        col = col.drop_null()  # COUNT(DISTINCT) semantics: nulls are not
+        # values (and NaN from a null-int to_numpy would hash undefined)
         if len(col):
             self.add_hashes(_hash64(col))
         return self
@@ -438,19 +448,18 @@ def grouped_hll_partials(t: pa.Table, group: str, col: str, p: int):
             {group: pa.array([], t.schema.field(group).type),
              "__regs": pa.array([], pa.binary())}
         )
+    t = t.filter(pc.is_valid(t[col]))  # nulls are not values
+    if len(t) == 0:
+        return pa.table(
+            {group: pa.array([], t.schema.field(group).type),
+             "__regs": pa.array([], pa.binary())}
+        )
     h = _hash64(t[col])
     codes, uniques = pd.factorize(
         pd.Series(t[group].to_numpy(zero_copy_only=False)), sort=False
     )
     m = 1 << p
-    w = np.uint64(64 - p)
-    idx = (h >> w).astype(np.int64)
-    rest = h & ((np.uint64(1) << w) - np.uint64(1))
-    rho = np.empty(len(rest), dtype=np.uint8)
-    nz = rest != 0
-    _, e = np.frexp(rest[nz].astype(np.float64))
-    rho[nz] = (int(w) - (e - 1)).astype(np.uint8)
-    rho[~nz] = np.uint8(int(w) + 1)
+    idx, rho = _rho_and_index(h, p)
     regs = np.zeros((len(uniques), m), dtype=np.uint8)
     ok = codes >= 0  # factorize marks null groups -1; without the mask
     # they would scatter into regs[-1] (the LAST group) and inflate it

@@ -1365,3 +1365,49 @@ class TestSelectorExtractNamespaces:
         )
         out = LangId()(pa.table({"text": pa.array([text])}))
         assert out["lang_guess"].to_pylist() == ["en"]
+
+
+class TestSaltedJoinStringKeys:
+    @pytest.mark.usefixtures("ray_session")
+    def test_string_hot_key_equality_and_nulls(self):
+        import ray.data as rd
+
+        from parsel_ray.functions.relational import (
+            detect_hot_keys, hash_bucket_join, salted_bucket_join,
+        )
+
+        rng = np.random.RandomState(17)
+        n = 6_000
+        terms = np.where(
+            rng.rand(n) < 0.5, "hot-term", rng.choice(list("abcdef"), n)
+        ).astype(object)
+        terms[::17] = None  # null join keys present
+        left = pa.table(
+            {
+                "term": pa.array(terms.tolist(), pa.string()),
+                "rid": pa.array(np.arange(n), pa.int64()),
+            }
+        )
+        right = pa.table(
+            {
+                "term": pa.array(["hot-term", "a", "b", "z"], pa.string()),
+                "w": pa.array([10, 20, 30, 40], pa.int64()),
+            }
+        )
+        lds, rds = rd.from_arrow(left).repartition(8), rd.from_arrow(right)
+        hot = detect_hot_keys(lds, "term", threshold=1000)
+        assert hot == ["hot-term"]  # nulls neither hot nor inflating total
+        plain = (
+            hash_bucket_join(rd.from_arrow(left), rds, on="term", buckets=8)
+            .to_pandas().sort_values(["rid"]).reset_index(drop=True)
+        )
+        salted = (
+            salted_bucket_join(
+                rd.from_arrow(left), rds, on="term", hot_keys=hot,
+                salt_col="rid", buckets=8,
+            )
+            .to_pandas().sort_values(["rid"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            plain[["term", "rid", "w"]], salted[["term", "rid", "w"]]
+        )
