@@ -2624,6 +2624,67 @@ FROM events
 """
 
 
+def lineitem_profile(sf_dir: str):
+    """Data profiling (the prep-pipeline health check): per-column row
+    count / null count / min / max / sum in ONE pass — each batch emits
+    one partial row per column (melted), a tiny keyed merge finishes.
+    Money columns profile in exact integer cents."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        names, ns, nulls, mins, maxs, sums = [], [], [], [], [], []
+        for c in cols:
+            v = _cents(t[c])
+            valid = v[~np.isnan(t[c].to_numpy(zero_copy_only=False))] if t[
+                c
+            ].null_count else v
+            names.append(c)
+            ns.append(len(t))
+            nulls.append(t[c].null_count)
+            mins.append(int(valid.min()) if len(valid) else None)
+            maxs.append(int(valid.max()) if len(valid) else None)
+            sums.append(int(valid.sum()) if len(valid) else 0)
+        return pa.table(
+            {
+                "column": pa.array(names, pa.string()),
+                "n": pa.array(ns, pa.int64()),
+                "n_null": pa.array(nulls, pa.int64()),
+                "min_cents": pa.array(mins, pa.int64()),
+                "max_cents": pa.array(maxs, pa.int64()),
+                "sum_cents": pa.array(sums, pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "lineitem", cols)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("column")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("n_null", alias_name="n_null"),
+            Min("min_cents", alias_name="min_cents"),
+            Max("max_cents", alias_name="max_cents"),
+            Sum("sum_cents", alias_name="sum_cents"),
+        )
+    )
+
+
+_PROFILE_ONE = """
+SELECT '{c}' AS "column", CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+       MIN({cents}) AS min_cents, MAX({cents}) AS max_cents,
+       CAST(SUM({cents}) AS BIGINT) AS sum_cents
+FROM lineitem
+"""
+
+PROFILE_SQL = " UNION ALL ".join(
+    _PROFILE_ONE.format(c=c, cents=_CENTS_SQL.format(expr=c))
+    for c in ("l_quantity", "l_extendedprice", "l_discount")
+)
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -2698,6 +2759,7 @@ QUERIES = {
     "docs_rollup": docs_rollup,
     "sitemap_extract": sitemap_extract,
     "events_forward_fill": events_forward_fill,
+    "lineitem_profile": lineitem_profile,
 }
 
 ORACLE_SQL = {
@@ -2754,4 +2816,5 @@ ORACLE_SQL = {
     "docs_rollup": ROLLUP_SQL,
     "sitemap_extract": SITEMAP_SQL,
     "events_forward_fill": FFILL_SQL,
+    "lineitem_profile": PROFILE_SQL,
 }
