@@ -2685,6 +2685,395 @@ PROFILE_SQL = " UNION ALL ".join(
 )
 
 
+def events_funnel(sf_dir: str):
+    """Funnel analysis (signup -> view -> click -> purchase), the
+    standard product-analytics query: per-user MIN event time per step
+    via one conditional-min combiner pass (the shuffle carries one row
+    per user per batch, never raw events), then a vectorized per-user
+    strict-ordering check and a 4-row melt.  Funnel metric: a user
+    completes step k when min-ts of every earlier step strictly
+    precedes min-ts of step k."""
+    steps = ["signup", "view", "click", "purchase"]
+
+    def widen(t: pa.Table) -> pa.Table:
+        ts_us = pc.cast(t["ts"], pa.int64())
+        cols = {"user_id": t["user_id"]}
+        for s in steps:
+            cols[f"t_{s}"] = pc.if_else(
+                pc.equal(t["event_type"], s), ts_us,
+                pa.nulls(len(t), pa.int64()),
+            )
+        return pa.table(cols)
+
+    per_user = partial_agg_groupby(
+        _read(sf_dir, "events", ["user_id", "ts", "event_type"]).map_batches(
+            widen, batch_format="pyarrow"
+        ),
+        ["user_id"],
+        [(f"t_{s}", "min", f"t_{s}") for s in steps],
+    )
+
+    def count_steps(t: pa.Table) -> pa.Table:
+        # an all-null min over a block arrives as Arrow `null` type —
+        # pin every step column to int64 before comparing
+        col = {
+            s: pc.cast(t[f"t_{s}"], pa.int64()) for s in steps
+        }
+        ok = pc.is_valid(col["signup"])
+        outs = [pc.sum(pc.cast(ok, pa.int64())).as_py() or 0]
+        for prev, cur in zip(steps, steps[1:]):
+            ok = pc.and_kleene(
+                ok,
+                pc.fill_null(pc.greater(col[cur], col[prev]), False),
+            )
+            outs.append(pc.sum(pc.cast(ok, pa.int64())).as_py() or 0)
+        return pa.table(
+            {
+                "step": pa.array([1, 2, 3, 4], pa.int64()),
+                "n_users": pa.array(outs, pa.int64()),
+            }
+        )
+
+    return partial_sum_groupby(
+        per_user.map_batches(count_steps, batch_format="pyarrow"),
+        ["step"],
+        {"n_users": "n_users"},
+    )
+
+
+FUNNEL_SQL = """
+WITH m AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup'   THEN ts END) AS t1,
+         MIN(CASE WHEN event_type = 'view'     THEN ts END) AS t2,
+         MIN(CASE WHEN event_type = 'click'    THEN ts END) AS t3,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t4
+  FROM events GROUP BY user_id)
+SELECT 1 AS step, CAST(COUNT(*) FILTER (t1 IS NOT NULL) AS BIGINT) AS n_users FROM m
+UNION ALL
+SELECT 2, CAST(COUNT(*) FILTER (t1 IS NOT NULL AND t2 > t1) AS BIGINT) FROM m
+UNION ALL
+SELECT 3, CAST(COUNT(*) FILTER (t1 IS NOT NULL AND t2 > t1 AND t3 > t2) AS BIGINT) FROM m
+UNION ALL
+SELECT 4, CAST(COUNT(*) FILTER (t1 IS NOT NULL AND t2 > t1 AND t3 > t2
+                                AND t4 > t3) AS BIGINT) FROM m
+"""
+
+
+def lineitem_corr(sf_dir: str):
+    """Pearson correlation per group from EXACT distributed integer
+    moments: each batch emits per-returnflag (n, Σx, Σy, Σxy, Σx², Σy²)
+    as int64 — x = quantity (integral), y = round(extendedprice) in
+    whole currency units so Σy² stays inside int64 at any tested scale —
+    then one tiny keyed merge and a final double formula applied to the
+    exact integers.  The oracle computes corr from the SAME integer
+    moments with the SAME double expression shape, so the float64
+    output is bit-identical (IEEE ops on identical operands)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = np.floor(
+            t["l_quantity"].to_numpy(zero_copy_only=False) + 0.5
+        ).astype(np.int64)
+        y = np.floor(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) + 0.5
+        ).astype(np.int64)
+        flags = t["l_returnflag"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(flags, return_inverse=True)
+        k = len(uniq)
+        n = np.bincount(inv, minlength=k)
+        return pa.table(
+            {
+                "l_returnflag": pa.array(uniq, pa.string()),
+                "n": pa.array(n, pa.int64()),
+                "sx": pa.array(np.bincount(inv, x, k).astype(np.int64)),
+                "sy": pa.array(np.bincount(inv, y, k).astype(np.int64)),
+                "sxy": pa.array(
+                    np.bincount(inv, x * y, k).astype(np.int64)
+                ),
+                "sxx": pa.array(
+                    np.bincount(inv, x * x, k).astype(np.int64)
+                ),
+                "syy": pa.array(
+                    np.bincount(inv, y * y, k).astype(np.int64)
+                ),
+            }
+        )
+
+    merged = partial_sum_groupby(
+        _read(
+            sf_dir, "lineitem",
+            ["l_returnflag", "l_quantity", "l_extendedprice"],
+        ).map_batches(partial, batch_format="pyarrow"),
+        ["l_returnflag"],
+        {c: c for c in ["n", "sx", "sy", "sxy", "sxx", "syy"]},
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = t["sx"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sy = t["sy"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sxy = t["sxy"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sxx = t["sxx"].to_numpy(zero_copy_only=False).astype(np.float64)
+        syy = t["syy"].to_numpy(zero_copy_only=False).astype(np.float64)
+        corr = (n * sxy - sx * sy) / (
+            np.sqrt(n * sxx - sx * sx) * np.sqrt(n * syy - sy * sy)
+        )
+        return t.append_column("corr", pa.array(corr, pa.float64()))
+
+    return merged.map_batches(finalize, batch_format="pyarrow")
+
+
+CORR_SQL = """
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM (SELECT l_returnflag,
+               CAST(floor(l_quantity + 0.5) AS BIGINT) AS x,
+               CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS y
+        FROM lineitem)
+  GROUP BY l_returnflag)
+SELECT l_returnflag, n, sx, sy, sxy, sxx, syy,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr
+FROM m
+"""
+
+
+def price_quantiles_cont(sf_dir: str):
+    """Interpolated quantiles (DuckDB ``quantile_cont`` / numpy
+    'linear'): reuse the exact O(distinct-values) value-histogram
+    shuffle, then interpolate at position (n-1)·q between adjacent
+    order statistics.  With dyadic q (.25/.5/.75) and integer-cent
+    values the interpolation ``lo + (hi - lo) * frac`` is EXACT in
+    float64, so the double output hash-matches the oracle bit-for-bit
+    (verified against quantile_cont empirically)."""
+    from ..functions.agg import _exact_quantiles
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"]).map_batches(
+        lambda t: pa.table({"cents": pa.array(_cents(t["o_totalprice"]))}),
+        batch_format="pyarrow",
+    )
+    qs = [0.25, 0.5, 0.75]
+    _, vals, cum = _exact_quantiles(ds, "cents", qs, return_hist=True)
+    n = int(cum[-1])
+
+    def value_at(j: int) -> int:  # j: 0-indexed order statistic
+        return int(vals[int(np.searchsorted(cum, j + 1, side="left"))])
+
+    out = []
+    for q in qs:
+        pos = (n - 1) * q
+        j = int(math.floor(pos))
+        lo, hi = value_at(j), value_at(min(j + 1, n - 1))
+        out.append(lo + (hi - lo) * (pos - j))
+    return pa.table(
+        {
+            "q": pa.array(qs, pa.float64()),
+            "value": pa.array(out, pa.float64()),
+        }
+    )
+
+
+QCONT_SQL = """
+WITH c AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+           FROM orders)
+SELECT 0.25 AS q, quantile_cont(cents, 0.25) AS value FROM c
+UNION ALL SELECT 0.50, quantile_cont(cents, 0.50) FROM c
+UNION ALL SELECT 0.75, quantile_cont(cents, 0.75) FROM c
+"""
+
+
+def docs_cube(sf_dir: str):
+    """CUBE (lang, source): all four grouping sets from ONE
+    group-domain-sized materialized fine aggregate — (lang, source),
+    (lang), (source), and the grand total each re-aggregate the fine
+    partials, so documents is scanned exactly once regardless of how
+    many grouping sets the cube expands to."""
+    base = _read(sf_dir, "documents", ["lang", "source"])
+    fine = partial_sum_groupby(
+        base, ["lang", "source"], {}, count_as="n"
+    ).materialize()  # O(|lang| x |source|) rows
+
+    def null_col(t: pa.Table, name: str) -> pa.Table:
+        i = t.schema.get_field_index(name)
+        return t.set_column(
+            i, name, pa.nulls(len(t), pa.string())
+        )
+
+    by_lang = partial_sum_groupby(fine, ["lang"], {"n": "n"}).map_batches(
+        lambda t: t.append_column(
+            "source", pa.nulls(len(t), pa.string())
+        ).select(["lang", "source", "n"]),
+        batch_format="pyarrow",
+    )
+    by_source = partial_sum_groupby(
+        fine, ["source"], {"n": "n"}
+    ).map_batches(
+        lambda t: t.append_column(
+            "lang", pa.nulls(len(t), pa.string())
+        ).select(["lang", "source", "n"]),
+        batch_format="pyarrow",
+    )
+    total = pa.table(
+        {
+            "lang": pa.array([None], pa.string()),
+            "source": pa.array([None], pa.string()),
+            "n": pa.array(
+                [sum(r["n"] for r in fine.select_columns(["n"]).take_all())],
+                pa.int64(),
+            ),
+        }
+    )
+    fine_sel = fine.map_batches(
+        lambda t: t.select(["lang", "source", "n"]), batch_format="pyarrow"
+    )
+    return fine_sel.union(by_lang).union(by_source).union(
+        rd.from_arrow(total)
+    )
+
+
+CUBE_SQL = """
+SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+FROM documents GROUP BY CUBE (lang, source)
+"""
+
+
+def events_intersect_users(sf_dir: str):
+    """Set intersection (INTERSECT) without materializing either
+    distinct set: one conditional-count combiner pass per side fused
+    into a single per-user shuffle row, keep users present on both
+    sides.  The all-to-all carries one row per user per batch."""
+
+    def widen(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "a": pc.cast(pc.equal(t["event_type"], "click"), pa.int64()),
+                "b": pc.cast(
+                    pc.equal(t["event_type"], "purchase"), pa.int64()
+                ),
+            }
+        )
+
+    per_user = partial_sum_groupby(
+        _read(sf_dir, "events", ["user_id", "event_type"]).map_batches(
+            widen, batch_format="pyarrow"
+        ),
+        ["user_id"],
+        {"a": "a", "b": "b"},
+    )
+    return per_user.map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.greater(t["a"], 0), pc.greater(t["b"], 0))
+        ).select(["user_id"]),
+        batch_format="pyarrow",
+    )
+
+
+INTERSECT_SQL = """
+SELECT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+"""
+
+
+def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 5):
+    """Distributed k-means (Lloyd's) over the embedding table — the
+    canonical iterative-ML workload: centroids broadcast once per
+    round (LazyRef), each batch assigns rows by one matmul and emits
+    k partial rows (per-cluster vector sum + count + inertia), the
+    driver merges the O(k x batches) partials and updates.  The data
+    NEVER leaves the workers; per round the driver sees k x d floats.
+    In-kernel certification: Lloyd's inertia must be monotonically
+    non-increasing — asserted across rounds.  Empty clusters keep
+    their previous centroid (standard convention)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    # deterministic seed: the k lowest vec_ids, via a pushdown-filtered
+    # read (row-group pruning serves this at scale)
+    import pyarrow.dataset as pads
+
+    seed = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filter=pads.field("vec_id") < k,
+    ).take_all()
+    seed.sort(key=lambda r: r["vec_id"])
+    centroids = np.array([r["embedding"] for r in seed], dtype=np.float64)
+
+    def make_partial(cref):
+        def partial(t: pa.Table) -> pa.Table:
+            mat = _stack_embeddings(t["embedding"]).astype(np.float64)
+            c = cref.get()
+            # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; argmin over c
+            d2 = (
+                -2.0 * (mat @ c.T)
+                + (c * c).sum(axis=1)[None, :]
+            )
+            assign = np.argmin(d2, axis=1)
+            xx = (mat * mat).sum(axis=1)
+            inert = d2[np.arange(len(mat)), assign] + xx
+            kk = c.shape[0]
+            n = np.bincount(assign, minlength=kk)
+            sums = np.zeros((kk, c.shape[1]), dtype=np.float64)
+            np.add.at(sums, assign, mat)
+            return pa.table(
+                {
+                    "cluster": pa.array(np.arange(kk), pa.int64()),
+                    "n": pa.array(n, pa.int64()),
+                    "inertia": pa.array(
+                        np.bincount(assign, inert, kk), pa.float64()
+                    ),
+                    "vsum": pa.array(list(sums)),
+                }
+            )
+
+        return partial
+
+    prev_inertia = None
+    counts = None
+    inertias = None
+    for _ in range(iters):
+        cref = LazyRef(ray.put(centroids))
+        parts = ds.map_batches(
+            make_partial(cref), batch_format="pyarrow"
+        ).take_all()  # O(k x batches) rows — partials, never data
+        counts = np.zeros(k, dtype=np.int64)
+        inertias = np.zeros(k, dtype=np.float64)
+        sums = np.zeros((k, centroids.shape[1]), dtype=np.float64)
+        for r in parts:
+            c = int(r["cluster"])
+            counts[c] += r["n"]
+            inertias[c] += r["inertia"]
+            sums[c] += np.asarray(r["vsum"], dtype=np.float64)
+        total = float(inertias.sum())
+        if prev_inertia is not None and total > prev_inertia * (1 + 1e-9):
+            raise AssertionError(
+                f"kmeans: inertia increased {prev_inertia} -> {total}"
+            )
+        prev_inertia = total
+        nonzero = counts > 0
+        centroids = centroids.copy()
+        centroids[nonzero] = sums[nonzero] / counts[nonzero, None]
+    return pa.table(
+        {
+            "cluster": pa.array(np.arange(k), pa.int64()),
+            "n": pa.array(counts, pa.int64()),
+            "inertia_e3": pa.array(
+                np.floor(inertias * 1000 + 0.5).astype(np.int64)
+            ),
+        }
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -2760,6 +3149,12 @@ QUERIES = {
     "sitemap_extract": sitemap_extract,
     "events_forward_fill": events_forward_fill,
     "lineitem_profile": lineitem_profile,
+    "events_funnel": events_funnel,
+    "lineitem_corr": lineitem_corr,
+    "price_quantiles_cont": price_quantiles_cont,
+    "docs_cube": docs_cube,
+    "events_intersect_users": events_intersect_users,
+    "kmeans_embeddings": kmeans_embeddings,
 }
 
 ORACLE_SQL = {
@@ -2817,4 +3212,9 @@ ORACLE_SQL = {
     "sitemap_extract": SITEMAP_SQL,
     "events_forward_fill": FFILL_SQL,
     "lineitem_profile": PROFILE_SQL,
+    "events_funnel": FUNNEL_SQL,
+    "lineitem_corr": CORR_SQL,
+    "price_quantiles_cont": QCONT_SQL,
+    "docs_cube": CUBE_SQL,
+    "events_intersect_users": INTERSECT_SQL,
 }

@@ -1,0 +1,214 @@
+"""Round-3 wave-4 analytics operators, pinned on synthetic tables the
+test writes itself: funnel (strict min-ts ordering), exact-integer-moment
+correlation, interpolated quantiles (quantile_cont semantics), CUBE
+grouping sets, INTERSECT, and distributed k-means (Lloyd invariants).
+
+Each query function takes an sf_dir and reads ``{sf_dir}/{table}.parquet``,
+so the tests materialize miniature tables in tmp dirs and compare against
+straight pandas / numpy / duckdb truths computed in-process.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from parsel_ray.pipelines import queries as Q
+
+
+def _write(tmp_path, name: str, df: pd.DataFrame) -> str:
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / f"{name}.parquet"))
+    return str(tmp_path)
+
+
+def _events(rows):
+    df = pd.DataFrame(rows, columns=["user_id", "ts_us", "event_type"])
+    df["ts"] = pd.to_datetime(df["ts_us"], unit="us")
+    df["event_id"] = np.arange(len(df), dtype=np.int64)
+    df["value"] = 1.0
+    df["props"] = "{}"
+    return df[["event_id", "ts", "user_id", "event_type", "value", "props"]]
+
+
+class TestFunnel:
+    def test_strict_ordering_counts(self, ray_session, tmp_path):
+        # u1 completes all 4 steps; u2 stops after view; u3 has view
+        # BEFORE signup (step2 must NOT count); u4 ties signup/view ts
+        # (strict > excludes); u5 never signs up.
+        rows = [
+            (1, 10, "signup"), (1, 20, "view"), (1, 30, "click"),
+            (1, 40, "purchase"),
+            (2, 10, "signup"), (2, 25, "view"),
+            (3, 5, "view"), (3, 10, "signup"), (3, 20, "click"),
+            (4, 10, "signup"), (4, 10, "view"),
+            (5, 10, "view"), (5, 20, "click"), (5, 30, "purchase"),
+        ]
+        sf = _write(tmp_path, "events", _events(rows))
+        got = (
+            Q.events_funnel(sf).to_pandas()
+            .sort_values("step").reset_index(drop=True)
+        )
+        # step1 = signed up: u1,u2,u3,u4 ; step2 = view strictly after
+        # signup: u1,u2 ; step3: u1 ; step4: u1
+        assert got["n_users"].tolist() == [4, 2, 1, 1]
+
+    def test_min_ts_semantics_use_earliest_event(self, ray_session,
+                                                 tmp_path):
+        # a LATER view would qualify, but the funnel is defined on the
+        # EARLIEST per-step timestamp: min(view)=5 < min(signup)=10.
+        rows = [(7, 5, "view"), (7, 10, "signup"), (7, 50, "view")]
+        sf = _write(tmp_path, "events", _events(rows))
+        got = Q.events_funnel(sf).to_pandas().sort_values("step")
+        assert got["n_users"].tolist() == [1, 0, 0, 0]
+
+
+class TestCorr:
+    def test_matches_numpy_corrcoef_on_integer_data(self, ray_session,
+                                                    tmp_path):
+        rng = np.random.RandomState(7)
+        n = 4000
+        x = rng.randint(1, 51, n)
+        noise = rng.randint(-20000, 20000, n)
+        y = x * 1000 + 50000 + noise  # strong positive corr
+        df = pd.DataFrame(
+            {
+                "l_orderkey": np.arange(n, dtype=np.int64),
+                "l_returnflag": np.where(np.arange(n) % 2 == 0, "A", "R"),
+                "l_quantity": x.astype(np.float64),
+                "l_extendedprice": y.astype(np.float64),
+            }
+        )
+        sf = _write(tmp_path, "lineitem", df)
+        got = (
+            Q.lineitem_corr(sf).to_pandas()
+            .sort_values("l_returnflag").reset_index(drop=True)
+        )
+        for flag in ("A", "R"):
+            mask = df["l_returnflag"] == flag
+            want = np.corrcoef(x[mask.values], y[mask.values])[0, 1]
+            have = float(got.loc[got["l_returnflag"] == flag, "corr"].iloc[0])
+            assert abs(have - want) < 1e-12
+        # moments are exact integers
+        a = got[got["l_returnflag"] == "A"].iloc[0]
+        m = mask = df["l_returnflag"].values == "A"
+        assert int(a["sxy"]) == int((x[m].astype(object) * y[m]).sum())
+
+
+class TestQuantileCont:
+    def test_matches_numpy_linear_interpolation(self, ray_session,
+                                                tmp_path):
+        rng = np.random.RandomState(3)
+        cents = rng.randint(100, 10_000_000, 5001)
+        df = pd.DataFrame(
+            {
+                "o_orderkey": np.arange(len(cents), dtype=np.int64),
+                "o_totalprice": cents / 100.0,
+            }
+        )
+        sf = _write(tmp_path, "orders", df)
+        got = Q.price_quantiles_cont(sf).to_pandas()
+        for q, v in zip(got["q"], got["value"]):
+            want = np.percentile(
+                np.floor(df["o_totalprice"] * 100 + 0.5), q * 100,
+                method="linear",
+            )
+            assert v == want  # exact: dyadic q over integer cents
+
+    def test_interpolates_between_adjacent_values(self, ray_session,
+                                                  tmp_path):
+        df = pd.DataFrame(
+            {
+                "o_orderkey": [1, 2, 3, 4],
+                "o_totalprice": [1.00, 2.00, 3.00, 10.00],
+            }
+        )
+        sf = _write(tmp_path, "orders", df)
+        got = Q.price_quantiles_cont(sf).to_pandas()
+        # n=4: pos(.5) = 1.5 -> (200+300)/2 = 250 cents
+        assert float(got.loc[got["q"] == 0.5, "value"].iloc[0]) == 250.0
+
+
+class TestCubeAndIntersect:
+    def test_cube_levels_sum_consistently(self, ray_session, tmp_path):
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(9, dtype=np.int64),
+                "text": ["t"] * 9,
+                "lang": ["en", "en", "en", "de", "de", "fr", "fr", "fr",
+                         "fr"],
+                "source": ["s1", "s1", "s2", "s1", "s2", "s1", "s1", "s2",
+                           "s2"],
+                "n_chars": np.ones(9, dtype=np.int64),
+            }
+        )
+        sf = _write(tmp_path, "documents", df)
+        got = Q.docs_cube(sf).to_pandas()
+        fine = got[got["lang"].notna() & got["source"].notna()]
+        by_lang = got[got["lang"].notna() & got["source"].isna()]
+        by_source = got[got["lang"].isna() & got["source"].notna()]
+        total = got[got["lang"].isna() & got["source"].isna()]
+        assert len(got) == len(fine) + len(by_lang) + len(by_source) + 1
+        assert fine["n"].sum() == by_lang["n"].sum() == \
+            by_source["n"].sum() == int(total["n"].iloc[0]) == 9
+        want = df.groupby(["lang", "source"]).size()
+        for _, r in fine.iterrows():
+            assert r["n"] == want[(r["lang"], r["source"])]
+
+    def test_intersect_distinct_users(self, ray_session, tmp_path):
+        rows = [
+            (1, 10, "click"), (1, 20, "purchase"), (1, 30, "click"),
+            (2, 10, "click"),
+            (3, 10, "purchase"),
+            (4, 10, "click"), (4, 20, "purchase"),
+        ]
+        sf = _write(tmp_path, "events", _events(rows))
+        got = sorted(
+            Q.events_intersect_users(sf).to_pandas()["user_id"].tolist()
+        )
+        assert got == [1, 4]  # distinct, both sides, no dup for u1
+
+
+class TestKMeans:
+    def _embeddings(self, tmp_path, centers, per=40, d=16, spread=0.05):
+        rng = np.random.RandomState(11)
+        mats, labels = [], []
+        for i, c in enumerate(centers):
+            mats.append(c + rng.randn(per, d) * spread)
+            labels.extend([i] * per)
+        mat = np.vstack(mats).astype(np.float32)
+        order = rng.permutation(len(mat))
+        df = pd.DataFrame(
+            {
+                "vec_id": np.arange(len(mat), dtype=np.int64),
+                "embedding": list(mat[order]),
+                "label": np.asarray(labels, dtype=np.int32)[order],
+            }
+        )
+        return _write(tmp_path, "embeddings", df), mat[order]
+
+    def test_recovers_separated_clusters(self, ray_session, tmp_path):
+        d = 16
+        rng = np.random.RandomState(5)
+        centers = [rng.randn(d) * 0 + off for off in (0.0, 5.0, 10.0)]
+        sf, mat = self._embeddings(tmp_path, centers)
+        out = Q.kmeans_embeddings(sf, k=3, iters=8).to_pandas()
+        assert sorted(out["n"].tolist()) and out["n"].sum() == len(mat)
+        # well-separated data: every cluster ends non-empty and tight
+        assert (out["n"] > 0).all()
+        assert out["inertia_e3"].sum() < 1000 * len(mat) * d * 0.05
+
+    def test_inertia_certification_is_monotone(self, ray_session,
+                                               tmp_path):
+        # the query itself raises if Lloyd's inertia ever increases;
+        # running it IS the certification — just confirm it completes
+        # on awkward data (duplicate points, k > natural clusters)
+        d = 8
+        centers = [np.zeros(d), np.ones(d) * 0.001]
+        sf, _ = self._embeddings(tmp_path, centers, per=30, d=d,
+                                 spread=0.0)
+        out = Q.kmeans_embeddings(sf, k=4, iters=6).to_pandas()
+        assert out["n"].sum() == 60
