@@ -3074,6 +3074,120 @@ def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 5):
     )
 
 
+def customer_order_full_outer(sf_dir: str):
+    """FULL OUTER join through the bucketed shuffle join: a filtered
+    customer slice against per-customer URGENT order counts — rows
+    survive from BOTH unmatched sides (left-only customers with null
+    counts, right-only order keys with null names).  Per-bucket pyarrow
+    full-outer with coalesced keys; typed-null padding keeps one-sided
+    buckets schema-consistent."""
+    left = _read(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
+        lambda t: t.filter(
+            pc.equal(pc.bit_wise_and(t["c_custkey"], 3), 0)
+        ),
+        batch_format="pyarrow",
+    )
+    right = partial_sum_groupby(
+        _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"]).map_batches(
+            lambda t: t.filter(
+                pc.equal(t["o_orderpriority"], "1-URGENT")
+            ).select(["o_custkey"]).rename_columns(["c_custkey"]),
+            batch_format="pyarrow",
+        ),
+        ["c_custkey"],
+        {},
+        count_as="n_urgent",
+    )
+    return hash_bucket_join(left, right, on="c_custkey", how="outer",
+                            buckets=16)
+
+
+FULL_OUTER_SQL = """
+SELECT COALESCE(l.c_custkey, r.c_custkey) AS c_custkey, l.c_name, r.n_urgent
+FROM (SELECT c_custkey, c_name FROM customer
+      WHERE (c_custkey & 3) = 0) l
+FULL OUTER JOIN
+     (SELECT o_custkey AS c_custkey, CAST(COUNT(*) AS BIGINT) AS n_urgent
+      FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1) r
+ON l.c_custkey = r.c_custkey
+"""
+
+
+def web_pagerank(sf_dir: str, iters: int = 12):
+    """PageRank over the deterministic synthetic web's link graph — the
+    iterative-graph workload on the crawl tier's own corpus: page HTML
+    is fetched and link-extracted in map_batches (Selector kernel +
+    RFC-3986 canonicalization, the exact crawl extraction path), edges
+    dedupe per page, and ``functions.graph.pagerank`` runs the
+    join+groupby power iteration with in-kernel mass-conservation
+    certification.  Returns the top-20 pages by rank (rank in exact-ish
+    fixed point for display)."""
+    from ..crawl.pagestore import PageStore
+    from ..crawl.urlnorm import canonical_url
+    from ..functions.graph import pagerank
+
+    cfg = _demo_crawl_cfg().store
+    ps = PageStore(cfg)
+    urls = [
+        ps.url(h, k)
+        for h in range(cfg.n_hosts)
+        for k in range(ps.n_pages(h))
+    ]
+    pages = rd.from_arrow(pa.table({"url": pa.array(urls, pa.string())}))
+
+    def extract_edges(t: pa.Table) -> pa.Table:
+        from ..crawl.extract import extract_page
+
+        store = PageStore(cfg)
+        src_out, dst_out = [], []
+        for url in t["url"].to_pylist():
+            page = store.page(url)
+            if page is None:
+                continue
+            body, enc = page
+            links, _ = extract_page(body, enc, url)
+            seen = set()
+            for href in links:
+                canon = canonical_url(href, base=url)
+                if canon is None or canon == url or canon in seen:
+                    continue
+                if store._parse(canon) is None:
+                    continue  # off-graph target
+                seen.add(canon)
+                src_out.append(url)
+                dst_out.append(canon)
+        return pa.table(
+            {
+                "src": pa.array(src_out, pa.string()),
+                "dst": pa.array(dst_out, pa.string()),
+            }
+        )
+
+    edges = pages.map_batches(extract_edges, batch_format="pyarrow")
+    nodes = pages.map_batches(
+        lambda t: t.rename_columns(["node"]), batch_format="pyarrow"
+    )
+    ranks = pagerank(edges, nodes, iters=iters, buckets=8)
+    top = ranks.map_batches(
+        lambda t: pa.table(
+            {
+                "node": t["node"],
+                "rank_e9": pc.cast(
+                    pc.floor(
+                        pc.add(
+                            pc.multiply(t["rank"], pa.scalar(1e9)),
+                            pa.scalar(0.5),
+                        )
+                    ),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).sort(["rank_e9", "node"], descending=[True, False]).limit(20)
+    return top
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -3155,6 +3269,8 @@ QUERIES = {
     "docs_cube": docs_cube,
     "events_intersect_users": events_intersect_users,
     "kmeans_embeddings": kmeans_embeddings,
+    "customer_order_full_outer": customer_order_full_outer,
+    "web_pagerank": web_pagerank,
 }
 
 ORACLE_SQL = {
@@ -3217,4 +3333,5 @@ ORACLE_SQL = {
     "price_quantiles_cont": QCONT_SQL,
     "docs_cube": CUBE_SQL,
     "events_intersect_users": INTERSECT_SQL,
+    "customer_order_full_outer": FULL_OUTER_SQL,
 }
