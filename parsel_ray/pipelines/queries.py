@@ -3188,6 +3188,105 @@ def web_pagerank(sf_dir: str, iters: int = 12):
     return top
 
 
+def events_cume_dist(sf_dir: str):
+    """Window ``cume_dist()`` — per event, the fraction of its
+    event-type partition with value <= it: partition by key
+    (grouped_apply coarse partitions), one vectorized max-rank inside
+    each group.  The double is k/n (exact int division both sides), so
+    it hash-matches the oracle."""
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["cume_dist"] = g["value"].rank(method="max") / len(g)
+        return g[["event_id", "event_type", "cume_dist"]]
+
+    return grouped_apply(
+        _read(sf_dir, "events", ["event_id", "event_type", "value"]),
+        "event_type",
+        run,
+        num_partitions=8,
+    )
+
+
+CUME_SQL = """
+SELECT event_id, event_type,
+       cume_dist() OVER (PARTITION BY event_type ORDER BY value)
+           AS cume_dist
+FROM events
+"""
+
+
+def events_ntile(sf_dir: str, k: int = 4):
+    """Window ``ntile(4)`` — equal-height buckets per event-type
+    partition with DuckDB's size rule (the first n mod k buckets get
+    one extra row) over the deterministic total order (value,
+    event_id).  Same coarse-partition shape as the other windows."""
+
+    def run(g: pd.DataFrame, _k=k) -> pd.DataFrame:
+        g = g.sort_values(["value", "event_id"]).copy()
+        n = len(g)
+        base, extra = divmod(n, _k)
+        sizes = np.full(_k, base, dtype=np.int64)
+        sizes[:extra] += 1
+        g["tile"] = np.repeat(
+            np.arange(1, _k + 1, dtype=np.int64), sizes
+        )[:n]
+        return g[["event_id", "event_type", "tile"]]
+
+    return grouped_apply(
+        _read(sf_dir, "events", ["event_id", "event_type", "value"]),
+        "event_type",
+        run,
+        num_partitions=8,
+    )
+
+
+NTILE_SQL = """
+SELECT event_id, event_type,
+       CAST(ntile(4) OVER (PARTITION BY event_type
+                           ORDER BY value, event_id) AS BIGINT) AS tile
+FROM events
+"""
+
+
+def csv_roundtrip(sf_dir: str):
+    """CSV sink -> source round-trip (the third interchange format):
+    worker-side ``write_csv`` shards with quoted text, ``read_csv``
+    streams them back, combiner groupby proves value fidelity through
+    the quoting/escaping layer.  Money goes through as exact cents."""
+    import tempfile as _tempfile
+
+    out = _tempfile.mkdtemp(prefix="orders_csv_", dir="/tmp")
+    _read(
+        sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_orderpriority": t["o_orderpriority"],
+                "cents": pa.array(_cents(t["o_totalprice"])),
+            }
+        ),
+        batch_format="pyarrow",
+    ).write_csv(out)
+    back = rd.read_csv(out)
+    return partial_sum_groupby(
+        back,
+        ["o_orderpriority"],
+        {"cents": "sum_cents"},
+        count_as="n_orders",
+    )
+
+
+CSV_SQL = f"""
+SELECT o_orderpriority,
+       CAST(SUM({_CENTS_SQL.format(expr='o_totalprice')}) AS BIGINT)
+           AS sum_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -3271,6 +3370,9 @@ QUERIES = {
     "kmeans_embeddings": kmeans_embeddings,
     "customer_order_full_outer": customer_order_full_outer,
     "web_pagerank": web_pagerank,
+    "events_cume_dist": events_cume_dist,
+    "events_ntile": events_ntile,
+    "csv_roundtrip": csv_roundtrip,
 }
 
 ORACLE_SQL = {
@@ -3334,4 +3436,7 @@ ORACLE_SQL = {
     "docs_cube": CUBE_SQL,
     "events_intersect_users": INTERSECT_SQL,
     "customer_order_full_outer": FULL_OUTER_SQL,
+    "events_cume_dist": CUME_SQL,
+    "events_ntile": NTILE_SQL,
+    "csv_roundtrip": CSV_SQL,
 }

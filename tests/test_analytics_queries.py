@@ -212,3 +212,37 @@ class TestKMeans:
                                  spread=0.0)
         out = Q.kmeans_embeddings(sf, k=4, iters=6).to_pandas()
         assert out["n"].sum() == 60
+
+
+class TestWindowRankFunctions:
+    def test_ntile_duckdb_size_rule_and_ties(self, ray_session, tmp_path):
+        import duckdb
+        # n=10, k=4 -> sizes 3,3,2,2 ; duplicate values exercise the
+        # deterministic (value, event_id) tie-break
+        rows = [(1, i * 10, "click") for i in range(10)]
+        df = _events(rows)
+        df["value"] = [5.0, 5.0, 5.0, 1.0, 2.0, 2.0, 9.0, 0.0, 7.0, 7.0]
+        sf = _write(tmp_path, "events", df)
+        got = (
+            Q.events_ntile(sf).to_pandas()
+            .sort_values("event_id").reset_index(drop=True)
+        )
+        want = duckdb.sql(
+            Q.NTILE_SQL.replace(
+                "FROM events",
+                f"FROM '{sf}/events.parquet'",
+            )
+        ).df().sort_values("event_id").reset_index(drop=True)
+        assert got["tile"].tolist() == want["tile"].tolist()
+        assert got.groupby("tile").size().tolist() == [3, 3, 2, 2]
+
+    def test_cume_dist_tie_groups_share_rank(self, ray_session, tmp_path):
+        rows = [(1, i * 10, "view") for i in range(4)]
+        df = _events(rows)
+        df["value"] = [1.0, 2.0, 2.0, 3.0]
+        sf = _write(tmp_path, "events", df)
+        got = (
+            Q.events_cume_dist(sf).to_pandas()
+            .sort_values("event_id")["cume_dist"].tolist()
+        )
+        assert got == [0.25, 0.75, 0.75, 1.0]
