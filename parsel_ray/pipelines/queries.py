@@ -3287,6 +3287,62 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def part_name_fuzzy_join(sf_dir: str):
+    """Fuzzy self-join: distinct part-name pairs within edit distance 1
+    (typo-class near-dups) via FastSS deletion-neighborhood blocking —
+    perfect recall by construction, exact edit-distance verification in
+    the bucket kernel, pair dedup by combiner groupby.  The vocabulary
+    is deduplicated FIRST (a distinct-keys combiner shuffle) so
+    identical strings can't explode buckets quadratically."""
+    vocab = partial_sum_groupby(
+        _read(sf_dir, "part", ["p_name"]), ["p_name"], {}, count_as="__n"
+    ).map_batches(
+        lambda t: t.select(["p_name"]), batch_format="pyarrow"
+    )
+    return D.edit1_pairs(vocab, "p_name", num_partitions=16)
+
+
+FUZZY_SQL = """
+WITH v AS (SELECT DISTINCT p_name FROM part)
+SELECT a.p_name AS a_name, b.p_name AS b_name
+FROM v a JOIN v b ON a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 1
+"""
+
+
+def favorite_event_type(sf_dir: str):
+    """Per-group MODE (most frequent value, deterministic min-value
+    tie-break): per-(user, type) combiner counts, then the distributed
+    top-1-per-key window — the shuffle carries one row per (user, type)
+    per batch and the rank stage sees only the count table."""
+    from ..functions.agg import grouped_topk
+
+    counts = partial_sum_groupby(
+        _read(sf_dir, "events", ["user_id", "event_type"]),
+        ["user_id", "event_type"],
+        {},
+        count_as="n",
+    )
+    top = grouped_topk(
+        counts, keys=["user_id"],
+        order_by=["n", "event_type"], ascending=[False, True], k=1,
+    )
+    return top.map_batches(
+        lambda t: t.select(["user_id", "event_type", "n"]),
+        batch_format="pyarrow",
+    )
+
+
+MODE_SQL = """
+SELECT user_id, event_type, n FROM (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY COUNT(*) DESC, event_type) AS rn
+  FROM events GROUP BY user_id, event_type)
+WHERE rn = 1
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -3373,6 +3429,8 @@ QUERIES = {
     "events_cume_dist": events_cume_dist,
     "events_ntile": events_ntile,
     "csv_roundtrip": csv_roundtrip,
+    "part_name_fuzzy_join": part_name_fuzzy_join,
+    "favorite_event_type": favorite_event_type,
 }
 
 ORACLE_SQL = {
@@ -3439,4 +3497,6 @@ ORACLE_SQL = {
     "events_cume_dist": CUME_SQL,
     "events_ntile": NTILE_SQL,
     "csv_roundtrip": CSV_SQL,
+    "part_name_fuzzy_join": FUZZY_SQL,
+    "favorite_event_type": MODE_SQL,
 }

@@ -246,3 +246,39 @@ class TestWindowRankFunctions:
             .sort_values("event_id")["cume_dist"].tolist()
         )
         assert got == [0.25, 0.75, 0.75, 1.0]
+
+
+class TestEdit1Pairs:
+    def _run(self, names):
+        import ray.data as rd
+        from parsel_ray.functions.dedup import edit1_pairs
+
+        ds = rd.from_arrow(pa.table({"w": pa.array(names, pa.string())}))
+        got = edit1_pairs(ds, "w", num_partitions=4).take_all()
+        return sorted((r["a_name"], r["b_name"]) for r in got)
+
+    def test_substitution_insertion_deletion(self, ray_session):
+        names = ["cat", "cut", "cart", "dog", "dogs", "bird"]
+        # cat~cut (sub), cat~cart (ins), dog~dogs (ins); bird isolated;
+        # cut~cart is distance 2 and must NOT appear
+        assert self._run(names) == [
+            ("cart", "cat"), ("cat", "cut"), ("dog", "dogs")
+        ]
+
+    def test_each_pair_emitted_once(self, ray_session):
+        # "ab"~"b" share TWO blocking keys ("b" via deletion and "b"
+        # identity) — output still one row
+        assert self._run(["ab", "b"]) == [("ab", "b")]
+
+    def test_no_pairs(self, ray_session):
+        assert self._run(["alpha", "gamma", "epsilon"]) == []
+
+    def test_bucket_cap_raises(self, ray_session):
+        # 60 single-char strings all share the "" deletion bucket
+        names = [chr(ord("0") + i) for i in range(60)]
+        import ray.data as rd
+        from parsel_ray.functions.dedup import edit1_pairs
+
+        ds = rd.from_arrow(pa.table({"w": pa.array(names, pa.string())}))
+        with pytest.raises(Exception, match="max_bucket|bucket"):
+            edit1_pairs(ds, "w", num_partitions=2, max_bucket=10).take_all()
