@@ -3343,6 +3343,39 @@ WHERE rn = 1
 """
 
 
+def orders_global_rank(sf_dir: str):
+    """Global ``row_number() OVER (ORDER BY ...)`` on every row — the
+    distributed-sort shape: range-partition by an exact-histogram bound
+    pick, local sort per range, prefix-sum the P partition counts on
+    the driver (P scalars, never rows), vectorized offset add.  Total
+    order pinned by (cents DESC, o_orderkey ASC)."""
+    from ..functions.sort import global_row_number
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "cents": pa.array(_cents(t["o_totalprice"])),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return global_row_number(
+        ds, order_by=["cents", "o_orderkey"], ascending=[False, True],
+        out_col="rank", num_partitions=16,
+    )
+
+
+GLOBAL_RANK_SQL = f"""
+SELECT o_orderkey, cents,
+       CAST(row_number() OVER (ORDER BY cents DESC, o_orderkey)
+            AS BIGINT) AS rank
+FROM (SELECT o_orderkey,
+             {_CENTS_SQL.format(expr='o_totalprice')} AS cents
+      FROM orders)
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -3431,6 +3464,7 @@ QUERIES = {
     "csv_roundtrip": csv_roundtrip,
     "part_name_fuzzy_join": part_name_fuzzy_join,
     "favorite_event_type": favorite_event_type,
+    "orders_global_rank": orders_global_rank,
 }
 
 ORACLE_SQL = {
@@ -3499,4 +3533,5 @@ ORACLE_SQL = {
     "csv_roundtrip": CSV_SQL,
     "part_name_fuzzy_join": FUZZY_SQL,
     "favorite_event_type": MODE_SQL,
+    "orders_global_rank": GLOBAL_RANK_SQL,
 }

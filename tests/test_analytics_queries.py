@@ -282,3 +282,43 @@ class TestEdit1Pairs:
         ds = rd.from_arrow(pa.table({"w": pa.array(names, pa.string())}))
         with pytest.raises(Exception, match="max_bucket|bucket"):
             edit1_pairs(ds, "w", num_partitions=2, max_bucket=10).take_all()
+
+
+class TestGlobalRowNumber:
+    def _rank(self, vals, keys=None, asc=True, parts=5):
+        import ray.data as rd
+        from parsel_ray.functions.sort import global_row_number
+
+        keys = keys if keys is not None else list(range(len(vals)))
+        ds = rd.from_arrow(
+            pa.table({"v": pa.array(vals, pa.int64()),
+                      "k": pa.array(keys, pa.int64())})
+        )
+        out = global_row_number(
+            ds, order_by=["v", "k"], ascending=[asc, True],
+            num_partitions=parts,
+        ).take_all()
+        return {r["k"]: r["rank"] for r in out}
+
+    def test_matches_argsort_with_heavy_ties(self, ray_session):
+        rng = np.random.RandomState(2)
+        vals = rng.randint(0, 7, 500).tolist()  # ties straddle bounds
+        got = self._rank(vals)
+        order = np.lexsort((np.arange(500), np.array(vals)))
+        want = {int(k): i + 1 for i, k in enumerate(order)}
+        assert got == want
+
+    def test_descending(self, ray_session):
+        vals = [3, 1, 4, 1, 5]
+        got = self._rank(vals, asc=False)
+        order = np.lexsort((np.arange(5), -np.array(vals)))
+        want = {int(k): i + 1 for i, k in enumerate(order)}
+        assert got == want
+
+    def test_single_distinct_value(self, ray_session):
+        got = self._rank([9] * 40, parts=4)
+        assert sorted(got.values()) == list(range(1, 41))
+        assert got == {k: k + 1 for k in range(40)}  # tie-break by k
+
+    def test_empty(self, ray_session):
+        assert self._rank([]) == {}
