@@ -2995,7 +2995,10 @@ def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 5):
     In-kernel certification: Lloyd's inertia must be monotonically
     non-increasing — asserted across rounds.  Empty clusters keep
     their previous centroid (standard convention)."""
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    # pin the blocks in the object store once: Lloyd re-scans the
+    # data every round, and plasma (with spill) beats re-reading
+    # parquet per iteration
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
 
     # deterministic seed: the k lowest vec_ids, via a pushdown-filtered
     # read (row-group pruning serves this at scale)
@@ -3193,7 +3196,13 @@ def events_cume_dist(sf_dir: str):
     event-type partition with value <= it: partition by key
     (grouped_apply coarse partitions), one vectorized max-rank inside
     each group.  The double is k/n (exact int division both sides), so
-    it hash-matches the oracle."""
+    it hash-matches the oracle.
+
+    Scale note: PARTITION BY a LOW-cardinality key means each group
+    must fit one worker here.  When it doesn't, the scale path is the
+    range-partitioned rank machinery (``functions/sort.py``) applied
+    per group — rank(x)/n needs only the global row_number within the
+    group plus one group-count scalar."""
 
     def run(g: pd.DataFrame) -> pd.DataFrame:
         g = g.copy()
@@ -3220,7 +3229,12 @@ def events_ntile(sf_dir: str, k: int = 4):
     """Window ``ntile(4)`` — equal-height buckets per event-type
     partition with DuckDB's size rule (the first n mod k buckets get
     one extra row) over the deterministic total order (value,
-    event_id).  Same coarse-partition shape as the other windows."""
+    event_id).  Same coarse-partition shape as the other windows.
+
+    Scale note: as with ``events_cume_dist``, a low-cardinality
+    PARTITION BY needs the per-group range-partitioned row_number
+    (``functions/sort.py``) once a group outgrows one worker — the
+    tile is then a closed-form vectorized map over (rank, n, k)."""
 
     def run(g: pd.DataFrame, _k=k) -> pd.DataFrame:
         g = g.sort_values(["value", "event_id"]).copy()
