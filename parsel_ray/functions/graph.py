@@ -23,17 +23,6 @@ from .agg import partial_sum_groupby
 from .relational import hash_bucket_join
 
 
-def _one_scalar(ds, col: str) -> float:
-    """Tree-reduced global sum of one column; O(batches) driver rows."""
-    rows = ds.map_batches(
-        lambda t: pa.table(
-            {"s": pa.array([pc.sum(t[col]).as_py() or 0.0], pa.float64())}
-        ),
-        batch_format="pyarrow",
-    ).take_all()
-    return float(sum(r["s"] for r in rows))
-
-
 def pagerank(
     edges,
     nodes,
@@ -96,20 +85,10 @@ def pagerank(
         edges, outdeg, on="src", buckets=buckets
     ).materialize()
 
-    # dangling node markers: nodes minus edge sources (left join, keep
-    # null-outdeg rows)
-    node_deg = hash_bucket_join(
-        nodes.map_batches(
-            lambda t: t.rename_columns(["src"]), batch_format="pyarrow"
-        ),
-        outdeg,
-        on="src",
-        how="left",
-        buckets=buckets,
-    )
-    danglers = node_deg.map_batches(
-        lambda t: t.filter(pc.is_null(t["outdeg"])).select(["src"])
-        .rename_columns(["node"]),
+    # out-degree keyed by node, for the per-round mass scan (left join
+    # keeps zero-outdeg nodes with a null)
+    node_outdeg = outdeg.map_batches(
+        lambda t: t.rename_columns(["node", "outdeg"]),
         batch_format="pyarrow",
     ).materialize()
 
@@ -117,22 +96,39 @@ def pagerank(
 
     base = (1.0 - damping) / n_nodes
     for _ in range(iters):
-        if certify:
-            total = _one_scalar(ranks, "rank")
-            if abs(total - 1.0) > 1e-9:
-                raise AssertionError(
-                    f"pagerank: rank mass {total} != 1 (conservation)"
-                )
-        # rank of dangling nodes -> one scalar
-        dangling = _one_scalar(
-            hash_bucket_join(
-                danglers,
-                ranks,
-                on="node",
-                buckets=buckets,
+        # ONE mass scan per round yields both scalars: total rank
+        # (conservation certificate) and dangling rank (zero-outdeg)
+        mass_rows = hash_bucket_join(
+            ranks, node_outdeg, on="node", how="left", buckets=buckets
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "total": pa.array(
+                        [pc.sum(t["rank"]).as_py() or 0.0], pa.float64()
+                    ),
+                    "dang": pa.array(
+                        [
+                            pc.sum(
+                                pc.if_else(
+                                    pc.is_null(t["outdeg"]),
+                                    t["rank"],
+                                    pa.scalar(0.0, pa.float64()),
+                                )
+                            ).as_py()
+                            or 0.0
+                        ],
+                        pa.float64(),
+                    ),
+                }
             ),
-            "rank",
-        )
+            batch_format="pyarrow",
+        ).take_all()
+        total = float(sum(r["total"] for r in mass_rows))
+        dangling = float(sum(r["dang"] for r in mass_rows))
+        if certify and abs(total - 1.0) > 1e-9:
+            raise AssertionError(
+                f"pagerank: rank mass {total} != 1 (conservation)"
+            )
 
         srcranks = ranks.map_batches(
             lambda t: t.rename_columns(["src", "rank"]),
