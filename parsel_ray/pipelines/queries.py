@@ -3390,6 +3390,62 @@ FROM (SELECT o_orderkey,
 """
 
 
+def weighted_sample_orders(sf_dir: str, k: int = 100):
+    """Weighted sampling without replacement (Efraimidis-Spirakis A-ES,
+    public algorithm): each row draws u from the SAME deterministic
+    md5-derived uniform the oracle evaluates and keys itself with
+    -ln(u)/w (w = total price) — the global k smallest keys are an
+    exact weighted sample, reproducible across engines/runs/parallelism.
+    Scale shape: per-batch partial top-k (each block forwards k rows,
+    never the block), tiny global merge.  ``math.log`` (libm scalar)
+    keeps the key bit-identical to DuckDB's ``ln``; numpy's SIMD log
+    does not."""
+    import hashlib
+    import math as _math
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ids = t["o_orderkey"].to_pylist()
+        ws = t["o_totalprice"].to_pylist()
+        keys = []
+        for i, w in zip(ids, ws):
+            u = int(
+                hashlib.md5(str(i).encode()).hexdigest()[:13], 16
+            ) / float(16 ** 13)
+            keys.append(-_math.log(u) / w)
+        out = pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_totalprice": t["o_totalprice"],
+                "__key": pa.array(keys, pa.float64()),
+            }
+        )
+        # per-batch combiner: only k candidates leave each block
+        idx = pc.select_k_unstable(
+            out, k, [("__key", "ascending"), ("o_orderkey", "ascending")]
+        )
+        return out.take(idx)
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]).map_batches(
+        keyed, batch_format="pyarrow"
+    )
+    top = ds.sort(["__key", "o_orderkey"]).limit(k)
+    return top.map_batches(
+        lambda t: t.select(["o_orderkey", "o_totalprice"]),
+        batch_format="pyarrow",
+    )
+
+
+WEIGHTED_SAMPLE_SQL = """
+SELECT o_orderkey, o_totalprice FROM (
+  SELECT o_orderkey, o_totalprice,
+         -ln(CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                      1, 13)) AS BIGINT)
+             / CAST(POWER(16, 13) AS DOUBLE)) / o_totalprice AS key
+  FROM orders
+  ORDER BY key, o_orderkey LIMIT 100)
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -3479,6 +3535,7 @@ QUERIES = {
     "part_name_fuzzy_join": part_name_fuzzy_join,
     "favorite_event_type": favorite_event_type,
     "orders_global_rank": orders_global_rank,
+    "weighted_sample_orders": weighted_sample_orders,
 }
 
 ORACLE_SQL = {
@@ -3548,4 +3605,5 @@ ORACLE_SQL = {
     "part_name_fuzzy_join": FUZZY_SQL,
     "favorite_event_type": MODE_SQL,
     "orders_global_rank": GLOBAL_RANK_SQL,
+    "weighted_sample_orders": WEIGHTED_SAMPLE_SQL,
 }

@@ -322,3 +322,24 @@ class TestGlobalRowNumber:
 
     def test_empty(self, ray_session):
         assert self._rank([]) == {}
+
+
+class TestWeightedSample:
+    def test_deterministic_and_weight_biased(self, ray_session, tmp_path):
+        # half the rows carry 50x the weight: they must dominate the
+        # sample, and two runs must agree exactly
+        n = 2000
+        df = pd.DataFrame(
+            {
+                "o_orderkey": np.arange(n, dtype=np.int64),
+                "o_totalprice": np.where(np.arange(n) < n // 2, 5000.0,
+                                         100.0),
+            }
+        )
+        sf = _write(tmp_path, "orders", df)
+        a = Q.weighted_sample_orders(sf, k=200).to_pandas()
+        b = Q.weighted_sample_orders(sf, k=200).to_pandas()
+        assert sorted(a["o_orderkey"]) == sorted(b["o_orderkey"])
+        assert len(a) == 200
+        heavy = (a["o_orderkey"] < n // 2).sum()
+        assert heavy > 170  # E[heavy] ~ 196 of 200; 170 is >5 sigma safe
