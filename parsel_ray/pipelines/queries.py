@@ -3446,6 +3446,19 @@ SELECT o_orderkey, o_totalprice FROM (
 """
 
 
+def events_sessionize_streaming(sf_dir: str):
+    """The STREAMING sessionizer (micro-batch replay through the
+    stateful actor pool, watermark barrier per batch, buffered
+    event-time fold) — same 30-min-gap semantics and the SAME DuckDB
+    oracle as the batch ``events_sessionize``: batch/streaming
+    equivalence is the gate."""
+    from .streaming import streaming_sessionize
+
+    return streaming_sessionize(
+        f"{sf_dir}/events.parquet", n_microbatches=8, n_actors=4
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -3536,6 +3549,7 @@ QUERIES = {
     "favorite_event_type": favorite_event_type,
     "orders_global_rank": orders_global_rank,
     "weighted_sample_orders": weighted_sample_orders,
+    "events_sessionize_streaming": events_sessionize_streaming,
 }
 
 ORACLE_SQL = {
@@ -3606,4 +3620,5 @@ ORACLE_SQL = {
     "favorite_event_type": MODE_SQL,
     "orders_global_rank": GLOBAL_RANK_SQL,
     "weighted_sample_orders": WEIGHTED_SAMPLE_SQL,
+    "events_sessionize_streaming": SESSION_SQL,
 }

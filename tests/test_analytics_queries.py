@@ -343,3 +343,54 @@ class TestWeightedSample:
         assert len(a) == 200
         heavy = (a["o_orderkey"] < n // 2).sum()
         assert heavy > 170  # E[heavy] ~ 196 of 200; 170 is >5 sigma safe
+
+
+class TestStreamingSessionize:
+    def _run(self, tmp_path, rows, n_mb=4, n_actors=3):
+        from parsel_ray.pipelines.streaming import streaming_sessionize
+
+        sf = _write(tmp_path, "events", _events(rows))
+        out = streaming_sessionize(
+            f"{sf}/events.parquet", n_microbatches=n_mb, n_actors=n_actors
+        ).take_all()
+        return {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in out}
+
+    def test_session_spanning_microbatch_boundary(self, ray_session,
+                                                  tmp_path):
+        m = 60_000_000  # one minute in us
+        rows = [
+            # u1: events at minutes 0,10,20,...,90 — gaps of 10 min,
+            # ONE session even though micro-batches cut the span
+            (1, i * 10 * m, "view") for i in range(10)
+        ] + [
+            # u2: minute 0 and minute 80 — 80-min gap = 2 sessions
+            (2, 0, "view"), (2, 80 * m, "view"),
+        ]
+        got = self._run(tmp_path, rows, n_mb=5)
+        assert got[1] == (1, 10)
+        assert got[2] == (2, 2)
+
+    def test_matches_batch_sessionize(self, ray_session, tmp_path):
+        rng = np.random.RandomState(9)
+        m = 60_000_000
+        rows = [
+            (int(u), int(t), "view")
+            for u, t in zip(
+                rng.randint(0, 12, 400),
+                rng.randint(0, 600, 400) * m,
+            )
+        ]
+        sf = _write(tmp_path, "events", _events(rows))
+        from parsel_ray.pipelines.streaming import streaming_sessionize
+
+        stream = {
+            r["user_id"]: (r["n_sessions"], r["n_events"])
+            for r in streaming_sessionize(
+                f"{sf}/events.parquet", n_microbatches=7, n_actors=4
+            ).take_all()
+        }
+        batch = {
+            r["user_id"]: (r["n_sessions"], r["n_events"])
+            for r in Q.events_sessionize(sf).take_all()
+        }
+        assert stream == batch
