@@ -3459,6 +3459,119 @@ def events_sessionize_streaming(sf_dir: str):
     )
 
 
+def events_ewma(sf_dir: str, alpha: float = 0.3):
+    """Per-user exponentially weighted moving average of ``value`` in
+    event-time order — the RECURSIVE window (state folds forward), not
+    expressible in single-pass SQL: partition by key, sort inside the
+    partition, one vectorized pandas ``ewm`` per user.  Output is the
+    LAST smoothed value per user (compact, deterministic).  Rows-only
+    gate; the recursion is pinned by a closed-form check in tests."""
+
+    def run(g: pd.DataFrame, _a=alpha) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        sm = g["value"].ewm(alpha=_a, adjust=False).mean()
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_events": [np.int64(len(g))],
+                "ewma_e6": [np.int64(np.floor(sm.iloc[-1] * 1e6 + 0.5))],
+            }
+        )
+
+    return grouped_apply(
+        _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"]),
+        "user_id",
+        run,
+        num_partitions=16,
+    )
+
+
+def economy_revenue_share(sf_dir: str):
+    """Multi-table conditional-aggregate join (the TPC-H q14 shape):
+    per ship-month, the share of revenue from ECONOMY-type parts —
+    lineitem joins part through the bucketed shuffle join (part side
+    pre-projected to (key, is_econ) — one bool per part row crosses the
+    wire), revenue in exact integer cents, the share a double computed
+    from the exact ints with the same expression both sides."""
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).map_batches(
+        lambda t: pa.table(
+            {
+                "l_partkey": t["p_partkey"],
+                "is_econ": pc.cast(
+                    pc.equal(t["p_type"], "ECONOMY"), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "l_partkey": t["l_partkey"],
+                "month": pc.strftime(t["l_shipdate"], format="%Y-%m"),
+                "rev_cents": pa.array(
+                    _cents(
+                        pc.multiply(
+                            t["l_extendedprice"],
+                            pc.subtract(
+                                pa.scalar(1.0, pa.float64()),
+                                t["l_discount"],
+                            ),
+                        )
+                    )
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = hash_bucket_join(li, part, on="l_partkey", buckets=16)
+    agg = partial_sum_groupby(
+        joined.map_batches(
+            lambda t: pa.table(
+                {
+                    "month": t["month"],
+                    "econ_cents": pc.multiply(
+                        t["rev_cents"], t["is_econ"]
+                    ),
+                    "total_cents": t["rev_cents"],
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        ["month"],
+        {"econ_cents": "econ_cents", "total_cents": "total_cents"},
+    )
+    return agg.map_batches(
+        lambda t: t.append_column(
+            "econ_share",
+            pc.divide(
+                pc.cast(t["econ_cents"], pa.float64()),
+                pc.cast(t["total_cents"], pa.float64()),
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+ECON_SHARE_SQL = f"""
+WITH j AS (
+  SELECT strftime(l_shipdate, '%Y-%m') AS month,
+         {_CENTS_SQL.format(expr='l_extendedprice * (1.0 - l_discount)')}
+             AS rev_cents,
+         CASE WHEN p_type = 'ECONOMY' THEN 1 ELSE 0 END AS is_econ
+  FROM lineitem JOIN part ON l_partkey = p_partkey)
+SELECT month,
+       CAST(SUM(rev_cents * is_econ) AS BIGINT) AS econ_cents,
+       CAST(SUM(rev_cents) AS BIGINT) AS total_cents,
+       CAST(CAST(SUM(rev_cents * is_econ) AS BIGINT) AS DOUBLE)
+       / CAST(CAST(SUM(rev_cents) AS BIGINT) AS DOUBLE) AS econ_share
+FROM j GROUP BY month
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -3550,6 +3663,8 @@ QUERIES = {
     "orders_global_rank": orders_global_rank,
     "weighted_sample_orders": weighted_sample_orders,
     "events_sessionize_streaming": events_sessionize_streaming,
+    "events_ewma": events_ewma,
+    "economy_revenue_share": economy_revenue_share,
 }
 
 ORACLE_SQL = {
@@ -3621,4 +3736,5 @@ ORACLE_SQL = {
     "orders_global_rank": GLOBAL_RANK_SQL,
     "weighted_sample_orders": WEIGHTED_SAMPLE_SQL,
     "events_sessionize_streaming": SESSION_SQL,
+    "economy_revenue_share": ECON_SHARE_SQL,
 }

@@ -394,3 +394,16 @@ class TestStreamingSessionize:
             for r in Q.events_sessionize(sf).take_all()
         }
         assert stream == batch
+
+
+class TestEwma:
+    def test_closed_form_recursion(self, ray_session, tmp_path):
+        # values 1,2,3 with alpha=0.5, adjust=False:
+        # s1=1, s2=1.5, s3=2.25 -> last = 2.25
+        rows = [(1, 10, "view"), (1, 20, "view"), (1, 30, "view")]
+        df = _events(rows)
+        df["value"] = [1.0, 2.0, 3.0]
+        sf = _write(tmp_path, "events", df)
+        got = Q.events_ewma(sf, alpha=0.5).to_pandas()
+        assert got.loc[0, "ewma_e6"] == 2_250_000
+        assert got.loc[0, "n_events"] == 3
