@@ -3572,6 +3572,142 @@ FROM j GROUP BY month
 """
 
 
+def doc_bigram_pmi(sf_dir: str, k: int = 20, min_count: int = 5):
+    """Collocation mining — top-k bigrams by PMI ratio
+    n·c(x,y) / (c(x)·c(y)) over the corpus: one vectorized pass builds
+    within-doc adjacent pairs from Arrow list offsets (no Python
+    per-row loop), unigram and bigram counts share one melted combiner
+    shuffle, two bucket joins attach the marginals, and the ranking
+    double is the same IEEE expression the oracle evaluates on the same
+    exact int64 counts.  The classic phrase-extraction pass of an LLM
+    data pipeline."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.fill_null(t["text"], ""), "[^a-z]+"
+        )
+        la = (
+            toks.combine_chunks()
+            if isinstance(toks, pa.ChunkedArray)
+            else toks
+        )
+        flat = la.values
+        offs = np.asarray(la.offsets)
+        keep = pc.greater_equal(pc.utf8_length(flat), 2)
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(
+            np.arange(len(la), dtype=np.int64), np.diff(offs)
+        )[keep_np]
+        flat2 = flat.filter(keep)
+        same = doc_idx[:-1] == doc_idx[1:]
+        idx = np.nonzero(same)[0]
+        w1 = flat2.take(pa.array(idx, pa.int64()))
+        w2 = flat2.take(pa.array(idx + 1, pa.int64()))
+        # melted: unigrams carry the "" sentinel (tokens are len>=2, so
+        # no real bigram collides)
+        melted = pa.table(
+            {
+                "w1": pa.concat_arrays(
+                    [flat2.combine_chunks() if isinstance(flat2, pa.ChunkedArray) else flat2, w1]
+                ),
+                "w2": pa.concat_arrays(
+                    [
+                        pa.array([""] * len(flat2), pa.string()),
+                        w2,
+                    ]
+                ),
+            }
+        )
+        return melted.group_by(["w1", "w2"]).aggregate(
+            [([], "count_all")]
+        ).rename_columns(["w1", "w2", "n"])
+
+    counts = partial_sum_groupby(
+        _read(sf_dir, "documents", ["text"]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        ["w1", "w2"],
+        {"n": "n"},
+    ).materialize()  # O(vocab + bigram-vocab) rows
+
+    uni = counts.map_batches(
+        lambda t: t.filter(pc.equal(t["w2"], "")).select(["w1", "n"]),
+        batch_format="pyarrow",
+    )
+    total = int(uni.sum("n"))
+    bg = counts.map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.not_equal(t["w2"], ""),
+                pc.greater_equal(t["n"], min_count),
+            )
+        ).rename_columns(["w1", "w2", "c_xy"]),
+        batch_format="pyarrow",
+    )
+    jx = hash_bucket_join(
+        bg,
+        uni.map_batches(
+            lambda t: t.rename_columns(["w1", "c_x"]),
+            batch_format="pyarrow",
+        ),
+        on="w1",
+        buckets=8,
+    )
+    jxy = hash_bucket_join(
+        jx,
+        uni.map_batches(
+            lambda t: t.rename_columns(["w2", "c_y"]),
+            batch_format="pyarrow",
+        ),
+        on="w2",
+        buckets=8,
+    )
+
+    def score(t: pa.Table, _n=total) -> pa.Table:
+        ratio = pc.divide(
+            pc.multiply(
+                pc.cast(t["c_xy"], pa.float64()),
+                pa.scalar(float(_n), pa.float64()),
+            ),
+            pc.multiply(
+                pc.cast(t["c_x"], pa.float64()),
+                pc.cast(t["c_y"], pa.float64()),
+            ),
+        )
+        return t.select(["w1", "w2", "c_xy", "c_x", "c_y"]).append_column(
+            "pmi_ratio", ratio
+        )
+
+    return (
+        jxy.map_batches(score, batch_format="pyarrow")
+        .sort(["pmi_ratio", "w1", "w2"], descending=[True, False, False])
+        .limit(k)
+    )
+
+
+PMI_SQL = """
+WITH d AS (SELECT doc_id, regexp_extract_all(text, '[a-z]{2,}') AS ts
+           FROM documents),
+toks AS (
+  SELECT u.p[1] AS w1, u.p[2] AS w2
+  FROM d, unnest(list_zip(d.ts[1:len(d.ts)-1], d.ts[2:len(d.ts)])) u(p)),
+uni AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT unnest(ts) AS term FROM d) GROUP BY term),
+n AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM uni),
+bg AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_xy
+       FROM toks GROUP BY w1, w2 HAVING COUNT(*) >= 5)
+SELECT bg.w1, bg.w2, bg.c_xy, a.c AS c_x, b.c AS c_y,
+       CAST(bg.c_xy AS DOUBLE) * CAST(n.total AS DOUBLE)
+       / (CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE)) AS pmi_ratio
+FROM bg
+JOIN uni a ON bg.w1 = a.term
+JOIN uni b ON bg.w2 = b.term
+CROSS JOIN n
+ORDER BY pmi_ratio DESC, bg.w1, bg.w2 LIMIT 20
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -3665,6 +3801,7 @@ QUERIES = {
     "events_sessionize_streaming": events_sessionize_streaming,
     "events_ewma": events_ewma,
     "economy_revenue_share": economy_revenue_share,
+    "doc_bigram_pmi": doc_bigram_pmi,
 }
 
 ORACLE_SQL = {
@@ -3737,4 +3874,5 @@ ORACLE_SQL = {
     "weighted_sample_orders": WEIGHTED_SAMPLE_SQL,
     "events_sessionize_streaming": SESSION_SQL,
     "economy_revenue_share": ECON_SHARE_SQL,
+    "doc_bigram_pmi": PMI_SQL,
 }
