@@ -3,9 +3,12 @@
 PageRank here is the canonical join+groupby power iteration — the same
 shape as a 10^10-node run: per round, ranks co-partition with edges by
 source (one bucket shuffle), contributions aggregate by destination with
-a per-batch combiner, and the driver sees only two scalars (dangling
-mass, L1 delta).  Node state never materializes on the driver; the rank
-table is a Dataset keyed by node id throughout.
+a per-batch combiner, and the driver sees only two scalars (total mass,
+dangling mass).  Node state never materializes on the driver; the rank
+table is a Dataset keyed by node id throughout, and it CARRIES each
+node's out-degree so the per-round mass scan is a map-only pass (no
+extra shuffle) and the contribution join needs no pre-annotated edge
+table.
 
 Related: ``dedup.label_propagation_components`` (min-label propagation
 with pointer jumping) is the connected-components sibling of this loop.
@@ -35,72 +38,67 @@ def pagerank(
     (node: string) Datasets.  Multi-edges should be pre-deduplicated by
     the caller (each (src, dst) pair contributes once).
 
-    Per iteration (all distributed):
-      1. ranks co-partition with out-degree-annotated edges by src
-         (``hash_bucket_join``); each edge row emits rank/outdeg to dst;
-      2. a combiner groupby sums contributions per dst;
-      3. dangling mass (rank on zero-outdeg nodes) and the L1 delta
-         reach the driver as single scalars;
-      4. new rank = (1-d)/N + d·(in_sum + dangling/N), left-joined back
-         onto the full node list so sink-only nodes keep receiving mass.
+    State table: (node, outdeg: nullable, rank).  Per iteration:
+      1. a MAP-ONLY mass scan emits two partial scalars per block —
+         total rank (conservation certificate) and dangling rank
+         (null-outdeg nodes); the driver folds O(blocks) rows;
+      2. edges co-partition with the state by src
+         (``hash_bucket_join``); each edge emits rank/outdeg to dst;
+      3. a combiner groupby sums contributions per dst;
+      4. new rank = (1-d)/N + d·(in_sum + dangling/N), left-joined onto
+         the full node-state list so sink-only nodes keep their
+         out-degree and keep receiving mass.
 
-    Returns a Dataset ``(node, rank: float64)`` summing to 1.  With
-    ``certify=True`` asserts Σrank = 1 ± 1e-9 every round (mass
-    conservation — the standard PageRank invariant).
+    Two bucket shuffles per round total.  Returns a Dataset
+    ``(node, rank: float64)`` summing to 1.  With ``certify=True``
+    asserts Σrank = 1 ± 1e-9 every round (mass conservation — the
+    standard PageRank invariant).
     """
     nodes = nodes.materialize()
     n_nodes = nodes.count()
     if n_nodes == 0:
         raise ValueError("pagerank: empty node set")
 
-    uniform = nodes.map_batches(
-        lambda t: pa.table(
-            {
-                "node": t["node"],
-                "rank": pa.array(
-                    np.full(len(t), 1.0 / n_nodes), pa.float64()
-                ),
-            }
-        ),
-        batch_format="pyarrow",
-    ).materialize()
-
     edges = edges.materialize()
     if edges.count() == 0:
         # every node is dangling: the iteration fixpoint is uniform
         # ((1-d)/N + d·(1/N) = 1/N) — return it directly
-        return uniform
+        return nodes.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t["node"],
+                    "rank": pa.array(
+                        np.full(len(t), 1.0 / n_nodes), pa.float64()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
 
-    # out-degree once, attached to every edge row once (edges are then
-    # reused unchanged every round)
     outdeg = partial_sum_groupby(
         edges.map_batches(
-            lambda t: t.select(["src"]), batch_format="pyarrow"
+            lambda t: t.select(["src"]).rename_columns(["node"]),
+            batch_format="pyarrow",
         ),
-        ["src"],
+        ["node"],
         {},
         count_as="outdeg",
     )
-    edges_od = hash_bucket_join(
-        edges, outdeg, on="src", buckets=buckets
-    ).materialize()
-
-    # out-degree keyed by node, for the per-round mass scan (left join
-    # keeps zero-outdeg nodes with a null)
-    node_outdeg = outdeg.map_batches(
-        lambda t: t.rename_columns(["node", "outdeg"]),
+    # state = (node, outdeg nullable, rank); dangling nodes carry null
+    r0 = 1.0 / n_nodes
+    state = hash_bucket_join(
+        nodes, outdeg, on="node", how="left", buckets=buckets
+    ).map_batches(
+        lambda t: t.append_column(
+            "rank", pa.array(np.full(len(t), r0), pa.float64())
+        ),
         batch_format="pyarrow",
     ).materialize()
 
-    ranks = uniform
-
     base = (1.0 - damping) / n_nodes
     for _ in range(iters):
-        # ONE mass scan per round yields both scalars: total rank
-        # (conservation certificate) and dangling rank (zero-outdeg)
-        mass_rows = hash_bucket_join(
-            ranks, node_outdeg, on="node", how="left", buckets=buckets
-        ).map_batches(
+        # map-only mass scan: two partial scalars per block
+        mass_rows = state.map_batches(
             lambda t: pa.table(
                 {
                     "total": pa.array(
@@ -130,12 +128,14 @@ def pagerank(
                 f"pagerank: rank mass {total} != 1 (conservation)"
             )
 
-        srcranks = ranks.map_batches(
-            lambda t: t.rename_columns(["src", "rank"]),
+        srcstate = state.map_batches(
+            lambda t: pa.table(
+                {"src": t["node"], "outdeg": t["outdeg"], "rank": t["rank"]}
+            ),
             batch_format="pyarrow",
         )
         contrib = hash_bucket_join(
-            edges_od, srcranks, on="src", buckets=buckets
+            edges, srcstate, on="src", buckets=buckets
         ).map_batches(
             lambda t: pa.table(
                 {
@@ -147,9 +147,21 @@ def pagerank(
             ),
             batch_format="pyarrow",
         )
-        in_sum = partial_sum_groupby(contrib, ["node"], {"w": "w"})
+        # cut the lineage here: the join below probes both sides'
+        # schemas, and an unexecuted aggregate chain re-executes per
+        # probe — in_sum is O(nodes) and cheap to pin
+        in_sum = partial_sum_groupby(
+            contrib, ["node"], {"w": "w"}
+        ).materialize()
         joined = hash_bucket_join(
-            nodes, in_sum, on="node", how="left", buckets=buckets
+            state.map_batches(
+                lambda t: t.select(["node", "outdeg"]),
+                batch_format="pyarrow",
+            ),
+            in_sum,
+            on="node",
+            how="left",
+            buckets=buckets,
         )
         add = base + damping * dangling / n_nodes
 
@@ -158,9 +170,17 @@ def pagerank(
             rank = pc.add(
                 pc.multiply(w, damping), pa.scalar(_add, pa.float64())
             )
-            return pa.table({"node": t["node"], "rank": rank})
+            return pa.table(
+                {"node": t["node"], "outdeg": t["outdeg"], "rank": rank}
+            )
 
-        ranks = joined.map_batches(
+        # pin the block count: the bucket join unions both sides'
+        # blocks and the groupby preserves the union's count, so
+        # without this the state's block count DOUBLES per round
+        # (per-block task overhead then grows exponentially)
+        state = joined.map_batches(
             update, batch_format="pyarrow"
-        ).materialize()
-    return ranks
+        ).repartition(buckets).materialize()
+    return state.map_batches(
+        lambda t: t.select(["node", "rank"]), batch_format="pyarrow"
+    )

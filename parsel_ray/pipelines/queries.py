@@ -3116,7 +3116,7 @@ ON l.c_custkey = r.c_custkey
 """
 
 
-def web_pagerank(sf_dir: str, iters: int = 12):
+def web_pagerank(sf_dir: str, iters: int = 8):
     """PageRank over the deterministic synthetic web's link graph — the
     iterative-graph workload on the crawl tier's own corpus: page HTML
     is fetched and link-extracted in map_batches (Selector kernel +

@@ -13,7 +13,7 @@ import ray.data as rd
 from parsel_ray.functions.graph import pagerank
 
 
-def _dense_pagerank(n, edge_list, d=0.85, iters=12):
+def _dense_pagerank(n, edge_list, d=0.85, iters=6):
     """Reference: textbook power iteration on the dense matrix."""
     out = np.zeros(n)
     for s, _ in edge_list:
@@ -29,7 +29,7 @@ def _dense_pagerank(n, edge_list, d=0.85, iters=12):
     return r
 
 
-def _run(n, edge_list, iters=12):
+def _run(n, edge_list, iters=6):
     names = [f"n{i}" for i in range(n)]
     edges = rd.from_arrow(
         pa.table(
