@@ -541,10 +541,15 @@ def label_propagation_components(pairs_ds, buckets: int = 32,
             lambda t: pa.table({"node": t["node"], "label": t["lab2"]}),
             batch_format="pyarrow",
         )
+        # repartition pins the label table's block count: the union
+        # sums three block lists (prop + jumped + labels) and the
+        # groupby preserves the union's count, so an unpinned loop
+        # grows ~3x blocks per round (see graph.pagerank for the same
+        # fix) — per-block task overhead would swamp late rounds
         labels = partial_agg_groupby(
             prop.union(jumped).union(labels), ["node"],
             [("label", "min", "label")],
-        ).materialize()
+        ).repartition(buckets).materialize()
         s = labels.sum("label")
         if s == prev:
             break
