@@ -3708,6 +3708,86 @@ ORDER BY pmi_ratio DESC, bg.w1, bg.w2 LIMIT 20
 """
 
 
+def user_event_path(sf_dir: str):
+    """Ordered group-concat (``string_agg ... ORDER BY``): per user, the
+    comma-joined event-type path in event-time order — partition by
+    key, sort inside the partition, one vectorized join per group.  The
+    canonical session-path feature column."""
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "path": [",".join(g["event_type"])],
+            }
+        )
+
+    return grouped_apply(
+        _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                 "event_type"]),
+        "user_id",
+        run,
+        num_partitions=16,
+    )
+
+
+PATH_SQL = """
+SELECT user_id,
+       string_agg(event_type, ',' ORDER BY ts, event_id) AS path
+FROM events GROUP BY user_id
+"""
+
+
+def label_centroids(sf_dir: str):
+    """Per-label embedding centroid in EXACT e6 fixed point: each value
+    quantizes to floor(v·1e6 + 0.5) BEFORE summing (int64 sums are
+    order-independent, so the distributed combiner matches the oracle
+    bit-for-bit — float sums would not), melted to one (label, dim)
+    row per batch.  The class-prototype table of an embedding corpus."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        mat = _stack_embeddings(t["embedding"]).astype(np.float64)
+        q = np.floor(mat * 1e6 + 0.5).astype(np.int64)
+        labels = t["label"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        k, d = len(uniq), q.shape[1]
+        sums = np.zeros((k, d), dtype=np.int64)
+        np.add.at(sums, inv, q)
+        n = np.bincount(inv, minlength=k).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(
+                    np.repeat(uniq.astype(np.int64), d), pa.int64()
+                ),
+                "dim": pa.array(
+                    np.tile(np.arange(1, d + 1, dtype=np.int64), k),
+                    pa.int64(),
+                ),
+                "sum_e6": pa.array(sums.reshape(-1), pa.int64()),
+                "n": pa.array(np.repeat(n, d), pa.int64()),
+            }
+        )
+
+    return partial_sum_groupby(
+        _read(sf_dir, "embeddings", ["label", "embedding"]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        ["label", "dim"],
+        {"sum_e6": "sum_e6", "n": "n"},
+    )
+
+
+CENTROID_SQL = """
+SELECT label, dim,
+       CAST(SUM(CAST(floor(embedding[dim] * 1e6 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_e6,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS dim)
+GROUP BY label, dim
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -3802,6 +3882,8 @@ QUERIES = {
     "events_ewma": events_ewma,
     "economy_revenue_share": economy_revenue_share,
     "doc_bigram_pmi": doc_bigram_pmi,
+    "user_event_path": user_event_path,
+    "label_centroids": label_centroids,
 }
 
 ORACLE_SQL = {
@@ -3875,4 +3957,6 @@ ORACLE_SQL = {
     "events_sessionize_streaming": SESSION_SQL,
     "economy_revenue_share": ECON_SHARE_SQL,
     "doc_bigram_pmi": PMI_SQL,
+    "user_event_path": PATH_SQL,
+    "label_centroids": CENTROID_SQL,
 }
