@@ -3788,6 +3788,50 @@ GROUP BY label, dim
 """
 
 
+def partitioned_delete_docs(sf_dir: str):
+    """Retention / targeted-delete pass over the partitioned corpus:
+    write documents partitioned by lang, delete every doc_id divisible
+    by 7 via per-partition compaction tasks (only partitions holding
+    matches rewrite; publish is atomic, receipts verified against
+    parquet footers), then stream the corpus back and aggregate — the
+    oracle filters the same predicate straight off the source table."""
+    import shutil
+    import tempfile as _tempfile
+
+    from ..sources.partitioned import (
+        delete_from_partitioned,
+        write_partitioned_parquet,
+    )
+
+    out = _tempfile.mkdtemp(prefix="docs_delete_", dir="/tmp")
+    shutil.rmtree(out, ignore_errors=True)
+    write_partitioned_parquet(
+        _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"]),
+        out,
+        key_col="lang",
+    )
+    def _div7(t: pa.Table):
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.array(ids % 7 == 0)
+
+    delete_from_partitioned(out, key_col="lang", predicate=_div7)
+    back = rd.read_parquet(out)
+    return partial_sum_groupby(
+        back,
+        ["lang"],
+        {"n_chars": "sum_nchars"},
+        count_as="n_docs",
+    )
+
+
+DELETE_SQL = """
+SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS sum_nchars,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents WHERE doc_id % 7 <> 0
+GROUP BY lang
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -3884,6 +3928,7 @@ QUERIES = {
     "doc_bigram_pmi": doc_bigram_pmi,
     "user_event_path": user_event_path,
     "label_centroids": label_centroids,
+    "partitioned_delete_docs": partitioned_delete_docs,
 }
 
 ORACLE_SQL = {
@@ -3959,4 +4004,5 @@ ORACLE_SQL = {
     "doc_bigram_pmi": PMI_SQL,
     "user_event_path": PATH_SQL,
     "label_centroids": CENTROID_SQL,
+    "partitioned_delete_docs": DELETE_SQL,
 }

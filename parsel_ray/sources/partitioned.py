@@ -143,7 +143,12 @@ def write_partitioned_parquet(ds, out_dir: str, key_col: str,
                     f"files hold {on_disk} — shard collision or lost write"
                 )
     for val in counts:
-        open(os.path.join(out_dir, f"{key_col}={val}", "_DONE"), "w").close()
+        # the marker carries the partition's row count: later passes
+        # (delete_from_partitioned, resumed writes) cross-check it
+        # against parquet footers to catch crash-window duplicates
+        with open(os.path.join(out_dir, f"{key_col}={val}", "_DONE"),
+                  "w") as f:
+            f.write(str(counts[val]))
     for val in done:  # pre-finished partitions: count from file metadata
         files = glob.glob(os.path.join(out_dir, f"{key_col}={val}", "*.parquet"))
         counts[val] = sum(pq.read_metadata(f).num_rows for f in files)
@@ -152,5 +157,123 @@ def write_partitioned_parquet(ds, out_dir: str, key_col: str,
         {
             key_col: pa.array(keys, pa.string()),
             "n": pa.array([counts[k] for k in keys], pa.int64()),
+        }
+    )
+
+
+def delete_from_partitioned(out_dir: str, key_col: str, predicate,
+                            verify: bool = True) -> pa.Table:
+    """Targeted delete / compaction over an existing partitioned corpus
+    (the retention / right-to-be-forgotten pass): rewrite ONLY the
+    partitions that contain matching rows, one Ray task per partition,
+    leaving untouched partitions' files byte-identical.
+
+    ``predicate``: a callable ``pa.Table -> pa.BooleanArray`` marking
+    rows to DELETE (applied inside the per-partition task — vectorized,
+    worker-side; the driver sees only per-partition receipt rows).
+
+    Protocol per affected partition: cross-check the partition's
+    ``_DONE`` row count (written by ``write_partitioned_parquet`` and
+    refreshed here) against the parquet footers BEFORE reading — a
+    crash between a previous pass's atomic publish and its cleanup
+    leaves a stale duplicate shard, and the count mismatch raises
+    loudly instead of serving duplicated rows.  Then write the
+    surviving rows to one consolidated shard via tmp + ``os.replace``
+    (atomic publish), remove the superseded shards, and refresh
+    ``_DONE``.
+
+    Returns ``(key_col, n_deleted, n_kept)`` per partition.
+    """
+    import ray.data as rd
+
+    pdirs = sorted(
+        d for d in glob.glob(os.path.join(out_dir, f"{key_col}=*"))
+        if _partition_value(d, key_col) is not None
+    )
+    if not pdirs:
+        return pa.table(
+            {
+                key_col: pa.array([], pa.string()),
+                "n_deleted": pa.array([], pa.int64()),
+                "n_kept": pa.array([], pa.int64()),
+            }
+        )
+
+    def compact(t: pa.Table) -> pa.Table:
+        out_k, out_d, out_n = [], [], []
+        for pdir in t["pdir"].to_pylist():
+            val = _partition_value(pdir, key_col)
+            files = sorted(glob.glob(os.path.join(pdir, "*.parquet")))
+            if not files:
+                continue
+            done_path = os.path.join(pdir, "_DONE")
+            expected = None
+            if os.path.exists(done_path):
+                txt = open(done_path).read().strip()
+                expected = int(txt) if txt.isdigit() else None
+            on_disk = sum(pq.read_metadata(f).num_rows for f in files)
+            if expected is not None and on_disk != expected:
+                raise RuntimeError(
+                    f"partition {key_col}={val}: _DONE records "
+                    f"{expected} rows but files hold {on_disk} — "
+                    f"crash window or lost write (stale shard?)"
+                )
+            tab = pa.concat_tables([pq.read_table(f) for f in files])
+            mask = predicate(tab)
+            n_del = int(pc.sum(pc.cast(mask, pa.int64())).as_py() or 0)
+            if n_del:
+                kept = tab.filter(pc.invert(mask))
+                new = os.path.join(pdir, _content_name(kept))
+                tmp = new + f".tmp{os.getpid()}"
+                pq.write_table(kept, tmp)
+                os.replace(tmp, new)  # atomic publish
+                for f in files:
+                    if f != new:
+                        os.remove(f)
+                n_kept = len(kept)
+            else:
+                n_kept = len(tab)
+            if n_del or expected is None:
+                with open(done_path, "w") as f:  # refresh the count
+                    f.write(str(n_kept))
+            out_k.append(val)
+            out_d.append(n_del)
+            out_n.append(n_kept)
+        return pa.table(
+            {
+                key_col: pa.array(out_k, pa.string()),
+                "n_deleted": pa.array(out_d, pa.int64()),
+                "n_kept": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    receipts = (
+        rd.from_arrow(pa.table({"pdir": pa.array(pdirs, pa.string())}))
+        .repartition(len(pdirs))  # one task per partition
+        .map_batches(compact, batch_format="pyarrow")
+        .take_all()  # O(partitions) receipt rows
+    )
+    if verify:
+        for r in receipts:
+            files = glob.glob(
+                os.path.join(out_dir, f"{key_col}={r[key_col]}",
+                             "*.parquet")
+            )
+            on_disk = sum(pq.read_metadata(f).num_rows for f in files)
+            if on_disk != r["n_kept"]:
+                raise RuntimeError(
+                    f"partition {key_col}={r[key_col]}: compaction "
+                    f"receipts say {r['n_kept']} rows but files hold "
+                    f"{on_disk} — crash window or lost write"
+                )
+    keys = sorted(r[key_col] for r in receipts)
+    by = {r[key_col]: r for r in receipts}
+    return pa.table(
+        {
+            key_col: pa.array(keys, pa.string()),
+            "n_deleted": pa.array(
+                [by[k]["n_deleted"] for k in keys], pa.int64()
+            ),
+            "n_kept": pa.array([by[k]["n_kept"] for k in keys], pa.int64()),
         }
     )

@@ -407,3 +407,77 @@ class TestEwma:
         got = Q.events_ewma(sf, alpha=0.5).to_pandas()
         assert got.loc[0, "ewma_e6"] == 2_250_000
         assert got.loc[0, "n_events"] == 3
+
+
+class TestPartitionedDelete:
+    def _corpus(self, tmp_path):
+        import ray.data as rd
+        from parsel_ray.sources.partitioned import write_partitioned_parquet
+
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(30, dtype=np.int64),
+                "lang": ["en"] * 10 + ["de"] * 10 + ["fr"] * 10,
+                "n_chars": np.ones(30, dtype=np.int64),
+            }
+        )
+        out = str(tmp_path / "corpus")
+        write_partitioned_parquet(
+            rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)),
+            out, key_col="lang",
+        )
+        return out, df
+
+    def test_untouched_partition_bytes_identical(self, ray_session,
+                                                 tmp_path):
+        import glob
+        import hashlib
+        from parsel_ray.sources.partitioned import delete_from_partitioned
+
+        out, df = self._corpus(tmp_path)
+
+        def digest(pdir):
+            return [
+                hashlib.md5(open(f, "rb").read()).hexdigest()
+                for f in sorted(glob.glob(f"{pdir}/*.parquet"))
+            ]
+
+        fr_before = digest(f"{out}/lang=fr")
+        # delete only en docs (ids 0-9 even)
+        rec = delete_from_partitioned(
+            out, "lang",
+            predicate=lambda t: pa.array(
+                (t["doc_id"].to_numpy(zero_copy_only=False) < 10)
+                & (t["doc_id"].to_numpy(zero_copy_only=False) % 2 == 0)
+            ),
+        ).to_pandas().set_index("lang")
+        assert rec.loc["en", "n_deleted"] == 5
+        assert rec.loc["en", "n_kept"] == 5
+        assert rec.loc["fr", "n_deleted"] == 0
+        assert digest(f"{out}/lang=fr") == fr_before  # bytes untouched
+        import duckdb
+        n = duckdb.sql(
+            f"SELECT count(*) FROM '{out}/*/*.parquet'"
+        ).fetchone()[0]
+        assert n == 25
+
+    def test_done_count_detects_crash_window_duplicates(self,
+                                                        ray_session,
+                                                        tmp_path):
+        import glob
+        import shutil
+        from parsel_ray.sources.partitioned import delete_from_partitioned
+
+        out, df = self._corpus(tmp_path)
+        # simulate the crash window: a superseded shard survives next to
+        # the published one -> footer counts exceed the _DONE record
+        src = glob.glob(f"{out}/lang=en/*.parquet")[0]
+        shutil.copy(src, f"{out}/lang=en/shard-stale-duplicate.parquet")
+        # the raise travels back wrapped in RayTaskError
+        with pytest.raises(Exception, match="crash window|lost write"):
+            delete_from_partitioned(
+                out, "lang",
+                predicate=lambda t: pa.array(
+                    np.zeros(len(t), dtype=bool)
+                ),
+            )
