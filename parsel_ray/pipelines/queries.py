@@ -3832,6 +3832,25 @@ GROUP BY lang
 """
 
 
+def events_distinct_users_streaming(sf_dir: str):
+    """Streaming exact COUNT(DISTINCT): micro-batch replay through
+    hash-partitioned distinct-state actors (disjoint key partitions sum
+    exactly; ``state/cuckoo.py`` is the named 10^10-key swap-in) —
+    same oracle as a batch COUNT(DISTINCT user_id)."""
+    from .streaming import streaming_distinct
+
+    n = streaming_distinct(
+        f"{sf_dir}/events.parquet", col="user_id",
+        n_microbatches=6, n_actors=4,
+    )
+    return pa.table({"n_users": pa.array([n], pa.int64())})
+
+
+DISTINCT_STREAM_SQL = """
+SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM events
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -3929,6 +3948,7 @@ QUERIES = {
     "user_event_path": user_event_path,
     "label_centroids": label_centroids,
     "partitioned_delete_docs": partitioned_delete_docs,
+    "events_distinct_users_streaming": events_distinct_users_streaming,
 }
 
 ORACLE_SQL = {
@@ -4005,4 +4025,5 @@ ORACLE_SQL = {
     "user_event_path": PATH_SQL,
     "label_centroids": CENTROID_SQL,
     "partitioned_delete_docs": DELETE_SQL,
+    "events_distinct_users_streaming": DISTINCT_STREAM_SQL,
 }

@@ -165,3 +165,65 @@ def streaming_sessionize(
             )
     refs = [a.flush.remote() for a in actors]
     return rd.from_arrow_refs(refs)
+
+
+@ray.remote
+class DistinctState:
+    """One hash partition of a streaming exact-distinct set.
+
+    Exact per-partition Python set — right for gate-scale keys; at
+    10^10 keys swap the set for this repo's sharded cuckoo filter
+    (``state/cuckoo.py``, the crawl frontier's URL-seen structure) and
+    accept its false-positive rate."""
+
+    def __init__(self) -> None:
+        self.seen: set[int] = set()
+
+    def push(self, keys: list[int]) -> int:
+        self.seen.update(keys)
+        return len(keys)
+
+    def count(self) -> int:
+        return len(self.seen)
+
+
+def streaming_distinct(
+    events_path: str,
+    col: str = "user_id",
+    n_microbatches: int = 6,
+    n_actors: int = 4,
+) -> int:
+    """Replay the events table as micro-batches through hash-partitioned
+    distinct-state actors; return the exact global distinct count of
+    ``col`` (disjoint partitions sum without double-counting)."""
+    import pyarrow.dataset as pads
+
+    actors = [DistinctState.remote() for _ in range(n_actors)]
+
+    def route(t: pa.Table, _actors=actors) -> pa.Table:
+        vals = t[col].to_numpy(zero_copy_only=False)
+        part = (vals % len(_actors)).astype(np.int64)
+        acks = []
+        for p in np.unique(part):
+            acks.append(
+                _actors[int(p)].push.remote(
+                    np.unique(vals[part == p]).tolist()
+                )
+            )
+        pushed = sum(ray.get(acks)) if acks else 0
+        return pa.table({"pushed": pa.array([pushed], pa.int64())})
+
+    # micro-batch split on the event-id axis (any stable axis works for
+    # a distinct count — no ordering contract to preserve)
+    ids = rd.read_parquet(events_path, columns=["event_id"])
+    lo = ids.min("event_id")
+    hi = ids.max("event_id")
+    edges = np.linspace(lo, hi + 1, n_microbatches + 1).astype(np.int64)
+    for b in range(n_microbatches):
+        filt = (pads.field("event_id") >= int(edges[b])) & (
+            pads.field("event_id") < int(edges[b + 1])
+        )
+        rd.read_parquet(
+            events_path, columns=["event_id", col], filter=filt
+        ).map_batches(route, batch_format="pyarrow").take_all()
+    return int(sum(ray.get([a.count.remote() for a in actors])))
