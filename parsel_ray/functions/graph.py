@@ -123,9 +123,13 @@ def pagerank(
         ).take_all()
         total = float(sum(r["total"] for r in mass_rows))
         dangling = float(sum(r["dang"] for r in mass_rows))
-        if certify and abs(total - 1.0) > 1e-9:
+        # tolerance scales with N: the sum accumulates O(N) float adds,
+        # so a fixed 1e-9 would spuriously fail at ~1e7+ nodes
+        tol = 1e-9 + 64.0 * n_nodes * np.finfo(np.float64).eps
+        if certify and abs(total - 1.0) > tol:
             raise AssertionError(
-                f"pagerank: rank mass {total} != 1 (conservation)"
+                f"pagerank: rank mass {total} != 1 (conservation, "
+                f"tol={tol:g})"
             )
 
         srcstate = state.map_batches(

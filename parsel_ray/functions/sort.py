@@ -49,8 +49,18 @@ def global_row_number(
     try:
         _, vals, _cum = _exact_quantiles(ds, primary, qs, return_hist=True)
     except ValueError:
+        # no non-null primary values: an EMPTY dataset ranks to an
+        # empty dataset; a non-empty all-null column is a caller error
+        # (define null placement explicitly before ranking)
+        if ds.count() > 0:
+            raise ValueError(
+                f"global_row_number: column {primary!r} has no non-null "
+                "values — rank null keys explicitly before calling"
+            )
         return ds.map_batches(
-            lambda t: t.append_column(out_col, pa.array([], pa.int64())),
+            lambda t: t.append_column(
+                out_col, pa.array([0] * len(t), pa.int64())
+            ),
             batch_format="pyarrow",
         )
     # P-1 bounds at the quantile positions of the distinct-value domain

@@ -2777,26 +2777,26 @@ def lineitem_corr(sf_dir: str):
         y = np.floor(
             t["l_extendedprice"].to_numpy(zero_copy_only=False) + 0.5
         ).astype(np.int64)
-        flags = t["l_returnflag"].to_numpy(zero_copy_only=False)
-        uniq, inv = np.unique(flags, return_inverse=True)
-        k = len(uniq)
-        n = np.bincount(inv, minlength=k)
-        return pa.table(
+        # pyarrow group_by sums int64 EXACTLY — np.bincount's float64
+        # weight accumulation would round partials past 2^53 (a ~5M-row
+        # block of y^2 ~ 1e10 already exceeds it), silently breaking
+        # the exact-moments contract at scale
+        moments = pa.table(
             {
-                "l_returnflag": pa.array(uniq, pa.string()),
-                "n": pa.array(n, pa.int64()),
-                "sx": pa.array(np.bincount(inv, x, k).astype(np.int64)),
-                "sy": pa.array(np.bincount(inv, y, k).astype(np.int64)),
-                "sxy": pa.array(
-                    np.bincount(inv, x * y, k).astype(np.int64)
-                ),
-                "sxx": pa.array(
-                    np.bincount(inv, x * x, k).astype(np.int64)
-                ),
-                "syy": pa.array(
-                    np.bincount(inv, y * y, k).astype(np.int64)
-                ),
+                "l_returnflag": t["l_returnflag"],
+                "sx": pa.array(x, pa.int64()),
+                "sy": pa.array(y, pa.int64()),
+                "sxy": pa.array(x * y, pa.int64()),
+                "sxx": pa.array(x * x, pa.int64()),
+                "syy": pa.array(y * y, pa.int64()),
             }
+        )
+        out = moments.group_by(["l_returnflag"]).aggregate(
+            [("sx", "sum"), ("sy", "sum"), ("sxy", "sum"),
+             ("sxx", "sum"), ("syy", "sum"), ([], "count_all")]
+        )
+        return out.rename_columns(
+            ["l_returnflag", "sx", "sy", "sxy", "sxx", "syy", "n"]
         )
 
     merged = partial_sum_groupby(
@@ -2901,12 +2901,6 @@ def docs_cube(sf_dir: str):
     fine = partial_sum_groupby(
         base, ["lang", "source"], {}, count_as="n"
     ).materialize()  # O(|lang| x |source|) rows
-
-    def null_col(t: pa.Table, name: str) -> pa.Table:
-        i = t.schema.get_field_index(name)
-        return t.set_column(
-            i, name, pa.nulls(len(t), pa.string())
-        )
 
     by_lang = partial_sum_groupby(fine, ["lang"], {"n": "n"}).map_batches(
         lambda t: t.append_column(

@@ -27,12 +27,33 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
 
 GAP_US = 30 * 60 * 1_000_000  # 30 min in microseconds
+
+
+def _footer_minmax(path: str, col: str):
+    """(min, max) of ``col`` from parquet row-group footer statistics —
+    zero data read; falls back to one distributed min/max scan when the
+    writer omitted statistics."""
+    import pyarrow.parquet as pq
+
+    meta = pq.ParquetFile(path)
+    idx = meta.schema_arrow.get_field_index(col)
+    lo, hi = None, None
+    for rg in range(meta.metadata.num_row_groups):
+        st = meta.metadata.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            lo = hi = None
+            break
+        lo = st.min if lo is None or st.min < lo else lo
+        hi = st.max if hi is None or st.max > hi else hi
+    if lo is None:
+        ds = rd.read_parquet(path, columns=[col])
+        return ds.min(col), ds.max(col)
+    return lo, hi
 
 
 @ray.remote
@@ -108,17 +129,9 @@ def streaming_sessionize(
     Matches ``events_sessionize`` exactly (the D gate query shares its
     oracle)."""
     import pyarrow.dataset as pads
-    import pyarrow.parquet as pq
 
     # micro-batch bounds from footer statistics (no data read)
-    meta = pq.ParquetFile(events_path)
-    lo, hi = None, None
-    for rg in range(meta.metadata.num_row_groups):
-        st = meta.metadata.row_group(rg).column(
-            meta.schema_arrow.get_field_index("ts")
-        ).statistics
-        lo = st.min if lo is None or st.min < lo else lo
-        hi = st.max if hi is None or st.max > hi else hi
+    lo, hi = _footer_minmax(events_path, "ts")
     lo_us = pa.scalar(lo).cast(pa.timestamp("us")).cast(pa.int64()).as_py()
     hi_us = pa.scalar(hi).cast(pa.timestamp("us")).cast(pa.int64()).as_py()
     edges = np.linspace(lo_us, hi_us + 1, n_microbatches + 1).astype(
@@ -137,7 +150,6 @@ def streaming_sessionize(
         pushed = sum(ray.get(acks)) if acks else 0
         return pa.table({"pushed": pa.array([pushed], pa.int64())})
 
-    total_pushed = 0
     for b in range(n_microbatches):
         lo_b, hi_b = int(edges[b]), int(edges[b + 1])
         filt = (
@@ -153,15 +165,15 @@ def streaming_sessionize(
             filter=filt,
         )
         acked = mb.map_batches(route, batch_format="pyarrow").take_all()
-        total_pushed += sum(r["pushed"] for r in acked)
+        pushed_b = sum(r["pushed"] for r in acked)
         # watermark barrier: the batch is closed, actors fold in order
         processed = sum(
             ray.get([a.process_batch.remote() for a in actors])
         )
-        if processed != sum(r["pushed"] for r in acked):
+        if processed != pushed_b:
             raise AssertionError(
                 f"micro-batch {b}: pushed != processed "
-                f"({sum(r['pushed'] for r in acked)} != {processed})"
+                f"({pushed_b} != {processed})"
             )
     refs = [a.flush.remote() for a in actors]
     return rd.from_arrow_refs(refs)
@@ -214,11 +226,11 @@ def streaming_distinct(
         return pa.table({"pushed": pa.array([pushed], pa.int64())})
 
     # micro-batch split on the event-id axis (any stable axis works for
-    # a distinct count — no ordering contract to preserve)
-    ids = rd.read_parquet(events_path, columns=["event_id"])
-    lo = ids.min("event_id")
-    hi = ids.max("event_id")
-    edges = np.linspace(lo, hi + 1, n_microbatches + 1).astype(np.int64)
+    # a distinct count — no ordering contract to preserve); bounds come
+    # from footer statistics, no data read
+    lo, hi = _footer_minmax(events_path, "event_id")
+    edges = np.linspace(int(lo), int(hi) + 1,
+                        n_microbatches + 1).astype(np.int64)
     for b in range(n_microbatches):
         filt = (pads.field("event_id") >= int(edges[b])) & (
             pads.field("event_id") < int(edges[b + 1])

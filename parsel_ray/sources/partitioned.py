@@ -203,6 +203,11 @@ def delete_from_partitioned(out_dir: str, key_col: str, predicate,
         out_k, out_d, out_n = [], [], []
         for pdir in t["pdir"].to_pylist():
             val = _partition_value(pdir, key_col)
+            # sweep orphan .tmp shards from a compaction that crashed
+            # BEFORE its atomic publish (they are invisible to the
+            # *.parquet glob and would otherwise accumulate forever)
+            for stale in glob.glob(os.path.join(pdir, "*.parquet.tmp*")):
+                os.remove(stale)
             files = sorted(glob.glob(os.path.join(pdir, "*.parquet")))
             if not files:
                 continue
