@@ -481,3 +481,25 @@ class TestPartitionedDelete:
                     np.zeros(len(t), dtype=bool)
                 ),
             )
+
+
+class TestFooterMinmaxFallback:
+    def test_statsless_parquet_falls_back_to_scan(self, ray_session,
+                                                  tmp_path):
+        import pyarrow.parquet as pq
+        from parsel_ray.pipelines.streaming import (
+            _footer_minmax,
+            streaming_distinct,
+        )
+
+        df = _events([(u, t * 1000, "view") for u in range(5)
+                      for t in range(20)])
+        path = str(tmp_path / "events.parquet")
+        pq.write_table(
+            pa.Table.from_pandas(df, preserve_index=False), path,
+            write_statistics=False,
+        )
+        lo, hi = _footer_minmax(path, "event_id")
+        assert (lo, hi) == (0, 99)
+        assert streaming_distinct(path, "user_id",
+                                  n_microbatches=3, n_actors=2) == 5
