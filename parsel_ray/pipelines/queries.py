@@ -3845,6 +3845,60 @@ SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM events
 """
 
 
+def evolved_schema_read(sf_dir: str):
+    """Schema-evolution ingestion: half the corpus is written in a v1
+    layout (no ``lang`` column), half in v2 (with it) — the unified
+    read fills typed nulls for v1 rows (footer-schema unification, no
+    data read at plan time) and one combiner aggregate proves row,
+    value, and null fidelity against the source-of-truth table."""
+    import tempfile as _tempfile
+
+    from ..sources.partitioned import read_evolved_parquet
+
+    out = _tempfile.mkdtemp(prefix="docs_evolved_", dir="/tmp")
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    docs.map_batches(
+        lambda t: t.filter(
+            pc.equal(pc.bit_wise_and(t["doc_id"], 1), 0)
+        ).select(["doc_id", "n_chars"]),  # v1: no lang column
+        batch_format="pyarrow",
+    ).write_parquet(f"{out}/v1")
+    docs.map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 1), 1)),
+        batch_format="pyarrow",
+    ).write_parquet(f"{out}/v2")
+    import glob as _glob
+
+    ds, schema = read_evolved_parquet(
+        _glob.glob(f"{out}/v1/*.parquet") + _glob.glob(f"{out}/v2/*.parquet")
+    )
+    assert "lang" in schema.names
+    return partial_sum_groupby(
+        ds.map_batches(
+            lambda t: pa.table(
+                {
+                    "has_lang": pc.cast(
+                        pc.is_valid(t["lang"]), pa.int64()
+                    ),
+                    "n_chars": t["n_chars"],
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        ["has_lang"],
+        {"n_chars": "sum_nchars"},
+        count_as="n_docs",
+    )
+
+
+EVOLVED_SQL = """
+SELECT CAST(doc_id % 2 AS BIGINT) AS has_lang,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_nchars,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -3943,6 +3997,7 @@ QUERIES = {
     "label_centroids": label_centroids,
     "partitioned_delete_docs": partitioned_delete_docs,
     "events_distinct_users_streaming": events_distinct_users_streaming,
+    "evolved_schema_read": evolved_schema_read,
 }
 
 ORACLE_SQL = {
@@ -4020,4 +4075,5 @@ ORACLE_SQL = {
     "label_centroids": CENTROID_SQL,
     "partitioned_delete_docs": DELETE_SQL,
     "events_distinct_users_streaming": DISTINCT_STREAM_SQL,
+    "evolved_schema_read": EVOLVED_SQL,
 }

@@ -282,3 +282,34 @@ def delete_from_partitioned(out_dir: str, key_col: str, predicate,
             "n_kept": pa.array([by[k]["n_kept"] for k in keys], pa.int64()),
         }
     )
+
+
+def read_evolved_parquet(paths, promote: bool = True):
+    """Read parquet files whose schemas EVOLVED over time (columns added,
+    widths promoted) as one Dataset with the unified schema — the
+    standard long-lived-corpus ingestion problem.
+
+    Footer schemas (no data read) unify via ``pa.unify_schemas``:
+    columns missing from older files come back as typed nulls, and with
+    ``promote=True`` compatible widths promote (int32 -> int64,
+    float -> double).  Incompatible same-name types raise loudly at
+    plan time instead of failing mid-stream.  Returns
+    ``(Dataset, unified_schema)``.
+    """
+    paths = sorted(paths)
+    if not paths:
+        raise ValueError("read_evolved_parquet: no input files")
+    schemas = [pq.read_schema(p) for p in paths]
+    try:
+        union = pa.unify_schemas(
+            schemas,
+            promote_options="permissive" if promote else "default",
+        )
+    except (pa.ArrowInvalid, pa.ArrowTypeError) as e:
+        raise ValueError(
+            f"read_evolved_parquet: incompatible schemas across "
+            f"{len(paths)} files: {e}"
+        ) from e
+    import ray.data as rd
+
+    return rd.read_parquet(paths, schema=union), union

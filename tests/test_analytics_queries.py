@@ -503,3 +503,37 @@ class TestFooterMinmaxFallback:
         assert (lo, hi) == (0, 99)
         assert streaming_distinct(path, "user_id",
                                   n_microbatches=3, n_actors=2) == 5
+
+
+class TestEvolvedRead:
+    def test_unify_fills_typed_nulls_and_promotes(self, ray_session,
+                                                  tmp_path):
+        import pyarrow.parquet as pq
+        from parsel_ray.sources.partitioned import read_evolved_parquet
+
+        p1 = str(tmp_path / "v1.parquet")
+        p2 = str(tmp_path / "v2.parquet")
+        pq.write_table(
+            pa.table({"id": pa.array([1, 2], pa.int64()),
+                      "w": pa.array([10, 20], pa.int32())}), p1)
+        pq.write_table(
+            pa.table({"id": pa.array([3], pa.int64()),
+                      "w": pa.array([30], pa.int64()),
+                      "tag": pa.array(["x"], pa.string())}), p2)
+        ds, schema = read_evolved_parquet([p1, p2])
+        assert schema.field("w").type == pa.int64()  # promoted
+        rows = sorted(ds.take_all(), key=lambda r: r["id"])
+        assert [r["tag"] for r in rows] == [None, None, "x"]
+        assert [r["w"] for r in rows] == [10, 20, 30]
+
+    def test_incompatible_types_raise_at_plan_time(self, ray_session,
+                                                   tmp_path):
+        import pyarrow.parquet as pq
+        from parsel_ray.sources.partitioned import read_evolved_parquet
+
+        p1 = str(tmp_path / "a.parquet")
+        p2 = str(tmp_path / "b.parquet")
+        pq.write_table(pa.table({"k": pa.array([1], pa.int64())}), p1)
+        pq.write_table(pa.table({"k": pa.array(["s"], pa.string())}), p2)
+        with pytest.raises(ValueError, match="incompatible schemas"):
+            read_evolved_parquet([p1, p2])
