@@ -3899,6 +3899,25 @@ FROM documents GROUP BY 1
 """
 
 
+def events_hourly_streaming(sf_dir: str):
+    """Event-time tumbling windows through the watermark engine
+    (`pipelines/streaming.py:streaming_hourly_counts`): rows replay in
+    ARRIVAL order (event-id ranges, deliberately out of event-time
+    order), window-hash-partitioned actors accumulate, the driver folds
+    per-batch max-event-time scalars into the global watermark.  Run
+    with unbounded lateness the result equals the batch
+    ``events_hourly`` EXACTLY — same DuckDB oracle.  Finite-lateness
+    drop semantics are pinned in tests."""
+    from .streaming import streaming_hourly_counts
+
+    ds, dropped = streaming_hourly_counts(
+        f"{sf_dir}/events.parquet", n_microbatches=6, n_actors=4,
+        allowed_lateness_us=None,
+    )
+    assert dropped == 0  # unbounded lateness drops nothing
+    return ds
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -3998,6 +4017,7 @@ QUERIES = {
     "partitioned_delete_docs": partitioned_delete_docs,
     "events_distinct_users_streaming": events_distinct_users_streaming,
     "evolved_schema_read": evolved_schema_read,
+    "events_hourly_streaming": events_hourly_streaming,
 }
 
 ORACLE_SQL = {
@@ -4076,4 +4096,5 @@ ORACLE_SQL = {
     "partitioned_delete_docs": DELETE_SQL,
     "events_distinct_users_streaming": DISTINCT_STREAM_SQL,
     "evolved_schema_read": EVOLVED_SQL,
+    "events_hourly_streaming": HOURLY_SQL,
 }

@@ -239,3 +239,150 @@ def streaming_distinct(
             events_path, columns=["event_id", col], filter=filt
         ).map_batches(route, batch_format="pyarrow").take_all()
     return int(sum(ray.get([a.count.remote() for a in actors])))
+
+
+@ray.remote
+class WindowState:
+    """One hash partition of event-time tumbling windows under a
+    watermark: open windows accumulate (n, value_cents); once the
+    GLOBAL watermark (max event time seen, minus allowed lateness)
+    passes a window's end, the window FINALIZES — later arrivals for it
+    are counted as late-dropped, the standard watermark contract."""
+
+    def __init__(self) -> None:
+        self.open: dict[tuple, list] = {}   # (type, hour_us) -> [n, cents]
+        self.final: dict[tuple, list] = {}
+        self.late_dropped = 0
+
+    def push(self, table: pa.Table) -> int:
+        import pyarrow.compute as pc
+
+        hour = (
+            pc.floor_temporal(
+                table["ts"].cast(pa.timestamp("us")), unit="hour"
+            )
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        cents = np.floor(
+            table["value"].to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)
+        types = table["event_type"].to_pylist()
+        for ty, h, c in zip(types, hour, cents):
+            key = (ty, int(h))
+            if key in self.final:
+                self.late_dropped += 1
+                continue
+            slot = self.open.setdefault(key, [0, 0])
+            slot[0] += 1
+            slot[1] += int(c)
+        return len(table)
+
+    def advance_watermark(self, watermark_us: int) -> int:
+        """Finalize every open window whose END (hour start + 1h) is at
+        or before the watermark; returns how many finalized."""
+        hour_us = 3_600_000_000
+        done = [k for k in self.open if k[1] + hour_us <= watermark_us]
+        for k in done:
+            self.final[k] = self.open.pop(k)
+        return len(done)
+
+    def flush(self) -> pa.Table:
+        for k, v in self.open.items():
+            self.final[k] = v
+        self.open = {}
+        keys = sorted(self.final)
+        return pa.table(
+            {
+                "event_type": pa.array([k[0] for k in keys], pa.string()),
+                "hour": pa.array(
+                    [k[1] for k in keys], pa.timestamp("us")
+                ),
+                "n": pa.array(
+                    [self.final[k][0] for k in keys], pa.int64()
+                ),
+                "sum_value_cents": pa.array(
+                    [self.final[k][1] for k in keys], pa.int64()
+                ),
+            }
+        )
+
+    def stats(self) -> tuple:
+        return (self.late_dropped, len(self.final), len(self.open))
+
+
+def streaming_hourly_counts(
+    events_path: str,
+    n_microbatches: int = 6,
+    n_actors: int = 4,
+    allowed_lateness_us: "int | None" = None,
+):
+    """Event-time tumbling hourly counts under a watermark, replaying
+    the table in ARRIVAL order (event_id ranges — deliberately
+    uncorrelated with event time, so rows genuinely arrive out of
+    event-time order across micro-batches).
+
+    After each micro-batch the driver folds per-actor max-event-time
+    scalars into the global watermark; with finite
+    ``allowed_lateness_us`` windows finalize as the watermark passes
+    and later arrivals drop (counted).  With ``None`` (unbounded
+    lateness) nothing finalizes early and the result matches the batch
+    ``events_hourly`` EXACTLY — that equivalence is the gate.
+
+    Returns ``(Dataset, late_dropped_total)``.
+    """
+    import pyarrow.dataset as pads
+
+    actors = [WindowState.remote() for _ in range(n_actors)]
+
+    def route(t: pa.Table, _actors=actors) -> pa.Table:
+        hour = (
+            t["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        part = ((hour // 3_600_000_000) % len(_actors)).astype(np.int64)
+        acks = []
+        for p in np.unique(part):
+            sub = t.filter(pa.array(part == p))
+            acks.append(_actors[int(p)].push.remote(sub))
+        pushed = sum(ray.get(acks)) if acks else 0
+        mx = int(hour.max()) if len(hour) else 0
+        return pa.table(
+            {
+                "pushed": pa.array([pushed], pa.int64()),
+                "max_ts": pa.array([mx], pa.int64()),
+            }
+        )
+
+    lo, hi = _footer_minmax(events_path, "event_id")
+    edges = np.linspace(int(lo), int(hi) + 1,
+                        n_microbatches + 1).astype(np.int64)
+    watermark = -1
+    for b in range(n_microbatches):
+        filt = (pads.field("event_id") >= int(edges[b])) & (
+            pads.field("event_id") < int(edges[b + 1])
+        )
+        acked = (
+            rd.read_parquet(
+                events_path,
+                columns=["event_id", "ts", "event_type", "value"],
+                filter=filt,
+            )
+            .map_batches(route, batch_format="pyarrow")
+            .take_all()
+        )
+        if allowed_lateness_us is not None and acked:
+            watermark = max(
+                watermark, max(r["max_ts"] for r in acked)
+            ) 
+            ray.get(
+                [
+                    a.advance_watermark.remote(
+                        watermark - allowed_lateness_us
+                    )
+                    for a in actors
+                ]
+            )
+    refs = [a.flush.remote() for a in actors]
+    dropped = sum(s[0] for s in ray.get([a.stats.remote() for a in actors]))
+    return rd.from_arrow_refs(refs), dropped

@@ -537,3 +537,58 @@ class TestEvolvedRead:
         pq.write_table(pa.table({"k": pa.array(["s"], pa.string())}), p2)
         with pytest.raises(ValueError, match="incompatible schemas"):
             read_evolved_parquet([p1, p2])
+
+
+class TestWatermarkWindows:
+    def _events_arrival(self, rows):
+        # rows: (event_id, ts_us, event_type, value) — event_id IS the
+        # arrival axis; ts is event time
+        df = pd.DataFrame(rows, columns=["event_id", "ts_us",
+                                         "event_type", "value"])
+        df["ts"] = pd.to_datetime(df["ts_us"], unit="us")
+        df["user_id"] = np.int64(1)
+        df["props"] = "{}"
+        return df[["event_id", "ts", "user_id", "event_type", "value",
+                   "props"]]
+
+    def test_late_rows_drop_under_finite_lateness(self, ray_session,
+                                                  tmp_path):
+        from parsel_ray.pipelines.streaming import streaming_hourly_counts
+
+        H = 3_600_000_000  # one hour in us
+        rows = [
+            # arrival batch 1 (event_id 0-4): H0 and H5 windows
+            (0, 10, "view", 1.0),
+            (1, 20, "view", 1.0),
+            (2, 5 * H + 1, "view", 1.0),   # pushes watermark to ~5h
+            (3, 5 * H + 2, "view", 1.0),
+            (4, 30, "click", 1.0),
+            # arrival batch 2 (event_id 5-9): one LATE H0 row + H5 rows
+            (5, 40, "view", 1.0),           # late: H0 finalized
+            (6, 5 * H + 3, "view", 1.0),
+            (7, 5 * H + 4, "view", 1.0),
+            (8, 5 * H + 5, "view", 1.0),
+            (9, 5 * H + 6, "click", 1.0),
+        ]
+        sf = _write(tmp_path, "events", self._events_arrival(rows))
+        path = f"{sf}/events.parquet"
+        # lateness 1h: after batch 1 the watermark is 5h+1us - 1h = 4h+,
+        # so H0 (window end 1h) finalizes before batch 2 arrives
+        ds, dropped = streaming_hourly_counts(
+            path, n_microbatches=2, n_actors=2,
+            allowed_lateness_us=H,
+        )
+        got = {(r["event_type"], r["hour"].hour): r["n"]
+               for r in ds.take_all()}
+        assert dropped == 1
+        assert got[("view", 0)] == 2       # the late row is NOT counted
+        assert got[("view", 5)] == 5
+        assert got[("click", 0)] == 1
+        # unbounded lateness: same input, nothing drops, late row counts
+        ds2, dropped2 = streaming_hourly_counts(
+            path, n_microbatches=2, n_actors=2, allowed_lateness_us=None,
+        )
+        got2 = {(r["event_type"], r["hour"].hour): r["n"]
+                for r in ds2.take_all()}
+        assert dropped2 == 0
+        assert got2[("view", 0)] == 3
