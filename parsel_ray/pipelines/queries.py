@@ -1028,6 +1028,75 @@ FROM documents
 """
 
 
+def image_png_roundtrip(sf_dir: str):
+    """Full-PNG encode→decode round-trip exercising the REAL web surface
+    of the format: color type varies by doc (gray / RGB / RGBA) and the
+    scanline filter is forced per doc through all five types plus the
+    adaptive heuristic (``doc_id % 6``, 5 = adaptive).  Dims / channel
+    count / decode_ok are oracle-checked; losslessness is asserted
+    in-kernel by rebuilding the source array and comparing exactly."""
+    from ..images.codecs import decode_png, encode_png
+    from ..stages.multimodal import DecodePng
+
+    def _png_src(i: int) -> "np.ndarray":
+        px = _doc_image(i)
+        c = (1, 3, 4)[i % 3]
+        if c == 1:
+            return px[:, :, :1]
+        if c == 4:
+            return np.concatenate([px, px[:, :, 2:3]], axis=2)
+        return px
+
+    def build(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        blobs = []
+        for i in ids:
+            m = i % 6
+            blobs.append(
+                encode_png(_png_src(i), filter_mode="adaptive" if m == 5 else m)
+            )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "filter_mode": pa.array([i % 6 for i in ids], pa.int32()),
+                "bytes": pa.array(blobs, pa.binary()),
+            }
+        )
+
+    def check(t: pa.Table) -> pa.Table:
+        for i, data, ok in zip(
+            t["doc_id"].to_pylist(), t["bytes"].to_pylist(),
+            t["decode_ok"].to_pylist(),
+        ):
+            assert ok, f"doc {i} failed png decode"
+            assert np.array_equal(decode_png(data), _png_src(i)), (
+                f"doc {i} png roundtrip not lossless"
+            )
+        return t.select(
+            ["doc_id", "filter_mode", "channels",
+             "decoded_w", "decoded_h", "decode_ok"]
+        )
+
+    return (
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(build, batch_format="pyarrow", batch_size=256)
+        .map_batches(DecodePng(), batch_format="pyarrow", batch_size=256)
+        .map_batches(check, batch_format="pyarrow")
+    )
+
+
+PNG_SQL = """
+SELECT doc_id,
+       CAST(doc_id % 6 AS INTEGER) AS filter_mode,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END
+            AS INTEGER) AS channels,
+       CAST(16 + doc_id % 23 AS INTEGER) AS decoded_w,
+       CAST(16 + doc_id % 17 AS INTEGER) AS decoded_h,
+       TRUE AS decode_ok
+FROM documents
+"""
+
+
 def video_frame_sample(sf_dir: str):
     """NV1 container build → SampleVideoFrames stage (round-2 de-stub:
     real container parse + selective frame decode).  Sampled count and
@@ -3972,6 +4041,7 @@ QUERIES = {
     "image_resize": image_resize,
     "audio_frame_rms": audio_frame_rms,
     "image_jpeg_roundtrip": image_jpeg_roundtrip,
+    "image_png_roundtrip": image_png_roundtrip,
     "video_frame_sample": video_frame_sample,
     "doc_term_df": doc_term_df,
     "doc_tfidf_top_term": doc_tfidf_top_term,
@@ -4046,6 +4116,7 @@ ORACLE_SQL = {
     "dedup_exact": DEDUP_SQL,
     "dedup_ngram_jaccard": NGRAM_SQL,
     "image_jpeg_roundtrip": JPEG_SQL,
+    "image_png_roundtrip": PNG_SQL,
     "video_frame_sample": VIDEO_SQL,
     "embedding_knn": KNN_SQL,
     "embedding_near_dup": NEARDUP_SQL,

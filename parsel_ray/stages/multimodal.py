@@ -140,6 +140,41 @@ class DecodeJpeg:
         )
 
 
+class DecodePng:
+    """Full PNG decode (pure numpy+zlib codec, :mod:`parsel_ray.images.
+    codecs.decode_png`): all five scanline filters, gray / gray+alpha /
+    palette / RGB / RGBA color types, CRC-checked.  binary → decoded
+    dims + channel count + RGB-normalized phash; corrupt/unsupported
+    payloads set ``decode_ok`` = False rather than failing the batch."""
+
+    def __init__(self, bytes_col: str = "bytes") -> None:
+        self.bytes_col = bytes_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from ..images.codecs import decode_png, png_to_rgb
+
+        ws, hs, cs, phashes, oks = [], [], [], [], []
+        for data in t[self.bytes_col].to_pylist():
+            try:
+                px = decode_png(data)
+            except Exception:
+                oks.append(False)
+                ws.append(None); hs.append(None)
+                cs.append(None); phashes.append(None)
+                continue
+            oks.append(True)
+            hs.append(px.shape[0]); ws.append(px.shape[1])
+            cs.append(px.shape[2])
+            phashes.append(phash64(png_to_rgb(px)))
+        return (
+            t.append_column("decoded_w", pa.array(ws, pa.int32()))
+            .append_column("decoded_h", pa.array(hs, pa.int32()))
+            .append_column("channels", pa.array(cs, pa.int32()))
+            .append_column("phash_recomputed", pa.array(phashes, pa.int64()))
+            .append_column("decode_ok", pa.array(oks, pa.bool_()))
+        )
+
+
 def _parse_wav_pcm16(data: bytes) -> "np.ndarray | None":
     """RIFF/WAVE PCM16 → mono float64 samples (channel mean), or None if
     the payload is not a WAV file."""
