@@ -16,7 +16,8 @@ import numpy as np
 # hash % len — adding here would change the deterministic corpus)
 FORMATS = ("ppm", "png", "qjpg")
 # full codec surface (encode_image/decode_image): FORMATS + baseline JPEG
-ALL_FORMATS = ("ppm", "png", "qjpg", "jpeg")
+# + palette GIF87a (LZW)
+ALL_FORMATS = ("ppm", "png", "qjpg", "jpeg", "gif")
 
 
 # -- PPM (P6 binary) -------------------------------------------------------
@@ -304,12 +305,25 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     return decode_jpeg(data)
 
 
-_ENC = {"ppm": _encode_ppm, "png": _encode_png, "qjpg": _encode_qjpg,
-        "jpeg": _encode_jpeg}
-_DEC = {"ppm": _decode_ppm, "png": _decode_png, "qjpg": _decode_qjpg,
-        "jpeg": _decode_jpeg}
+def _encode_gif(px: np.ndarray) -> bytes:
+    from .gif import encode_gif, quantize_332
 
-LOSSLESS = {"ppm": True, "png": True, "qjpg": False, "jpeg": False}
+    return encode_gif(quantize_332(px))
+
+
+def _decode_gif(data: bytes) -> np.ndarray:
+    from .gif import decode_gif_rgb
+
+    return decode_gif_rgb(data)
+
+
+_ENC = {"ppm": _encode_ppm, "png": _encode_png, "qjpg": _encode_qjpg,
+        "jpeg": _encode_jpeg, "gif": _encode_gif}
+_DEC = {"ppm": _decode_ppm, "png": _decode_png, "qjpg": _decode_qjpg,
+        "jpeg": _decode_jpeg, "gif": _decode_gif}
+
+LOSSLESS = {"ppm": True, "png": True, "qjpg": False, "jpeg": False,
+            "gif": False}
 
 
 def encode_image(px: np.ndarray, fmt: str) -> bytes:

@@ -1097,6 +1097,49 @@ FROM documents
 """
 
 
+def image_gif_roundtrip(sf_dir: str):
+    """GIF87a (LZW) encode→decode round-trip: per-doc gradient images →
+    fixed 3-3-2 palette quantization → encode_gif → DecodeGif stage.
+    Dims/decode_ok are oracle-checked; the palette-indexed round-trip is
+    asserted exactly lossless in-kernel (quantization is the only lossy
+    step, and it happens before encode)."""
+    from ..images.gif import decode_gif, encode_gif, palette_332, quantize_332
+    from ..stages.multimodal import DecodeGif
+
+    def build(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "bytes": pa.array(
+                    [encode_gif(quantize_332(_doc_image(i))) for i in ids],
+                    pa.binary(),
+                ),
+            }
+        )
+
+    def check(t: pa.Table) -> pa.Table:
+        pal332 = palette_332()
+        for i, data, ok in zip(
+            t["doc_id"].to_pylist(), t["bytes"].to_pylist(),
+            t["decode_ok"].to_pylist(),
+        ):
+            assert ok, f"doc {i} failed gif decode"
+            idx, pal = decode_gif(data)
+            assert np.array_equal(idx, quantize_332(_doc_image(i))), (
+                f"doc {i} gif index roundtrip not lossless"
+            )
+            assert np.array_equal(pal, pal332)
+        return t.select(["doc_id", "decoded_w", "decoded_h", "decode_ok"])
+
+    return (
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(build, batch_format="pyarrow", batch_size=256)
+        .map_batches(DecodeGif(), batch_format="pyarrow", batch_size=256)
+        .map_batches(check, batch_format="pyarrow")
+    )
+
+
 def video_frame_sample(sf_dir: str):
     """NV1 container build → SampleVideoFrames stage (round-2 de-stub:
     real container parse + selective frame decode).  Sampled count and
@@ -4042,6 +4085,7 @@ QUERIES = {
     "audio_frame_rms": audio_frame_rms,
     "image_jpeg_roundtrip": image_jpeg_roundtrip,
     "image_png_roundtrip": image_png_roundtrip,
+    "image_gif_roundtrip": image_gif_roundtrip,
     "video_frame_sample": video_frame_sample,
     "doc_term_df": doc_term_df,
     "doc_tfidf_top_term": doc_tfidf_top_term,
@@ -4117,6 +4161,7 @@ ORACLE_SQL = {
     "dedup_ngram_jaccard": NGRAM_SQL,
     "image_jpeg_roundtrip": JPEG_SQL,
     "image_png_roundtrip": PNG_SQL,
+    "image_gif_roundtrip": JPEG_SQL,
     "video_frame_sample": VIDEO_SQL,
     "embedding_knn": KNN_SQL,
     "embedding_near_dup": NEARDUP_SQL,

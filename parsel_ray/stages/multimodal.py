@@ -175,6 +175,40 @@ class DecodePng:
         )
 
 
+class DecodeGif:
+    """GIF87a decode (pure-Python LZW codec, :mod:`parsel_ray.images.
+    gif`): palette-indexed frames → decoded dims, distinct palette
+    entries actually used, RGB phash.  Corrupt/truncated payloads set
+    ``decode_ok`` = False rather than failing the batch."""
+
+    def __init__(self, bytes_col: str = "bytes") -> None:
+        self.bytes_col = bytes_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from ..images.gif import decode_gif
+
+        ws, hs, ncolors, phashes, oks = [], [], [], [], []
+        for data in t[self.bytes_col].to_pylist():
+            try:
+                idx, pal = decode_gif(data)
+            except Exception:
+                oks.append(False)
+                ws.append(None); hs.append(None)
+                ncolors.append(None); phashes.append(None)
+                continue
+            oks.append(True)
+            hs.append(idx.shape[0]); ws.append(idx.shape[1])
+            ncolors.append(int(np.unique(idx).size))
+            phashes.append(phash64(pal[idx]))
+        return (
+            t.append_column("decoded_w", pa.array(ws, pa.int32()))
+            .append_column("decoded_h", pa.array(hs, pa.int32()))
+            .append_column("n_colors", pa.array(ncolors, pa.int32()))
+            .append_column("phash_recomputed", pa.array(phashes, pa.int64()))
+            .append_column("decode_ok", pa.array(oks, pa.bool_()))
+        )
+
+
 def _parse_wav_pcm16(data: bytes) -> "np.ndarray | None":
     """RIFF/WAVE PCM16 → mono float64 samples (channel mean), or None if
     the payload is not a WAV file."""

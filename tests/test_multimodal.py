@@ -467,3 +467,91 @@ class TestFullPng:
              "bytes": pa.array([b"not a png"], pa.binary())}
         )
         assert DecodePng()(bad)["decode_ok"].to_pylist() == [False]
+
+
+class TestGif:
+    """GIF87a codec (images/gif.py): LZW variable-width codes with CLEAR
+    on table fill, global color table, block-structured data.  Reference
+    semantics: GIF87a spec — the byte contract PIL meets."""
+
+    def test_lzw_roundtrip(self):
+        from parsel_ray.images.gif import _lzw_decode, _lzw_encode
+
+        rng = np.random.RandomState(5)
+        for n in (0, 1, 2, 300, 5000):
+            seq = rng.randint(0, 256, n).astype(np.uint8)
+            assert _lzw_decode(_lzw_encode(seq, 8), 8, n) == seq.tobytes()
+        # heavy repetition drives table growth + the KwKwK case
+        rep = np.tile(np.arange(7, dtype=np.uint8), 9000)
+        assert _lzw_decode(_lzw_encode(rep, 8), 8, rep.size) == rep.tobytes()
+
+    def test_lzw_table_fill_clear(self):
+        from parsel_ray.images.gif import _lzw_decode, _lzw_encode
+
+        # 200k random symbols exceed the 4096-entry table → CLEAR path
+        big = np.random.RandomState(9).randint(0, 256, 200_000).astype(np.uint8)
+        assert _lzw_decode(_lzw_encode(big, 8), 8, big.size) == big.tobytes()
+
+    def test_container_roundtrip(self):
+        from parsel_ray.images.gif import decode_gif, encode_gif, palette_332
+
+        rng = np.random.RandomState(5)
+        for shape in ((1, 1), (13, 17), (64, 48)):
+            idx = rng.randint(0, 256, shape, dtype=np.uint8)
+            back, pal = decode_gif(encode_gif(idx))
+            assert np.array_equal(back, idx)
+            assert np.array_equal(pal, palette_332())
+
+    def test_quantize_and_rgb(self):
+        from parsel_ray.images.gif import (
+            decode_gif_rgb,
+            encode_gif,
+            palette_332,
+            quantize_332,
+        )
+
+        img = gradient(20, 24)
+        q = quantize_332(img)
+        rgb = decode_gif_rgb(encode_gif(q))
+        assert np.array_equal(rgb, palette_332()[q])
+        # midpoint reconstruction error bound: r/g ±16, b ±32
+        assert int(np.abs(rgb[:, :, :2].astype(int) - img[:, :, :2]).max()) <= 16
+        assert int(np.abs(rgb[:, :, 2].astype(int) - img[:, :, 2]).max()) <= 32
+
+    def test_truncation_raises(self):
+        from parsel_ray.images.gif import decode_gif, encode_gif, quantize_332
+
+        blob = encode_gif(quantize_332(gradient(16, 16)))
+        for cut in (3, 12, len(blob) // 2, len(blob) - 1):
+            with pytest.raises(ValueError):
+                decode_gif(blob[:cut])
+        with pytest.raises(ValueError):
+            decode_gif(b"GIF89a" + blob[6:])  # only 87a accepted
+
+    def test_codec_registry(self):
+        from parsel_ray.images.gif import palette_332, quantize_332
+
+        img = gradient(12, 12)
+        blob = encode_image(img, "gif")
+        assert np.array_equal(
+            decode_image(blob, "gif"), palette_332()[quantize_332(img)]
+        )
+
+    def test_decode_gif_stage(self):
+        from parsel_ray.images.gif import encode_gif, quantize_332
+        from parsel_ray.stages.multimodal import DecodeGif
+
+        q = quantize_332(gradient(10, 14))
+        t = pa.table(
+            {
+                "image_id": pa.array(["a", "bad"]),
+                "bytes": pa.array(
+                    [encode_gif(q), b"GIF87a\x00"], pa.binary()
+                ),
+            }
+        )
+        out = DecodeGif()(t)
+        assert out["decode_ok"].to_pylist() == [True, False]
+        assert out["decoded_w"].to_pylist() == [14, None]
+        assert out["decoded_h"].to_pylist() == [10, None]
+        assert out["n_colors"].to_pylist()[0] == int(np.unique(q).size)
