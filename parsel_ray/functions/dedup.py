@@ -1017,3 +1017,163 @@ def edit1_pairs(ds, col: str, num_partitions: int = 32,
     ).map_batches(
         lambda t: t.select(["a_name", "b_name"]), batch_format="pyarrow"
     )
+
+
+# -- content-defined chunking (CDC) dedup over binary payloads ---------------
+#
+# Gear-style rolling window hash → cut where the hash's low bits are zero
+# (expected chunk = 2^avg_bits bytes) with min/max clamps, then chunk-hash
+# dedup across the corpus.  The classic property: an insertion shifts byte
+# offsets but re-synchronizes at the next content-defined boundary, so
+# storage-level duplication is found regardless of alignment (public CDC /
+# LBFS-FastCDC literature; Muthitacharoen 2001, Xia 2016).  The window
+# hash is O(w) vectorized passes over the payload — no per-byte Python.
+
+_CDC_MULT = np.uint64(0x9E3779B97F4A7C15)  # odd → full-period mod 2^64
+
+
+@_ignore_overflow
+def _cdc_window_hashes(buf: np.ndarray, w: int) -> np.ndarray:
+    """Polynomial hash of every w-byte window (uint64 wraparound):
+    H[i] = sum_j buf[i+j] * MULT^(w-1-j).  O(w) vector adds, O(n) memory."""
+    n = buf.size
+    if n < w:
+        return np.empty(0, np.uint64)
+    pw = np.empty(w, np.uint64)
+    pw[w - 1] = np.uint64(1)
+    for j in range(w - 2, -1, -1):
+        pw[j] = pw[j + 1] * _CDC_MULT
+    out = np.zeros(n - w + 1, np.uint64)
+    b = buf.astype(np.uint64)
+    for j in range(w):
+        out += b[j : n - w + 1 + j] * pw[j]
+    return out
+
+
+def cdc_boundaries(
+    data: bytes,
+    avg_bits: int = 7,
+    min_size: int = 32,
+    max_size: int = 512,
+    window: int = 16,
+) -> list:
+    """Chunk end offsets for ``data`` (last offset = len(data)).  A cut is
+    allowed after byte p when the window ending at p hashes to 0 under the
+    low ``avg_bits`` mask; the greedy walk enforces min_size/max_size and
+    force-cuts at max_size when no boundary lands in range."""
+    n = len(data)
+    if n == 0:
+        return []
+    buf = np.frombuffer(data, np.uint8)
+    h = _cdc_window_hashes(buf, window)
+    mask = np.uint64((1 << avg_bits) - 1)
+    # candidate cut AFTER byte index i+window-1 → end offset i+window
+    cand = np.nonzero((h & mask) == 0)[0] + window
+    cuts, start = [], 0
+    while n - start > max_size:
+        lo = np.searchsorted(cand, start + min_size, side="left")
+        hi = np.searchsorted(cand, start + max_size, side="right")
+        end = int(cand[lo]) if lo < hi else start + max_size
+        cuts.append(end)
+        start = end
+    cuts.append(n)
+    return cuts
+
+
+def cdc_chunk_rows(
+    t: pa.Table,
+    bytes_col: str = "bytes",
+    id_col: str = "doc_id",
+    avg_bits: int = 7,
+    min_size: int = 32,
+    max_size: int = 512,
+) -> pa.Table:
+    """Batch kernel: binary payloads → one row per chunk
+    (id, occ_idx, chunk_hash int64, chunk_len).  Chunk identity is an
+    8-byte blake2b of the chunk bytes."""
+    import hashlib
+
+    ids_out, idxs, hashes, lens = [], [], [], []
+    for rid, data in zip(t[id_col].to_pylist(), t[bytes_col].to_pylist()):
+        data = bytes(data or b"")
+        start = 0
+        for k, end in enumerate(
+            cdc_boundaries(data, avg_bits, min_size, max_size)
+        ):
+            d = hashlib.blake2b(data[start:end], digest_size=8).digest()
+            ids_out.append(rid)
+            idxs.append(k)
+            h = int.from_bytes(d, "little")
+            hashes.append(h - (1 << 64) if h >= 1 << 63 else h)
+            lens.append(end - start)
+            start = end
+    return pa.table(
+        {
+            id_col: pa.array(ids_out, t[id_col].type),
+            "occ_idx": pa.array(idxs, pa.int32()),
+            "chunk_hash": pa.array(hashes, pa.int64()),
+            "chunk_len": pa.array(lens, pa.int64()),
+        }
+    )
+
+
+def dedup_cdc(
+    ds,
+    bytes_col: str = "bytes",
+    id_col: str = "doc_id",
+    avg_bits: int = 7,
+    min_size: int = 32,
+    max_size: int = 512,
+    num_partitions: int = 64,
+):
+    """Corpus-level CDC dedup: per-doc (n_chunks, total_bytes, dup_bytes)
+    where dup_bytes = bytes of chunk occurrences that are NOT the globally
+    first copy of their content (first = min (id, occ_idx), so the result
+    is deterministic and the keep-set is exactly one copy per distinct
+    chunk).  Fully distributed: chunking is a map_batches kernel; the
+    first-copy election is a coarse hash-partitioned ``grouped_apply`` on
+    chunk_hash (never a driver-side set); per-doc rollups are combiner
+    groupbys; the final attach is a bucket join keyed by id."""
+    import pandas as pd
+
+    from .agg import grouped_apply, partial_sum_groupby
+    from .relational import hash_bucket_join
+
+    chunks = ds.map_batches(
+        lambda t: cdc_chunk_rows(
+            t, bytes_col, id_col, avg_bits, min_size, max_size
+        ),
+        batch_format="pyarrow",
+    )
+
+    totals = partial_sum_groupby(
+        chunks, [id_col], {"chunk_len": "total_bytes"}, count_as="n_chunks"
+    )
+
+    def redundant(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, "occ_idx"], kind="stable")
+        return g.iloc[1:][[id_col, "chunk_len"]]
+
+    dup = grouped_apply(chunks, ["chunk_hash"], redundant,
+                        num_partitions=num_partitions)
+    dup_per_doc = partial_sum_groupby(
+        dup, [id_col], {"chunk_len": "dup_bytes"}
+    )
+
+    out = hash_bucket_join(totals, dup_per_doc, on=id_col, how="left",
+                           buckets=num_partitions)
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        dupb = pc.fill_null(pc.cast(t["dup_bytes"], pa.int64()), 0)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_chunks": pc.cast(t["n_chunks"], pa.int64()),
+                "total_bytes": pc.cast(t["total_bytes"], pa.int64()),
+                "dup_bytes": dupb,
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")

@@ -744,6 +744,44 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8):
     )
 
 
+def dedup_cdc_docs(sf_dir: str):
+    """Content-defined-chunking dedup over deterministic binary payloads:
+    each doc's payload = its text bytes + a 700-byte template shared by
+    every doc with the same ``doc_id % 5`` — so cross-doc duplication is
+    planted at byte level with varying alignment, exactly what CDC's
+    boundary-resync property must find.  Fully distributed
+    (:func:`parsel_ray.functions.dedup.dedup_cdc`); rows-only gate (the
+    chunker is not SQL-expressible) with the distributed-vs-single-process
+    equivalence pinned in tests/test_ray_stages.py::TestCdcDedup."""
+
+    def to_payload(t: pa.Table) -> pa.Table:
+        payloads = []
+        for i, tx in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            k = i % 5
+            tmpl = (((np.arange(700) * (k * 37 + 11)) + k) % 256).astype(
+                np.uint8
+            ).tobytes()
+            payloads.append((tx or "").encode("utf-8") + tmpl)
+        return pa.table(
+            {"doc_id": t["doc_id"], "bytes": pa.array(payloads, pa.binary())}
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        to_payload, batch_format="pyarrow"
+    )
+    out = D.dedup_cdc(ds, num_partitions=16)
+
+    def sanity(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc_
+
+        assert pc_.min(
+            pc_.subtract(t["total_bytes"], t["dup_bytes"])
+        ).as_py() >= 0
+        return t
+
+    return out.map_batches(sanity, batch_format="pyarrow")
+
+
 def dedup_ngram_jaccard(sf_dir: str):
     """EXACT word-bigram Jaccard near-dup pairs (threshold 3/5, df cut 50)
     — the exact-set member of the dedup family, fully distributed
@@ -4058,6 +4096,7 @@ QUERIES = {
     "doc_token_stats": doc_token_stats,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_cdc_docs": dedup_cdc_docs,
     "embedding_knn": embedding_knn,
     "embedding_near_dup": embedding_near_dup,
     # rows-only (non-SQL-expressible)

@@ -1411,3 +1411,94 @@ class TestSaltedJoinStringKeys:
         pd.testing.assert_frame_equal(
             plain[["term", "rid", "w"]], salted[["term", "rid", "w"]]
         )
+
+
+class TestCdcDedup:
+    """Content-defined chunking (functions/dedup.py §CDC): Gear-style
+    window hash, min/max clamps, boundary resync under insertion, and the
+    distributed first-copy election vs a single-process reference."""
+
+    def _payloads(self, n=40):
+        rng = np.random.RandomState(3)
+        tmpl = [rng.randint(0, 256, 600).astype(np.uint8).tobytes()
+                for _ in range(3)]
+        out = []
+        for i in range(n):
+            head = rng.randint(0, 256, 200 + i * 7 % 300).astype(
+                np.uint8
+            ).tobytes()
+            out.append(head + tmpl[i % 3])
+        return out
+
+    def test_boundary_invariants(self):
+        from parsel_ray.functions.dedup import cdc_boundaries
+
+        for p in self._payloads(6):
+            cuts = cdc_boundaries(p)
+            assert cuts[-1] == len(p)
+            sizes = np.diff([0] + cuts)
+            assert (sizes[:-1] >= 32).all()
+            assert (sizes <= 512).all()
+        assert cdc_boundaries(b"") == []
+        assert cdc_boundaries(b"ab") == [2]
+
+    def test_resync_under_prefix_insertion(self):
+        import pyarrow as pa
+
+        from parsel_ray.functions.dedup import cdc_chunk_rows
+
+        p = self._payloads(1)[0]
+        mk = lambda b: set(
+            cdc_chunk_rows(
+                pa.table({"doc_id": pa.array([0]),
+                          "bytes": pa.array([b], pa.binary())})
+            )["chunk_hash"].to_pylist()
+        )
+        s1, s2 = mk(p), mk(b"XYZ!" + p)
+        # only the chunks before the first post-insertion boundary differ
+        assert len(s1 & s2) >= len(s1) - 2
+
+    def test_distributed_matches_reference(self, ray_session):
+        import collections
+        import hashlib
+
+        import pyarrow as pa
+        import ray.data as rd
+
+        from parsel_ray.functions.dedup import cdc_boundaries, dedup_cdc
+
+        payloads = self._payloads()
+        occ = []
+        for d, p in enumerate(payloads):
+            start = 0
+            for k, e in enumerate(cdc_boundaries(p)):
+                h = hashlib.blake2b(p[start:e], digest_size=8).digest()
+                occ.append((d, k, h, e - start))
+                start = e
+        first = {}
+        for d, k, h, ln in sorted(occ):
+            first.setdefault(h, (d, k))
+        ref = collections.defaultdict(lambda: [0, 0, 0])
+        for d, k, h, ln in occ:
+            ref[d][0] += 1
+            ref[d][1] += ln
+            if first[h] != (d, k):
+                ref[d][2] += ln
+
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(payloads)), pa.int64()),
+                    "bytes": pa.array(payloads, pa.binary()),
+                }
+            )
+        ).repartition(6)
+        out = dedup_cdc(ds).to_pandas().set_index("doc_id").sort_index()
+        assert (out["dup_bytes"] > 0).sum() > 25  # planted templates found
+        for d in range(len(payloads)):
+            got = (
+                int(out.loc[d, "n_chunks"]),
+                int(out.loc[d, "total_bytes"]),
+                int(out.loc[d, "dup_bytes"]),
+            )
+            assert got == tuple(ref[d]), (d, got, tuple(ref[d]))
