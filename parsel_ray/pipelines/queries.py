@@ -3260,6 +3260,47 @@ ON l.c_custkey = r.c_custkey
 """
 
 
+def lineitem_triangles(sf_dir: str):
+    """Exact distributed triangle count (degree-oriented wedge closure,
+    :func:`parsel_ray.functions.graph.triangle_count`) over a derived
+    unipartite graph: node space Z_2003, an edge per lineitem between
+    ``l_orderkey % 2003`` and ``(l_partkey*31 + l_suppkey) % 2003``.
+    The DuckDB oracle counts the same triangles with a three-way
+    self-join under the a<b<c canonical ordering."""
+    from ..functions.graph import triangle_count
+
+    def edges(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "a": pa.array(ok % 2003, pa.int64()),
+                "b": pa.array((pk * 31 + sk) % 2003, pa.int64()),
+            }
+        )
+
+    ds = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_suppkey"]
+    ).map_batches(edges, batch_format="pyarrow")
+    return triangle_count(ds, num_partitions=16)
+
+
+TRIANGLE_SQL = """
+WITH e AS (
+  SELECT DISTINCT
+    LEAST(l_orderkey % 2003, (l_partkey * 31 + l_suppkey) % 2003) AS lo,
+    GREATEST(l_orderkey % 2003, (l_partkey * 31 + l_suppkey) % 2003) AS hi
+  FROM lineitem
+  WHERE l_orderkey % 2003 <> (l_partkey * 31 + l_suppkey) % 2003
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM e e1
+JOIN e e2 ON e2.lo = e1.lo AND e2.hi > e1.hi
+JOIN e e3 ON e3.lo = e1.hi AND e3.hi = e2.hi
+"""
+
+
 def web_pagerank(sf_dir: str, iters: int = 8):
     """PageRank over the deterministic synthetic web's link graph — the
     iterative-graph workload on the crawl tier's own corpus: page HTML
@@ -4154,6 +4195,7 @@ QUERIES = {
     "kmeans_embeddings": kmeans_embeddings,
     "customer_order_full_outer": customer_order_full_outer,
     "web_pagerank": web_pagerank,
+    "lineitem_triangles": lineitem_triangles,
     "events_cume_dist": events_cume_dist,
     "events_ntile": events_ntile,
     "csv_roundtrip": csv_roundtrip,
@@ -4198,6 +4240,7 @@ ORACLE_SQL = {
     "doc_token_stats": TOKEN_SQL,
     "dedup_exact": DEDUP_SQL,
     "dedup_ngram_jaccard": NGRAM_SQL,
+    "lineitem_triangles": TRIANGLE_SQL,
     "image_jpeg_roundtrip": JPEG_SQL,
     "image_png_roundtrip": PNG_SQL,
     "image_gif_roundtrip": JPEG_SQL,

@@ -74,3 +74,65 @@ class TestPageRank:
         )
         with pytest.raises(ValueError, match="empty node set"):
             pagerank(edges, nodes, iters=1)
+
+
+class TestTriangleCount:
+    """functions/graph.py::triangle_count — degree-oriented wedge closure.
+    Pinned against the dense-matrix trace(A^3)/6 reference."""
+
+    def _count_ref(self, edges, n):
+        A = np.zeros((n, n), np.int64)
+        for a, b in edges:
+            if a != b:
+                A[a, b] = A[b, a] = 1
+        return int(np.trace(A @ A @ A) // 6)
+
+    def test_known_graphs(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from parsel_ray.functions.graph import triangle_count
+
+        cases = [
+            ([(0, 1), (1, 2), (0, 2), (2, 3)], 1),          # one triangle + tail
+            ([(i, j) for i in range(4) for j in range(i)], 4),  # K4
+            ([(0, 1), (1, 2), (3, 4)], 0),                   # no triangle
+        ]
+        for edges, want in cases:
+            ds = rd.from_arrow(
+                pa.table(
+                    {
+                        "a": pa.array([e[0] for e in edges], pa.int64()),
+                        "b": pa.array([e[1] for e in edges], pa.int64()),
+                    }
+                )
+            )
+            got = triangle_count(ds, num_partitions=4).to_pandas()
+            assert int(got["n_triangles"][0]) == want, edges
+
+    def test_random_graph_matches_dense_reference(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from parsel_ray.functions.graph import triangle_count
+
+        rng = np.random.RandomState(11)
+        n = 60
+        edges = [
+            (int(a), int(b))
+            for a, b in rng.randint(0, n, (500, 2))
+        ]
+        # include duplicates + reversed duplicates + self loops on purpose
+        edges += [(b, a) for a, b in edges[:50]] + [(5, 5), (7, 7)]
+        want = self._count_ref(edges, n)
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array([e[0] for e in edges], pa.int64()),
+                    "b": pa.array([e[1] for e in edges], pa.int64()),
+                }
+            )
+        ).repartition(5)
+        got = triangle_count(ds, num_partitions=8).to_pandas()
+        assert int(got["n_triangles"][0]) == want
+        assert want > 100  # non-trivial case
