@@ -3486,6 +3486,53 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def orc_roundtrip(sf_dir: str):
+    """ORC sink -> source round-trip (fourth interchange format; Ray Data
+    ships no ORC IO, so :mod:`parsel_ray.sources.orc` adds the worker-side
+    shard writer + path-fanout reader).  Same fidelity contract as
+    csv_roundtrip: exact cents through the format and back."""
+    import tempfile as _tempfile
+
+    from ..sources.orc import read_orc, write_orc
+
+    out = _tempfile.mkdtemp(prefix="orders_orc_", dir="/tmp")
+    n = write_orc(
+        _read(
+            sf_dir, "orders",
+            ["o_orderkey", "o_orderpriority", "o_totalprice"],
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "o_orderkey": t["o_orderkey"],
+                    "o_orderpriority": t["o_orderpriority"],
+                    "cents": pa.array(_cents(t["o_totalprice"])),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        out,
+    )
+    back = read_orc(out, columns=["o_orderpriority", "cents"])
+    res = partial_sum_groupby(
+        back,
+        ["o_orderpriority"],
+        {"cents": "sum_cents"},
+        count_as="n_orders",
+    )
+
+    def receipts_match(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc_
+
+        assert pc_.sum(t["n_orders"]).as_py() == n, "orc receipt mismatch"
+        return t
+
+    # one tiny block (≤ #priorities rows) so the receipt assert sees the
+    # whole aggregate
+    return res.repartition(1).map_batches(
+        receipts_match, batch_format="pyarrow"
+    )
+
+
 def part_name_fuzzy_join(sf_dir: str):
     """Fuzzy self-join: distinct part-name pairs within edit distance 1
     (typo-class near-dups) via FastSS deletion-neighborhood blocking —
@@ -4196,6 +4243,7 @@ QUERIES = {
     "customer_order_full_outer": customer_order_full_outer,
     "web_pagerank": web_pagerank,
     "lineitem_triangles": lineitem_triangles,
+    "orc_roundtrip": orc_roundtrip,
     "events_cume_dist": events_cume_dist,
     "events_ntile": events_ntile,
     "csv_roundtrip": csv_roundtrip,
@@ -4282,6 +4330,7 @@ ORACLE_SQL = {
     "events_cume_dist": CUME_SQL,
     "events_ntile": NTILE_SQL,
     "csv_roundtrip": CSV_SQL,
+    "orc_roundtrip": CSV_SQL,
     "part_name_fuzzy_join": FUZZY_SQL,
     "favorite_event_type": MODE_SQL,
     "orders_global_rank": GLOBAL_RANK_SQL,

@@ -92,3 +92,46 @@ class TestPartitionedSink:
             want[lang] = want.get(lang, 0) + 1
         got = dict(zip(counts["lang"].to_pylist(), counts["n"].to_pylist()))
         assert got == want
+
+
+class TestOrcSource:
+    """sources/orc.py: worker-side ORC shards + path-fanout reader."""
+
+    def test_roundtrip_and_pruning(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from parsel_ray.sources.orc import read_orc, write_orc
+
+        t = pa.table(
+            {
+                "k": pa.array(range(1000), pa.int64()),
+                "s": pa.array([f"v{i%7}" for i in range(1000)]),
+                "x": pa.array([i * 1.5 for i in range(1000)]),
+            }
+        )
+        out = str(tmp_path / "orc")
+        n = write_orc(rd.from_arrow(t).repartition(5), out)
+        assert n == 1000
+        import os
+
+        shards = [f for f in os.listdir(out) if f.endswith(".orc")]
+        assert len(shards) >= 2  # worker-side, one per non-empty block
+
+        back = read_orc(out).to_pandas().sort_values("k").reset_index(
+            drop=True
+        )
+        assert back.equals(t.to_pandas())
+
+        pruned = read_orc(out, columns=["k"])
+        assert pruned.schema().names == ["k"]
+        assert pruned.count() == 1000
+
+    def test_missing_dir_raises(self, tmp_path):
+        import pytest as _pytest
+
+        from parsel_ray.sources.orc import read_orc
+
+        (tmp_path / "empty").mkdir()
+        with _pytest.raises(FileNotFoundError):
+            read_orc(str(tmp_path / "empty"))
