@@ -17,7 +17,7 @@ import numpy as np
 FORMATS = ("ppm", "png", "qjpg")
 # full codec surface (encode_image/decode_image): FORMATS + baseline JPEG
 # + palette GIF87a (LZW)
-ALL_FORMATS = ("ppm", "png", "qjpg", "jpeg", "gif")
+ALL_FORMATS = ("ppm", "png", "qjpg", "jpeg", "gif", "bmp")
 
 
 # -- PPM (P6 binary) -------------------------------------------------------
@@ -305,6 +305,40 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     return decode_jpeg(data)
 
 
+# -- BMP (BITMAPINFOHEADER, uncompressed 24-bit BGR, bottom-up) -------------
+
+
+def _encode_bmp(px: np.ndarray) -> bytes:
+    h, w, _ = px.shape
+    stride = (w * 3 + 3) & ~3  # rows pad to 4 bytes
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    size = 54 + h * stride
+    hdr = struct.pack("<2sIHHI", b"BM", size, 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, h * stride, 2835, 2835, 0, 0
+    )
+    return hdr + rows.tobytes()
+
+
+def _decode_bmp(data: bytes) -> np.ndarray:
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (off,) = struct.unpack_from("<I", data, 10)
+    hsz, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", data, 14)
+    if hsz < 40 or bpp != 24 or comp != 0:
+        raise ValueError("unsupported BMP: need uncompressed 24-bit")
+    flip = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    if off + h * stride > len(data):
+        raise ValueError("corrupt BMP: truncated pixel data")
+    rows = np.frombuffer(data[off : off + h * stride], np.uint8).reshape(
+        h, stride
+    )
+    px = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+    return np.ascontiguousarray(px[::-1] if flip else px)
+
+
 def _encode_gif(px: np.ndarray) -> bytes:
     from .gif import encode_gif, quantize_332
 
@@ -318,12 +352,12 @@ def _decode_gif(data: bytes) -> np.ndarray:
 
 
 _ENC = {"ppm": _encode_ppm, "png": _encode_png, "qjpg": _encode_qjpg,
-        "jpeg": _encode_jpeg, "gif": _encode_gif}
+        "jpeg": _encode_jpeg, "gif": _encode_gif, "bmp": _encode_bmp}
 _DEC = {"ppm": _decode_ppm, "png": _decode_png, "qjpg": _decode_qjpg,
-        "jpeg": _decode_jpeg, "gif": _decode_gif}
+        "jpeg": _decode_jpeg, "gif": _decode_gif, "bmp": _decode_bmp}
 
 LOSSLESS = {"ppm": True, "png": True, "qjpg": False, "jpeg": False,
-            "gif": False}
+            "gif": False, "bmp": True}
 
 
 def encode_image(px: np.ndarray, fmt: str) -> bytes:

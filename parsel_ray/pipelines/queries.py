@@ -1135,6 +1135,45 @@ FROM documents
 """
 
 
+def image_bmp_roundtrip(sf_dir: str):
+    """BMP (BITMAPINFOHEADER, 24-bit BGR bottom-up with 4-byte row
+    padding) encode→decode round-trip through the shared
+    ``DecodeImageStats`` stage; BMP is lossless so the round-trip is
+    asserted exactly equal in-kernel, dims oracle-checked."""
+    from ..images.codecs import decode_image, encode_image
+    from ..stages.multimodal import DecodeImageStats
+
+    def build(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "fmt": pa.array(["bmp"] * len(ids)),
+                "bytes": pa.array(
+                    [encode_image(_doc_image(i), "bmp") for i in ids],
+                    pa.binary(),
+                ),
+            }
+        )
+
+    def check(t: pa.Table) -> pa.Table:
+        for i, data, ok in zip(
+            t["doc_id"].to_pylist(), t["bytes"].to_pylist(),
+            t["decode_ok"].to_pylist(),
+        ):
+            assert ok, f"doc {i} failed bmp decode"
+            assert np.array_equal(decode_image(data, "bmp"), _doc_image(i))
+        return t.select(["doc_id", "decoded_w", "decoded_h", "decode_ok"])
+
+    return (
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(build, batch_format="pyarrow", batch_size=256)
+        .map_batches(DecodeImageStats(), batch_format="pyarrow",
+                     batch_size=256)
+        .map_batches(check, batch_format="pyarrow")
+    )
+
+
 def image_gif_roundtrip(sf_dir: str):
     """GIF87a (LZW) encode→decode round-trip: per-doc gradient images →
     fixed 3-3-2 palette quantization → encode_gif → DecodeGif stage.
@@ -4213,6 +4252,7 @@ QUERIES = {
     "image_jpeg_roundtrip": image_jpeg_roundtrip,
     "image_png_roundtrip": image_png_roundtrip,
     "image_gif_roundtrip": image_gif_roundtrip,
+    "image_bmp_roundtrip": image_bmp_roundtrip,
     "video_frame_sample": video_frame_sample,
     "doc_term_df": doc_term_df,
     "doc_tfidf_top_term": doc_tfidf_top_term,
@@ -4292,6 +4332,7 @@ ORACLE_SQL = {
     "image_jpeg_roundtrip": JPEG_SQL,
     "image_png_roundtrip": PNG_SQL,
     "image_gif_roundtrip": JPEG_SQL,
+    "image_bmp_roundtrip": JPEG_SQL,
     "video_frame_sample": VIDEO_SQL,
     "embedding_knn": KNN_SQL,
     "embedding_near_dup": NEARDUP_SQL,

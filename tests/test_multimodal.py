@@ -555,3 +555,38 @@ class TestGif:
         assert out["decoded_w"].to_pylist() == [14, None]
         assert out["decoded_h"].to_pylist() == [10, None]
         assert out["n_colors"].to_pylist()[0] == int(np.unique(q).size)
+
+
+class TestBmp:
+    """BMP codec: BITMAPINFOHEADER, 24-bit BGR, bottom-up, 4-byte row pad."""
+
+    @pytest.mark.parametrize("shape", [(1, 1), (13, 17), (10, 21), (5, 4)])
+    def test_lossless_roundtrip(self, shape):
+        rng = np.random.RandomState(2)
+        px = rng.randint(0, 256, (*shape, 3), dtype=np.uint8)
+        assert np.array_equal(
+            decode_image(encode_image(px, "bmp"), "bmp"), px
+        )
+
+    def test_corruption(self):
+        from parsel_ray.images.codecs import _decode_bmp
+
+        blob = encode_image(gradient(8, 8), "bmp")
+        with pytest.raises(ValueError):
+            _decode_bmp(b"BMxx")
+        with pytest.raises(ValueError):
+            _decode_bmp(blob[:-9])
+        with pytest.raises(ValueError):
+            _decode_bmp(b"XX" + blob[2:])
+
+    def test_top_down_bmp_decodes(self):
+        import struct as _s
+
+        blob = bytearray(encode_image(gradient(6, 6), "bmp"))
+        # flip height sign → top-down; pixel rows must then be read as-is
+        (h,) = _s.unpack_from("<i", blob, 22)
+        _s.pack_into("<i", blob, 22, -h)
+        from parsel_ray.images.codecs import _decode_bmp
+
+        got = _decode_bmp(bytes(blob))
+        assert np.array_equal(got, gradient(6, 6)[::-1])
