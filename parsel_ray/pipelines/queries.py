@@ -3441,6 +3441,38 @@ def events_cume_dist(sf_dir: str):
     )
 
 
+def events_percent_rank(sf_dir: str):
+    """Window ``percent_rank()`` = (rank-1)/(n-1) with rank = MIN rank of
+    the tie group (SQL semantics) — same coarse-partitioned shape as
+    ``events_cume_dist`` (and the same scale note: the range-partitioned
+    rank machinery in ``functions/sort.py`` is the path for groups that
+    outgrow one worker)."""
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        n = len(g)
+        if n == 1:
+            g["percent_rank"] = 0.0
+        else:
+            g["percent_rank"] = (g["value"].rank(method="min") - 1) / (n - 1)
+        return g[["event_id", "event_type", "percent_rank"]]
+
+    return grouped_apply(
+        _read(sf_dir, "events", ["event_id", "event_type", "value"]),
+        "event_type",
+        run,
+        num_partitions=8,
+    )
+
+
+PCT_RANK_SQL = """
+SELECT event_id, event_type,
+       percent_rank() OVER (PARTITION BY event_type ORDER BY value)
+           AS percent_rank
+FROM events
+"""
+
+
 CUME_SQL = """
 SELECT event_id, event_type,
        cume_dist() OVER (PARTITION BY event_type ORDER BY value)
@@ -4285,6 +4317,7 @@ QUERIES = {
     "lineitem_triangles": lineitem_triangles,
     "orc_roundtrip": orc_roundtrip,
     "events_cume_dist": events_cume_dist,
+    "events_percent_rank": events_percent_rank,
     "events_ntile": events_ntile,
     "csv_roundtrip": csv_roundtrip,
     "part_name_fuzzy_join": part_name_fuzzy_join,
@@ -4369,6 +4402,7 @@ ORACLE_SQL = {
     "events_intersect_users": INTERSECT_SQL,
     "customer_order_full_outer": FULL_OUTER_SQL,
     "events_cume_dist": CUME_SQL,
+    "events_percent_rank": PCT_RANK_SQL,
     "events_ntile": NTILE_SQL,
     "csv_roundtrip": CSV_SQL,
     "orc_roundtrip": CSV_SQL,
