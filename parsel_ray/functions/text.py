@@ -287,3 +287,127 @@ def term_counts(batch: pa.Table, col: str = "text", min_len: int = 2):
         np.asarray(vc.field("values").to_pylist(), dtype=object),
         vc.field("counts").to_numpy(zero_copy_only=False),
     )
+
+
+def word_ngram_rows(
+    batch: pa.Table,
+    n: int = 5,
+    col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 2,
+) -> pa.Table:
+    """Ordered word n-grams per doc: (doc_id, gram) rows where gram is
+    ``n`` consecutive ``[a-z]{min_len,}`` tokens joined by one space —
+    the unit of the Lee-et-al-style duplicated-substring coverage metric.
+    Fully vectorized: the RE2 split + flatten path of
+    :func:`term_doc_tf`, a boolean keep-mask that preserves per-doc token
+    order, and one ``binary_join_element_wise`` over ``n`` shifted
+    views — no Python loop over tokens."""
+    text = pc.fill_null(batch[col], "")
+    toks = pc.split_pattern_regex(text, "[^a-z]+")
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(toks)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    doc = np.repeat(batch[id_col].to_numpy(zero_copy_only=False), lens)
+    keep = pc.greater_equal(pc.utf8_length(flat), min_len).to_numpy(
+        zero_copy_only=False
+    )
+    flat = flat.filter(pa.array(keep))
+    doc = doc[keep]
+    total = len(flat)
+    empty = pa.table(
+        {id_col: pa.array([], batch[id_col].type),
+         "gram": pa.array([], pa.string())}
+    )
+    if total < n:
+        return empty
+    # a gram starting at i is valid iff token i+n-1 is still the same doc
+    valid = doc[: total - n + 1] == doc[n - 1 :]
+    if not valid.any():
+        return empty
+    shifted = [flat.slice(j, total - n + 1) for j in range(n)]
+    sep = [" "] * (n - 1) + [""]
+    # join n shifted views: gram[i] = tok[i] + ' ' + ... + tok[i+n-1]
+    grams = shifted[0]
+    for j in range(1, n):
+        grams = pc.binary_join_element_wise(grams, shifted[j], " ")
+    mask = pa.array(valid)
+    return pa.table(
+        {
+            id_col: pa.array(doc[: total - n + 1][valid]),
+            "gram": grams.filter(mask),
+        }
+    ).cast(empty.schema)
+
+
+def ngram_dup_coverage(
+    ds,
+    n: int = 5,
+    col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 16,
+):
+    """Per-doc duplicated-n-gram coverage: (doc_id, n_grams, n_dup,
+    dup_ratio) where an occurrence is duplicated iff its gram text
+    appears >1 time in the whole corpus (Lee et al. 2022's repeated-
+    substring signal at word-gram granularity).
+
+    Distribution: gram rows are a vectorized map kernel; the global
+    gram census is a combiner groupby (one row per distinct gram per
+    batch enters the shuffle); dup grams (census > 1) join back against
+    a SECOND pass of the gram kernel (recompute beats materializing the
+    gram stream at corpus scale); per-doc rollups are combiner groupbys
+    joined with typed-null padding.  At 100 TB the gram strings in the
+    two shuffles would be 8-byte content hashes instead (collision risk
+    2^-64-scale); the gate keeps the strings so the DuckDB oracle is
+    exact."""
+    from .agg import partial_sum_groupby
+    from .relational import hash_bucket_join
+
+    def gram_rows(t: pa.Table) -> pa.Table:
+        return word_ngram_rows(t, n=n, col=col, id_col=id_col)
+
+    grams = ds.map_batches(gram_rows, batch_format="pyarrow")
+    census = partial_sum_groupby(grams, ["gram"], {}, count_as="__n")
+    def only_dups(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.greater(t["__n"], 1))
+        return pa.table(
+            {"gram": f["gram"],
+             "__dup": pa.array(np.ones(len(f), np.int8))}
+        )
+
+    dup = census.map_batches(only_dups, batch_format="pyarrow")
+
+    grams2 = ds.map_batches(gram_rows, batch_format="pyarrow")
+    marked = hash_bucket_join(grams2, dup, on="gram", how="left",
+                              buckets=buckets)
+
+    def per_doc_partial(t: pa.Table) -> pa.Table:
+        isdup = pc.cast(pc.is_valid(t["__dup"]), pa.int64())
+        return pa.table(
+            {id_col: t[id_col], "n_grams": pa.array(
+                np.ones(len(t), np.int64)), "n_dup": isdup}
+        )
+
+    out = partial_sum_groupby(
+        marked.map_batches(per_doc_partial, batch_format="pyarrow"),
+        [id_col], {"n_grams": "n_grams", "n_dup": "n_dup"},
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        # same IEEE expression as the oracle's n_dup * 1.0 / n_grams
+        ratio = pc.divide(
+            pc.cast(t["n_dup"], pa.float64()),
+            pc.cast(t["n_grams"], pa.float64()),
+        )
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_grams": pc.cast(t["n_grams"], pa.int64()),
+                "n_dup": pc.cast(t["n_dup"], pa.int64()),
+                "dup_ratio": ratio,
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")

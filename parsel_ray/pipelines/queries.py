@@ -744,6 +744,42 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8):
     )
 
 
+def doc_dup_ngram_coverage(sf_dir: str):
+    """Per-doc duplicated word-5-gram coverage (the repeated-substring
+    signal of Lee et al. 2022 at word-gram granularity): an occurrence is
+    duplicated iff its gram text appears more than once in the corpus.
+    Fully distributed (:func:`parsel_ray.functions.text.
+    ngram_dup_coverage`); the DuckDB oracle rebuilds the same grams with
+    regexp_extract_all + lead() windows, so counts and the IEEE ratio
+    hash-match exactly."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return T.ngram_dup_coverage(ds, n=5)
+
+
+DUP_NGRAM_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(arr) AS tok, generate_subscripts(arr, 1) AS idx
+  FROM (SELECT doc_id, regexp_extract_all(text, '[a-z]{2,}') AS arr
+        FROM documents)
+),
+grams AS (
+  SELECT doc_id,
+         tok || ' ' || lead(tok,1) OVER w || ' ' || lead(tok,2) OVER w
+             || ' ' || lead(tok,3) OVER w || ' ' || lead(tok,4) OVER w
+             AS gram
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY idx)
+),
+g AS (SELECT doc_id, gram FROM grams WHERE gram IS NOT NULL),
+dupg AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) > 1)
+SELECT g.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(COUNT(d.gram) AS BIGINT) AS n_dup,
+       COUNT(d.gram) * 1.0 / COUNT(*) AS dup_ratio
+FROM g LEFT JOIN dupg d ON g.gram = d.gram
+GROUP BY g.doc_id
+"""
+
+
 def dedup_cdc_docs(sf_dir: str):
     """Content-defined-chunking dedup over deterministic binary payloads:
     each doc's payload = its text bytes + a 700-byte template shared by
@@ -4256,6 +4292,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_cdc_docs": dedup_cdc_docs,
+    "doc_dup_ngram_coverage": doc_dup_ngram_coverage,
     "embedding_knn": embedding_knn,
     "embedding_near_dup": embedding_near_dup,
     # rows-only (non-SQL-expressible)
@@ -4362,6 +4399,7 @@ ORACLE_SQL = {
     "dedup_exact": DEDUP_SQL,
     "dedup_ngram_jaccard": NGRAM_SQL,
     "lineitem_triangles": TRIANGLE_SQL,
+    "doc_dup_ngram_coverage": DUP_NGRAM_SQL,
     "image_jpeg_roundtrip": JPEG_SQL,
     "image_png_roundtrip": PNG_SQL,
     "image_gif_roundtrip": JPEG_SQL,

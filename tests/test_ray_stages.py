@@ -1502,3 +1502,58 @@ class TestCdcDedup:
                 int(out.loc[d, "dup_bytes"]),
             )
             assert got == tuple(ref[d]), (d, got, tuple(ref[d]))
+
+
+class TestNgramDupCoverage:
+    """functions/text.py::word_ngram_rows / ngram_dup_coverage."""
+
+    def test_gram_rows_order_and_boundaries(self):
+        import pyarrow as pa
+
+        from parsel_ray.functions.text import word_ngram_rows
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    ["the cat sat on the mat today",
+                     "a cat sat on the mat now ok", None]
+                ),
+            }
+        )
+        out = word_ngram_rows(t, n=5).to_pylist()
+        assert [r["gram"] for r in out if r["doc_id"] == 1] == [
+            "the cat sat on the",
+            "cat sat on the mat",
+            "sat on the mat today",
+        ]
+        # 'a' drops (len<2), so doc 2 contributes 7 tokens → 3 grams;
+        # no gram crosses the doc boundary
+        assert sum(r["doc_id"] == 2 for r in out) == 3
+        assert all(r["doc_id"] != 3 for r in out)
+
+    def test_coverage_matches_handcount(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from parsel_ray.functions.text import ngram_dup_coverage
+
+        docs = [
+            "alpha beta gamma delta epsilon zeta",   # grams 1,2
+            "alpha beta gamma delta epsilon eta",    # shares gram 1
+            "one two three four five six seven",     # unique
+        ]
+        ds = rd.from_arrow(
+            pa.table(
+                {"doc_id": pa.array([0, 1, 2], pa.int64()),
+                 "text": pa.array(docs)}
+            )
+        ).repartition(3)
+        out = (
+            ngram_dup_coverage(ds, n=5)
+            .to_pandas().set_index("doc_id").sort_index()
+        )
+        # doc0: grams {alpha..epsilon, beta..zeta}; first is shared
+        assert tuple(out.loc[0]) == (2, 1, 0.5)
+        assert tuple(out.loc[1]) == (2, 1, 0.5)
+        assert tuple(out.loc[2][["n_grams", "n_dup"]]) == (3, 0)
