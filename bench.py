@@ -219,6 +219,31 @@ def bench_crawl(sf_dir: str) -> int:
     return int(res.metrics["popped"])
 
 
+def bench_image_codecs(sf_dir: str) -> int:
+    """Image-axis throughput: per-doc JPEG + full-PNG + GIF encode→decode
+    round-trips through the actor-pool decode stages (added round 3 with
+    the full codecs; NOT part of the round-1/2 7-key suite — see
+    BASELINE.md round-3 bench notes)."""
+    from parsel_ray.pipelines.queries import (
+        image_gif_roundtrip,
+        image_jpeg_roundtrip,
+        image_png_roundtrip,
+    )
+
+    n = 0
+    for q in (image_jpeg_roundtrip, image_png_roundtrip, image_gif_roundtrip):
+        n += q(sf_dir).count()
+    return n
+
+
+def bench_cdc(sf_dir: str) -> int:
+    """CDC dedup throughput over ~2 KB binary payloads per doc (round-3
+    bench key; see BASELINE.md round-3 bench notes)."""
+    from parsel_ray.pipelines.queries import dedup_cdc_docs
+
+    return dedup_cdc_docs(sf_dir).count()
+
+
 BENCHES = {
     "crawl": bench_crawl,
     "extract": bench_extract,
@@ -227,6 +252,10 @@ BENCHES = {
     "dedup_minhash": bench_minhash,
     "knn": bench_knn,
     "sessionize": bench_sessionize,
+    # round-3 additions (new keys; the 7 keys above are unchanged and
+    # remain comparable round-over-round)
+    "image_codecs": bench_image_codecs,
+    "cdc_dedup": bench_cdc,
 }
 
 HEADLINE = "extract"

@@ -4190,6 +4190,33 @@ SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM events
 """
 
 
+def events_enrich_streaming(sf_dir: str):
+    """Streaming stream-table join: the customer dimension loads into
+    hash-partitioned ``EnrichState`` actors worker-side, event
+    micro-batches route (user_id-derived custkey, exact cents) to the
+    owning partition, per-segment aggregates fold in actor state.  The
+    DuckDB oracle is the batch join+groupby twin — exact equivalence is
+    the streaming join's correctness gate."""
+    from .streaming import streaming_enrich
+
+    return streaming_enrich(
+        f"{sf_dir}/events.parquet", f"{sf_dir}/customer.parquet",
+        n_microbatches=6, n_actors=4,
+    )
+
+
+ENRICH_STREAM_SQL = f"""
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM({_CENTS_SQL.format(expr='value')}) AS BIGINT)
+           AS sum_value_cents
+FROM events e
+JOIN customer c
+  ON c.c_custkey = e.user_id % (SELECT COUNT(*) FROM customer) + 1
+GROUP BY c_mktsegment
+"""
+
+
 def evolved_schema_read(sf_dir: str):
     """Schema-evolution ingestion: half the corpus is written in a v1
     layout (no ``lang`` column), half in v2 (with it) — the unified
@@ -4369,6 +4396,7 @@ QUERIES = {
     "label_centroids": label_centroids,
     "partitioned_delete_docs": partitioned_delete_docs,
     "events_distinct_users_streaming": events_distinct_users_streaming,
+    "events_enrich_streaming": events_enrich_streaming,
     "evolved_schema_read": evolved_schema_read,
     "events_hourly_streaming": events_hourly_streaming,
 }
@@ -4455,6 +4483,7 @@ ORACLE_SQL = {
     "label_centroids": CENTROID_SQL,
     "partitioned_delete_docs": DELETE_SQL,
     "events_distinct_users_streaming": DISTINCT_STREAM_SQL,
+    "events_enrich_streaming": ENRICH_STREAM_SQL,
     "evolved_schema_read": EVOLVED_SQL,
     "events_hourly_streaming": HOURLY_SQL,
 }

@@ -386,3 +386,157 @@ def streaming_hourly_counts(
     refs = [a.flush.remote() for a in actors]
     dropped = sum(s[0] for s in ray.get([a.stats.remote() for a in actors]))
     return rd.from_arrow_refs(refs), dropped
+
+
+@ray.remote
+class EnrichState:
+    """One hash partition of a dimension table (key → attribute) plus the
+    running per-attribute aggregate of the enriched stream — the
+    stream-table-join building block (dimension loads once into actor
+    state; event micro-batches route by key and fold in place, so
+    enriched rows never travel).  Lookups are vectorized: the dimension
+    freezes into sorted key + factorized-attribute arrays on first push,
+    then each push is one searchsorted + two np.add.at folds."""
+
+    def __init__(self) -> None:
+        self._keys: list = []
+        self._vals: list = []
+        self._frozen = None
+        self.unmatched = 0
+
+    def load_dim(self, keys, vals) -> int:
+        assert self._frozen is None, "dimension already frozen"
+        self._keys.extend(keys)
+        self._vals.extend(vals)
+        return len(keys)
+
+    def _freeze(self):
+        keys = np.asarray(self._keys, np.int64)
+        order = np.argsort(keys, kind="stable")
+        cats, codes = np.unique(
+            np.asarray(self._vals, object)[order], return_inverse=True
+        )
+        self._frozen = (
+            keys[order],
+            codes.astype(np.int64),
+            [str(c) for c in cats],
+            np.zeros(len(cats), np.int64),   # n per attribute
+            np.zeros(len(cats), np.int64),   # cents per attribute
+        )
+
+    def push(self, keys, cents) -> int:
+        if self._frozen is None:
+            self._freeze()
+        dk, codes, _cats, agg_n, agg_c = self._frozen
+        keys = np.asarray(keys, np.int64)
+        cents = np.asarray(cents, np.int64)
+        idx = np.searchsorted(dk, keys)
+        ok = (idx < dk.size) & (dk[np.minimum(idx, dk.size - 1)] == keys)
+        self.unmatched += int((~ok).sum())
+        code = codes[idx[ok]]
+        np.add.at(agg_n, code, 1)
+        np.add.at(agg_c, code, cents[ok])
+        return int(keys.size)
+
+    def result(self):
+        if self._frozen is None:
+            self._freeze()
+        _dk, _codes, cats, agg_n, agg_c = self._frozen
+        return (
+            [(c, int(n), int(s)) for c, n, s in zip(cats, agg_n, agg_c)
+             if n],
+            self.unmatched,
+        )
+
+
+def streaming_enrich(
+    events_path: str,
+    customer_path: str,
+    n_microbatches: int = 6,
+    n_actors: int = 4,
+):
+    """Stream-table join: the customer dimension hash-partitions into
+    ``EnrichState`` actors (loaded worker-side, the driver sees acks),
+    then the events table replays as event-id micro-batches; each batch
+    routes (key = user_id % |customer| + 1, cents) to the actor owning
+    that key partition.  Returns (c_mktsegment, n_events,
+    sum_value_cents) — exactly a batch join+groupby, which is the DuckDB
+    oracle of the gate query.  Raises if any event misses the dimension
+    (referential integrity by construction of the key)."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    n_cust = pq.ParquetFile(customer_path).metadata.num_rows
+    actors = [EnrichState.remote() for _ in range(n_actors)]
+
+    def load(t: pa.Table, _actors=actors) -> pa.Table:
+        k = t["c_custkey"].to_numpy(zero_copy_only=False)
+        v = t["c_mktsegment"].to_pylist()
+        part = (k % len(_actors)).astype(np.int64)
+        acks = [
+            _actors[int(p)].load_dim.remote(
+                k[part == p].tolist(),
+                [v[i] for i in np.nonzero(part == p)[0]],
+            )
+            for p in np.unique(part)
+        ]
+        return pa.table(
+            {"loaded": pa.array([sum(ray.get(acks)) if acks else 0],
+                                pa.int64())}
+        )
+
+    rd.read_parquet(
+        customer_path, columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(load, batch_format="pyarrow").take_all()
+
+    def route(t: pa.Table, _actors=actors) -> pa.Table:
+        from .queries import _cents
+
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        key = uid % n_cust + 1
+        cents = np.asarray(_cents(t["value"]), np.int64)
+        part = (key % len(_actors)).astype(np.int64)
+        acks = [
+            _actors[int(p)].push.remote(
+                key[part == p].tolist(), cents[part == p].tolist()
+            )
+            for p in np.unique(part)
+        ]
+        return pa.table(
+            {"pushed": pa.array([sum(ray.get(acks)) if acks else 0],
+                                pa.int64())}
+        )
+
+    lo, hi = _footer_minmax(events_path, "event_id")
+    edges = np.linspace(int(lo), int(hi) + 1,
+                        n_microbatches + 1).astype(np.int64)
+    for b in range(n_microbatches):
+        filt = (pads.field("event_id") >= int(edges[b])) & (
+            pads.field("event_id") < int(edges[b + 1])
+        )
+        rd.read_parquet(
+            events_path, columns=["event_id", "user_id", "value"],
+            filter=filt,
+        ).map_batches(route, batch_format="pyarrow").take_all()
+
+    rows, unmatched = [], 0
+    for part, miss in ray.get([a.result.remote() for a in actors]):
+        rows.extend(part)
+        unmatched += miss
+    if unmatched:
+        raise ValueError(f"{unmatched} events missed the dimension")
+    agg: dict = {}
+    for seg, n, c in rows:
+        cur = agg.setdefault(seg, [0, 0])
+        cur[0] += n
+        cur[1] += c
+    segs = sorted(agg)
+    return pa.table(
+        {
+            "c_mktsegment": pa.array(segs, pa.string()),
+            "n_events": pa.array([agg[s][0] for s in segs], pa.int64()),
+            "sum_value_cents": pa.array(
+                [agg[s][1] for s in segs], pa.int64()
+            ),
+        }
+    )

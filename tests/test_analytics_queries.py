@@ -592,3 +592,57 @@ class TestWatermarkWindows:
                 for r in ds2.take_all()}
         assert dropped2 == 0
         assert got2[("view", 0)] == 3
+
+
+class TestStreamingEnrich:
+    """pipelines/streaming.py::streaming_enrich — stream-table join with
+    the dimension in hash-partitioned actor state; exact equivalence with
+    the batch join computed in-process."""
+
+    def test_matches_batch_join(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from parsel_ray.pipelines.streaming import streaming_enrich
+
+        rng = np.random.RandomState(4)
+        n_cust, n_ev = 12, 400
+        cust = pa.table(
+            {
+                "c_custkey": pa.array(range(1, n_cust + 1), pa.int64()),
+                "c_mktsegment": pa.array(
+                    [["AUTO", "BIKE", "SHIP"][i % 3] for i in range(n_cust)]
+                ),
+            }
+        )
+        ev = pa.table(
+            {
+                "event_id": pa.array(range(n_ev), pa.int64()),
+                "user_id": pa.array(
+                    rng.randint(0, 5000, n_ev), pa.int64()
+                ),
+                "value": pa.array(
+                    np.round(rng.uniform(0, 90, n_ev), 2), pa.float64()
+                ),
+            }
+        )
+        cpath = str(tmp_path / "customer.parquet")
+        epath = str(tmp_path / "events.parquet")
+        pq.write_table(cust, cpath)
+        pq.write_table(ev, epath)
+
+        out = streaming_enrich(epath, cpath, n_microbatches=4, n_actors=3)
+        got = {
+            r["c_mktsegment"]: (r["n_events"], r["sum_value_cents"])
+            for r in out.to_pylist()
+        }
+
+        from parsel_ray.pipelines.queries import _cents
+
+        key = ev["user_id"].to_numpy() % n_cust + 1
+        seg = np.asarray(cust["c_mktsegment"].to_pylist(), object)[key - 1]
+        cents = np.asarray(_cents(ev["value"]), np.int64)
+        want = {}
+        for s in np.unique(seg):
+            m = seg == s
+            want[str(s)] = (int(m.sum()), int(cents[m].sum()))
+        assert got == want
