@@ -373,6 +373,37 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
     return _DEC[fmt](bytes(data))
 
 
+# -- resampling -------------------------------------------------------------
+
+
+def resize_bilinear(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Bilinear resample to (out_h, out_w), half-pixel-center convention
+    (the align_corners=False standard shared by PIL/torch/OpenCV).
+    Fully vectorized: two gathers + two lerps; channels broadcast."""
+    px = np.asarray(px)
+    h, w = px.shape[:2]
+    ys = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    xs = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
+    p = px.astype(np.float64)
+    if p.ndim == 2:
+        p = p[:, :, None]
+        squeeze = True
+    else:
+        squeeze = False
+    top = p[y0][:, x0] * (1 - wx) + p[y0][:, x1] * wx
+    bot = p[y1][:, x0] * (1 - wx) + p[y1][:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    if px.dtype == np.uint8:
+        out = np.clip(np.rint(out), 0, 255).astype(np.uint8)
+    return out[:, :, 0] if squeeze else out
+
+
 # -- metrics ---------------------------------------------------------------
 
 

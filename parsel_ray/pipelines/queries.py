@@ -1015,6 +1015,62 @@ def image_resize(sf_dir: str):
     return ds.map_batches(sizes, batch_format="pyarrow")
 
 
+def image_resize_bilinear(sf_dir: str):
+    """Bilinear resample stage (half-pixel-center convention) over
+    lossless BMP payloads: per-doc gradients → ResizeImage(12, 9,
+    method="bilinear") → exact-equality check against the kernel applied
+    directly to the source array (BMP is lossless so the stage's
+    decode→resize→encode round-trip must reproduce it bit-for-bit)."""
+    from ..images.codecs import decode_image, encode_image, resize_bilinear
+    from ..stages.multimodal import ResizeImage
+
+    def build(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "fmt": pa.array(["bmp"] * len(ids)),
+                "w": pa.array([0] * len(ids), pa.int32()),
+                "h": pa.array([0] * len(ids), pa.int32()),
+                "bytes": pa.array(
+                    [encode_image(_doc_image(i), "bmp") for i in ids],
+                    pa.binary(),
+                ),
+            }
+        )
+
+    def check(t: pa.Table) -> pa.Table:
+        for i, data in zip(t["doc_id"].to_pylist(),
+                           t["bytes"].to_pylist()):
+            want = resize_bilinear(_doc_image(i), 12, 9)
+            assert np.array_equal(decode_image(data, "bmp"), want), (
+                f"doc {i} bilinear resize mismatch"
+            )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "w": t["w"],
+                "h": t["h"],
+                "resize_ok": pa.array([True] * len(t)),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(build, batch_format="pyarrow", batch_size=256)
+        .map_batches(ResizeImage(12, 9, method="bilinear"),
+                     batch_format="pyarrow", batch_size=256)
+        .map_batches(check, batch_format="pyarrow")
+    )
+
+
+RESIZE_BILINEAR_SQL = """
+SELECT doc_id, CAST(9 AS INTEGER) AS w, CAST(12 AS INTEGER) AS h,
+       TRUE AS resize_ok
+FROM documents
+"""
+
+
 def audio_frame_rms(sf_dir: str):
     """Audio-feature stage plumbing over deterministic fake PCM payloads
     (built from document text bytes — the codec itself is the stubbed
@@ -4344,6 +4400,7 @@ QUERIES = {
     "crawl_image_verify": crawl_image_verify,
     "image_decode_stats": image_decode_stats,
     "image_resize": image_resize,
+    "image_resize_bilinear": image_resize_bilinear,
     "audio_frame_rms": audio_frame_rms,
     "image_jpeg_roundtrip": image_jpeg_roundtrip,
     "image_png_roundtrip": image_png_roundtrip,
@@ -4432,6 +4489,7 @@ ORACLE_SQL = {
     "image_png_roundtrip": PNG_SQL,
     "image_gif_roundtrip": JPEG_SQL,
     "image_bmp_roundtrip": JPEG_SQL,
+    "image_resize_bilinear": RESIZE_BILINEAR_SQL,
     "video_frame_sample": VIDEO_SQL,
     "embedding_knn": KNN_SQL,
     "embedding_near_dup": NEARDUP_SQL,

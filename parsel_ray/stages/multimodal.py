@@ -73,24 +73,34 @@ class DecodeImageStats:
 
 
 class ResizeImage:
-    """Re-encode every image at ``out_h``×``out_w`` (block-mean resize).
-    Output replaces bytes/w/h; fmt preserved."""
+    """Re-encode every image at ``out_h``×``out_w``.  ``method``:
+    "block_mean" (box-filter downsample, the default) or "bilinear"
+    (half-pixel-center resample, up or down).  Output replaces
+    bytes/w/h; fmt preserved."""
 
     def __init__(self, out_h: int, out_w: int, bytes_col: str = "bytes",
-                 fmt_col: str = "fmt") -> None:
+                 fmt_col: str = "fmt", method: str = "block_mean") -> None:
+        if method not in ("block_mean", "bilinear"):
+            raise ValueError(f"unknown resize method {method!r}")
         self.out_h = out_h
         self.out_w = out_w
         self.bytes_col = bytes_col
         self.fmt_col = fmt_col
+        self.method = method
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        from ..images.codecs import resize_bilinear
+
         out_bytes, ws, hs = [], [], []
         for data, fmt in zip(t[self.bytes_col].to_pylist(),
                              t[self.fmt_col].to_pylist()):
             px = decode_image(data, fmt)
-            small = np.clip(
-                _block_mean_resize(px, self.out_h, self.out_w), 0, 255
-            ).astype(np.uint8)
+            if self.method == "bilinear":
+                small = resize_bilinear(px, self.out_h, self.out_w)
+            else:
+                small = np.clip(
+                    _block_mean_resize(px, self.out_h, self.out_w), 0, 255
+                ).astype(np.uint8)
             out_bytes.append(encode_image(small, fmt))
             ws.append(self.out_w)
             hs.append(self.out_h)

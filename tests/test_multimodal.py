@@ -590,3 +590,52 @@ class TestBmp:
 
         got = _decode_bmp(bytes(blob))
         assert np.array_equal(got, gradient(6, 6)[::-1])
+
+
+class TestBilinearResize:
+    """codecs.resize_bilinear (half-pixel centers) + the ResizeImage
+    method switch."""
+
+    def test_identity_constant_midpoint(self):
+        from parsel_ray.images.codecs import resize_bilinear
+
+        rng = np.random.RandomState(1)
+        px = rng.randint(0, 256, (9, 7, 3), dtype=np.uint8)
+        assert np.array_equal(resize_bilinear(px, 9, 7), px)
+        c = np.full((5, 5, 3), 77, np.uint8)
+        assert (resize_bilinear(c, 13, 3) == 77).all()
+        q = np.array([[[0], [100]], [[50], [150]]], np.float64)
+        assert abs(resize_bilinear(q, 1, 1)[0, 0, 0] - 75.0) < 1e-9
+
+    def test_grayscale_and_monotone_upsample(self):
+        from parsel_ray.images.codecs import resize_bilinear
+
+        gray = np.random.RandomState(2).randint(
+            0, 256, (6, 6), dtype=np.uint8
+        )
+        assert resize_bilinear(gray, 3, 3).shape == (3, 3)
+        g = np.tile(
+            np.arange(0, 250, 50, dtype=np.uint8).reshape(1, 5, 1),
+            (4, 1, 3),
+        )
+        up = resize_bilinear(g, 4, 10)
+        assert (np.diff(up[0, :, 0].astype(int)) >= 0).all()
+
+    def test_stage_method_switch(self):
+        from parsel_ray.images.codecs import resize_bilinear
+        from parsel_ray.stages.multimodal import ResizeImage
+
+        px = gradient(20, 16)
+        t = pa.table(
+            {
+                "fmt": pa.array(["bmp"]),
+                "w": pa.array([16], pa.int32()),
+                "h": pa.array([20], pa.int32()),
+                "bytes": pa.array([encode_image(px, "bmp")], pa.binary()),
+            }
+        )
+        out = ResizeImage(10, 8, method="bilinear")(t)
+        got = decode_image(out["bytes"][0].as_py(), "bmp")
+        assert np.array_equal(got, resize_bilinear(px, 10, 8))
+        with pytest.raises(ValueError):
+            ResizeImage(4, 4, method="bicubic")
