@@ -411,3 +411,164 @@ def ngram_dup_coverage(
         )
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+# -- BPE tokenizer training ---------------------------------------------------
+
+
+def _bpe_pair_partials(t: pa.Table) -> pa.Table:
+    """Per-batch partial pair counts over (syms: list<string>, cnt):
+    adjacent symbol pairs weighted by word count, batch-aggregated so the
+    shuffle moves one row per distinct pair per batch.  Vectorized:
+    offsets mask word boundaries, weights come from np.repeat."""
+    syms = t["syms"]
+    if isinstance(syms, pa.ChunkedArray):
+        syms = syms.combine_chunks()
+    lens = pc.list_value_length(syms).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(syms)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    total = len(flat)
+    empty = pa.table(
+        {"left": pa.array([], pa.string()),
+         "right": pa.array([], pa.string()),
+         "n": pa.array([], pa.int64())}
+    )
+    if total < 2:
+        return empty
+    wid = np.repeat(np.arange(len(t)), lens)
+    same = wid[:-1] == wid[1:]
+    if not same.any():
+        return empty
+    cnt = np.repeat(
+        t["cnt"].to_numpy(zero_copy_only=False), lens
+    )[:-1][same]
+    mask = pa.array(same)
+    part = pa.table(
+        {
+            "left": flat.slice(0, total - 1).filter(mask),
+            "right": flat.slice(1, total - 1).filter(mask),
+            "n": pa.array(cnt, pa.int64()),
+        }
+    )
+    out = part.group_by(["left", "right"]).aggregate([("n", "sum")])
+    return out.rename_columns(["left", "right", "n"])
+
+
+def _bpe_apply_merge(t: pa.Table, left: str, right: str) -> pa.Table:
+    """Merge every left-to-right non-overlapping (left, right) adjacency
+    inside each word's symbol list.  Detection is vectorized; the
+    rewrite loops only over the words that actually contain the pair."""
+    syms = t["syms"].to_pylist()
+    lens = np.array([len(s) for s in syms], np.int64)
+    if lens.sum() < 2:
+        return t
+    flat = np.array([x for s in syms for x in s], object)
+    wid = np.repeat(np.arange(len(syms)), lens)
+    hit = (flat[:-1] == left) & (flat[1:] == right) & (
+        wid[:-1] == wid[1:]
+    )
+    hit_words = np.unique(wid[:-1][hit])
+    if hit_words.size == 0:
+        return t
+    merged = left + right
+    for w in hit_words:
+        s = syms[w]
+        out, i = [], 0
+        while i < len(s):
+            if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                out.append(merged)
+                i += 2
+            else:
+                out.append(s[i])
+                i += 1
+        syms[w] = out
+    return pa.table(
+        {
+            "term": t["term"],
+            "cnt": t["cnt"],
+            "syms": pa.array(syms, pa.list_(pa.string())),
+        }
+    )
+
+
+def bpe_train(
+    ds,
+    col: str = "text",
+    num_merges: int = 30,
+    min_len: int = 2,
+    min_pair_count: int = 2,
+):
+    """Distributed BPE tokenizer training (Sennrich 2016's word-count
+    formulation): the corpus collapses ONCE into the distinct-word count
+    table (a combiner groupby — the classic trick that makes training
+    independent of corpus length), then each merge round is one pair-
+    count shuffle over the word table plus a map-side rewrite.  The
+    driver holds only the argmax pair per round (count DESC, then
+    lexicographic (left, right) — fully deterministic) and the merge
+    list; the word table stays distributed, re-materialized per round so
+    the loop doesn't replay lineage (see the iterative-loop note on
+    :func:`parsel_ray.functions.graph.pagerank`).
+
+    Returns a pa.Table (rank, left, right, n) of merges in order."""
+    from .agg import partial_sum_groupby
+
+    def word_rows(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.fill_null(t[col], ""), "[^a-z]+")
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        keep = pc.greater_equal(pc.utf8_length(flat), min_len)
+        flat = flat.filter(keep)
+        out = pa.table({"term": flat}).group_by("term").aggregate(
+            [([], "count_all")]
+        )
+        return out.rename_columns(["term", "cnt"])
+
+    words = partial_sum_groupby(
+        ds.map_batches(word_rows, batch_format="pyarrow"),
+        ["term"], {"cnt": "cnt"},
+    )
+
+    def to_syms(t: pa.Table) -> pa.Table:
+        terms = t["term"].to_pylist()
+        return pa.table(
+            {
+                "term": t["term"],
+                "cnt": pc.cast(t["cnt"], pa.int64()),
+                "syms": pa.array(
+                    [list(w) for w in terms], pa.list_(pa.string())
+                ),
+            }
+        )
+
+    state = words.map_batches(to_syms, batch_format="pyarrow").materialize()
+    n_blocks = max(1, min(16, state.num_blocks()))
+    ranks, lefts, rights, counts = [], [], [], []
+    for r in range(num_merges):
+        pairs = state.map_batches(_bpe_pair_partials, batch_format="pyarrow")
+        top = (
+            partial_sum_groupby(pairs, ["left", "right"], {"n": "n"})
+            .sort(["n", "left", "right"], descending=[True, False, False])
+            .limit(1)
+            .take_all()
+        )
+        if not top or int(top[0]["n"]) < min_pair_count:
+            break
+        l, rt, n = top[0]["left"], top[0]["right"], int(top[0]["n"])
+        ranks.append(r)
+        lefts.append(l)
+        rights.append(rt)
+        counts.append(n)
+        state = state.map_batches(
+            lambda t, _l=l, _r=rt: _bpe_apply_merge(t, _l, _r),
+            batch_format="pyarrow",
+        ).repartition(n_blocks).materialize()
+    return pa.table(
+        {
+            "rank": pa.array(ranks, pa.int64()),
+            "left": pa.array(lefts, pa.string()),
+            "right": pa.array(rights, pa.string()),
+            "n": pa.array(counts, pa.int64()),
+        }
+    )

@@ -744,6 +744,19 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8):
     )
 
 
+def doc_bpe_train(sf_dir: str):
+    """Distributed BPE tokenizer TRAINING (Sennrich 2016's word-count
+    formulation) over the documents corpus: corpus collapses once into
+    the distinct-word count table (combiner groupby), then each of the
+    25 merge rounds is one pair-count shuffle + a map-side rewrite; the
+    driver holds only the argmax pair per round.  Deterministic tie-break
+    (count DESC, lexicographic (left, right) ASC); rows-only gate — the
+    distributed==single-process equivalence is pinned in
+    tests/test_ray_stages.py::TestBpeTrain."""
+    ds = _read(sf_dir, "documents", ["text"])
+    return T.bpe_train(ds, num_merges=25)
+
+
 def doc_dup_ngram_coverage(sf_dir: str):
     """Per-doc duplicated word-5-gram coverage (the repeated-substring
     signal of Lee et al. 2022 at word-gram granularity): an occurrence is
@@ -4376,6 +4389,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_cdc_docs": dedup_cdc_docs,
     "doc_dup_ngram_coverage": doc_dup_ngram_coverage,
+    "doc_bpe_train": doc_bpe_train,
     "embedding_knn": embedding_knn,
     "embedding_near_dup": embedding_near_dup,
     # rows-only (non-SQL-expressible)

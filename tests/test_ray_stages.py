@@ -1557,3 +1557,79 @@ class TestNgramDupCoverage:
         assert tuple(out.loc[0]) == (2, 1, 0.5)
         assert tuple(out.loc[1]) == (2, 1, 0.5)
         assert tuple(out.loc[2][["n_grams", "n_dup"]]) == (3, 0)
+
+
+class TestBpeTrain:
+    """functions/text.py::bpe_train — distributed == single-process BPE
+    (word-count formulation, deterministic tie-break)."""
+
+    @staticmethod
+    def _ref(docs, K):
+        import collections
+        import re
+
+        wc = collections.Counter()
+        for d in docs:
+            for w in re.findall(r"[a-z]{2,}", d):
+                wc[w] += 1
+        vocab = {w: list(w) for w in wc}
+        merges = []
+        for r in range(K):
+            pairs = collections.Counter()
+            for w, c in wc.items():
+                s = vocab[w]
+                for i in range(len(s) - 1):
+                    pairs[(s[i], s[i + 1])] += c
+            if not pairs:
+                break
+            mx = max(pairs.values())
+            if mx < 2:
+                break
+            best = min(p for p, n in pairs.items() if n == mx)
+            merges.append((r, best[0], best[1], mx))
+            lf, rt = best
+            for w in vocab:
+                s = vocab[w]
+                out, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == lf and s[i + 1] == rt:
+                        out.append(lf + rt)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                vocab[w] = out
+        return merges
+
+    def test_matches_reference(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from parsel_ray.functions.text import bpe_train
+
+        docs = [
+            "the quick brown fox jumps over the lazy dog " * 3,
+            "the lazy dog sleeps while the quick fox runs",
+            "pack my box with five dozen liquor jugs now",
+            "sphinx of black quartz judge my vow the fox",
+            "aaa aaaa aaaaa overlap overlap overlap",   # overlap-merge case
+        ] * 5
+        want = self._ref(docs, 12)
+        ds = rd.from_arrow(
+            pa.table({"text": pa.array(docs)})
+        ).repartition(4)
+        got = [
+            (r["rank"], r["left"], r["right"], r["n"])
+            for r in bpe_train(ds, num_merges=12).to_pylist()
+        ]
+        assert got == want
+
+    def test_early_stop_when_no_pair_repeats(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from parsel_ray.functions.text import bpe_train
+
+        ds = rd.from_arrow(pa.table({"text": pa.array(["ab cd ef"])}))
+        out = bpe_train(ds, num_merges=5)
+        assert len(out) == 0  # every pair count is 1 < min_pair_count
