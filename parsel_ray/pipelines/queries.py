@@ -744,6 +744,48 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8):
     )
 
 
+def indexed_point_lookup(sf_dir: str):
+    """Bloom-sidecar secondary index: documents stream to an indexed
+    parquet sink (per-shard key Bloom + min/max sidecars), then a point
+    lookup for doc_id < 20 reads ONLY the shards whose sidecar may match
+    (asserted in-query: shards_read < shards_total) and filters exactly.
+    Result is oracle-checked against a plain WHERE on the source table —
+    Bloom has no false negatives, so pruning never loses a row."""
+    import tempfile as _tempfile
+
+    from ..sources.indexed import point_lookup, write_indexed_parquet
+
+    out = _tempfile.mkdtemp(prefix="docs_idx_", dir="/tmp")
+    n = write_indexed_parquet(
+        _read(sf_dir, "documents", ["doc_id", "text"]).repartition(8),
+        out, key_col="doc_id",
+    )
+    assert n > 0
+    ds, stats = point_lookup(out, "doc_id", keys=list(range(20)),
+                             columns=["doc_id", "text"])
+    s = stats()
+    assert s["shards_read"] < s["shards_total"], s
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_chars": pc.cast(
+                    pc.utf8_length(pc.fill_null(t["text"], "")), pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+POINT_LOOKUP_SQL = """
+SELECT doc_id,
+       CAST(length(COALESCE(text, '')) AS BIGINT) AS n_chars
+FROM documents WHERE doc_id < 20
+"""
+
+
 def doc_bpe_train(sf_dir: str):
     """Distributed BPE tokenizer TRAINING (Sennrich 2016's word-count
     formulation) over the documents corpus: corpus collapses once into
@@ -4390,6 +4432,7 @@ QUERIES = {
     "dedup_cdc_docs": dedup_cdc_docs,
     "doc_dup_ngram_coverage": doc_dup_ngram_coverage,
     "doc_bpe_train": doc_bpe_train,
+    "indexed_point_lookup": indexed_point_lookup,
     "embedding_knn": embedding_knn,
     "embedding_near_dup": embedding_near_dup,
     # rows-only (non-SQL-expressible)
@@ -4499,6 +4542,7 @@ ORACLE_SQL = {
     "dedup_ngram_jaccard": NGRAM_SQL,
     "lineitem_triangles": TRIANGLE_SQL,
     "doc_dup_ngram_coverage": DUP_NGRAM_SQL,
+    "indexed_point_lookup": POINT_LOOKUP_SQL,
     "image_jpeg_roundtrip": JPEG_SQL,
     "image_png_roundtrip": PNG_SQL,
     "image_gif_roundtrip": JPEG_SQL,

@@ -135,3 +135,69 @@ class TestOrcSource:
         (tmp_path / "empty").mkdir()
         with _pytest.raises(FileNotFoundError):
             read_orc(str(tmp_path / "empty"))
+
+
+class TestIndexedSink:
+    """sources/indexed.py: Bloom+minmax sidecars, exact pruned lookups."""
+
+    def _write(self, ray_session, tmp_path, n=2000, blocks=8):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from parsel_ray.sources.indexed import write_indexed_parquet
+
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "text": pa.array([f"doc {i} body" for i in range(n)]),
+            }
+        )
+        out = str(tmp_path / "idx")
+        total = write_indexed_parquet(
+            rd.from_arrow(t).repartition(blocks), out, key_col="doc_id"
+        )
+        assert total == n
+        return out
+
+    def test_exact_result_and_pruning(self, ray_session, tmp_path):
+        from parsel_ray.sources.indexed import point_lookup
+
+        out = self._write(ray_session, tmp_path)
+        # clustered keys → range pruning
+        ds, stats = point_lookup(out, "doc_id", keys=range(10, 30))
+        got = sorted(r["doc_id"] for r in ds.take_all())
+        assert got == list(range(10, 30))
+        s = stats()
+        assert s["shards_read"] < s["shards_total"]
+
+        # scattered single keys → bloom keeps it exact (no false negatives)
+        keys = [3, 777, 1501, 1999]
+        ds2, stats2 = point_lookup(out, "doc_id", keys=keys,
+                                   columns=["doc_id"])
+        assert sorted(r["doc_id"] for r in ds2.take_all()) == keys
+        assert stats2()["shards_read"] <= stats2()["shards_total"]
+
+    def test_missing_keys_empty_result(self, ray_session, tmp_path):
+        from parsel_ray.sources.indexed import point_lookup
+
+        out = self._write(ray_session, tmp_path, n=500, blocks=4)
+        ds, stats = point_lookup(out, "doc_id", keys=[999999, -5])
+        assert ds.count() == 0
+        # min/max alone prunes every shard for out-of-range keys
+        assert stats()["shards_read"] == 0
+
+    def test_sidecar_corruption_raises(self, ray_session, tmp_path):
+        import os
+
+        from parsel_ray.sources.indexed import _sidecar_may_match
+
+        out = self._write(ray_session, tmp_path, n=100, blocks=2)
+        side = next(
+            os.path.join(out, f) for f in os.listdir(out)
+            if f.endswith(".idx")
+        )
+        import numpy as np
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            _sidecar_may_match(b"garbage", np.array([1], np.int64))
