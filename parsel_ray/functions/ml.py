@@ -1,0 +1,109 @@
+"""Distributed model training over sufficient statistics.
+
+The k-means loop (``pipelines/queries.py::kmeans_embeddings``) broadcasts
+k×d floats per round; the same shape covers generalized linear models:
+each Newton/IRLS round is ONE map over the feature table emitting a
+per-block (gradient, Hessian, loss) partial — O(d + d²) floats per
+block — and the driver solves a d×d system.  Rows never leave the
+workers; at 100 TB the only materialized state is the slim projected
+feature table (d+1 doubles per row, spillable).
+
+No reference equivalent; textbook IRLS (Bishop PRML §4.3.3).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _sigmoid(z: np.ndarray) -> np.ndarray:
+    out = np.empty_like(z)
+    pos = z >= 0
+    out[pos] = 1.0 / (1.0 + np.exp(-z[pos]))
+    e = np.exp(z[~pos])
+    out[~pos] = e / (1.0 + e)
+    return out
+
+
+def logreg_train(
+    ds,
+    x_cols,
+    y_col: str,
+    iters: int = 8,
+    ridge: float = 1e-6,
+):
+    """Newton-Raphson logistic regression: intercept + ``x_cols``
+    features, ``y_col`` in {0,1}.  Each round maps the (materialized,
+    slim) feature table to per-block partials — gradient d floats,
+    Hessian d² floats, negative log-likelihood scalar — and the driver
+    folds O(blocks) partials and solves (H + ridge·I)·Δ = g.
+
+    Returns (weights ndarray[d+1], diagnostics dict).  Certification:
+    the ridge-regularized NLL is asserted non-increasing across Newton
+    rounds (with a 1e-9 slack for float folding) — a wrong gradient or
+    Hessian breaks monotonicity immediately."""
+    x_cols = list(x_cols)
+    d = len(x_cols) + 1
+
+    def project(t: pa.Table) -> pa.Table:
+        cols = {"__y": t[y_col]}
+        for c in x_cols:
+            cols[c] = t[c]
+        return pa.table(cols)
+
+    slim = ds.map_batches(project, batch_format="pyarrow").materialize()
+
+    w = np.zeros(d)
+    nll_hist = []
+    for it in range(iters):
+        w_round = w.copy()
+
+        def partial(t: pa.Table, _w=w_round) -> pa.Table:
+            n = len(t)
+            X = np.empty((n, d))
+            X[:, 0] = 1.0
+            for j, c in enumerate(x_cols):
+                X[:, j + 1] = t[c].to_numpy(zero_copy_only=False)
+            y = t["__y"].to_numpy(zero_copy_only=False).astype(np.float64)
+            z = X @ _w
+            p = _sigmoid(z)
+            g = X.T @ (y - p)
+            h = X.T @ (X * (p * (1.0 - p))[:, None])
+            # numerically-stable NLL: log(1+e^z) - y z, computed as
+            # softplus via logaddexp
+            nll = float(np.logaddexp(0.0, z).sum() - (y * z).sum())
+            return pa.table(
+                {
+                    "g": pa.array([g.tobytes()], pa.binary()),
+                    "h": pa.array([h.tobytes()], pa.binary()),
+                    "nll": pa.array([nll], pa.float64()),
+                    "n": pa.array([n], pa.int64()),
+                }
+            )
+
+        parts = slim.map_batches(partial, batch_format="pyarrow").take_all()
+        g = np.zeros(d)
+        H = np.zeros((d, d))
+        nll = 0.0
+        n_total = 0
+        for r in parts:
+            g += np.frombuffer(r["g"], np.float64)
+            H += np.frombuffer(r["h"], np.float64).reshape(d, d)
+            nll += r["nll"]
+            n_total += r["n"]
+        nll += 0.5 * ridge * float(w_round @ w_round)
+        if nll_hist:
+            assert nll <= nll_hist[-1] + 1e-9, (
+                f"NLL increased at round {it}: {nll_hist[-1]} -> {nll}"
+            )
+        nll_hist.append(nll)
+        g -= ridge * w_round
+        H += ridge * np.eye(d)
+        w = w_round + np.linalg.solve(H, g)
+
+    return w, {
+        "nll": nll_hist,
+        "n": n_total,
+        "grad_norm": float(np.linalg.norm(g)),
+    }

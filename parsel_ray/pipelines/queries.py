@@ -744,6 +744,53 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8):
     )
 
 
+def doc_quality_logreg(sf_dir: str):
+    """Distributed logistic-regression TRAINING (Newton/IRLS over
+    sufficient statistics, :mod:`parsel_ray.functions.ml`): token-stat
+    features over documents, a noisy synthetic label (stop-ratio signal
+    with doc_id-keyed flips so the classes aren't separable), 8 Newton
+    rounds where each round is one map emitting per-block (gradient,
+    Hessian, NLL) partials.  In-kernel certification: NLL monotone
+    non-increasing; the in-query assert pins convergence (grad norm).
+    Rows-only gate; distributed==single-process equality is pinned in
+    tests/test_ray_stages.py::TestLogreg."""
+    from ..functions.ml import logreg_train
+    from ..functions.text import token_stats
+
+    def feats(t: pa.Table) -> pa.Table:
+        t = token_stats(t)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        base = pc.greater(t["stop_ratio"], 0.05).to_numpy(
+            zero_copy_only=False
+        )
+        flip = (ids % 9) == 0
+        y = np.where(flip, ~base, base).astype(np.int64)
+        ntok = t["n_tokens"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "len_term": pa.array(np.minimum(ntok, 64) / 64.0),
+                "stop_ratio": t["stop_ratio"],
+                "avg_token_len": t["avg_token_len"],
+                "y": pa.array(y, pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        feats, batch_format="pyarrow"
+    )
+    w, diag = logreg_train(
+        ds, ["len_term", "stop_ratio", "avg_token_len"], "y", iters=8
+    )
+    assert diag["grad_norm"] < 1e-6, diag
+    names = ["intercept", "len_term", "stop_ratio", "avg_token_len"]
+    return pa.table(
+        {
+            "feature": pa.array(names, pa.string()),
+            "weight": pa.array([float(x) for x in w], pa.float64()),
+        }
+    )
+
+
 def indexed_point_lookup(sf_dir: str):
     """Bloom-sidecar secondary index: documents stream to an indexed
     parquet sink (per-shard key Bloom + min/max sidecars), then a point
@@ -4433,6 +4480,7 @@ QUERIES = {
     "doc_dup_ngram_coverage": doc_dup_ngram_coverage,
     "doc_bpe_train": doc_bpe_train,
     "indexed_point_lookup": indexed_point_lookup,
+    "doc_quality_logreg": doc_quality_logreg,
     "embedding_knn": embedding_knn,
     "embedding_near_dup": embedding_near_dup,
     # rows-only (non-SQL-expressible)

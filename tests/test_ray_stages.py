@@ -1633,3 +1633,48 @@ class TestBpeTrain:
         ds = rd.from_arrow(pa.table({"text": pa.array(["ab cd ef"])}))
         out = bpe_train(ds, num_merges=5)
         assert len(out) == 0  # every pair count is 1 < min_pair_count
+
+
+class TestLogreg:
+    """functions/ml.py::logreg_train — distributed Newton == single-process
+    reference to float-fold tolerance; NLL certification."""
+
+    def test_matches_reference(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from parsel_ray.functions.ml import _sigmoid, logreg_train
+
+        rng = np.random.RandomState(8)
+        n = 3000
+        X = rng.normal(0, 1, (n, 3))
+        true_w = np.array([0.5, 1.5, -2.0, 0.7])
+        z = true_w[0] + X @ true_w[1:]
+        y = (rng.uniform(size=n) < _sigmoid(z)).astype(np.int64)
+        t = pa.table(
+            {
+                "x1": pa.array(X[:, 0]),
+                "x2": pa.array(X[:, 1]),
+                "x3": pa.array(X[:, 2]),
+                "y": pa.array(y),
+            }
+        )
+        w, diag = logreg_train(
+            rd.from_arrow(t).repartition(5), ["x1", "x2", "x3"], "y",
+            iters=8,
+        )
+
+        Xb = np.column_stack([np.ones(n), X])
+        wr = np.zeros(4)
+        for _ in range(8):
+            p = _sigmoid(Xb @ wr)
+            g = Xb.T @ (y - p) - 1e-6 * wr
+            H = Xb.T @ (Xb * (p * (1 - p))[:, None]) + 1e-6 * np.eye(4)
+            wr = wr + np.linalg.solve(H, g)
+
+        assert np.abs(w - wr).max() < 1e-10
+        assert diag["grad_norm"] < 1e-8
+        nll = diag["nll"]
+        assert all(b <= a + 1e-9 for a, b in zip(nll, nll[1:]))
+        # recovered weights near the generating ones (statistical check)
+        assert np.abs(w - true_w).max() < 0.25
