@@ -3362,6 +3362,133 @@ SELECT user_id FROM events WHERE event_type = 'purchase'
 """
 
 
+def events_except_hours(sf_dir: str):
+    """Set difference (EXCEPT) at the hour grain: hours that saw a click
+    but no purchase — the same fused one-pass conditional-count shuffle
+    as INTERSECT with the keep predicate flipped (a > 0 AND b = 0);
+    neither distinct set materializes anywhere.  (The user grain is
+    degenerate on this corpus: every user purchases, so EXCEPT would be
+    empty at every sf.)"""
+
+    def widen(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "hour": pc.floor_temporal(t["ts"], unit="hour"),
+                "a": pc.cast(pc.equal(t["event_type"], "click"), pa.int64()),
+                "b": pc.cast(
+                    pc.equal(t["event_type"], "purchase"), pa.int64()
+                ),
+            }
+        )
+
+    per_hour = partial_sum_groupby(
+        _read(sf_dir, "events", ["ts", "event_type"]).map_batches(
+            widen, batch_format="pyarrow"
+        ),
+        ["hour"],
+        {"a": "a", "b": "b"},
+    )
+    return per_hour.map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.greater(t["a"], 0), pc.equal(t["b"], 0))
+        ).select(["hour"]),
+        batch_format="pyarrow",
+    )
+
+
+EXCEPT_SQL = """
+SELECT date_trunc('hour', ts) AS hour FROM events
+WHERE event_type = 'click'
+EXCEPT
+SELECT date_trunc('hour', ts) FROM events WHERE event_type = 'purchase'
+"""
+
+
+def events_value_histogram(sf_dir: str):
+    """Fixed-width histogram (SQL width_bucket semantics over [0, 100)
+    in 10 buckets, under/overflow clamped into buckets 0 and 11 as
+    DuckDB does): one combiner pass — each batch emits at most 12 rows —
+    then a tiny groupby.  The canonical data-profiling primitive."""
+
+    def widen(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        b = np.clip(np.floor(v / 10.0).astype(np.int64) + 1, 0, 11)
+        b[v < 0] = 0
+        ub, cnt = np.unique(b, return_counts=True)
+        return pa.table(
+            {
+                "bucket": pa.array(ub, pa.int64()),
+                "n": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    return partial_sum_groupby(
+        _read(sf_dir, "events", ["value"]).map_batches(
+            widen, batch_format="pyarrow"
+        ),
+        ["bucket"],
+        {"n": "n"},
+    )
+
+
+# this DuckDB build ships no width_bucket; the bucket arithmetic is
+# spelled out (identical semantics over [0,100) x 10 with clamp rows)
+HISTOGRAM_SQL = """
+SELECT LEAST(GREATEST(CAST(floor(value / 10) AS BIGINT) + 1, 0), 11)
+           AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY 1
+"""
+
+
+def doc_url_regex_groups(sf_dir: str):
+    """Multi-group regex extraction into typed columns: pull
+    (scheme, host, path) out of the first URL-shaped substring of each
+    document, vectorized with one RE2 ``extract_regex`` kernel (struct
+    result → columns).  DuckDB mirrors with regexp_extract group
+    indices."""
+    pattern = r"(?P<scheme>https?)://(?P<host>[a-z0-9.\-]+)(?P<path>/[^\s\"']*)?"
+
+    def extract(t: pa.Table) -> pa.Table:
+        s = pc.fill_null(t["text"], "")
+        st = pc.extract_regex(s, pattern)
+        ok = pc.is_valid(st)
+        path = pc.struct_field(st, "path")
+        # a non-participating optional group is '' in RE2/Arrow (and in
+        # DuckDB's regexp_extract); both sides normalize '' -> NULL
+        path = pc.if_else(pc.equal(path, ""), pa.scalar(None, pa.string()),
+                          path)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "scheme": pc.struct_field(st, "scheme"),
+                "host": pc.struct_field(st, "host"),
+                "path": path,
+                "has_url": ok,
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        extract, batch_format="pyarrow"
+    )
+
+
+URL_GROUPS_SQL = r"""
+SELECT doc_id,
+       CASE WHEN m THEN regexp_extract(text, p, 1) END AS scheme,
+       CASE WHEN m THEN regexp_extract(text, p, 2) END AS host,
+       CASE WHEN m AND regexp_extract(text, p, 3) <> ''
+            THEN regexp_extract(text, p, 3) END AS path,
+       m AS has_url
+FROM (
+  SELECT doc_id, text,
+         '(https?)://([a-z0-9.\-]+)(/[^\s"'']*)?' AS p,
+         COALESCE(regexp_matches(text, '(https?)://([a-z0-9.\-]+)(/[^\s"'']*)?'), FALSE) AS m
+  FROM documents
+)
+"""
+
+
 def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 5):
     """Distributed k-means (Lloyd's) over the embedding table — the
     canonical iterative-ML workload: centroids broadcast once per
@@ -4537,6 +4664,9 @@ QUERIES = {
     "price_quantiles_cont": price_quantiles_cont,
     "docs_cube": docs_cube,
     "events_intersect_users": events_intersect_users,
+    "events_except_hours": events_except_hours,
+    "events_value_histogram": events_value_histogram,
+    "doc_url_regex_groups": doc_url_regex_groups,
     "kmeans_embeddings": kmeans_embeddings,
     "customer_order_full_outer": customer_order_full_outer,
     "web_pagerank": web_pagerank,
@@ -4630,6 +4760,9 @@ ORACLE_SQL = {
     "price_quantiles_cont": QCONT_SQL,
     "docs_cube": CUBE_SQL,
     "events_intersect_users": INTERSECT_SQL,
+    "events_except_hours": EXCEPT_SQL,
+    "events_value_histogram": HISTOGRAM_SQL,
+    "doc_url_regex_groups": URL_GROUPS_SQL,
     "customer_order_full_outer": FULL_OUTER_SQL,
     "events_cume_dist": CUME_SQL,
     "events_percent_rank": PCT_RANK_SQL,
