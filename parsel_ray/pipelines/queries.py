@@ -1200,6 +1200,43 @@ def audio_frame_rms(sf_dir: str):
     return ds.map_batches(agg, batch_format="pyarrow")
 
 
+def audio_spectral_bands(sf_dir: str):
+    """Spectral front-end plumbing (rfft band energies) over the same
+    deterministic fake-PCM payloads as ``audio_frame_rms``: per-doc
+    4-band mean power + a dominant-band argmax.  Rows-only gate; the
+    FFT kernel is pinned against a pure-tone reference in
+    tests/test_multimodal.py::TestAudioSpectral."""
+    from ..stages.multimodal import AudioSpectral
+
+    def to_pcm(t: pa.Table) -> pa.Table:
+        payloads = [
+            (tx or "").encode("utf-8") * 8 for tx in t["text"].to_pylist()
+        ]
+        return pa.table(
+            {"doc_id": t["doc_id"], "bytes": pa.array(payloads, pa.binary())}
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        to_pcm, batch_format="pyarrow"
+    ).map_batches(AudioSpectral(frame=256, bands=4),
+                  batch_format="pyarrow")
+
+    def agg(t: pa.Table) -> pa.Table:
+        doms = []
+        for e, ok in zip(t["band_energy"].to_pylist(),
+                         t["spectral_ok"].to_pylist()):
+            assert ok
+            doms.append(int(np.argmax(e)) if e and max(e) > 0 else -1)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "dominant_band": pa.array(doms, pa.int32()),
+            }
+        )
+
+    return ds.map_batches(agg, batch_format="pyarrow")
+
+
 def _doc_image(doc_id: int) -> "np.ndarray":
     """Deterministic smooth gradient image sized by doc_id (both the Ray
     pipeline and the SQL oracle derive dims from the same arithmetic)."""
@@ -4633,6 +4670,7 @@ QUERIES = {
     "image_decode_stats": image_decode_stats,
     "image_resize": image_resize,
     "image_resize_bilinear": image_resize_bilinear,
+    "audio_spectral_bands": audio_spectral_bands,
     "audio_frame_rms": audio_frame_rms,
     "image_jpeg_roundtrip": image_jpeg_roundtrip,
     "image_png_roundtrip": image_png_roundtrip,

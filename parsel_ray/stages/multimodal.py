@@ -285,6 +285,54 @@ class AudioFeatures:
         ).append_column("audio_ok", pa.array(oks, pa.bool_()))
 
 
+class AudioSpectral:
+    """Spectral band energies over PCM16 audio: frames of ``frame``
+    samples → rfft → mean power in ``bands`` equal log-spaced-ish bins
+    (here: equal-width bins over the positive spectrum — a deterministic
+    mel-like front-end without the mel tables).  Same payload contract
+    as :class:`AudioFeatures` (RIFF/WAVE parsed, headerless = raw PCM16
+    mono).  Appends ``band_energy`` (list<double>, len = bands, the
+    per-band mean over all frames) and ``spectral_ok``."""
+
+    def __init__(self, bytes_col: str = "bytes", frame: int = 256,
+                 bands: int = 4) -> None:
+        self.bytes_col = bytes_col
+        self.frame = frame
+        self.bands = bands
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        feats, oks = [], []
+        for data in t[self.bytes_col].to_pylist():
+            try:
+                pcm = _parse_wav_pcm16(bytes(data))
+            except ValueError:
+                feats.append(None)
+                oks.append(False)
+                continue
+            oks.append(True)
+            if pcm is None:
+                pcm = np.frombuffer(
+                    data[: (len(data) // 2) * 2], dtype=np.int16
+                ).astype(np.float64)
+            n = len(pcm) // self.frame
+            if n == 0:
+                feats.append([0.0] * self.bands)
+                continue
+            frames = pcm[: n * self.frame].reshape(n, self.frame)
+            spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+            # drop DC, split the rest into equal-width bands
+            body = spec[:, 1:]
+            edges = np.linspace(0, body.shape[1], self.bands + 1).astype(int)
+            e = [
+                float(body[:, edges[b]:edges[b + 1]].mean())
+                for b in range(self.bands)
+            ]
+            feats.append(e)
+        return t.append_column(
+            "band_energy", pa.array(feats, pa.list_(pa.float64()))
+        ).append_column("spectral_ok", pa.array(oks, pa.bool_()))
+
+
 class SampleVideoFrames:
     """Evenly-spaced frame sampling over the NV1 container
     (:mod:`parsel_ray.images.video` — round 2: the round-1 stub replaced

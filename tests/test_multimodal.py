@@ -639,3 +639,33 @@ class TestBilinearResize:
         assert np.array_equal(got, resize_bilinear(px, 10, 8))
         with pytest.raises(ValueError):
             ResizeImage(4, 4, method="bicubic")
+
+
+class TestAudioSpectral:
+    """AudioSpectral: rfft band energies pinned against pure tones."""
+
+    def _tone(self, freq_bin, frame=256, n_frames=8):
+        # a pure cosine at rfft bin `freq_bin` of the frame
+        t = np.arange(frame * n_frames)
+        x = np.cos(2 * np.pi * freq_bin * t / frame) * 10000
+        return x.astype(np.int16).tobytes()
+
+    def test_pure_tones_land_in_their_band(self):
+        from parsel_ray.stages.multimodal import AudioSpectral
+
+        # bands split bins 1..128 into 4 ranges of ~32; put one tone in
+        # the middle of each
+        tones = [self._tone(b) for b in (16, 48, 80, 112)]
+        t = pa.table({"bytes": pa.array(tones, pa.binary())})
+        out = AudioSpectral(frame=256, bands=4)(t)
+        assert out["spectral_ok"].to_pylist() == [True] * 4
+        for want, e in enumerate(out["band_energy"].to_pylist()):
+            assert int(np.argmax(e)) == want
+
+    def test_short_and_wav_payloads(self):
+        from parsel_ray.stages.multimodal import AudioSpectral
+
+        short = np.zeros(10, np.int16).tobytes()  # < one frame
+        t = pa.table({"bytes": pa.array([short], pa.binary())})
+        out = AudioSpectral(frame=256, bands=4)(t)
+        assert out["band_energy"].to_pylist() == [[0.0] * 4]
