@@ -640,3 +640,134 @@ def pq_topk_rerank(ds_factory, queries_ref, books_ref, k: int,
         batch_size=4096,
     )
     return finalize_topk(partials, k)
+
+
+def sparse_cosine_top1(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int | None = None,
+    max_df_frac: float = 0.1,
+    num_partitions: int = 32,
+):
+    """Most-similar document per doc under SPARSE term-frequency cosine —
+    the inverted-index complement to the dense-embedding KNN: pair
+    candidates come from shared terms, never from an all-pairs matmul.
+
+    Exactness contract: weights are integer term frequencies, so every
+    dot product and squared norm is an exact int64 sum; the cosine is
+    the one IEEE expression ``dot / (sqrt(na) * sqrt(nb))`` both here
+    and in the DuckDB oracle — hash-identical floats.
+
+    Scale shape: the term-partitioned pair enumeration is bounded by the
+    ``max_df`` document-frequency cut (≤ max_df²/2 pairs per term — the
+    standard prefix-filter analog; terms above the cut are discriminative
+    of nothing and are dropped on BOTH sides), partial dots pre-sum per
+    batch before the pair shuffle, and the top-1 is a per-doc
+    grouped_apply.  No driver-side state beyond one corpus-count scalar.
+
+    ``max_df`` defaults to ``max(2, int(max_df_frac * n_rows))`` — a
+    RELATIVE cut, because an absolute one empties the kept-term set as
+    the corpus grows (at 10x the docs every df roughly 10x-es)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    if max_df is None:
+        max_df = max(2, int(max_df_frac * ds.count()))
+
+    from .agg import grouped_apply, partial_sum_groupby
+    from .relational import hash_bucket_join
+    from .text import term_doc_tf
+
+    tf = ds.map_batches(
+        lambda t: term_doc_tf(t, col=text_col, id_col=id_col),
+        batch_format="pyarrow",
+    )
+    df = partial_sum_groupby(tf, ["term"], {}, count_as="__df")
+
+    def kept(t: pa.Table) -> pa.Table:
+        f = t.filter(
+            pc.and_(pc.greater(t["__df"], 1),
+                    pc.less_equal(t["__df"], max_df))
+        )
+        return f.select(["term"])
+
+    tf_kept = hash_bucket_join(
+        tf, df.map_batches(kept, batch_format="pyarrow"),
+        on="term", how="inner", buckets=num_partitions,
+    )
+
+    norms = partial_sum_groupby(
+        tf_kept.map_batches(
+            lambda t: pa.table(
+                {
+                    id_col: t[id_col],
+                    "sq": pc.multiply(
+                        pc.cast(t["tf"], pa.int64()),
+                        pc.cast(t["tf"], pa.int64()),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        [id_col], {"sq": "norm_sq"},
+    )
+
+    def pair_rows(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col, kind="stable")
+        ids = g[id_col].to_numpy()
+        tfs = g["tf"].to_numpy().astype(np.int64)
+        d = ids.size
+        if d < 2:
+            return pd.DataFrame(
+                {"a": np.empty(0, ids.dtype),
+                 "b": np.empty(0, ids.dtype),
+                 "prod": np.empty(0, np.int64)}
+            )
+        i, j = np.triu_indices(d, k=1)
+        return pd.DataFrame(
+            {"a": ids[i], "b": ids[j], "prod": tfs[i] * tfs[j]}
+        )
+
+    pairs = grouped_apply(tf_kept.select_columns([id_col, "term", "tf"]),
+                          ["term"], pair_rows,
+                          num_partitions=num_partitions)
+    dots = partial_sum_groupby(pairs, ["a", "b"], {"prod": "dot"})
+
+    na = norms.map_batches(
+        lambda t: t.rename_columns(["a", "norm_a"]), batch_format="pyarrow"
+    )
+    nb = norms.map_batches(
+        lambda t: t.rename_columns(["b", "norm_b"]), batch_format="pyarrow"
+    )
+    with_a = hash_bucket_join(dots, na, on="a", buckets=num_partitions)
+    with_b = hash_bucket_join(with_a, nb, on="b", buckets=num_partitions)
+
+    def cosine_sym(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        dot = t["dot"].to_numpy(zero_copy_only=False).astype(np.float64)
+        # the oracle's exact expression: dot / (sqrt(na) * sqrt(nb))
+        c = dot / (
+            np.sqrt(t["norm_a"].to_numpy(zero_copy_only=False).astype(
+                np.float64))
+            * np.sqrt(t["norm_b"].to_numpy(zero_copy_only=False).astype(
+                np.float64))
+        )
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate([a, b])),
+                "best_doc": pa.array(np.concatenate([b, a])),
+                "cosine": pa.array(np.concatenate([c, c]), pa.float64()),
+            }
+        )
+
+    sym = with_b.map_batches(cosine_sym, batch_format="pyarrow")
+
+    def top1(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", "best_doc"],
+                          ascending=[False, True], kind="stable")
+        return g.iloc[:1]
+
+    return grouped_apply(sym, [id_col], top1,
+                         num_partitions=num_partitions)

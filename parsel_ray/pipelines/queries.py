@@ -744,6 +744,61 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8):
     )
 
 
+def doc_sparse_cosine_top1(sf_dir: str):
+    """Most-similar doc per doc under sparse TF cosine via the inverted
+    index (:func:`parsel_ray.functions.similarity.sparse_cosine_top1`;
+    the pair-enumeration df cut is RELATIVE — 10%% of the corpus row
+    count, mirrored in SQL — so the kept-term set survives scale
+    changes).  Integer dots/norms make the cosine the same IEEE
+    expression on both sides — hash-identical floats."""
+    from ..functions.similarity import sparse_cosine_top1
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return sparse_cosine_top1(ds, max_df_frac=0.1, num_partitions=16)
+
+
+SPARSE_COS_SQL = """
+WITH tf AS (
+  SELECT doc_id, tok AS term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '[a-z]{2,}')) AS tok
+        FROM documents)
+  GROUP BY doc_id, tok
+),
+kept AS (
+  SELECT term FROM tf GROUP BY term
+  HAVING COUNT(*) > 1
+     AND COUNT(*) <= GREATEST(
+           2, CAST(0.1 * (SELECT COUNT(*) FROM documents) AS BIGINT))
+),
+w AS (SELECT tf.* FROM tf JOIN kept USING (term)),
+norm AS (SELECT doc_id, SUM(tf * tf) AS norm_sq FROM w GROUP BY doc_id),
+dots AS (
+  SELECT w1.doc_id AS a, w2.doc_id AS b, SUM(w1.tf * w2.tf) AS dot
+  FROM w w1 JOIN w w2 USING (term)
+  WHERE w1.doc_id < w2.doc_id
+  GROUP BY w1.doc_id, w2.doc_id
+),
+cos AS (
+  SELECT a, b,
+         dot / (sqrt(CAST(n1.norm_sq AS DOUBLE))
+                * sqrt(CAST(n2.norm_sq AS DOUBLE))) AS cosine
+  FROM dots
+  JOIN norm n1 ON n1.doc_id = dots.a
+  JOIN norm n2 ON n2.doc_id = dots.b
+),
+sym AS (
+  SELECT a AS doc_id, b AS best_doc, cosine FROM cos
+  UNION ALL
+  SELECT b, a, cosine FROM cos
+)
+SELECT doc_id, best_doc, cosine FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY doc_id ORDER BY cosine DESC, best_doc ASC) AS rn
+  FROM sym
+) WHERE rn = 1
+"""
+
+
 def doc_quality_logreg(sf_dir: str):
     """Distributed logistic-regression TRAINING (Newton/IRLS over
     sufficient statistics, :mod:`parsel_ray.functions.ml`): token-stat
@@ -3400,17 +3455,18 @@ SELECT user_id FROM events WHERE event_type = 'purchase'
 
 
 def events_except_hours(sf_dir: str):
-    """Set difference (EXCEPT) at the hour grain: hours that saw a click
-    but no purchase — the same fused one-pass conditional-count shuffle
-    as INTERSECT with the keep predicate flipped (a > 0 AND b = 0);
-    neither distinct set materializes anywhere.  (The user grain is
-    degenerate on this corpus: every user purchases, so EXCEPT would be
-    empty at every sf.)"""
+    """Set difference (EXCEPT) at the MINUTE grain: minutes that saw a
+    click but no purchase — the same fused one-pass conditional-count
+    shuffle as INTERSECT with the keep predicate flipped (a > 0 AND
+    b = 0); neither distinct set materializes anywhere.  (Coarser grains
+    are degenerate somewhere: every user purchases at every sf, and at
+    sf0.1 every hour sees a purchase — the minute grain stays non-empty
+    from sf0.001 through sf0.1.)"""
 
     def widen(t: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "hour": pc.floor_temporal(t["ts"], unit="hour"),
+                "hour": pc.floor_temporal(t["ts"], unit="minute"),
                 "a": pc.cast(pc.equal(t["event_type"], "click"), pa.int64()),
                 "b": pc.cast(
                     pc.equal(t["event_type"], "purchase"), pa.int64()
@@ -3434,10 +3490,10 @@ def events_except_hours(sf_dir: str):
 
 
 EXCEPT_SQL = """
-SELECT date_trunc('hour', ts) AS hour FROM events
+SELECT date_trunc('minute', ts) AS hour FROM events
 WHERE event_type = 'click'
 EXCEPT
-SELECT date_trunc('hour', ts) FROM events WHERE event_type = 'purchase'
+SELECT date_trunc('minute', ts) FROM events WHERE event_type = 'purchase'
 """
 
 
@@ -4645,6 +4701,7 @@ QUERIES = {
     "doc_bpe_train": doc_bpe_train,
     "indexed_point_lookup": indexed_point_lookup,
     "doc_quality_logreg": doc_quality_logreg,
+    "doc_sparse_cosine_top1": doc_sparse_cosine_top1,
     "embedding_knn": embedding_knn,
     "embedding_near_dup": embedding_near_dup,
     # rows-only (non-SQL-expressible)
@@ -4759,6 +4816,7 @@ ORACLE_SQL = {
     "lineitem_triangles": TRIANGLE_SQL,
     "doc_dup_ngram_coverage": DUP_NGRAM_SQL,
     "indexed_point_lookup": POINT_LOOKUP_SQL,
+    "doc_sparse_cosine_top1": SPARSE_COS_SQL,
     "image_jpeg_roundtrip": JPEG_SQL,
     "image_png_roundtrip": PNG_SQL,
     "image_gif_roundtrip": JPEG_SQL,

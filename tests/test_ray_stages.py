@@ -1678,3 +1678,43 @@ class TestLogreg:
         assert all(b <= a + 1e-9 for a, b in zip(nll, nll[1:]))
         # recovered weights near the generating ones (statistical check)
         assert np.abs(w - true_w).max() < 0.25
+
+
+class TestSparseCosineTop1:
+    """functions/similarity.py::sparse_cosine_top1 — hand-checkable case."""
+
+    def test_handcase(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from parsel_ray.functions.similarity import sparse_cosine_top1
+
+        docs = {
+            0: "apple banana cherry",
+            1: "apple banana date",      # shares 2 terms with doc0
+            2: "apple elder fig",        # shares 1 term with 0,1
+            3: "zz yy xx",               # no shared kept terms
+        }
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(list(docs), pa.int64()),
+                    "text": pa.array(list(docs.values())),
+                }
+            )
+        ).repartition(2)
+        out = {
+            r["doc_id"]: (r["best_doc"], r["cosine"])
+            for r in sparse_cosine_top1(ds, max_df=50,
+                                        num_partitions=4).take_all()
+        }
+        # df=1 terms (cherry/date/elder/fig/zz/yy/xx) drop BEFORE norms
+        # (mirrors the SQL `w` CTE): doc0 and doc1 both reduce to
+        # {apple, banana} → cosine exactly 1
+        assert out[0][0] == 1 and abs(out[0][1] - 1.0) < 1e-12
+        assert out[1][0] == 0 and abs(out[1][1] - 1.0) < 1e-12
+        # doc2 reduces to {apple}: cos vs either = 1/sqrt(2); tie →
+        # smaller id wins
+        assert out[2][0] == 0 and abs(out[2][1] - 2 ** -0.5) < 1e-12
+        # doc3 has no kept term → absent
+        assert 3 not in out
