@@ -1737,6 +1737,122 @@ WHERE o_orderpriority = '1-URGENT'
 """
 
 
+def q4_late_orders(sf_dir: str):
+    """q4-shaped EXISTS semi-join with a cross-table predicate: orders
+    placed in 1996-Q1 that have at least one lineitem shipping ≥ 60 days
+    after the order date, counted per priority.  The predicate couples
+    both tables, so the semi-join is a bucket co-partition on orderkey
+    with the date filter pushed into the read on the orders side; the
+    EXISTS collapse is a (orderkey, priority) combiner groupby (one row
+    per qualified order enters the final tiny shuffle)."""
+    import datetime as _dt
+
+    lo = _dt.datetime(1996, 1, 1)
+    hi = _dt.datetime(1996, 4, 1)
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+                pc.less(t["o_orderdate"], pa.scalar(hi)),
+            )
+        ),
+        batch_format="pyarrow",
+    ).map_batches(
+        lambda t: t.rename_columns(
+            ["l_orderkey", "o_orderdate", "o_orderpriority"]
+        ),
+        batch_format="pyarrow",
+    )
+    items = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    joined = hash_bucket_join(orders, items, on="l_orderkey",
+                              how="inner", buckets=16)
+
+    def late(t: pa.Table) -> pa.Table:
+        od = t["o_orderdate"].to_numpy(zero_copy_only=False)
+        sd = t["l_shipdate"].to_numpy(zero_copy_only=False)
+        keep = sd >= od + np.timedelta64(60, "D")
+        f = t.filter(pa.array(keep))
+        return pa.table(
+            {
+                "l_orderkey": f["l_orderkey"],
+                "o_orderpriority": f["o_orderpriority"],
+            }
+        )
+
+    per_order = partial_sum_groupby(
+        joined.map_batches(late, batch_format="pyarrow"),
+        ["l_orderkey", "o_orderpriority"], {}, count_as="__n",
+    )
+    return partial_sum_groupby(
+        per_order, ["o_orderpriority"], {}, count_as="n_orders"
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+WHERE o_orderdate >= DATE '1996-01-01'
+  AND o_orderdate < DATE '1996-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate >= o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+"""
+
+
+def q18_large_orders(sf_dir: str):
+    """q18-shaped HAVING-sum join: orders whose total lineitem quantity
+    exceeds 150, joined back to the order row.  The quantity rollup is a
+    per-batch combiner (quantities are integer-valued, summed exactly as
+    int64); the HAVING filter runs before the join so only qualified
+    orderkeys shuffle."""
+    qty = partial_sum_groupby(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]).map_batches(
+            lambda t: pa.table(
+                {
+                    "l_orderkey": t["l_orderkey"],
+                    "q": pc.cast(t["l_quantity"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        ["l_orderkey"], {"q": "sum_qty"},
+    ).map_batches(
+        lambda t: t.filter(pc.greater(t["sum_qty"], 150)),
+        batch_format="pyarrow",
+    )
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "l_orderkey": t["o_orderkey"],
+                "o_custkey": t["o_custkey"],
+                "price_cents": pa.array(_cents(t["o_totalprice"])),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return hash_bucket_join(qty, orders, on="l_orderkey", how="inner",
+                            buckets=16)
+
+
+Q18_SQL = f"""
+SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+           AS sum_qty,
+       o_custkey,
+       CAST({_CENTS_SQL.format(expr='o_totalprice')} AS BIGINT)
+           AS price_cents
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+GROUP BY l_orderkey, o_custkey, o_totalprice
+HAVING SUM(CAST(l_quantity AS BIGINT)) > 150
+"""
+
+
 def q6_revenue(sf_dir: str):
     """Scalar aggregate (single-row result): discounted revenue in a
     shipdate/discount/quantity window — per-batch partial sums, one tiny
@@ -4712,6 +4828,8 @@ QUERIES = {
     "embedding_near_dup_lsh": embedding_near_dup_lsh,
     "doc_quality": doc_quality,
     "q6_revenue": q6_revenue,
+    "q4_late_orders": q4_late_orders,
+    "q18_large_orders": q18_large_orders,
     "top_order_per_customer": top_order_per_customer,
     "orders_minmax": orders_minmax,
     "deterministic_sample": deterministic_sample,
@@ -4826,6 +4944,8 @@ ORACLE_SQL = {
     "embedding_knn": KNN_SQL,
     "embedding_near_dup": NEARDUP_SQL,
     "q6_revenue": Q6_SQL,
+    "q4_late_orders": Q4_SQL,
+    "q18_large_orders": Q18_SQL,
     "top_order_per_customer": TOPCUST_SQL,
     "orders_minmax": MINMAX_SQL,
     "deterministic_sample": SAMPLE_SQL,
