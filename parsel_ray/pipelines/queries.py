@@ -846,6 +846,57 @@ def doc_quality_logreg(sf_dir: str):
     )
 
 
+def zorder_range_scan(sf_dir: str):
+    """Z-order (Morton) clustered layout: events sort by the interleaved
+    (user_id, value_cents) key into 16 z-contiguous shards with min/max
+    sidecars over BOTH columns, then a 2D range scan prunes shards on
+    both predicates at once (asserted in-query) and filters exactly —
+    oracle-checked against a plain two-predicate WHERE.  One sort
+    clusters both dimensions; correctness never depends on the curve
+    (only pruning locality does)."""
+    import tempfile as _tempfile
+
+    from ..sources.zorder import zorder_range_read, zorder_write
+
+    out = _tempfile.mkdtemp(prefix="events_z_", dir="/tmp")
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "value_cents": pa.array(_cents(t["value"])),
+            }
+        )
+
+    n = zorder_write(
+        _read(sf_dir, "events", ["event_id", "user_id", "value"])
+        .map_batches(prep, batch_format="pyarrow"),
+        out, col_x="user_id", col_y="value_cents",
+        domains=((0, 10000), (0, 50000)), shards=16,
+    )
+    assert n > 0
+    # user_id's domain scales with sf (max 14 at sf0.001, 1499 at
+    # sf0.1) — the bbox anchors at the low end so it is non-empty AND
+    # prunable at every scale
+    ds, stats = zorder_range_read(
+        out, "user_id", "value_cents",
+        x_range=(0, 5), y_range=(1000, 3000),
+    )
+    s = stats()
+    assert s["shards_read"] < s["shards_total"], s
+    return ds
+
+
+ZORDER_SQL = f"""
+SELECT event_id, user_id,
+       CAST({_CENTS_SQL.format(expr='value')} AS BIGINT) AS value_cents
+FROM events
+WHERE user_id BETWEEN 0 AND 5
+  AND {_CENTS_SQL.format(expr='value')} BETWEEN 1000 AND 3000
+"""
+
+
 def indexed_point_lookup(sf_dir: str):
     """Bloom-sidecar secondary index: documents stream to an indexed
     parquet sink (per-shard key Bloom + min/max sidecars), then a point
@@ -4816,6 +4867,7 @@ QUERIES = {
     "doc_dup_ngram_coverage": doc_dup_ngram_coverage,
     "doc_bpe_train": doc_bpe_train,
     "indexed_point_lookup": indexed_point_lookup,
+    "zorder_range_scan": zorder_range_scan,
     "doc_quality_logreg": doc_quality_logreg,
     "doc_sparse_cosine_top1": doc_sparse_cosine_top1,
     "embedding_knn": embedding_knn,
@@ -4935,6 +4987,7 @@ ORACLE_SQL = {
     "doc_dup_ngram_coverage": DUP_NGRAM_SQL,
     "indexed_point_lookup": POINT_LOOKUP_SQL,
     "doc_sparse_cosine_top1": SPARSE_COS_SQL,
+    "zorder_range_scan": ZORDER_SQL,
     "image_jpeg_roundtrip": JPEG_SQL,
     "image_png_roundtrip": PNG_SQL,
     "image_gif_roundtrip": JPEG_SQL,

@@ -150,23 +150,28 @@ def point_lookup(
                 shard[key_col], value_set=pa.array(ks, pa.int64())
             )
             out = shard.filter(mask)
-            if len(out):
-                yield out
+            # yield even when empty (typed schema survives an all-empty
+            # filter outcome)
+            yield out
 
+    sch = pq.read_schema(shards[0])
+    schema_cols = list(columns) if columns is not None else list(sch.names)
+    typed_empty = rd.from_arrow(
+        pa.table(
+            {c: pa.array([], sch.field(c).type) for c in schema_cols}
+        )
+    )
     if cand_paths:
+        # union with a typed empty block: Ray drops all-empty map output
+        # blocks, so an is_in that matches nothing in any candidate would
+        # otherwise leave a schema-less dataset
         result = rd.from_arrow(
             pa.table({"path": pa.array(cand_paths, pa.string())})
         ).repartition(min(parallelism, len(cand_paths))).map_batches(
             load, batch_format="pyarrow"
-        )
+        ).union(typed_empty)
     else:
-        schema_cols = columns or pq.read_schema(shards[0]).names
-        sch = pq.read_schema(shards[0])
-        result = rd.from_arrow(
-            pa.table(
-                {c: pa.array([], sch.field(c).type) for c in schema_cols}
-            )
-        )
+        result = typed_empty
 
     def stats():
         return {"shards_total": len(shards),

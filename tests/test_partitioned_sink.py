@@ -201,3 +201,82 @@ class TestIndexedSink:
 
         with _pytest.raises(ValueError):
             _sidecar_may_match(b"garbage", np.array([1], np.int64))
+
+
+class TestZorder:
+    """sources/zorder.py: Morton clustering, 2D pruning, exact results."""
+
+    def test_morton_key_locality(self):
+        import numpy as np
+
+        from parsel_ray.sources.zorder import morton_key
+
+        # interleave property: z(x, y) with y fixed is monotone in x grid
+        x = np.array([0, 1000, 2000, 65535], np.int64)
+        y = np.zeros(4, np.int64)
+        z = morton_key(x, y, 0, 65535, 0, 65535)
+        assert (np.diff(z) > 0).all()
+        # swapping axes lands in different bit lanes
+        z2 = morton_key(y, x, 0, 65535, 0, 65535)
+        assert not np.array_equal(z, z2)
+
+    def test_write_scan_exact_and_pruned(self, ray_session, tmp_path):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from parsel_ray.sources.zorder import zorder_range_read, zorder_write
+
+        rng = np.random.RandomState(6)
+        n = 4000
+        t = pa.table(
+            {
+                "rid": pa.array(range(n), pa.int64()),
+                "x": pa.array(rng.randint(0, 1000, n), pa.int64()),
+                "y": pa.array(rng.randint(0, 1000, n), pa.int64()),
+            }
+        )
+        out = str(tmp_path / "z")
+        total = zorder_write(
+            rd.from_arrow(t).repartition(4), out, "x", "y",
+            domains=((0, 1000), (0, 1000)), shards=16,
+        )
+        assert total == n
+
+        ds, stats = zorder_range_read(
+            out, "x", "y", x_range=(100, 200), y_range=(300, 400)
+        )
+        got = sorted(r["rid"] for r in ds.take_all())
+        xs = t["x"].to_numpy()
+        ys = t["y"].to_numpy()
+        want = sorted(
+            int(i) for i in range(n)
+            if 100 <= xs[i] <= 200 and 300 <= ys[i] <= 400
+        )
+        assert got == want and len(want) > 0
+        s = stats()
+        # a 10% x 10% bbox over a z-clustered 16-shard layout must skip
+        # most shards
+        assert s["shards_read"] <= s["shards_total"] // 2, s
+
+    def test_projection_keeps_filter_exact(self, ray_session, tmp_path):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from parsel_ray.sources.zorder import zorder_range_read, zorder_write
+
+        t = pa.table(
+            {
+                "rid": pa.array(range(100), pa.int64()),
+                "x": pa.array(range(100), pa.int64()),
+                "y": pa.array([i * 3 % 100 for i in range(100)], pa.int64()),
+            }
+        )
+        out = str(tmp_path / "z2")
+        zorder_write(rd.from_arrow(t).repartition(2), out, "x", "y",
+                     domains=((0, 100), (0, 100)), shards=4)
+        ds, _ = zorder_range_read(out, "x", "y", (10, 20), (0, 100),
+                                  columns=["rid"])
+        assert ds.schema().names == ["rid"]
+        assert ds.count() == 11
