@@ -1788,6 +1788,101 @@ WHERE o_orderpriority = '1-URGENT'
 """
 
 
+def dq_orders_checks(sf_dir: str):
+    """Data-quality validation suite over orders/lineitem — the
+    constraint checks an ingest pipeline runs before promoting a batch:
+    key uniqueness (duplicate o_orderkey count), referential integrity
+    (lineitem.l_orderkey values with no parent order, via the Bloom-
+    prefiltered anti path: combiner-distinct per batch then bucket
+    anti-join), null counts, and a domain rule (non-positive
+    o_totalprice).  One row per rule with its violation count —
+    oracle-checked; this corpus is clean, so the value of the gate is
+    that every rule computes ZERO by the same arithmetic as SQL."""
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    # rule 1: duplicate primary keys = Σ per-key (count-1) over count>1
+    dup = partial_sum_groupby(orders.map_batches(
+        lambda t: t.select(["o_orderkey"]), batch_format="pyarrow"),
+        ["o_orderkey"], {}, count_as="__n")
+
+    def dup_excess(t: pa.Table) -> pa.Table:
+        n = t["__n"].to_numpy(zero_copy_only=False)
+        return pa.table({"v": pa.array([int((n - 1).sum())], pa.int64())})
+
+    n_dup = int(dup.map_batches(dup_excess,
+                                batch_format="pyarrow").sum("v") or 0)
+
+    # rule 2: orphan lineitems — distinct l_orderkey per batch (combiner)
+    # anti-joined against order keys
+    li_keys = partial_sum_groupby(
+        _read(sf_dir, "lineitem", ["l_orderkey"]),
+        ["l_orderkey"], {}, count_as="__n",
+    )
+    okeys = orders.map_batches(
+        lambda t: pa.table({"l_orderkey": t["o_orderkey"],
+                            "__parent": pa.array(
+                                np.ones(len(t), np.int8))}),
+        batch_format="pyarrow",
+    )
+    joined = hash_bucket_join(li_keys, okeys, on="l_orderkey",
+                              how="left", buckets=16)
+    n_orphan = int(joined.map_batches(
+        lambda t: pa.table({"v": pa.array(
+            [int(pc.sum(pc.cast(pc.is_null(t["__parent"]),
+                                pa.int64())).as_py() or 0)], pa.int64())}),
+        batch_format="pyarrow",
+    ).sum("v") or 0)
+
+    # rules 3+4: null custkey, non-positive totalprice — one combiner scan
+    def scan(t: pa.Table) -> pa.Table:
+        nulls = int(pc.sum(pc.cast(pc.is_null(t["o_custkey"]),
+                                   pa.int64())).as_py() or 0)
+        nonpos = int(pc.sum(pc.cast(
+            pc.less_equal(pc.fill_null(t["o_totalprice"], 1.0), 0.0),
+            pa.int64())).as_py() or 0)
+        return pa.table({"nulls": pa.array([nulls], pa.int64()),
+                         "nonpos": pa.array([nonpos], pa.int64())})
+
+    scanned = orders.map_batches(scan, batch_format="pyarrow")
+    n_nulls = int(scanned.sum("nulls") or 0)
+    n_nonpos = int(scanned.sum("nonpos") or 0)
+
+    return pa.table(
+        {
+            "rule": pa.array(
+                ["duplicate_orderkey", "orphan_lineitem",
+                 "null_custkey", "nonpositive_totalprice"], pa.string()
+            ),
+            "violations": pa.array(
+                [n_dup, n_orphan, n_nulls, n_nonpos], pa.int64()
+            ),
+        }
+    )
+
+
+DQ_SQL = """
+SELECT 'duplicate_orderkey' AS rule,
+       CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) AS violations
+FROM (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey) WHERE n > 1
+UNION ALL
+SELECT 'orphan_lineitem',
+       CAST(COUNT(*) AS BIGINT)
+FROM (SELECT DISTINCT l_orderkey FROM lineitem) li
+LEFT JOIN orders ON o_orderkey = li.l_orderkey
+WHERE o_orderkey IS NULL
+UNION ALL
+SELECT 'null_custkey',
+       CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'nonpositive_totalprice',
+       CAST(COUNT(*) FILTER (WHERE COALESCE(o_totalprice, 1.0) <= 0)
+            AS BIGINT)
+FROM orders
+"""
+
+
 def q4_late_orders(sf_dir: str):
     """q4-shaped EXISTS semi-join with a cross-table predicate: orders
     placed in 1996-Q1 that have at least one lineitem shipping ≥ 60 days
@@ -4881,6 +4976,7 @@ QUERIES = {
     "doc_quality": doc_quality,
     "q6_revenue": q6_revenue,
     "q4_late_orders": q4_late_orders,
+    "dq_orders_checks": dq_orders_checks,
     "q18_large_orders": q18_large_orders,
     "top_order_per_customer": top_order_per_customer,
     "orders_minmax": orders_minmax,
@@ -4998,6 +5094,7 @@ ORACLE_SQL = {
     "embedding_near_dup": NEARDUP_SQL,
     "q6_revenue": Q6_SQL,
     "q4_late_orders": Q4_SQL,
+    "dq_orders_checks": DQ_SQL,
     "q18_large_orders": Q18_SQL,
     "top_order_per_customer": TOPCUST_SQL,
     "orders_minmax": MINMAX_SQL,

@@ -646,3 +646,38 @@ class TestStreamingEnrich:
             m = seg == s
             want[str(s)] = (int(m.sum()), int(cents[m].sum()))
         assert got == want
+
+
+class TestDqChecks:
+    """dq_orders_checks must actually FIRE on planted violations (the
+    gate corpus is clean, so every rule reads zero there)."""
+
+    def test_planted_violations(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from parsel_ray.pipelines.queries import dq_orders_checks
+
+        orders = pa.table(
+            {
+                "o_orderkey": pa.array([1, 2, 2, 3, 4], pa.int64()),
+                "o_custkey": pa.array([10, None, 12, None, 14],
+                                      pa.int64()),
+                "o_totalprice": pa.array([5.0, -1.0, 0.0, 2.0, 3.0]),
+            }
+        )
+        lineitem = pa.table(
+            {"l_orderkey": pa.array([1, 1, 2, 99, 98, 99], pa.int64())}
+        )
+        pq.write_table(orders, str(tmp_path / "orders.parquet"))
+        pq.write_table(lineitem, str(tmp_path / "lineitem.parquet"))
+        out = {
+            r["rule"]: r["violations"]
+            for r in dq_orders_checks(str(tmp_path)).to_pylist()
+        }
+        assert out == {
+            "duplicate_orderkey": 1,    # key 2 appears twice -> 1 excess
+            "orphan_lineitem": 2,       # distinct orphans 98, 99
+            "null_custkey": 2,
+            "nonpositive_totalprice": 2,
+        }
