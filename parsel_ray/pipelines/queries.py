@@ -391,6 +391,61 @@ FROM events GROUP BY event_type, date_trunc('hour', ts)
 """
 
 
+def events_hourly_ivm(sf_dir: str):
+    """Incremental view maintenance: the hourly aggregate is built from
+    the FIRST HALF of the stream (event_id < median split), persisted as
+    a materialized view (worker-side parquet shards), then the second
+    half arrives as a DELTA whose combiner aggregate merges into the
+    view by groupby-sum — no recompute of the base.  The DuckDB oracle
+    is the full recompute over all events: the IVM result must equal it
+    exactly (counts and cents are ints, so the merge is exact)."""
+    import tempfile as _tempfile
+
+    import pyarrow.dataset as pads
+
+    from .streaming import _footer_minmax
+
+    path = f"{sf_dir}/events.parquet"
+    lo, hi = _footer_minmax(path, "event_id")
+    split = int((int(lo) + int(hi)) // 2)
+
+    def prep(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t["ts"], unit="hour")
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "hour": hour,
+                "n": pa.array(np.ones(len(t), np.int64)),
+                "sum_value_cents": pa.array(_cents(t["value"])),
+            }
+        )
+
+    def agg(part) -> "rd.Dataset":
+        return partial_sum_groupby(
+            rd.read_parquet(
+                path, columns=["event_id", "ts", "event_type", "value"],
+                filter=part,
+            ).map_batches(prep, batch_format="pyarrow"),
+            ["event_type", "hour"],
+            {"n": "n", "sum_value_cents": "sum_value_cents"},
+        )
+
+    # materialize the base view to a worker-side parquet dir (the
+    # "view" a production pipeline would keep between delta batches)
+    view_dir = _tempfile.mkdtemp(prefix="hourly_view_", dir="/tmp")
+    agg(pads.field("event_id") < split).write_parquet(view_dir)
+
+    base = rd.read_parquet(view_dir)
+    delta = agg(pads.field("event_id") >= split)
+
+    # delta-apply = union + one groupby-sum (exact int merge)
+    return partial_sum_groupby(
+        base.union(delta),
+        ["event_type", "hour"],
+        {"n": "n", "sum_value_cents": "sum_value_cents"},
+    )
+
+
 def events_sessionize(sf_dir: str):
     """Session windows (30-min inactivity gap) per user: partition by key,
     sort by ts within the group, count gap starts.  The per-user group fits
@@ -4938,6 +4993,7 @@ QUERIES = {
     "distinct_event_types": distinct_event_types,
     "top5_parts": top5_parts,
     "events_hourly": events_hourly,
+    "events_hourly_ivm": events_hourly_ivm,
     "events_sessionize": events_sessionize,
     "events_sliding_hourly": events_sliding_hourly,
     "events_running_count": events_running_count,
@@ -5062,6 +5118,7 @@ ORACLE_SQL = {
     "distinct_event_types": DISTINCT_SQL,
     "top5_parts": TOP5_SQL,
     "events_hourly": HOURLY_SQL,
+    "events_hourly_ivm": HOURLY_SQL,
     "events_sessionize": SESSION_SQL,
     "events_sliding_hourly": SLIDING_SQL,
     "events_running_count": RUNNING_SQL,
