@@ -556,3 +556,52 @@ def hash_bucket_join(left, right, on: str, buckets: int = 32,
         )
 
     return both.groupby("__bucket").map_groups(merge, batch_format="pyarrow")
+
+
+def apply_changelog(
+    snapshot,
+    changes,
+    key: str,
+    seq_col: str = "__seq",
+    op_col: str = "__op",
+    num_partitions: int = 32,
+):
+    """CDC merge: fold a changelog of keyed upserts/deletes into a
+    snapshot (the lakehouse MERGE INTO shape).  ``changes`` carries the
+    snapshot's columns plus ``op_col`` ('upsert' | 'delete') and a
+    monotonically increasing ``seq_col``; base rows rank below every
+    change (seq -1).  Per key, the highest-seq row wins; a winning
+    delete drops the key.
+
+    Distribution: one union + one coarse hash-partitioned
+    ``grouped_apply`` on the key — per-key state never leaves the
+    partition, the driver holds nothing.  Ties on seq are broken by op
+    ('delete' > 'upsert', matching the convention that a delete in the
+    same transaction wins)."""
+    import pandas as pd
+    import pyarrow.compute as pc_
+
+    def tag_base(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            seq_col, pa.array(np.full(len(t), -1, np.int64))
+        ).append_column(op_col, pa.array(["upsert"] * len(t)))
+
+    base = snapshot.map_batches(tag_base, batch_format="pyarrow")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        # 'delete' outranks 'upsert' at equal seq (lexicographic order
+        # would do the opposite, hence the explicit rank)
+        g = g.assign(
+            __oprank=(g[op_col] == "delete").astype(int)
+        ).sort_values([seq_col, "__oprank"], kind="stable").drop(
+            columns=["__oprank"]
+        )
+        last = g.iloc[-1]
+        if last[op_col] == "delete":
+            return g.iloc[0:0].drop(columns=[seq_col, op_col])
+        return g.iloc[[-1]].drop(columns=[seq_col, op_col])
+
+    from .agg import grouped_apply
+
+    return grouped_apply(base.union(changes), [key], fold,
+                         num_partitions=num_partitions)

@@ -1843,6 +1843,63 @@ WHERE o_orderpriority = '1-URGENT'
 """
 
 
+def orders_cdc_merge(sf_dir: str):
+    """CDC MERGE: a deterministic changelog folds into the orders
+    snapshot — upserts double the price of every ``o_orderkey % 7 == 0``
+    row (seq 1), deletes remove every ``% 11 == 0`` row (seq 2, so a
+    delete beats an upsert on overlapping keys).  One union + one coarse
+    per-key fold (:func:`parsel_ray.functions.relational.
+    apply_changelog`); the oracle states the post-merge table directly."""
+    from ..functions.relational import apply_changelog
+
+    snap = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "price_cents": pa.array(_cents(t["o_totalprice"])),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def mk_changes(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        cents = np.asarray(
+            t["price_cents"].to_numpy(zero_copy_only=False), np.int64
+        )
+        up = k % 7 == 0
+        de = k % 11 == 0
+        keys = np.concatenate([k[up], k[de]])
+        vals = np.concatenate([cents[up] * 2, np.zeros(int(de.sum()),
+                                                       np.int64)])
+        seqs = np.concatenate(
+            [np.ones(int(up.sum()), np.int64),
+             np.full(int(de.sum()), 2, np.int64)]
+        )
+        ops = ["upsert"] * int(up.sum()) + ["delete"] * int(de.sum())
+        return pa.table(
+            {
+                "o_orderkey": pa.array(keys, pa.int64()),
+                "price_cents": pa.array(vals, pa.int64()),
+                "__seq": pa.array(seqs, pa.int64()),
+                "__op": pa.array(ops, pa.string()),
+            }
+        )
+
+    changes = snap.map_batches(mk_changes, batch_format="pyarrow")
+    return apply_changelog(snap, changes, key="o_orderkey",
+                           num_partitions=16)
+
+
+CDC_SQL = f"""
+SELECT o_orderkey,
+       CAST({_CENTS_SQL.format(expr='o_totalprice')}
+            * CASE WHEN o_orderkey % 7 = 0 THEN 2 ELSE 1 END AS BIGINT)
+           AS price_cents
+FROM orders WHERE o_orderkey % 11 <> 0
+"""
+
+
 def dq_orders_checks(sf_dir: str):
     """Data-quality validation suite over orders/lineitem — the
     constraint checks an ingest pipeline runs before promoting a batch:
@@ -5033,6 +5090,7 @@ QUERIES = {
     "q6_revenue": q6_revenue,
     "q4_late_orders": q4_late_orders,
     "dq_orders_checks": dq_orders_checks,
+    "orders_cdc_merge": orders_cdc_merge,
     "q18_large_orders": q18_large_orders,
     "top_order_per_customer": top_order_per_customer,
     "orders_minmax": orders_minmax,
@@ -5152,6 +5210,7 @@ ORACLE_SQL = {
     "q6_revenue": Q6_SQL,
     "q4_late_orders": Q4_SQL,
     "dq_orders_checks": DQ_SQL,
+    "orders_cdc_merge": CDC_SQL,
     "q18_large_orders": Q18_SQL,
     "top_order_per_customer": TOPCUST_SQL,
     "orders_minmax": MINMAX_SQL,

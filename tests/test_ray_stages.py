@@ -1718,3 +1718,42 @@ class TestSparseCosineTop1:
         assert out[2][0] == 0 and abs(out[2][1] - 2 ** -0.5) < 1e-12
         # doc3 has no kept term → absent
         assert 3 not in out
+
+
+class TestApplyChangelog:
+    """relational.apply_changelog — CDC merge fold semantics."""
+
+    def test_upsert_delete_reinsert_and_tie(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from parsel_ray.functions.relational import apply_changelog
+
+        snap = rd.from_arrow(
+            pa.table(
+                {"k": pa.array([1, 2, 3, 4], pa.int64()),
+                 "v": pa.array([10, 20, 30, 40], pa.int64())}
+            )
+        )
+        changes = rd.from_arrow(
+            pa.table(
+                {
+                    "k": pa.array([1, 2, 2, 5, 3, 3], pa.int64()),
+                    "v": pa.array([11, 0, 22, 50, 0, 33], pa.int64()),
+                    "__seq": pa.array([1, 1, 2, 1, 2, 2], pa.int64()),
+                    "__op": pa.array(
+                        ["upsert", "delete", "upsert", "upsert",
+                         "delete", "upsert"]
+                    ),
+                }
+            )
+        )
+        out = {
+            r["k"]: r["v"]
+            for r in apply_changelog(snap, changes, key="k",
+                                     num_partitions=4).take_all()
+        }
+        # k=1 updated; k=2 deleted then re-upserted at higher seq;
+        # k=3 delete ties with upsert at seq 2 → delete wins; k=4
+        # untouched; k=5 inserted
+        assert out == {1: 11, 2: 22, 4: 40, 5: 50}
