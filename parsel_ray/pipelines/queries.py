@@ -1843,6 +1843,70 @@ WHERE o_orderpriority = '1-URGENT'
 """
 
 
+def versioned_time_travel(sf_dir: str):
+    """Snapshot isolation + time travel: version 1 commits the LOW half
+    of orders (o_orderkey below the footer-stats midpoint), version 2
+    appends the rest — then the query reads **version 1** while v2
+    exists and aggregates it.  The oracle states v1's contents directly
+    (the midpoint split), proving the old snapshot stays exactly
+    readable after later commits; the in-query assert proves v2 sees
+    everything."""
+    import tempfile as _tempfile
+
+    import pyarrow.dataset as pads
+
+    from ..sources.versioned import append_version, read_version
+    from .streaming import _footer_minmax
+
+    path = f"{sf_dir}/orders.parquet"
+    lo, hi = _footer_minmax(path, "o_orderkey")
+    mid = int((int(lo) + int(hi)) // 2)
+    table_dir = _tempfile.mkdtemp(prefix="orders_ver_", dir="/tmp")
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_orderpriority": t["o_orderpriority"],
+                "cents": pa.array(_cents(t["o_totalprice"])),
+            }
+        )
+
+    def half(part):
+        return rd.read_parquet(
+            path, columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
+            filter=part,
+        ).map_batches(prep, batch_format="pyarrow")
+
+    v1 = append_version(half(pads.field("o_orderkey") < mid), table_dir)
+    v2 = append_version(half(pads.field("o_orderkey") >= mid), table_dir)
+    assert (v1, v2) == (1, 2)
+
+    full = read_version(table_dir).count()  # latest = v2 = everything
+    old = read_version(table_dir, version=1)
+    n_old = old.count()
+    assert full > n_old > 0, (full, n_old)
+
+    return partial_sum_groupby(
+        old, ["o_orderpriority"], {"cents": "sum_cents"},
+        count_as="n_orders",
+    )
+
+
+TIME_TRAVEL_SQL = f"""
+SELECT o_orderpriority,
+       CAST(SUM({_CENTS_SQL.format(expr='o_totalprice')}) AS BIGINT)
+           AS sum_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+WHERE o_orderkey <
+      CAST(floor(((SELECT min(o_orderkey) FROM orders)
+                  + (SELECT max(o_orderkey) FROM orders)) / 2.0)
+           AS BIGINT)
+GROUP BY o_orderpriority
+"""
+
+
 def orders_cdc_merge(sf_dir: str):
     """CDC MERGE: a deterministic changelog folds into the orders
     snapshot — upserts double the price of every ``o_orderkey % 7 == 0``
@@ -5091,6 +5155,7 @@ QUERIES = {
     "q4_late_orders": q4_late_orders,
     "dq_orders_checks": dq_orders_checks,
     "orders_cdc_merge": orders_cdc_merge,
+    "versioned_time_travel": versioned_time_travel,
     "q18_large_orders": q18_large_orders,
     "top_order_per_customer": top_order_per_customer,
     "orders_minmax": orders_minmax,
@@ -5211,6 +5276,7 @@ ORACLE_SQL = {
     "q4_late_orders": Q4_SQL,
     "dq_orders_checks": DQ_SQL,
     "orders_cdc_merge": CDC_SQL,
+    "versioned_time_travel": TIME_TRAVEL_SQL,
     "q18_large_orders": Q18_SQL,
     "top_order_per_customer": TOPCUST_SQL,
     "orders_minmax": MINMAX_SQL,

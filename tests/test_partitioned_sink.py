@@ -280,3 +280,45 @@ class TestZorder:
                                   columns=["rid"])
         assert ds.schema().names == ["rid"]
         assert ds.count() == 11
+
+
+class TestVersionedTable:
+    """sources/versioned.py: manifests pin snapshots; orphans invisible."""
+
+    def test_append_time_travel_and_orphan_isolation(self, ray_session,
+                                                     tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from parsel_ray.sources.versioned import append_version, read_version
+
+        d = str(tmp_path / "tbl")
+        t1 = pa.table({"k": pa.array([1, 2, 3], pa.int64())})
+        t2 = pa.table({"k": pa.array([4, 5], pa.int64())})
+        assert append_version(rd.from_arrow(t1), d) == 1
+        assert append_version(rd.from_arrow(t2), d) == 2
+
+        assert sorted(r["k"] for r in read_version(d).take_all()) == [
+            1, 2, 3, 4, 5,
+        ]
+        assert sorted(
+            r["k"] for r in read_version(d, version=1).take_all()
+        ) == [1, 2, 3]
+
+        # an orphan shard (failed writer: file exists, no manifest) must
+        # stay invisible to every version
+        pq.write_table(
+            pa.table({"k": pa.array([99], pa.int64())}),
+            str(tmp_path / "tbl" / "shard-orphan.parquet"),
+        )
+        assert sorted(r["k"] for r in read_version(d).take_all()) == [
+            1, 2, 3, 4, 5,
+        ]
+
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            read_version(d, version=7)
+        with _pytest.raises(FileNotFoundError):
+            read_version(str(tmp_path / "nope"))
