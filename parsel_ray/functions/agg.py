@@ -280,3 +280,62 @@ def grouped_quantiles(ds, group, col, qs):
         )
 
     return grouped_apply(hist, group, per_group, num_partitions=16)
+
+
+def pareto_front(
+    ds,
+    max_cols,
+    num_partitions: int = 16,
+):
+    """Skyline / Pareto front under MAXIMIZATION of every column in
+    ``max_cols``: rows no other row dominates (>= in all dims, > in at
+    least one).  Distribution uses the front's associativity — the front
+    of a union is contained in the union of the fronts — so each block
+    reduces to its local front (a combiner that usually removes almost
+    everything), survivors repartition once, and a final single-partition
+    pass computes the exact global front.  The final pass sees only
+    O(front) candidates, which for real data is tiny; a pathological
+    all-incomparable input degrades to one task over all rows, never to
+    a wrong answer."""
+    import numpy as np
+    import pyarrow as pa
+
+    cols = list(max_cols)
+
+    def local_front(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t
+        m = np.column_stack(
+            [t[c].to_numpy(zero_copy_only=False) for c in cols]
+        ).astype(np.float64)
+        keep = _pareto_mask(m)
+        return t.filter(pa.array(keep))
+
+    pruned = ds.map_batches(local_front, batch_format="pyarrow")
+    return pruned.repartition(1).map_batches(
+        local_front, batch_format="pyarrow"
+    )
+
+
+def _pareto_mask(m: "np.ndarray") -> "np.ndarray":
+    """Boolean mask of non-dominated rows (maximize all columns).
+    Sort by the first column descending, then each row only needs
+    checking against the kept set so far — O(n·front) worst case with
+    vectorized inner comparisons."""
+    import numpy as np
+
+    n = len(m)
+    order = np.lexsort(tuple(m[:, j] for j in range(m.shape[1] - 1, -1, -1)))
+    order = order[::-1]  # first col desc, ties by later cols desc
+    kept_rows = []
+    keep = np.zeros(n, bool)
+    for idx in order:
+        row = m[idx]
+        if kept_rows:
+            K = np.vstack(kept_rows)
+            dominated = ((K >= row).all(axis=1) & (K > row).any(axis=1)).any()
+            if dominated:
+                continue
+        kept_rows.append(row)
+        keep[idx] = True
+    return keep

@@ -321,3 +321,81 @@ def triangle_count(
     return rd.from_arrow(
         pa.table({"n_triangles": pa.array([int(total)], pa.int64())})
     )
+
+
+def reachable_nodes(
+    edges,
+    start: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_partitions: int = 8,
+    max_rounds: int = 64,
+):
+    """Distributed BFS reachability from ``start`` over a directed edge
+    Dataset — the iterative-join twin of SQL's cycle-safe
+    ``WITH RECURSIVE ... UNION``.  Per round: frontier ⋈ edges (bucket
+    co-partition) → distinct successors (combiner groupby) → anti-join
+    against the seen set (left join on a marker) keeps only NEW nodes.
+    The driver sees one convergence scalar per round; seen/frontier are
+    repartitioned and materialized each round (loop-carried Datasets
+    grow their block count otherwise — see :func:`pagerank`).  Rounds =
+    graph eccentricity of ``start``, never ``max_rounds`` on sane
+    graphs."""
+    uniq = partial_sum_groupby(
+        edges.map_batches(
+            lambda t: pa.table(
+                {
+                    "src": pc.cast(t[src_col], pa.int64()),
+                    "dst": pc.cast(t[dst_col], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        ["src", "dst"], {}, count_as="__n",
+    ).map_batches(lambda t: t.select(["src", "dst"]),
+                  batch_format="pyarrow").materialize()
+
+    seen = rd.from_arrow(
+        pa.table({"node": pa.array([int(start)], pa.int64())})
+    ).materialize()
+    frontier = seen
+
+    for _ in range(max_rounds):
+        succ = partial_sum_groupby(
+            hash_bucket_join(
+                frontier.map_batches(
+                    lambda t: t.rename_columns(["src"]),
+                    batch_format="pyarrow",
+                ),
+                uniq, on="src", how="inner", buckets=num_partitions,
+            ).map_batches(
+                lambda t: pa.table({"node": t["dst"]}),
+                batch_format="pyarrow",
+            ),
+            ["node"], {}, count_as="__n",
+        ).map_batches(lambda t: t.select(["node"]),
+                      batch_format="pyarrow").materialize()
+        if succ.count() == 0:
+            # frontier has no out-edges at all; an empty Dataset has no
+            # schema, so the anti-join below would fail on it anyway
+            break
+
+        marked = hash_bucket_join(
+            succ,
+            seen.map_batches(
+                lambda t: t.append_column(
+                    "__seen", pa.array(np.ones(len(t), np.int8))
+                ),
+                batch_format="pyarrow",
+            ),
+            on="node", how="left", buckets=num_partitions,
+        )
+        new = marked.map_batches(
+            lambda t: t.filter(pc.is_null(t["__seen"])).select(["node"]),
+            batch_format="pyarrow",
+        ).materialize()
+        if new.count() == 0:
+            break
+        seen = seen.union(new).repartition(num_partitions).materialize()
+        frontier = new
+    return seen

@@ -1843,6 +1843,100 @@ WHERE o_orderpriority = '1-URGENT'
 """
 
 
+def lineitem_reachability(sf_dir: str):
+    """Distributed BFS reachability from node 0 over the derived
+    Z_211 lineitem graph (src = l_partkey % 211, dst = l_suppkey % 211)
+    — the iterative-join twin of SQL's cycle-safe WITH RECURSIVE ...
+    UNION, which is exactly the DuckDB oracle.  Each round is one bucket
+    co-partition join + a combiner distinct + an anti-join against the
+    seen set; the driver sees only the per-round convergence scalar."""
+    from ..functions.graph import reachable_nodes
+
+    def edges(t: pa.Table) -> pa.Table:
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        src = pk % 211
+        dst = sk % 211
+        keep = src != dst
+        return pa.table(
+            {
+                "src": pa.array(src[keep], pa.int64()),
+                "dst": pa.array(dst[keep], pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]).map_batches(
+        edges, batch_format="pyarrow"
+    )
+    return reachable_nodes(ds, start=0, num_partitions=8)
+
+
+REACH_SQL = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT CAST(l_partkey % 211 AS BIGINT) AS src,
+                  CAST(l_suppkey % 211 AS BIGINT) AS dst
+  FROM lineitem WHERE l_partkey % 211 <> l_suppkey % 211
+),
+r AS (
+  SELECT CAST(0 AS BIGINT) AS node
+  UNION
+  SELECT e.dst FROM r JOIN e ON e.src = r.node
+)
+SELECT node FROM r
+"""
+
+
+def lineitem_pareto(sf_dir: str):
+    """Skyline query: lineitems no other row dominates on (quantity,
+    extended-price-cents, discount-bps) jointly maximized — the classic
+    multi-criteria front.  Block-local fronts (associative combiner that
+    removes almost everything) then one exact final pass; the DuckDB
+    oracle is the textbook NOT EXISTS formulation."""
+    from ..functions.agg import pareto_front
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_linenumber": t["l_linenumber"],
+                "qty": pc.cast(t["l_quantity"], pa.int64()),
+                "price_cents": pa.array(_cents(t["l_extendedprice"])),
+                "disc_bps": pa.array(
+                    np.floor(
+                        t["l_discount"].to_numpy(zero_copy_only=False)
+                        * 10000.0 + 0.5
+                    ).astype(np.int64)
+                ),
+            }
+        )
+
+    ds = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+         "l_discount"],
+    ).map_batches(prep, batch_format="pyarrow")
+    return pareto_front(ds, ["qty", "price_cents", "disc_bps"])
+
+
+PARETO_SQL = f"""
+WITH t AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(l_quantity AS BIGINT) AS qty,
+         {_CENTS_SQL.format(expr='l_extendedprice')} AS price_cents,
+         CAST(floor(l_discount * 10000 + 0.5) AS BIGINT) AS disc_bps
+  FROM lineitem
+)
+SELECT * FROM t a
+WHERE NOT EXISTS (
+  SELECT 1 FROM t b
+  WHERE b.qty >= a.qty AND b.price_cents >= a.price_cents
+    AND b.disc_bps >= a.disc_bps
+    AND (b.qty > a.qty OR b.price_cents > a.price_cents
+         OR b.disc_bps > a.disc_bps)
+)
+"""
+
+
 def versioned_time_travel(sf_dir: str):
     """Snapshot isolation + time travel: version 1 commits the LOW half
     of orders (o_orderkey below the footer-stats midpoint), version 2
@@ -5156,6 +5250,8 @@ QUERIES = {
     "dq_orders_checks": dq_orders_checks,
     "orders_cdc_merge": orders_cdc_merge,
     "versioned_time_travel": versioned_time_travel,
+    "lineitem_pareto": lineitem_pareto,
+    "lineitem_reachability": lineitem_reachability,
     "q18_large_orders": q18_large_orders,
     "top_order_per_customer": top_order_per_customer,
     "orders_minmax": orders_minmax,
@@ -5277,6 +5373,8 @@ ORACLE_SQL = {
     "dq_orders_checks": DQ_SQL,
     "orders_cdc_merge": CDC_SQL,
     "versioned_time_travel": TIME_TRAVEL_SQL,
+    "lineitem_pareto": PARETO_SQL,
+    "lineitem_reachability": REACH_SQL,
     "q18_large_orders": Q18_SQL,
     "top_order_per_customer": TOPCUST_SQL,
     "orders_minmax": MINMAX_SQL,

@@ -136,3 +136,75 @@ class TestTriangleCount:
         got = triangle_count(ds, num_partitions=8).to_pandas()
         assert int(got["n_triangles"][0]) == want
         assert want > 100  # non-trivial case
+
+
+class TestReachability:
+    """graph.reachable_nodes — BFS over iterative joins."""
+
+    def test_chain_cycle_and_unreachable(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from parsel_ray.functions.graph import reachable_nodes
+
+        # 0→1→2→3→0 cycle (terminates), 2→5, island 7→8, dup edges
+        edges = [(0, 1), (1, 2), (2, 3), (3, 0), (2, 5), (7, 8), (0, 1)]
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array([e[0] for e in edges], pa.int64()),
+                    "dst": pa.array([e[1] for e in edges], pa.int64()),
+                }
+            )
+        ).repartition(3)
+        got = sorted(
+            r["node"]
+            for r in reachable_nodes(ds, start=0,
+                                     num_partitions=4).take_all()
+        )
+        assert got == [0, 1, 2, 3, 5]
+
+    def test_isolated_start(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from parsel_ray.functions.graph import reachable_nodes
+
+        ds = rd.from_arrow(
+            pa.table({"src": pa.array([5], pa.int64()),
+                      "dst": pa.array([6], pa.int64())})
+        )
+        got = [r["node"] for r in reachable_nodes(ds, start=0).take_all()]
+        assert got == [0]
+
+
+class TestParetoFront:
+    """agg.pareto_front — associative skyline."""
+
+    def test_matches_bruteforce(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from parsel_ray.functions.agg import pareto_front
+
+        rng = np.random.RandomState(1)
+        a = rng.randint(0, 50, 400)
+        b = rng.randint(0, 50, 400)
+        t = pa.table(
+            {"rid": pa.array(range(400), pa.int64()),
+             "a": pa.array(a, pa.int64()),
+             "b": pa.array(b, pa.int64())}
+        )
+        got = sorted(
+            r["rid"]
+            for r in pareto_front(
+                rd.from_arrow(t).repartition(5), ["a", "b"]
+            ).take_all()
+        )
+        m = np.column_stack([a, b])
+        want = sorted(
+            int(i) for i in range(400)
+            if not ((m >= m[i]).all(axis=1) & (m > m[i]).any(axis=1)).any()
+        )
+        assert got == want
