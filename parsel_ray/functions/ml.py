@@ -107,3 +107,55 @@ def logreg_train(
         "n": n_total,
         "grad_norm": float(np.linalg.norm(g)),
     }
+
+
+def binary_auc(ds, score_col: str, label_col: str):
+    """EXACT ROC-AUC (Mann-Whitney with tie correction) as a distributed
+    rank statistic: one value-histogram combiner pass groups the stream
+    to (score, n, n_pos) — the same O(distinct)-state shape as the exact-
+    quantile operator — then a single tiny sorted pass accumulates
+    2·avgrank = 2·cum_less + n + 1 in INTEGER space, so the final
+    ``(S2 - n1(n1+1)) / (2 n1 n0)`` is one IEEE expression on exact ints
+    and a SQL oracle computes the identical double.
+
+    Scale note: the final pass is O(distinct scores) on one worker; a
+    score column with unbounded distinct values goes through the
+    range-partitioned rank machinery (``functions/sort.py``) instead."""
+    import pyarrow.compute as pc
+
+    from .agg import partial_sum_groupby
+
+    def widen(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "score": t[score_col],
+                "n": pa.array(np.ones(len(t), np.int64)),
+                "pos": pc.cast(t[label_col], pa.int64()),
+            }
+        )
+
+    hist = partial_sum_groupby(
+        ds.map_batches(widen, batch_format="pyarrow"),
+        ["score"], {"n": "n", "pos": "pos"},
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.sort_by("score")
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = t["pos"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cum_less = np.concatenate([[0], np.cumsum(n)[:-1]])
+        s2 = int((pos * (2 * cum_less + n + 1)).sum())
+        n1 = int(pos.sum())
+        n0 = int(n.sum()) - n1
+        if n1 == 0 or n0 == 0:
+            raise ValueError("binary_auc: need both classes present")
+        auc = (s2 - n1 * (n1 + 1)) / (2 * n1 * n0)
+        return pa.table(
+            {
+                "auc": pa.array([auc], pa.float64()),
+                "n_pos": pa.array([n1], pa.int64()),
+                "n_neg": pa.array([n0], pa.int64()),
+            }
+        )
+
+    return hist.repartition(1).map_batches(finish, batch_format="pyarrow")

@@ -799,6 +799,71 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8):
     )
 
 
+def doc_quality_auc(sf_dir: str):
+    """EXACT distributed ROC-AUC (tie-corrected Mann-Whitney,
+    :func:`parsel_ray.functions.ml.binary_auc`) of the stop-ratio score
+    against the same noisy label as ``doc_quality_logreg``.  Rank sums
+    accumulate in INTEGER space (2·avgrank), so the AUC double is the
+    identical IEEE expression in the DuckDB window-function oracle."""
+    from ..functions.ml import binary_auc
+    from ..functions.text import token_stats
+
+    def score_label(t: pa.Table) -> pa.Table:
+        t = token_stats(t)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        sr = t["stop_ratio"].to_numpy(zero_copy_only=False)
+        base = sr > 0.05
+        flip = (ids % 9) == 0
+        return pa.table(
+            {
+                "score": pa.array(sr, pa.float64()),
+                "y": pa.array(
+                    np.where(flip, ~base, base).astype(np.int64)
+                ),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        score_label, batch_format="pyarrow"
+    )
+    return binary_auc(ds, "score", "y")
+
+
+AUC_SQL = r"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text,
+              '\b(?:the|a|and|of|to|in|is|it)\b')) AS BIGINT) AS ns,
+         GREATEST(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT), 1)
+             AS nt
+  FROM documents
+),
+sc AS (
+  SELECT CAST(ns AS DOUBLE) / CAST(nt AS DOUBLE) AS score,
+         CASE WHEN ((CAST(ns AS DOUBLE) / CAST(nt AS DOUBLE) > 0.05)
+                    <> (doc_id % 9 = 0)) THEN 1 ELSE 0 END AS y
+  FROM s
+),
+v AS (
+  SELECT score, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS pos
+  FROM sc GROUP BY score
+),
+o AS (
+  SELECT score, n, pos,
+         COALESCE(SUM(n) OVER (ORDER BY score
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS cum_less
+  FROM v
+)
+SELECT (SUM(pos * (2 * cum_less + n + 1)) - SUM(pos) * (SUM(pos) + 1))
+           / (2.0 * SUM(pos) * (SUM(n) - SUM(pos))) AS auc,
+       CAST(SUM(pos) AS BIGINT) AS n_pos,
+       CAST(SUM(n) - SUM(pos) AS BIGINT) AS n_neg
+FROM o
+"""
+
+
 def doc_sparse_cosine_top1(sf_dir: str):
     """Most-similar doc per doc under sparse TF cosine via the inverted
     index (:func:`parsel_ray.functions.similarity.sparse_cosine_top1`;
@@ -5235,6 +5300,7 @@ QUERIES = {
     "indexed_point_lookup": indexed_point_lookup,
     "zorder_range_scan": zorder_range_scan,
     "doc_quality_logreg": doc_quality_logreg,
+    "doc_quality_auc": doc_quality_auc,
     "doc_sparse_cosine_top1": doc_sparse_cosine_top1,
     "embedding_knn": embedding_knn,
     "embedding_near_dup": embedding_near_dup,
@@ -5359,6 +5425,7 @@ ORACLE_SQL = {
     "doc_dup_ngram_coverage": DUP_NGRAM_SQL,
     "indexed_point_lookup": POINT_LOOKUP_SQL,
     "doc_sparse_cosine_top1": SPARSE_COS_SQL,
+    "doc_quality_auc": AUC_SQL,
     "zorder_range_scan": ZORDER_SQL,
     "image_jpeg_roundtrip": JPEG_SQL,
     "image_png_roundtrip": PNG_SQL,

@@ -1757,3 +1757,43 @@ class TestApplyChangelog:
         # k=3 delete ties with upsert at seq 2 → delete wins; k=4
         # untouched; k=5 inserted
         assert out == {1: 11, 2: 22, 4: 40, 5: 50}
+
+
+class TestBinaryAuc:
+    """ml.binary_auc — exact tie-corrected Mann-Whitney vs a direct
+    pairwise-comparison reference."""
+
+    def test_matches_pairwise_reference(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from parsel_ray.functions.ml import binary_auc
+
+        rng = np.random.RandomState(3)
+        # coarse scores force heavy ties
+        score = np.round(rng.uniform(0, 1, 600), 1)
+        y = (rng.uniform(size=600) < score).astype(np.int64)
+        t = pa.table({"s": pa.array(score), "y": pa.array(y)})
+        out = binary_auc(
+            rd.from_arrow(t).repartition(5), "s", "y"
+        ).take_all()[0]
+
+        pos = score[y == 1]
+        neg = score[y == 0]
+        wins = (pos[:, None] > neg[None, :]).sum()
+        ties = (pos[:, None] == neg[None, :]).sum()
+        want = (wins + 0.5 * ties) / (len(pos) * len(neg))
+        assert abs(out["auc"] - want) < 1e-12
+        assert out["n_pos"] == len(pos) and out["n_neg"] == len(neg)
+
+    def test_single_class_raises(self, ray_session):
+        import pyarrow as pa
+        import pytest as _pytest
+        import ray.data as rd
+
+        from parsel_ray.functions.ml import binary_auc
+
+        t = pa.table({"s": pa.array([0.1, 0.2]),
+                      "y": pa.array([1, 1], pa.int64())})
+        with _pytest.raises(Exception):
+            binary_auc(rd.from_arrow(t), "s", "y").take_all()
