@@ -2493,6 +2493,19 @@ SELECT src, CAST(COUNT(*) AS BIGINT) AS n FROM (
 """
 
 
+def image_corpus_prep_q(sf_dir: str):
+    """Image-payload capstone (:mod:`parsel_ray.pipelines.image_prep`):
+    crawl → corpus-wide decode+phash re-verification → exact content
+    dedup (full-row first-wins) → perceptual near-dup components →
+    thumbnail re-encode → partitioned publish with receipts.  Funnel
+    monotonicity, row-level verification, and receipt equality are all
+    asserted in-pipeline; the gate records the funnel (rows-only)."""
+    from .image_prep import image_corpus_prep
+
+    funnel, _out = image_corpus_prep(_demo_crawl_cfg())
+    return funnel
+
+
 def phash_near_dup(sf_dir: str):
     """Perceptual-hash near-duplicate pairs over the crawled image corpus
     (hamming-banded grouping, exact popcount verify) — the phash hook
@@ -5328,6 +5341,7 @@ QUERIES = {
     "doc_bpe_tokens": doc_bpe_tokens,
     "hash_join_native": hash_join_native,
     "phash_near_dup": phash_near_dup,
+    "image_corpus_prep": image_corpus_prep_q,
     "crawl_demo": crawl_demo,
     "crawl_pop_order": crawl_pop_order,
     "crawl_image_verify": crawl_image_verify,

@@ -669,3 +669,36 @@ class TestAudioSpectral:
         t = pa.table({"bytes": pa.array([short], pa.binary())})
         out = AudioSpectral(frame=256, bands=4)(t)
         assert out["band_energy"].to_pylist() == [[0.0] * 4]
+
+
+class TestImageCorpusPrep:
+    """pipelines/image_prep.py — the image-payload capstone funnel."""
+
+    def test_funnel_monotone_and_published(self, ray_session, tmp_path):
+        import os
+
+        from parsel_ray.pipelines.image_prep import image_corpus_prep
+        from parsel_ray.pipelines.queries import _demo_crawl_cfg
+
+        funnel, out = image_corpus_prep(
+            _demo_crawl_cfg(), out_dir=str(tmp_path / "pub")
+        )
+        rows = {r["stage"]: r["n"] for r in funnel.to_pylist()}
+        assert (
+            rows["crawled"]
+            >= rows["exact_distinct"]
+            >= rows["near_dup_survivors"]
+            == rows["published"]
+            > 0
+        )
+        # published layout: one directory per format, _DONE markers
+        parts = [d for d in os.listdir(out) if d.startswith("fmt=")]
+        assert parts
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        back = rd.read_parquet(out)
+        assert back.count() == rows["published"]
+        # thumbnails re-encoded at 16x16
+        r0 = back.take(1)[0]
+        assert (r0["w"], r0["h"]) == (16, 16)
