@@ -339,3 +339,74 @@ def _pareto_mask(m: "np.ndarray") -> "np.ndarray":
         kept_rows.append(row)
         keep[idx] = True
     return keep
+
+
+def grouped_ols(
+    ds,
+    group_cols,
+    x_col: str,
+    y_col: str,
+):
+    """Per-group simple linear regression (slope, intercept, n) from
+    EXACT integer sufficient statistics: one combiner pass sums
+    (n, Σx, Σy, Σxy, Σx²) per group in int64, and the closed form
+    ``slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)`` is evaluated once per
+    group as the same IEEE expression a SQL oracle writes — so doubles
+    hash-match.
+
+    Overflow contract: caller scales x/y so Σxy and Σx² fit int64
+    (e.g. day-granularity timestamps and cent prices: ~1e8 per row ⇒
+    exact up to ~1e10 rows); the kernel asserts no wraparound by
+    checking partial magnitudes."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    group_cols = list(group_cols)
+    LIM = np.int64(1 << 62)
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        assert (np.abs(x) < np.int64(1) << 31).all(), "x too large"
+        cols = {c: t[c] for c in group_cols}
+        cols["__n"] = pa.array(np.ones(len(t), np.int64))
+        cols["__sx"] = pa.array(x)
+        cols["__sy"] = pa.array(y)
+        cols["__sxy"] = pa.array(x * y)
+        cols["__sxx"] = pa.array(x * x)
+        out = pa.table(cols).group_by(group_cols).aggregate(
+            [("__n", "sum"), ("__sx", "sum"), ("__sy", "sum"),
+             ("__sxy", "sum"), ("__sxx", "sum")]
+        )
+        for c in ("__n_sum", "__sx_sum", "__sy_sum", "__sxy_sum",
+                  "__sxx_sum"):
+            m = pc.max(pc.abs(out[c])).as_py()
+            assert m is None or m < LIM, "sufficient-stat overflow risk"
+        return out.rename_columns(
+            group_cols + ["__n", "__sx", "__sy", "__sxy", "__sxx"]
+        )
+
+    sums = partial_sum_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        group_cols,
+        {"__n": "__n", "__sx": "__sx", "__sy": "__sy",
+         "__sxy": "__sxy", "__sxx": "__sxx"},
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["__n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = t["__sx"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sy = t["__sy"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sxy = t["__sxy"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sxx = t["__sxx"].to_numpy(zero_copy_only=False).astype(np.float64)
+        denom = n * sxx - sx * sx
+        slope = (n * sxy - sx * sy) / denom
+        intercept = (sy - slope * sx) / n
+        cols = {c: t[c] for c in group_cols}
+        cols["slope"] = pa.array(slope, pa.float64())
+        cols["intercept"] = pa.array(intercept, pa.float64())
+        cols["n"] = pc.cast(t["__n"], pa.int64())
+        return pa.table(cols)
+
+    return sums.map_batches(finish, batch_format="pyarrow")

@@ -799,6 +799,66 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8):
     )
 
 
+def events_value_trend(sf_dir: str):
+    """Per-type value trend: exact OLS slope/intercept of value-cents
+    against event day (days since 1995-01-01) —
+    :func:`parsel_ray.functions.agg.grouped_ols`.  Integer sufficient
+    statistics make the doubles the oracle's identical IEEE expression
+    (the oracle spells the closed form over exact BIGINT sums rather
+    than using regr_slope, whose float accumulation order differs)."""
+    from ..functions.agg import grouped_ols
+
+    anchor = np.datetime64("1995-01-01")
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False)
+        days = ((ts - anchor) / np.timedelta64(1, "D")).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "day": pa.array(days),
+                "cents": pa.array(_cents(t["value"])),
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"]).map_batches(
+        prep, batch_format="pyarrow"
+    )
+    return grouped_ols(ds, ["event_type"], "day", "cents")
+
+
+TREND_SQL = f"""
+WITH s AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '1995-01-01', ts) AS BIGINT) AS day,
+         {_CENTS_SQL.format(expr='value')} AS cents
+  FROM events
+),
+a AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(day) AS BIGINT) AS sx,
+         CAST(SUM(cents) AS BIGINT) AS sy,
+         CAST(SUM(day * cents) AS BIGINT) AS sxy,
+         CAST(SUM(day * day) AS BIGINT) AS sxx
+  FROM s GROUP BY event_type
+)
+SELECT event_type,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+       (CAST(sy AS DOUBLE)
+        - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+          * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
+       n
+FROM a
+"""
+
+
 def doc_quality_auc(sf_dir: str):
     """EXACT distributed ROC-AUC (tie-corrected Mann-Whitney,
     :func:`parsel_ray.functions.ml.binary_auc`) of the stop-ratio score
@@ -5314,6 +5374,7 @@ QUERIES = {
     "zorder_range_scan": zorder_range_scan,
     "doc_quality_logreg": doc_quality_logreg,
     "doc_quality_auc": doc_quality_auc,
+    "events_value_trend": events_value_trend,
     "doc_sparse_cosine_top1": doc_sparse_cosine_top1,
     "embedding_knn": embedding_knn,
     "embedding_near_dup": embedding_near_dup,
@@ -5440,6 +5501,7 @@ ORACLE_SQL = {
     "indexed_point_lookup": POINT_LOOKUP_SQL,
     "doc_sparse_cosine_top1": SPARSE_COS_SQL,
     "doc_quality_auc": AUC_SQL,
+    "events_value_trend": TREND_SQL,
     "zorder_range_scan": ZORDER_SQL,
     "image_jpeg_roundtrip": JPEG_SQL,
     "image_png_roundtrip": PNG_SQL,

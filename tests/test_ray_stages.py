@@ -1797,3 +1797,38 @@ class TestBinaryAuc:
                       "y": pa.array([1, 1], pa.int64())})
         with _pytest.raises(Exception):
             binary_auc(rd.from_arrow(t), "s", "y").take_all()
+
+
+class TestGroupedOls:
+    """agg.grouped_ols — exact integer sufficient statistics."""
+
+    def test_matches_polyfit(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from parsel_ray.functions.agg import grouped_ols
+
+        rng = np.random.RandomState(2)
+        rowsA = (rng.randint(0, 1000, 300),)
+        xA = rowsA[0]
+        yA = 3 * xA + 17 + rng.randint(-5, 6, 300)
+        xB = rng.randint(0, 1000, 200)
+        yB = -2 * xB + 100 + rng.randint(-5, 6, 200)
+        t = pa.table(
+            {
+                "g": pa.array(["a"] * 300 + ["b"] * 200),
+                "x": pa.array(np.concatenate([xA, xB]), pa.int64()),
+                "y": pa.array(np.concatenate([yA, yB]), pa.int64()),
+            }
+        )
+        out = {
+            r["g"]: (r["slope"], r["intercept"], r["n"])
+            for r in grouped_ols(
+                rd.from_arrow(t).repartition(4), ["g"], "x", "y"
+            ).take_all()
+        }
+        sA, iA = np.polyfit(xA.astype(float), yA.astype(float), 1)
+        sB, iB = np.polyfit(xB.astype(float), yB.astype(float), 1)
+        assert abs(out["a"][0] - sA) < 1e-9 and abs(out["a"][1] - iA) < 1e-6
+        assert abs(out["b"][0] - sB) < 1e-9 and abs(out["b"][1] - iB) < 1e-6
+        assert out["a"][2] == 300 and out["b"][2] == 200
