@@ -2126,6 +2126,57 @@ GROUP BY o_orderpriority
 """
 
 
+def bucketed_storage_join(sf_dir: str):
+    """Shuffle-free storage-bucketed join: orders and lineitem are each
+    written ONCE into co-partitioned bucket layouts (hash(orderkey) % 8),
+    then the join reads bucket PAIRS directly — no runtime shuffle at
+    all; the co-partitioning was paid at write time (the amortize-once
+    bucketing pattern).  Result: revenue cents per order priority over
+    the joined pairs, hash-checked against the plain-join oracle."""
+    import tempfile as _tempfile
+
+    from ..sources.partitioned import bucketed_join, write_bucketed
+
+    ldir = _tempfile.mkdtemp(prefix="orders_bkt_", dir="/tmp")
+    rdir = _tempfile.mkdtemp(prefix="lineitem_bkt_", dir="/tmp")
+    write_bucketed(
+        _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+        .map_batches(
+            lambda t: t.rename_columns(["key", "o_orderpriority"]),
+            batch_format="pyarrow",
+        ),
+        ldir, key_col="key", buckets=8,
+    )
+    write_bucketed(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"])
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "key": t["l_orderkey"],
+                    "cents": pa.array(_cents(t["l_extendedprice"])),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        rdir, key_col="key", buckets=8,
+    )
+    joined = bucketed_join(ldir, rdir, on="key", buckets=8)
+    return partial_sum_groupby(
+        joined, ["o_orderpriority"], {"cents": "sum_cents"},
+        count_as="n_items",
+    )
+
+
+BUCKETED_JOIN_SQL = f"""
+SELECT o_orderpriority,
+       CAST(SUM({_CENTS_SQL.format(expr='l_extendedprice')}) AS BIGINT)
+           AS sum_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 def orders_cdc_merge(sf_dir: str):
     """CDC MERGE: a deterministic changelog folds into the orders
     snapshot — upserts double the price of every ``o_orderkey % 7 == 0``
@@ -5389,6 +5440,7 @@ QUERIES = {
     "q4_late_orders": q4_late_orders,
     "dq_orders_checks": dq_orders_checks,
     "orders_cdc_merge": orders_cdc_merge,
+    "bucketed_storage_join": bucketed_storage_join,
     "versioned_time_travel": versioned_time_travel,
     "lineitem_pareto": lineitem_pareto,
     "lineitem_reachability": lineitem_reachability,
@@ -5515,6 +5567,7 @@ ORACLE_SQL = {
     "q4_late_orders": Q4_SQL,
     "dq_orders_checks": DQ_SQL,
     "orders_cdc_merge": CDC_SQL,
+    "bucketed_storage_join": BUCKETED_JOIN_SQL,
     "versioned_time_travel": TIME_TRAVEL_SQL,
     "lineitem_pareto": PARETO_SQL,
     "lineitem_reachability": REACH_SQL,

@@ -313,3 +313,69 @@ def read_evolved_parquet(paths, promote: bool = True):
     import ray.data as rd
 
     return rd.read_parquet(paths, schema=union), union
+
+
+def write_bucketed(ds, out_dir: str, key_col: str, buckets: int,
+                   verify: bool = True) -> pa.Table:
+    """Bucketed table layout (Hive/Spark bucketing): rows land in
+    ``out_dir/__bucket=<hash(key) % buckets>/`` shards.  Two tables
+    bucketed with the SAME key domain and bucket count are co-partitioned
+    ON DISK — a later equi-join on that key reads bucket pairs directly
+    and never shuffles (:func:`bucketed_join`)."""
+    from ..functions.relational import _bucket_of
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("__bucket", _bucket_of(t[key_col], buckets))
+
+    return write_partitioned_parquet(
+        ds.map_batches(add_bucket, batch_format="pyarrow"),
+        out_dir, key_col="__bucket", verify=verify,
+    )
+
+
+def bucketed_join(
+    left_dir: str,
+    right_dir: str,
+    on: str,
+    buckets: int,
+    suffixes=("", "_r"),
+):
+    """Shuffle-FREE equi-join over two bucketed layouts written by
+    :func:`write_bucketed` with the same key domain and bucket count:
+    the bucket id stream fans out as rows, each task reads ONE bucket
+    directory pair and joins it in memory with Arrow.  The only data
+    movement is the initial storage read — co-partitioning happened at
+    write time, which is the point (at 100 TB, re-bucketing once and
+    joining many times amortizes the shuffle)."""
+    import ray.data as rd
+
+    ids = rd.from_arrow(
+        pa.table({"b": pa.array(range(buckets), pa.int64())})
+    ).repartition(min(buckets, 16))
+
+    def join_bucket(t: pa.Table):
+        import pyarrow.dataset as pads
+
+        for b in t["b"].to_pylist():
+            sides = []
+            for d in (left_dir, right_dir):
+                bdir = os.path.join(d, f"__bucket={b}")
+                if os.path.isdir(bdir):
+                    tb = pads.dataset(bdir, format="parquet").to_table()
+                    tb = tb.drop_columns(
+                        [c for c in ("__bucket",) if c in tb.column_names]
+                    )
+                else:
+                    tb = None
+                sides.append(tb)
+            lt, rt = sides
+            if lt is None or len(lt) == 0 or rt is None or len(rt) == 0:
+                continue  # inner join: a one-sided bucket contributes 0
+            joined = lt.join(
+                rt, keys=on, join_type="inner",
+                right_suffix=suffixes[1],
+            )
+            if len(joined):
+                yield joined
+
+    return ids.map_batches(join_bucket, batch_format="pyarrow")

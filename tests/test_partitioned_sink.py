@@ -322,3 +322,35 @@ class TestVersionedTable:
             read_version(d, version=7)
         with _pytest.raises(FileNotFoundError):
             read_version(str(tmp_path / "nope"))
+
+
+class TestBucketedJoin:
+    """write_bucketed + bucketed_join — shuffle-free co-partitioned join."""
+
+    def test_matches_plain_join(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from parsel_ray.sources.partitioned import (
+            bucketed_join,
+            write_bucketed,
+        )
+
+        left = pa.table(
+            {"key": pa.array([1, 2, 3, 4, 5], pa.int64()),
+             "name": pa.array(list("abcde"))}
+        )
+        right = pa.table(
+            {"key": pa.array([2, 2, 3, 5, 9], pa.int64()),
+             "v": pa.array([20, 21, 30, 50, 90], pa.int64())}
+        )
+        ld, rd_ = str(tmp_path / "l"), str(tmp_path / "r")
+        write_bucketed(rd.from_arrow(left), ld, key_col="key", buckets=4)
+        write_bucketed(rd.from_arrow(right), rd_, key_col="key", buckets=4)
+        got = sorted(
+            (r["key"], r["name"], r["v"])
+            for r in bucketed_join(ld, rd_, on="key",
+                                   buckets=4).take_all()
+        )
+        assert got == [(2, "b", 20), (2, "b", 21), (3, "c", 30),
+                       (5, "e", 50)]
