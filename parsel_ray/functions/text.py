@@ -572,3 +572,26 @@ def bpe_train(
             "n": pa.array(counts, pa.int64()),
         }
     )
+
+
+def compression_ratio(
+    batch: pa.Table, col: str = "text", out: str = "zlib_ratio",
+    level: int = 6,
+) -> pa.Table:
+    """Append ``out`` = compressed_bytes / raw_bytes (zlib, fixed level)
+    — the classic low-information/repetition quality signal for
+    pretraining corpora (boilerplate and generated spam compress far
+    below prose; the C4/Gopher-family repetition filters approximate the
+    same quantity).  Deterministic: zlib at a fixed level is
+    byte-stable, so the double is reproducible across workers.  Null or
+    empty text → null ratio."""
+    import zlib
+
+    vals = []
+    for v in batch[col].to_pylist():
+        if not v:
+            vals.append(None)
+            continue
+        raw = v.encode("utf-8")
+        vals.append(len(zlib.compress(raw, level)) / len(raw))
+    return batch.append_column(out, pa.array(vals, pa.float64()))

