@@ -4193,6 +4193,47 @@ SELECT user_id FROM events WHERE event_type = 'purchase'
 """
 
 
+def events_props_k_sum(sf_dir: str):
+    """Vectorized JSON field extraction over the events props column:
+    one RE2 ``extract_regex`` kernel pulls the integer ``k`` out of each
+    JSON payload (no per-row parser in the hot path — the props schema
+    is the flat ``{"k": int}`` the corpus generator emits; nested JSON
+    goes through the Selector's jmespath layer instead), then a combiner
+    groupby sums per type.  DuckDB mirrors with json_extract."""
+
+    def extract(t: pa.Table) -> pa.Table:
+        st = pc.extract_regex(
+            pc.fill_null(t["props"], ""), r'"k":\s*(?P<k>-?\d+)'
+        )
+        k = pc.cast(pc.struct_field(st, "k"), pa.int64())
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "k": pc.fill_null(k, 0),
+                "has_k": pc.cast(pc.is_valid(st), pa.int64()),
+            }
+        )
+
+    return partial_sum_groupby(
+        _read(sf_dir, "events", ["event_type", "props"]).map_batches(
+            extract, batch_format="pyarrow"
+        ),
+        ["event_type"],
+        {"k": "sum_k", "has_k": "n_with_k"},
+        count_as="n_events",
+    )
+
+
+PROPS_SQL = """
+SELECT event_type,
+       CAST(SUM(COALESCE(CAST(json_extract(props, '$.k') AS BIGINT), 0))
+            AS BIGINT) AS sum_k,
+       CAST(COUNT(json_extract(props, '$.k')) AS BIGINT) AS n_with_k,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
 def events_except_hours(sf_dir: str):
     """Set difference (EXCEPT) at the MINUTE grain: minutes that saw a
     click but no purchase — the same fused one-pass conditional-count
@@ -5513,6 +5554,7 @@ QUERIES = {
     "docs_cube": docs_cube,
     "events_intersect_users": events_intersect_users,
     "events_except_hours": events_except_hours,
+    "events_props_k_sum": events_props_k_sum,
     "events_value_histogram": events_value_histogram,
     "doc_url_regex_groups": doc_url_regex_groups,
     "kmeans_embeddings": kmeans_embeddings,
@@ -5622,6 +5664,7 @@ ORACLE_SQL = {
     "docs_cube": CUBE_SQL,
     "events_intersect_users": INTERSECT_SQL,
     "events_except_hours": EXCEPT_SQL,
+    "events_props_k_sum": PROPS_SQL,
     "events_value_histogram": HISTOGRAM_SQL,
     "doc_url_regex_groups": URL_GROUPS_SQL,
     "customer_order_full_outer": FULL_OUTER_SQL,
