@@ -285,3 +285,67 @@ def xpath_tag_count(ctx, *args):
     tag = args[0] if args and isinstance(args[0], str) else "a"
     node = ctx.context_node
     return float(sum(1 for el in node.iter() if el.tag == tag))
+
+
+class QuarantineMap:
+    """Dead-letter routing for per-row kernels: apply ``fn`` (row dict →
+    row dict) to every row; rows whose ``fn`` raises are NOT retried and
+    do NOT fail the batch — they stream to a quarantine parquet sink
+    (worker-side shards, same retry-stable naming as the data sinks)
+    carrying the error type/message, and the clean rows continue.
+
+    This is the ingest-pipeline contract Ray's ``max_errored_blocks``
+    cannot give: that knob drops whole BLOCKS and loses the rows; this
+    stage keeps per-row provenance of every failure.  Vectorized kernels
+    should catch their own errors; QuarantineMap is for genuinely
+    row-shaped logic (parsers, codecs) where one poison row must not
+    sink a 10^5-row block."""
+
+    def __init__(self, fn, quarantine_dir: str, id_col: str,
+                 out_schema=None) -> None:
+        import os
+
+        self.fn = fn
+        self.dir = quarantine_dir
+        self.id_col = id_col
+        # out_schema pins the clean-row schema so a block where EVERY
+        # row fails still emits a schema-consistent empty table (fn may
+        # change the schema, so the input schema is not a safe fallback)
+        self.out_schema = out_schema
+        os.makedirs(quarantine_dir, exist_ok=True)
+
+    def __call__(self, t: "pa.Table") -> "pa.Table":
+        import os
+
+        import pyarrow as pa
+
+        from ..sources.partitioned import _content_name
+
+        good, bad = [], []
+        for row in t.to_pylist():
+            try:
+                good.append(self.fn(dict(row)))
+            except Exception as e:  # noqa: BLE001 — the whole point
+                bad.append(
+                    {
+                        self.id_col: row[self.id_col],
+                        "error_type": type(e).__name__,
+                        "error": str(e)[:500],
+                    }
+                )
+        if bad:
+            bt = pa.Table.from_pylist(bad)
+            name = _content_name(bt)
+            path = os.path.join(self.dir, name)
+            import pyarrow.parquet as pq
+
+            pq.write_table(bt, path + ".tmp")
+            os.replace(path + ".tmp", path)
+        if good:
+            return pa.Table.from_pylist(good, schema=self.out_schema)
+        if self.out_schema is not None:
+            return pa.Table.from_pylist([], schema=self.out_schema)
+        # no schema pinned and no survivors: an empty slice of the input
+        # (only safe when fn is schema-preserving — document at call
+        # sites or pass out_schema)
+        return t.slice(0, 0)

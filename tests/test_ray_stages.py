@@ -1832,3 +1832,70 @@ class TestGroupedOls:
         assert abs(out["a"][0] - sA) < 1e-9 and abs(out["a"][1] - iA) < 1e-6
         assert abs(out["b"][0] - sB) < 1e-9 and abs(out["b"][1] - iB) < 1e-6
         assert out["a"][2] == 300 and out["b"][2] == 200
+
+
+class TestQuarantineMap:
+    """stages/extract.py::QuarantineMap — dead-letter row routing."""
+
+    def test_poison_rows_quarantined_not_fatal(self, ray_session, tmp_path):
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq_
+        import ray.data as rd
+
+        from parsel_ray.stages.extract import QuarantineMap
+
+        def parse(row):
+            v = row["raw"]
+            if not v.isdigit():
+                raise ValueError(f"not a number: {v!r}")
+            return {"rid": row["rid"], "val": int(v)}
+
+        t = pa.table(
+            {
+                "rid": pa.array(range(8), pa.int64()),
+                "raw": pa.array(
+                    ["1", "2", "x", "4", "", "6", "7", "oops"]
+                ),
+            }
+        )
+        qdir = str(tmp_path / "dead")
+        out_schema = pa.schema(
+            [("rid", pa.int64()), ("val", pa.int64())]
+        )
+        out = rd.from_arrow(t).repartition(4).map_batches(
+            QuarantineMap(parse, qdir, id_col="rid",
+                          out_schema=out_schema),
+            batch_format="pyarrow",
+        )
+        clean = sorted(r["rid"] for r in out.take_all())
+        assert clean == [0, 1, 3, 5, 6]
+
+        shards = [f for f in os.listdir(qdir) if f.endswith(".parquet")]
+        assert shards
+        dead = pa.concat_tables(
+            [pq_.read_table(os.path.join(qdir, f)) for f in shards]
+        ).to_pylist()
+        assert sorted(d["rid"] for d in dead) == [2, 4, 7]
+        assert all(d["error_type"] == "ValueError" for d in dead)
+
+    def test_all_fail_block_keeps_schema(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from parsel_ray.stages.extract import QuarantineMap
+
+        def boom(row):
+            raise RuntimeError("always")
+
+        t = pa.table({"rid": pa.array([1, 2], pa.int64()),
+                      "raw": pa.array(["a", "b"])})
+        out_schema = pa.schema([("rid", pa.int64())])
+        out = rd.from_arrow(t).map_batches(
+            QuarantineMap(boom, str(tmp_path / "d2"), id_col="rid",
+                          out_schema=out_schema),
+            batch_format="pyarrow",
+        )
+        assert out.count() == 0
+        assert out.schema().names == ["rid"]
