@@ -4635,6 +4635,44 @@ def events_cume_dist(sf_dir: str):
     )
 
 
+def events_first_last_value(sf_dir: str):
+    """Window first_value/last_value over the full user partition
+    ((ts, event_id) order, unbounded frame): per-user grouped_apply
+    broadcasts the endpoints to every row — cents-exact so the oracle
+    hashes identically."""
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        out = g[["event_id", "user_id"]].copy()
+        out["first_cents"] = g["cents"].iloc[0]
+        out["last_cents"] = g["cents"].iloc[-1]
+        return out
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    ds = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "cents": pa.array(_cents(t["value"])),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return grouped_apply(ds, "user_id", run, num_partitions=16)
+
+
+FIRST_LAST_SQL = f"""
+SELECT event_id, user_id,
+       first_value({_CENTS_SQL.format(expr='value')}) OVER w AS first_cents,
+       last_value({_CENTS_SQL.format(expr='value')}) OVER w AS last_cents
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
 def events_percent_rank(sf_dir: str):
     """Window ``percent_rank()`` = (rank-1)/(n-1) with rank = MIN rank of
     the tie group (SQL semantics) — same coarse-partitioned shape as
@@ -5564,6 +5602,7 @@ QUERIES = {
     "orc_roundtrip": orc_roundtrip,
     "events_cume_dist": events_cume_dist,
     "events_percent_rank": events_percent_rank,
+    "events_first_last_value": events_first_last_value,
     "events_ntile": events_ntile,
     "csv_roundtrip": csv_roundtrip,
     "part_name_fuzzy_join": part_name_fuzzy_join,
@@ -5670,6 +5709,7 @@ ORACLE_SQL = {
     "customer_order_full_outer": FULL_OUTER_SQL,
     "events_cume_dist": CUME_SQL,
     "events_percent_rank": PCT_RANK_SQL,
+    "events_first_last_value": FIRST_LAST_SQL,
     "events_ntile": NTILE_SQL,
     "csv_roundtrip": CSV_SQL,
     "orc_roundtrip": CSV_SQL,
