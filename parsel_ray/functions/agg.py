@@ -369,6 +369,9 @@ def grouped_ols(
         x = t[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
         y = t[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
         assert (np.abs(x) < np.int64(1) << 31).all(), "x too large"
+        # per-element products x*y must not wrap int64 (the partial-sum
+        # magnitude check below cannot see an already-wrapped product)
+        assert (np.abs(y) < np.int64(1) << 31).all(), "y too large"
         cols = {c: t[c] for c in group_cols}
         cols["__n"] = pa.array(np.ones(len(t), np.int64))
         cols["__sx"] = pa.array(x)

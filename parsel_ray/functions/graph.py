@@ -227,7 +227,11 @@ def triangle_count(
         keep = pc.not_equal(lo, hi)
         out = pa.table({"lo": pc.filter(lo, keep), "hi": pc.filter(hi, keep)})
         amax = pc.max(out["hi"]).as_py() if len(out) else 0
+        amin = pc.min(out["lo"]).as_py() if len(out) else 0
         assert amax is None or amax < 1 << 32, "node ids must fit uint32"
+        assert amin is None or amin >= 0, (
+            "node ids must be non-negative (packed-key contract)"
+        )
         return out
 
     # dedupe multi-edges with a combiner groupby (count discarded)
@@ -398,4 +402,11 @@ def reachable_nodes(
             break
         seen = seen.union(new).repartition(num_partitions).materialize()
         frontier = new
+    else:
+        raise RuntimeError(
+            f"reachable_nodes: not converged after {max_rounds} rounds "
+            "(graph eccentricity exceeds max_rounds — raise it); a "
+            "truncated set would silently diverge from the recursive-CTE "
+            "semantics"
+        )
     return seen

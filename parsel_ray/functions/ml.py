@@ -40,9 +40,13 @@ def logreg_train(
     folds O(blocks) partials and solves (H + ridge·I)·Δ = g.
 
     Returns (weights ndarray[d+1], diagnostics dict).  Certification:
-    the ridge-regularized NLL is asserted non-increasing across Newton
-    rounds (with a 1e-9 slack for float folding) — a wrong gradient or
-    Hessian breaks monotonicity immediately."""
+    the ridge-regularized NLL is asserted non-increasing across ACCEPTED
+    rounds — a wrong gradient or Hessian breaks monotonicity
+    immediately.  Raw Newton is not globally monotone (it can overshoot
+    on near-separable or badly scaled data), so a step that raises the
+    NLL is retried with a halved step (standard damping, ≤ 8 halvings)
+    before the certification applies; the halving count is reported in
+    diagnostics."""
     x_cols = list(x_cols)
     d = len(x_cols) + 1
 
@@ -56,6 +60,8 @@ def logreg_train(
 
     w = np.zeros(d)
     nll_hist = []
+    halvings = 0
+    pending_step = None  # (base_w, direction, scale) from a damped retry
     for it in range(iters):
         w_round = w.copy()
 
@@ -93,19 +99,34 @@ def logreg_train(
             nll += r["nll"]
             n_total += r["n"]
         nll += 0.5 * ridge * float(w_round @ w_round)
-        if nll_hist:
-            assert nll <= nll_hist[-1] + 1e-9, (
-                f"NLL increased at round {it}: {nll_hist[-1]} -> {nll}"
-            )
+        if pending_step is not None and nll_hist and nll > nll_hist[-1] + 1e-9:
+            # damping: the last Newton step overshot (raw Newton is not
+            # globally monotone) — halve it and re-evaluate from the
+            # accepted base instead of failing certification
+            base_w, step, scale = pending_step
+            if halvings - pending_step_halvings >= 8:
+                raise AssertionError(
+                    f"NLL increased at round {it} and 8 halvings did not "
+                    f"recover: {nll_hist[-1]} -> {nll} (wrong grad/Hessian?)"
+                )
+            halvings += 1
+            scale *= 0.5
+            w = base_w + scale * step
+            pending_step = (base_w, step, scale)
+            continue
         nll_hist.append(nll)
         g -= ridge * w_round
         H += ridge * np.eye(d)
-        w = w_round + np.linalg.solve(H, g)
+        step = np.linalg.solve(H, g)
+        w = w_round + step
+        pending_step = (w_round, step, 1.0)
+        pending_step_halvings = halvings
 
     return w, {
         "nll": nll_hist,
         "n": n_total,
         "grad_norm": float(np.linalg.norm(g)),
+        "halvings": halvings,
     }
 
 

@@ -584,7 +584,11 @@ def apply_changelog(
     def tag_base(t: pa.Table) -> pa.Table:
         return t.append_column(
             seq_col, pa.array(np.full(len(t), -1, np.int64))
-        ).append_column(op_col, pa.array(["upsert"] * len(t)))
+        ).append_column(
+            # explicit string type: a zero-row block would otherwise
+            # infer null type and break the union/shuffle schema
+            op_col, pa.array(["upsert"] * len(t), pa.string())
+        )
 
     base = snapshot.map_batches(tag_base, batch_format="pyarrow")
 

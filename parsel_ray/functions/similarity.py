@@ -673,7 +673,10 @@ def sparse_cosine_top1(
     import pyarrow.compute as pc
 
     if max_df is None:
-        max_df = max(2, int(max_df_frac * ds.count()))
+        # floor, mirrored by the oracle's CAST(floor(...)) — Python
+        # int() truncation vs SQL CAST's round-to-nearest would disagree
+        # whenever frac(0.1*n) >= 0.5
+        max_df = max(2, int(np.floor(max_df_frac * ds.count())))
 
     from .agg import grouped_apply, partial_sum_groupby
     from .relational import hash_bucket_join

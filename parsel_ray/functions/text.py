@@ -327,7 +327,6 @@ def word_ngram_rows(
     if not valid.any():
         return empty
     shifted = [flat.slice(j, total - n + 1) for j in range(n)]
-    sep = [" "] * (n - 1) + [""]
     # join n shifted views: gram[i] = tok[i] + ' ' + ... + tok[i+n-1]
     grams = shifted[0]
     for j in range(1, n):

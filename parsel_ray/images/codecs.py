@@ -396,8 +396,10 @@ def resize_bilinear(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
         squeeze = True
     else:
         squeeze = False
-    top = p[y0][:, x0] * (1 - wx) + p[y0][:, x1] * wx
-    bot = p[y1][:, x0] * (1 - wx) + p[y1][:, x1] * wx
+    py0 = p[y0]
+    py1 = p[y1]
+    top = py0[:, x0] * (1 - wx) + py0[:, x1] * wx
+    bot = py1[:, x0] * (1 - wx) + py1[:, x1] * wx
     out = top * (1 - wy) + bot * wy
     if px.dtype == np.uint8:
         out = np.clip(np.rint(out), 0, 255).astype(np.uint8)

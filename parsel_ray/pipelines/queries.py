@@ -948,7 +948,8 @@ kept AS (
   SELECT term FROM tf GROUP BY term
   HAVING COUNT(*) > 1
      AND COUNT(*) <= GREATEST(
-           2, CAST(0.1 * (SELECT COUNT(*) FROM documents) AS BIGINT))
+           2, CAST(floor(0.1 * (SELECT COUNT(*) FROM documents))
+                   AS BIGINT))
 ),
 w AS (SELECT tf.* FROM tf JOIN kept USING (term)),
 norm AS (SELECT doc_id, SUM(tf * tf) AS norm_sq FROM w GROUP BY doc_id),
@@ -4286,7 +4287,6 @@ def events_value_histogram(sf_dir: str):
     def widen(t: pa.Table) -> pa.Table:
         v = t["value"].to_numpy(zero_copy_only=False)
         b = np.clip(np.floor(v / 10.0).astype(np.int64) + 1, 0, 11)
-        b[v < 0] = 0
         ub, cnt = np.unique(b, return_counts=True)
         return pa.table(
             {

@@ -114,6 +114,8 @@ def point_lookup(
     Dataset for {'shards_total', 'shards_read'} pruning evidence."""
     import pyarrow.compute as pc
 
+    from .pruned import pruned_shard_read
+
     shards = sorted(
         os.path.join(out_dir, f)
         for f in os.listdir(out_dir)
@@ -124,57 +126,24 @@ def point_lookup(
     keys_arr = np.asarray(sorted(set(int(k) for k in keys)), np.int64)
     keys_ref = LazyRef(ray.put(keys_arr))
 
-    paths_ds = rd.from_arrow(
-        pa.table({"path": pa.array(shards, pa.string())})
-    ).repartition(min(parallelism, len(shards)))
-
-    def scan_sidecars(t: pa.Table) -> pa.Table:
+    def keep_flags(paths):
         ks = keys_ref.get()
-        keep = []
-        for p in t["path"].to_pylist():
+        flags = []
+        for p in paths:
             with open(p + ".idx", "rb") as f:
-                keep.append(_sidecar_may_match(f.read(), ks))
-        return t.filter(pa.array(keep))
+                flags.append(_sidecar_may_match(f.read(), ks))
+        return flags
 
-    candidates = paths_ds.map_batches(scan_sidecars, batch_format="pyarrow")
-    # the candidate path list is O(matching shards) — tiny for a point
-    # lookup; collecting it lets the exact read stay column-pruned and
-    # lets the caller see the pruning ratio
-    cand_paths = [r["path"] for r in candidates.take_all()]
-
-    def load(t: pa.Table):
+    def load_one(p):
         ks = keys_ref.get()
-        for p in t["path"].to_pylist():
-            shard = pq.read_table(p, columns=columns)
-            mask = pc.is_in(
-                shard[key_col], value_set=pa.array(ks, pa.int64())
-            )
-            out = shard.filter(mask)
-            # yield even when empty (typed schema survives an all-empty
-            # filter outcome)
-            yield out
+        shard = pq.read_table(p, columns=columns)
+        mask = pc.is_in(shard[key_col], value_set=pa.array(ks, pa.int64()))
+        yield shard.filter(mask)
 
     sch = pq.read_schema(shards[0])
     schema_cols = list(columns) if columns is not None else list(sch.names)
-    typed_empty = rd.from_arrow(
-        pa.table(
-            {c: pa.array([], sch.field(c).type) for c in schema_cols}
-        )
+    typed_empty = pa.table(
+        {c: pa.array([], sch.field(c).type) for c in schema_cols}
     )
-    if cand_paths:
-        # union with a typed empty block: Ray drops all-empty map output
-        # blocks, so an is_in that matches nothing in any candidate would
-        # otherwise leave a schema-less dataset
-        result = rd.from_arrow(
-            pa.table({"path": pa.array(cand_paths, pa.string())})
-        ).repartition(min(parallelism, len(cand_paths))).map_batches(
-            load, batch_format="pyarrow"
-        ).union(typed_empty)
-    else:
-        result = typed_empty
-
-    def stats():
-        return {"shards_total": len(shards),
-                "shards_read": len(cand_paths)}
-
-    return result, stats
+    return pruned_shard_read(shards, keep_flags, load_one, typed_empty,
+                             parallelism=parallelism)

@@ -10,7 +10,9 @@ a manifest, never a directory listing, so
   are invisible until a later manifest commits),
 * old versions stay readable after new commits (time travel),
 * a failed writer leaves orphan shard files but can never corrupt a
-  snapshot (the manifest is the only publish point, one atomic rename).
+  snapshot (the manifest is the only publish point — an EXCLUSIVE
+  link-based create, so two appenders racing to the same version number
+  fail loudly rather than silently dropping one writer's commit).
 
 This is the public Iceberg/Delta snapshot-isolation idea reduced to the
 repo's needs; at 100 TB the manifest holds shard paths + row counts
@@ -81,7 +83,20 @@ def append_version(ds, table_dir: str) -> int:
     tmp = os.path.join(table_dir, f".manifest-v{n}.tmp")
     with open(tmp, "w") as f:
         json.dump(manifest, f)
-    os.replace(tmp, os.path.join(table_dir, _MANIFEST.format(n=n)))
+    final = os.path.join(table_dir, _MANIFEST.format(n=n))
+    # exclusive link (not a clobbering rename): a concurrent appender
+    # that raced to the same version number fails LOUDLY here instead of
+    # silently discarding the other writer's committed files.  The loser
+    # retries by re-reading the latest manifest.
+    try:
+        os.link(tmp, final)
+    except FileExistsError as e:
+        os.unlink(tmp)
+        raise RuntimeError(
+            f"append_version: concurrent commit raced to version {n}; "
+            "re-read the latest manifest and retry"
+        ) from e
+    os.unlink(tmp)
     return n
 
 

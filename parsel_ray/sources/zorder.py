@@ -122,6 +122,8 @@ def zorder_range_read(
     shards on BOTH predicates, survivors stream through column-pruned
     reads with the exact filter applied in-task.  Returns
     (Dataset, stats_fn) where stats_fn() → shards_total/shards_read."""
+    from .pruned import pruned_shard_read
+
     shards = sorted(
         os.path.join(out_dir, f)
         for f in os.listdir(out_dir)
@@ -129,32 +131,21 @@ def zorder_range_read(
     )
     if not shards:
         raise FileNotFoundError(f"no shards under {out_dir}")
-    # distributed sidecar scan (the driver never opens a sidecar): paths
-    # fan out as rows, each task keeps only bbox-intersecting shards, and
-    # the collected candidate list is O(matching shards)
-    paths_ds = rd.from_arrow(
-        pa.table({"path": pa.array(shards, pa.string())})
-    ).repartition(min(parallelism, len(shards)))
 
-    def scan_sidecars(t: pa.Table) -> pa.Table:
+    def keep_flags(paths):
         flags = []
-        for p in t["path"].to_pylist():
+        for p in paths:
             with open(p + ".zidx") as f:
                 side = json.load(f)
-            ok = not (
-                side[col_x][0] > x_range[1] or side[col_x][1] < x_range[0]
-                or side[col_y][0] > y_range[1]
-                or side[col_y][1] < y_range[0]
+            flags.append(
+                not (
+                    side[col_x][0] > x_range[1]
+                    or side[col_x][1] < x_range[0]
+                    or side[col_y][0] > y_range[1]
+                    or side[col_y][1] < y_range[0]
+                )
             )
-            flags.append(ok)
-        return t.filter(pa.array(flags))
-
-    keep = [
-        r["path"]
-        for r in paths_ds.map_batches(
-            scan_sidecars, batch_format="pyarrow"
-        ).take_all()
-    ]
+        return flags
 
     # the exact filter needs both key columns; read them even when the
     # caller's projection omits them, drop afterwards
@@ -162,46 +153,27 @@ def zorder_range_read(
     if columns is not None:
         read_cols = list(dict.fromkeys(list(columns) + [col_x, col_y]))
 
-    def load(t: pa.Table):
-        for p in t["path"].to_pylist():
-            shard = pq.read_table(p, columns=read_cols)
-            m = pc.and_(
-                pc.and_(
-                    pc.greater_equal(shard[col_x], x_range[0]),
-                    pc.less_equal(shard[col_x], x_range[1]),
-                ),
-                pc.and_(
-                    pc.greater_equal(shard[col_y], y_range[0]),
-                    pc.less_equal(shard[col_y], y_range[1]),
-                ),
-            )
-            out = shard.filter(m)
-            if columns is not None:
-                out = out.select(list(columns))
-            # yield even when empty: a filter that empties EVERY candidate
-            # must still leave the dataset with a typed schema
-            yield out
+    def load_one(p):
+        shard = pq.read_table(p, columns=read_cols)
+        m = pc.and_(
+            pc.and_(
+                pc.greater_equal(shard[col_x], x_range[0]),
+                pc.less_equal(shard[col_x], x_range[1]),
+            ),
+            pc.and_(
+                pc.greater_equal(shard[col_y], y_range[0]),
+                pc.less_equal(shard[col_y], y_range[1]),
+            ),
+        )
+        out = shard.filter(m)
+        if columns is not None:
+            out = out.select(list(columns))
+        yield out
 
     sch = pq.read_schema(shards[0])
     cols = list(columns) if columns is not None else list(sch.names)
-    typed_empty = rd.from_arrow(
-        pa.table(
-            {c: pa.array([], sch.field(c).type) for c in cols}
-        )
+    typed_empty = pa.table(
+        {c: pa.array([], sch.field(c).type) for c in cols}
     )
-    if keep:
-        # union with a typed empty block: Ray drops all-empty map output
-        # blocks, so a filter that empties every candidate would
-        # otherwise leave a schema-less dataset
-        result = rd.from_arrow(
-            pa.table({"path": pa.array(keep, pa.string())})
-        ).repartition(min(parallelism, len(keep))).map_batches(
-            load, batch_format="pyarrow"
-        ).union(typed_empty)
-    else:
-        result = typed_empty
-
-    def stats():
-        return {"shards_total": len(shards), "shards_read": len(keep)}
-
-    return result, stats
+    return pruned_shard_read(shards, keep_flags, load_one, typed_empty,
+                             parallelism=parallelism)
