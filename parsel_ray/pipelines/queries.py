@@ -1505,6 +1505,51 @@ def audio_frame_rms(sf_dir: str):
     return ds.map_batches(agg, batch_format="pyarrow")
 
 
+def image_quality_signals(sf_dir: str):
+    """Image quality signals (Sobel edge density + contrast) over
+    lossless per-doc BMP gradients: the stage plumbing and decode path
+    are oracle-checked (every gradient image decodes and has edges);
+    the Sobel numerics are pinned in
+    tests/test_multimodal.py::TestImageQuality."""
+    from ..images.codecs import encode_image
+    from ..stages.multimodal import ImageQuality
+
+    def build(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "fmt": pa.array(["bmp"] * len(ids)),
+                "bytes": pa.array(
+                    [encode_image(_doc_image(i), "bmp") for i in ids],
+                    pa.binary(),
+                ),
+            }
+        )
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "quality_ok": t["quality_ok"],
+                "has_edges": pc.greater(t["edge_density"], 0.0),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(build, batch_format="pyarrow", batch_size=256)
+        .map_batches(ImageQuality(), batch_format="pyarrow",
+                     batch_size=256)
+        .map_batches(project, batch_format="pyarrow")
+    )
+
+
+IMG_QUALITY_SQL = """
+SELECT doc_id, TRUE AS quality_ok, TRUE AS has_edges FROM documents
+"""
+
+
 def audio_spectral_bands(sf_dir: str):
     """Spectral front-end plumbing (rfft band energies) over the same
     deterministic fake-PCM payloads as ``audio_frame_rms``: per-doc
@@ -5560,6 +5605,7 @@ QUERIES = {
     "image_resize": image_resize,
     "image_resize_bilinear": image_resize_bilinear,
     "audio_spectral_bands": audio_spectral_bands,
+    "image_quality_signals": image_quality_signals,
     "audio_frame_rms": audio_frame_rms,
     "image_jpeg_roundtrip": image_jpeg_roundtrip,
     "image_png_roundtrip": image_png_roundtrip,
@@ -5660,6 +5706,7 @@ ORACLE_SQL = {
     "image_gif_roundtrip": JPEG_SQL,
     "image_bmp_roundtrip": JPEG_SQL,
     "image_resize_bilinear": RESIZE_BILINEAR_SQL,
+    "image_quality_signals": IMG_QUALITY_SQL,
     "video_frame_sample": VIDEO_SQL,
     "embedding_knn": KNN_SQL,
     "embedding_near_dup": NEARDUP_SQL,

@@ -702,3 +702,45 @@ class TestImageCorpusPrep:
         # thumbnails re-encoded at 16x16
         r0 = back.take(1)[0]
         assert (r0["w"], r0["h"]) == (16, 16)
+
+
+class TestImageQuality:
+    """sobel_edge_density + ImageQuality stage."""
+
+    def test_flat_vs_edges_vs_noise(self):
+        from parsel_ray.stages.multimodal import sobel_edge_density
+
+        flat = np.full((20, 20, 3), 128, np.uint8)
+        assert sobel_edge_density(flat) == 0.0
+        # vertical step edge → strong response
+        step = np.zeros((20, 20, 3), np.uint8)
+        step[:, 10:] = 255
+        e_step = sobel_edge_density(step)
+        # smooth gradient → weak response
+        e_grad = sobel_edge_density(gradient(20, 20))
+        assert e_step > e_grad > 0
+        # tiny image degenerates to 0, not a crash
+        assert sobel_edge_density(np.zeros((2, 2, 3), np.uint8)) == 0.0
+
+    def test_stage(self):
+        from parsel_ray.stages.multimodal import ImageQuality
+
+        flat = np.full((16, 16, 3), 99, np.uint8)
+        t = pa.table(
+            {
+                "fmt": pa.array(["bmp", "bmp", "bmp"]),
+                "bytes": pa.array(
+                    [
+                        encode_image(flat, "bmp"),
+                        encode_image(gradient(16, 16), "bmp"),
+                        b"broken",
+                    ],
+                    pa.binary(),
+                ),
+            }
+        )
+        out = ImageQuality()(t)
+        assert out["quality_ok"].to_pylist() == [True, True, False]
+        d = out["edge_density"].to_pylist()
+        assert d[0] == 0.0 and d[1] > 0 and d[2] is None
+        assert out["gray_std"].to_pylist()[0] == 0.0
