@@ -5458,6 +5458,20 @@ GROUP BY c_mktsegment
 """
 
 
+def doc_heavy_terms_streaming(sf_dir: str):
+    """Streaming exact heavy hitters: micro-batch replay into
+    hash-partitioned Misra-Gries state actors (each actor owns its items
+    outright, so the per-partition retention guarantee keeps the
+    candidate set complete), then one exact recount pass — the same
+    output and DuckDB oracle as the batch ``doc_heavy_terms``."""
+    from .streaming import streaming_heavy_terms
+
+    return streaming_heavy_terms(
+        f"{sf_dir}/documents.parquet", phi=0.001, k=4096,
+        n_microbatches=6, n_actors=4,
+    )
+
+
 def evolved_schema_read(sf_dir: str):
     """Schema-evolution ingestion: half the corpus is written in a v1
     layout (no ``lang`` column), half in v2 (with it) — the unified
@@ -5617,6 +5631,7 @@ QUERIES = {
     "top3_orders_per_customer": top3_orders_per_customer,
     "events_distinct_users_hll": events_distinct_users_hll,
     "doc_heavy_terms": doc_heavy_terms,
+    "doc_heavy_terms_streaming": doc_heavy_terms_streaming,
     "lineitem_grouped_quantiles": lineitem_grouped_quantiles,
     "warc_extract_roundtrip": warc_extract_roundtrip,
     "events_user_distinct_by_type": events_user_distinct_by_type,
@@ -5731,6 +5746,7 @@ ORACLE_SQL = {
     "doc_tfidf_top_term": TFIDF_SQL,
     "top3_orders_per_customer": TOP3CUST_SQL,
     "doc_heavy_terms": HEAVY_SQL,
+    "doc_heavy_terms_streaming": HEAVY_SQL,
     "lineitem_grouped_quantiles": GROUPQ_SQL,
     "warc_extract_roundtrip": WARC_SQL,
     "events_user_distinct_by_type": DISTINCT_BY_TYPE_SQL,

@@ -540,3 +540,124 @@ def streaming_enrich(
             ),
         }
     )
+
+
+@ray.remote
+class HeavyHitterState:
+    """One hash partition of a streaming Misra-Gries heavy-hitters
+    sketch.  Items route by content hash, so an actor sees EVERY
+    occurrence of its items; the MG retention guarantee then holds
+    per partition with a SMALLER substream length, which only helps —
+    a globally heavy item (true > phi*N >= N/(k+1) >= n_a/(k+1)) is
+    always retained by its owning actor."""
+
+    def __init__(self, k: int) -> None:
+        from ..functions.sketch import MisraGries
+
+        self.mg = MisraGries(k)
+
+    def push(self, items, ns) -> int:
+        self.mg.add_exact_counts(items, ns)
+        return len(items)
+
+    def result(self):
+        return (
+            list(self.mg.counts.index),
+            [int(x) for x in self.mg.counts.to_numpy()],
+            int(self.mg.n),
+        )
+
+
+def streaming_heavy_terms(
+    docs_path: str,
+    phi: float = 0.001,
+    k: int = 4096,
+    n_microbatches: int = 6,
+    n_actors: int = 4,
+):
+    """Streaming exact heavy hitters: the document stream replays as
+    micro-batches; each batch's exact per-batch term counts route by
+    term hash to partitioned :class:`HeavyHitterState` actors (state
+    never leaves the workers); after end-of-stream the union of retained
+    items is a COMPLETE candidate set (per-partition MG guarantee), and
+    one exact recount pass over the table filters to the true
+    ``count > phi * N`` set — identical to the batch two-pass
+    ``doc_heavy_terms`` and its DuckDB oracle."""
+    import hashlib
+
+    import pyarrow.dataset as pads
+
+    from ..functions.agg import partial_sum_groupby
+    from ..functions.text import term_counts
+
+    assert phi >= 1.0 / (k + 1), "k too small for the MG guarantee"
+    actors = [HeavyHitterState.remote(k) for _ in range(n_actors)]
+
+    def route(t: pa.Table, _actors=actors) -> pa.Table:
+        items, ns = term_counts(t)
+        if len(items) == 0:
+            return pa.table({"pushed": pa.array([0], pa.int64())})
+        part = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.blake2b(s.encode(), digest_size=4).digest(),
+                    "little",
+                ) % len(_actors)
+                for s in items
+            ),
+            dtype=np.int64, count=len(items),
+        )
+        acks = [
+            _actors[int(p)].push.remote(
+                items[part == p].tolist(),
+                np.asarray(ns)[part == p].tolist(),
+            )
+            for p in np.unique(part)
+        ]
+        return pa.table(
+            {"pushed": pa.array([sum(ray.get(acks)) if acks else 0],
+                                pa.int64())}
+        )
+
+    lo, hi = _footer_minmax(docs_path, "doc_id")
+    edges = np.linspace(int(lo), int(hi) + 1,
+                        n_microbatches + 1).astype(np.int64)
+    for b in range(n_microbatches):
+        filt = (pads.field("doc_id") >= int(edges[b])) & (
+            pads.field("doc_id") < int(edges[b + 1])
+        )
+        rd.read_parquet(
+            docs_path, columns=["doc_id", "text"], filter=filt
+        ).map_batches(route, batch_format="pyarrow").take_all()
+
+    cand: set = set()
+    total_n = 0
+    for items, _counts, n_a in ray.get([a.result.remote() for a in actors]):
+        cand.update(items)
+        total_n += n_a
+    thr = phi * total_n
+    cand = frozenset(cand)
+
+    def count_candidates(t: pa.Table) -> pa.Table:
+        items, ns = term_counts(t)
+        keep = np.fromiter((i in cand for i in items), dtype=bool,
+                           count=len(items))
+        return pa.table(
+            {
+                "term": pa.array(items[keep].tolist(), pa.string()),
+                "n": pa.array(np.asarray(ns)[keep], pa.int64()),
+            }
+        )
+
+    import pyarrow.compute as pc
+
+    exact = partial_sum_groupby(
+        rd.read_parquet(docs_path, columns=["text"]).map_batches(
+            count_candidates, batch_format="pyarrow"
+        ),
+        ["term"], {"n": "n"},
+    )
+    return exact.map_batches(
+        lambda t: t.filter(pc.greater(t["n"], thr)),
+        batch_format="pyarrow",
+    )

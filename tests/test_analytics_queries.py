@@ -648,6 +648,63 @@ class TestStreamingEnrich:
         assert got == want
 
 
+class TestStreamingHeavyTerms:
+    """pipelines/streaming.py::streaming_heavy_terms — micro-batch replay
+    into hash-partitioned Misra-Gries actors + exact recount.  k is sized
+    well below the distinct-term count so the MG trim actually evicts,
+    exercising the per-partition retention guarantee end to end."""
+
+    def test_matches_exact_counts(self, ray_session, tmp_path):
+        import re
+        from collections import Counter
+
+        import pyarrow.parquet as pq
+
+        from parsel_ray.pipelines.streaming import streaming_heavy_terms
+
+        rng = np.random.RandomState(11)
+        vocab = [f"w{i:03d}" for i in range(400)]
+        heavy = ["alpha", "beta", "gamma"]
+        docs = []
+        for d in range(240):
+            words = list(rng.choice(vocab, 20))
+            # heavy terms appear in most docs, several times
+            for h in heavy:
+                if rng.rand() < 0.8:
+                    words += [h] * int(rng.randint(1, 4))
+            rng.shuffle(words)
+            docs.append(" ".join(words))
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(len(docs)), pa.int64()),
+                "text": pa.array(docs, pa.string()),
+            }
+        )
+        path = str(tmp_path / "documents.parquet")
+        pq.write_table(t, path)
+
+        phi = 0.01
+        out = streaming_heavy_terms(
+            path, phi=phi, k=120, n_microbatches=4, n_actors=3
+        ).to_pandas()
+
+        exact = Counter()
+        for txt in docs:
+            exact.update(w for w in re.split("[^a-z]+", txt) if len(w) >= 2)
+        n = sum(exact.values())
+        want = {w: c for w, c in exact.items() if c > phi * n}
+
+        got = dict(zip(out["term"], out["n"].astype(int)))
+        assert got == want
+        assert set(heavy) <= set(got)
+
+    def test_k_guard(self, ray_session, tmp_path):
+        from parsel_ray.pipelines.streaming import streaming_heavy_terms
+
+        with pytest.raises(AssertionError):
+            streaming_heavy_terms("/nonexistent", phi=0.001, k=10)
+
+
 class TestDqChecks:
     """dq_orders_checks must actually FIRE on planted violations (the
     gate corpus is clean, so every rule reads zero there)."""
