@@ -2553,6 +2553,447 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-0
 """
 
 
+def q10_returned_revenue(sf_dir: str):
+    """TPC-H Q10 shape: top-20 customers by revenue from RETURNED items in
+    one quarter.  lineitem revenue pre-aggregates per orderkey inside
+    map_batches (combiner), joins the date-filtered orders via the
+    partitioned hash join (both sides large at 100 TB), re-aggregates per
+    custkey (tiny), then attaches customer attributes with a second
+    bucket join — customer is NOT broadcast — and the 25-row nation
+    lookup is.  Sort+limit carries a custkey tie-break."""
+    d0, d1 = datetime(1996, 7, 1), datetime(1996, 10, 1)
+
+    def rev(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], pa.scalar("R")))
+        ext = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "rev_cents": pa.array(_cents(ext * (1.0 - disc))),
+            }
+        )
+
+    li_rev = partial_sum_groupby(
+        _read(
+            sf_dir, "lineitem",
+            ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+        ).map_batches(rev, batch_format="pyarrow"),
+        ["l_orderkey"], {"rev_cents": "rev_cents"},
+    )
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.greater_equal(t["o_orderdate"], pa.scalar(d0)),
+                pc.less(t["o_orderdate"], pa.scalar(d1)),
+            )
+        ).select(["o_orderkey", "o_custkey"]).rename_columns(
+            ["l_orderkey", "c_custkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    per_cust = partial_sum_groupby(
+        hash_bucket_join(li_rev, orders, on="l_orderkey", buckets=16),
+        ["c_custkey"], {"rev_cents": "revenue_cents"},
+    )
+    cust = _read(
+        sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal", "c_nationkey"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "c_name": t["c_name"],
+                "acctbal_cents": pa.array(_cents(t["c_acctbal"])),
+                "c_nationkey": pc.cast(t["c_nationkey"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = hash_bucket_join(per_cust, cust, on="c_custkey", buckets=16)
+    nation = _read(sf_dir, "nation").to_pandas()
+    name_of = dict(zip(nation["n_nationkey"].astype(int), nation["n_name"]))
+
+    def attach_name(t: pa.Table) -> pa.Table:
+        nk = t["c_nationkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "c_name": t["c_name"],
+                "revenue_cents": t["revenue_cents"],
+                "acctbal_cents": t["acctbal_cents"],
+                "n_name": pa.array([name_of[int(k)] for k in nk], pa.string()),
+            }
+        )
+
+    return (
+        joined.map_batches(attach_name, batch_format="pyarrow")
+        .sort(["revenue_cents", "c_custkey"], descending=[True, False])
+        .limit(20)
+    )
+
+
+Q10_SQL = f"""
+SELECT c_custkey, c_name,
+       CAST(SUM({_CENTS_SQL.format(expr='l_extendedprice * (1.0 - l_discount)')}) AS BIGINT) AS revenue_cents,
+       {_CENTS_SQL.format(expr='c_acctbal')} AS acctbal_cents,
+       n_name
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate <  TIMESTAMP '1996-10-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue_cents DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q7_volume_shipping(sf_dir: str):
+    """TPC-H Q7 shape: shipping volume between nation groups by year.
+    supplier/customer key→nation maps broadcast once as sorted-array
+    pairs (``vec_lookup`` searchsorted gather per batch — the maps are
+    the two genuinely small dimensions); lineitem⋈orders is the
+    partitioned hash join; the nation-pair filter prunes each side
+    BEFORE the shuffle so only qualifying rows move."""
+    d0, d1 = datetime(1996, 1, 1), datetime(1998, 1, 1)
+    NK = 5  # nations 0..4 participate (keeps the result non-empty at tiny sf)
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    s_map = ray.put(lookup_arrays(dict(zip(supp["s_suppkey"], supp["s_nationkey"]))))
+    c_map = ray.put(lookup_arrays(dict(zip(cust["c_custkey"], cust["c_nationkey"]))))
+
+    class LiPrep:
+        def __init__(self, ref):
+            self.s = LazyRef(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            t = t.filter(
+                pc.and_(
+                    pc.greater_equal(t["l_shipdate"], pa.scalar(d0)),
+                    pc.less(t["l_shipdate"], pa.scalar(d1)),
+                )
+            )
+            keys, vals = self.s.get()
+            snat = vec_lookup(
+                keys, vals, t["l_suppkey"].to_numpy(zero_copy_only=False),
+                np.int64(-1),
+            )
+            ext = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+            disc = t["l_discount"].to_numpy(zero_copy_only=False)
+            yr = pc.year(t["l_shipdate"]).to_numpy(zero_copy_only=False)
+            out = pa.table(
+                {
+                    "orderkey": t["l_orderkey"],
+                    "supp_nation": pa.array(snat.astype(np.int64)),
+                    "l_year": pa.array(yr.astype(np.int64)),
+                    "rev_cents": pa.array(_cents(ext * (1.0 - disc))),
+                }
+            )
+            return out.filter(
+                pc.and_(
+                    pc.greater_equal(out["supp_nation"], pa.scalar(0)),
+                    pc.less(out["supp_nation"], pa.scalar(NK)),
+                )
+            )
+
+    class OrdPrep:
+        def __init__(self, ref):
+            self.c = LazyRef(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys, vals = self.c.get()
+            cnat = vec_lookup(
+                keys, vals, t["o_custkey"].to_numpy(zero_copy_only=False),
+                np.int64(-2),
+            )
+            out = pa.table(
+                {
+                    "orderkey": t["o_orderkey"],
+                    "cust_nation": pa.array(cnat.astype(np.int64)),
+                }
+            )
+            return out.filter(
+                pc.and_(
+                    pc.greater_equal(out["cust_nation"], pa.scalar(0)),
+                    pc.less(out["cust_nation"], pa.scalar(NK)),
+                )
+            )
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice",
+         "l_discount"],
+    ).map_batches(LiPrep(s_map), batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        OrdPrep(c_map), batch_format="pyarrow"
+    )
+    joined = hash_bucket_join(li, orders, on="orderkey", buckets=16)
+    agg = partial_sum_groupby(
+        joined.map_batches(
+            lambda t: t.filter(
+                pc.not_equal(t["supp_nation"], t["cust_nation"])
+            ),
+            batch_format="pyarrow",
+        ),
+        ["supp_nation", "cust_nation", "l_year"],
+        {"rev_cents": "revenue_cents"},
+    )
+    nation = _read(sf_dir, "nation").to_pandas()
+    name_of = dict(zip(nation["n_nationkey"].astype(int), nation["n_name"]))
+
+    def names(t: pa.Table) -> pa.Table:
+        sn = t["supp_nation"].to_numpy(zero_copy_only=False)
+        cn = t["cust_nation"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "supp_nation": pa.array([name_of[int(k)] for k in sn]),
+                "cust_nation": pa.array([name_of[int(k)] for k in cn]),
+                "l_year": t["l_year"],
+                "revenue_cents": t["revenue_cents"],
+            }
+        )
+
+    return agg.map_batches(names, batch_format="pyarrow")
+
+
+Q7_SQL = f"""
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+       CAST(SUM({_CENTS_SQL.format(expr='l_extendedprice * (1.0 - l_discount)')}) AS BIGINT) AS revenue_cents
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+WHERE s_nationkey < 5 AND c_nationkey < 5
+  AND s_nationkey <> c_nationkey
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY ns.n_name, nc.n_name, EXTRACT(year FROM l_shipdate)
+"""
+
+
+def q14_promo_revenue(sf_dir: str):
+    """TPC-H Q14 shape: promo-type revenue share for one ship month.
+    The month filter prunes lineitem BEFORE the partitioned hash join
+    with part (part scales with the corpus — joined, not broadcast);
+    both measures come back as exact integer cents so the share is
+    derivable without a float crossing the output boundary."""
+    d0, d1 = datetime(1996, 9, 1), datetime(1996, 10, 1)
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        lambda t: (
+            lambda f: pa.table(
+                {
+                    "l_partkey": f["l_partkey"],
+                    "rev_cents": pa.array(
+                        _cents(
+                            f["l_extendedprice"].to_numpy(zero_copy_only=False)
+                            * (1.0 - f["l_discount"].to_numpy(zero_copy_only=False))
+                        )
+                    ),
+                }
+            )
+        )(
+            t.filter(
+                pc.and_(
+                    pc.greater_equal(t["l_shipdate"], pa.scalar(d0)),
+                    pc.less(t["l_shipdate"], pa.scalar(d1)),
+                )
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).map_batches(
+        lambda t: t.rename_columns(["l_partkey", "p_type"]),
+        batch_format="pyarrow",
+    )
+    joined = hash_bucket_join(li, part, on="l_partkey", buckets=16)
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = t["rev_cents"].to_numpy(zero_copy_only=False)
+        promo = pc.equal(t["p_type"], pa.scalar("PROMO")).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "promo_cents": pa.array([int(rev[promo].sum())], pa.int64()),
+                "total_cents": pa.array([int(rev.sum())], pa.int64()),
+            }
+        )
+
+    sums = joined.map_batches(partial, batch_format="pyarrow").sum(
+        ["promo_cents", "total_cents"]
+    )
+    return pa.table(
+        {
+            "promo_cents": pa.array([int(sums["sum(promo_cents)"] or 0)], pa.int64()),
+            "total_cents": pa.array([int(sums["sum(total_cents)"] or 0)], pa.int64()),
+        }
+    )
+
+
+Q14_SQL = f"""
+SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                     THEN {_CENTS_SQL.format(expr='l_extendedprice * (1.0 - l_discount)')}
+                     ELSE 0 END) AS BIGINT) AS promo_cents,
+       CAST(SUM({_CENTS_SQL.format(expr='l_extendedprice * (1.0 - l_discount)')}) AS BIGINT) AS total_cents
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+  AND l_shipdate <  TIMESTAMP '1996-10-01'
+"""
+
+
+def q19_brand_disjunction(sf_dir: str):
+    """TPC-H Q19 shape: revenue under a DISJUNCTION of (brand, size,
+    quantity-band) predicates.  part attributes join via the partitioned
+    hash join; the three-clause OR evaluates as one vectorized boolean
+    expression post-join; the scalar rolls up from per-batch partials."""
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "l_partkey": t["l_partkey"],
+                "qty": t["l_quantity"],
+                "rev_cents": pa.array(
+                    _cents(
+                        t["l_extendedprice"].to_numpy(zero_copy_only=False)
+                        * (1.0 - t["l_discount"].to_numpy(zero_copy_only=False))
+                    )
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]).map_batches(
+        lambda t: t.rename_columns(["l_partkey", "p_brand", "p_size"]),
+        batch_format="pyarrow",
+    )
+    joined = hash_bucket_join(li, part, on="l_partkey", buckets=16)
+
+    CLAUSES = [("Brand#12", 1, 15, 1, 11), ("Brand#23", 1, 25, 10, 20),
+               ("Brand#3", 1, 35, 20, 30)]
+
+    def partial(t: pa.Table) -> pa.Table:
+        brand = np.asarray(t["p_brand"].to_pylist(), dtype=object)
+        size = t["p_size"].to_numpy(zero_copy_only=False)
+        qty = t["qty"].to_numpy(zero_copy_only=False)
+        keep = np.zeros(len(t), dtype=bool)
+        for b, s0, s1, q0, q1 in CLAUSES:
+            keep |= (brand == b) & (size >= s0) & (size <= s1) & \
+                    (qty >= q0) & (qty <= q1)
+        rev = t["rev_cents"].to_numpy(zero_copy_only=False)[keep]
+        return pa.table(
+            {
+                "revenue_cents": pa.array([int(rev.sum())], pa.int64()),
+                "n_items": pa.array([int(keep.sum())], pa.int64()),
+            }
+        )
+
+    sums = joined.map_batches(partial, batch_format="pyarrow").sum(
+        ["revenue_cents", "n_items"]
+    )
+    return pa.table(
+        {
+            "revenue_cents": pa.array(
+                [int(sums["sum(revenue_cents)"] or 0)], pa.int64()
+            ),
+            "n_items": pa.array([int(sums["sum(n_items)"] or 0)], pa.int64()),
+        }
+    )
+
+
+Q19_SQL = f"""
+SELECT CAST(SUM({_CENTS_SQL.format(expr='l_extendedprice * (1.0 - l_discount)')}) AS BIGINT) AS revenue_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q17_small_quantity(sf_dir: str):
+    """TPC-H Q17 shape: the correlated scalar subquery ``l_quantity <
+    0.5 * avg(l_quantity) per part`` decorrelates into per-part
+    sufficient statistics (sum, count — integers, so the comparison
+    cross-multiplies exactly: ``2*qty*cnt < sum``) joined back to the
+    item rows; the brand/type filter broadcasts as a semi-join key set
+    (one brand × one type of the part corpus — genuinely small)."""
+    pset = set(
+        _read(sf_dir, "part", ["p_partkey", "p_brand", "p_type"])
+        .filter(lambda r: r["p_brand"] == "Brand#5" and r["p_type"] == "ECONOMY")
+        .unique("p_partkey")
+    )
+    pref = ray.put(pset)
+
+    items = broadcast_semi_join(
+        _read(sf_dir, "lineitem",
+              ["l_partkey", "l_quantity", "l_extendedprice"]),
+        pref, "l_partkey",
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "l_partkey": t["l_partkey"],
+                "qty": pc.cast(t["l_quantity"], pa.int64()),
+                "price_cents": pa.array(_cents(t["l_extendedprice"])),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    stats = partial_sum_groupby(
+        items.map_batches(
+            lambda t: t.select(["l_partkey", "qty"]),
+            batch_format="pyarrow",
+        ),
+        ["l_partkey"], {"qty": "sum_qty"}, count_as="cnt",
+    )
+    joined = hash_bucket_join(items, stats, on="l_partkey", buckets=8)
+
+    def partial(t: pa.Table) -> pa.Table:
+        qty = t["qty"].to_numpy(zero_copy_only=False)
+        cnt = t["cnt"].to_numpy(zero_copy_only=False)
+        s = t["sum_qty"].to_numpy(zero_copy_only=False)
+        keep = 2 * qty * cnt < s
+        price = t["price_cents"].to_numpy(zero_copy_only=False)[keep]
+        return pa.table(
+            {
+                "total_cents": pa.array([int(price.sum())], pa.int64()),
+                "n_items": pa.array([int(keep.sum())], pa.int64()),
+            }
+        )
+
+    sums = joined.map_batches(partial, batch_format="pyarrow").sum(
+        ["total_cents", "n_items"]
+    )
+    return pa.table(
+        {
+            "total_cents": pa.array([int(sums["sum(total_cents)"] or 0)], pa.int64()),
+            "n_items": pa.array([int(sums["sum(n_items)"] or 0)], pa.int64()),
+        }
+    )
+
+
+Q17_SQL = f"""
+SELECT CAST(SUM({_CENTS_SQL.format(expr='l_extendedprice')}) AS BIGINT) AS total_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_partkey IN (SELECT p_partkey FROM part
+                    WHERE p_brand = 'Brand#5' AND p_type = 'ECONOMY')
+  AND l_quantity < (SELECT 0.5 * AVG(l_quantity) FROM lineitem l2
+                    WHERE l2.l_partkey = lineitem.l_partkey)
+"""
+
+
 def top_order_per_customer(sf_dir: str):
     """Window-function shape: rank orders per customer, keep the top one
     (deterministic tie-break on orderkey) — grouped_apply over the
@@ -5595,6 +6036,11 @@ QUERIES = {
     "doc_compression_ratio": doc_compression_ratio,
     "q6_revenue": q6_revenue,
     "q4_late_orders": q4_late_orders,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q10_returned_revenue": q10_returned_revenue,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q17_small_quantity": q17_small_quantity,
+    "q19_brand_disjunction": q19_brand_disjunction,
     "dq_orders_checks": dq_orders_checks,
     "orders_cdc_merge": orders_cdc_merge,
     "bucketed_storage_join": bucketed_storage_join,
@@ -5727,6 +6173,11 @@ ORACLE_SQL = {
     "embedding_near_dup": NEARDUP_SQL,
     "q6_revenue": Q6_SQL,
     "q4_late_orders": Q4_SQL,
+    "q7_volume_shipping": Q7_SQL,
+    "q10_returned_revenue": Q10_SQL,
+    "q14_promo_revenue": Q14_SQL,
+    "q17_small_quantity": Q17_SQL,
+    "q19_brand_disjunction": Q19_SQL,
     "dq_orders_checks": DQ_SQL,
     "orders_cdc_merge": CDC_SQL,
     "bucketed_storage_join": BUCKETED_JOIN_SQL,
