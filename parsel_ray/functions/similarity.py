@@ -17,6 +17,8 @@ cosine is computed in float64 with a fixed reduction order so the DuckDB
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -774,3 +776,108 @@ def sparse_cosine_top1(
 
     return grouped_apply(sym, [id_col], top1,
                          num_partitions=num_partitions)
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA (one-pass sufficient statistics)
+# ---------------------------------------------------------------------------
+
+
+def pca_fit(ds, dim: int, col: str = "embedding"):
+    """One-pass distributed PCA fit: every batch reduces to the O(d^2)
+    sufficient statistics of the covariance — ``(n, sum_x, sum_outer)``
+    — so the bytes leaving a worker are independent of corpus size; a
+    second map_batches level folds batch partials into block partials
+    (the driver sees O(blocks) rows of d^2 floats, a two-level reduce
+    tree); the d x d eigendecomposition happens once on the driver.
+
+    Returns ``(mean, components, explained_var)`` with components as
+    rows sorted by descending eigenvalue and a deterministic sign
+    convention (largest-|entry| coordinate made positive).
+    """
+    import pyarrow as pa
+
+    def batch_stats(t: pa.Table) -> pa.Table:
+        mat = _stack_embeddings(t[col]).astype(np.float64)
+        s = mat.sum(axis=0)
+        outer = mat.T @ mat
+        return pa.table(
+            {
+                "n": pa.array([len(mat)], pa.int64()),
+                "s": pa.array([s]),
+                "outer": pa.array([outer.reshape(-1)]),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        n = int(np.sum(t["n"].to_numpy(zero_copy_only=False)))
+        s = np.zeros(dim, dtype=np.float64)
+        outer = np.zeros(dim * dim, dtype=np.float64)
+        for row_s, row_o in zip(t["s"].to_pylist(), t["outer"].to_pylist()):
+            s += np.asarray(row_s, dtype=np.float64)
+            outer += np.asarray(row_o, dtype=np.float64)
+        return pa.table(
+            {
+                "n": pa.array([n], pa.int64()),
+                "s": pa.array([s]),
+                "outer": pa.array([outer]),
+            }
+        )
+
+    parts = (
+        ds.map_batches(batch_stats, batch_format="pyarrow")
+        .map_batches(fold, batch_format="pyarrow", batch_size=256)
+        .take_all()
+    )
+    n = sum(int(r["n"]) for r in parts)
+    if n < 2:
+        raise ValueError("pca_fit needs at least 2 rows")
+    s = np.zeros(dim, dtype=np.float64)
+    outer = np.zeros((dim, dim), dtype=np.float64)
+    for r in parts:
+        s += np.asarray(r["s"], dtype=np.float64)
+        outer += np.asarray(r["outer"], dtype=np.float64).reshape(dim, dim)
+    mean = s / n
+    cov = (outer - np.outer(s, mean)) / (n - 1)
+    cov = (cov + cov.T) / 2.0  # enforce symmetry against fp drift
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1]
+    evals, evecs = evals[order], evecs[:, order].T  # components as rows
+    # deterministic sign: the largest-|entry| coordinate is positive
+    for i in range(evecs.shape[0]):
+        j = int(np.argmax(np.abs(evecs[i])))
+        if evecs[i, j] < 0:
+            evecs[i] = -evecs[i]
+    # certification: eigenvalue mass must reproduce the total variance
+    tr = float(np.trace(cov))
+    if not math.isclose(float(evals.sum()), tr, rel_tol=1e-9, abs_tol=1e-12):
+        raise AssertionError("pca_fit: eigenvalue sum != trace(cov)")
+    return mean, evecs, evals
+
+
+class PcaProject:
+    """Actor-pool projection stage: components broadcast once per actor
+    via ``LazyRef``; each batch is one centered matmul.  Projections
+    leave as integer micro-units so the output column is exact."""
+
+    def __init__(self, ref, n_components: int, col: str = "embedding",
+                 id_cols=("vec_id",)):
+        from .relational import LazyRef
+
+        self.ref = LazyRef(ref)
+        self.k = n_components
+        self.col = col
+        self.id_cols = list(id_cols)
+
+    def __call__(self, t: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
+
+        mean, comps = self.ref.get()
+        mat = _stack_embeddings(t[self.col]).astype(np.float64)
+        proj = (mat - mean) @ comps[: self.k].T
+        cols = {c: t[c] for c in self.id_cols}
+        for i in range(self.k):
+            cols[f"pc{i + 1}_e6"] = pa.array(
+                np.floor(proj[:, i] * 1e6 + 0.5).astype(np.int64)
+            )
+        return pa.table(cols)

@@ -4940,6 +4940,29 @@ def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 5):
     )
 
 
+def embedding_pca_project(sf_dir: str, n_components: int = 2):
+    """Distributed PCA: one pass of O(d^2) sufficient statistics per
+    batch (two-level reduce tree — the driver only ever sees d x d
+    covariance partials, never vectors), eigh on the tiny covariance
+    with a deterministic sign convention, then an actor-pool projection
+    with the components broadcast once.  Output coordinates are integer
+    micro-units; in-kernel certification asserts eigenvalue mass equals
+    trace(cov) and explained variances are sorted."""
+    from ..functions.similarity import PcaProject, pca_fit
+
+    dim = 64
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    mean, comps, evals = pca_fit(ds, dim=dim)
+    if not np.all(np.diff(evals) <= 1e-9):
+        raise AssertionError("pca: explained variances not sorted")
+    ref = ray.put((mean, comps))
+    return ds.map_batches(
+        PcaProject(ref, n_components, id_cols=("vec_id", "label")),
+        batch_format="pyarrow",
+        concurrency=4,
+    )
+
+
 def customer_order_full_outer(sf_dir: str):
     """FULL OUTER join through the bucketed shuffle join: a filtered
     customer slice against per-customer URGENT order counts — rows
@@ -6103,6 +6126,7 @@ QUERIES = {
     "events_value_histogram": events_value_histogram,
     "doc_url_regex_groups": doc_url_regex_groups,
     "kmeans_embeddings": kmeans_embeddings,
+    "embedding_pca_project": embedding_pca_project,
     "customer_order_full_outer": customer_order_full_outer,
     "web_pagerank": web_pagerank,
     "lineitem_triangles": lineitem_triangles,

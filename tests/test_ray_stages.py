@@ -1899,3 +1899,77 @@ class TestQuarantineMap:
         )
         assert out.count() == 0
         assert out.schema().names == ["rid"]
+
+
+class TestPcaFit:
+    """functions/similarity.py::pca_fit / PcaProject — the distributed
+    sufficient-statistics fit must reproduce in-process numpy PCA on a
+    synthetic matrix with well-separated principal variances (separation
+    keeps the subspace numerically stable for the comparison)."""
+
+    def test_matches_numpy(self, ray_session):
+        import ray
+        import ray.data as rd
+
+        from parsel_ray.functions.similarity import PcaProject, pca_fit
+
+        rng = np.random.RandomState(7)
+        n, d = 600, 16
+        # distinct variances 16..1 along a random orthonormal basis
+        basis, _ = np.linalg.qr(rng.randn(d, d))
+        scales = np.arange(d, 0, -1).astype(np.float64)
+        z = rng.randn(n, d) * scales
+        mat = z @ basis.T + rng.randn(d) * 3.0  # nonzero mean
+        ds = rd.from_items(
+            [
+                {"vec_id": i, "embedding": mat[i].astype(np.float32).tolist()}
+                for i in range(n)
+            ]
+        ).repartition(8)
+
+        mean, comps, evals = pca_fit(ds, dim=d)
+
+        ref_mean = mat.astype(np.float32).astype(np.float64).mean(axis=0)
+        np.testing.assert_allclose(mean, ref_mean, rtol=0, atol=1e-9)
+        x = mat.astype(np.float32).astype(np.float64) - ref_mean
+        ref_cov = x.T @ x / (n - 1)
+        ref_evals, ref_evecs = np.linalg.eigh(ref_cov)
+        order = np.argsort(ref_evals)[::-1]
+        ref_evals, ref_evecs = ref_evals[order], ref_evecs[:, order].T
+        np.testing.assert_allclose(evals, ref_evals, rtol=1e-8, atol=1e-10)
+        # component directions agree up to sign (sign convention fixes it)
+        for i in range(4):
+            cos = abs(float(np.dot(comps[i], ref_evecs[i])))
+            assert cos > 1 - 1e-8, (i, cos)
+        # explained variances sorted descending
+        assert np.all(np.diff(evals) <= 1e-12)
+
+        # projection stage: integer micro-units of the centered matmul
+        ref = ray.put((mean, comps))
+        out = (
+            ds.map_batches(
+                PcaProject(ref, 2, id_cols=("vec_id",)),
+                batch_format="pyarrow",
+            )
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        want = (mat.astype(np.float32).astype(np.float64) - mean) @ comps[:2].T
+        np.testing.assert_array_equal(
+            out["pc1_e6"].to_numpy(),
+            np.floor(want[:, 0] * 1e6 + 0.5).astype(np.int64),
+        )
+        np.testing.assert_array_equal(
+            out["pc2_e6"].to_numpy(),
+            np.floor(want[:, 1] * 1e6 + 0.5).astype(np.int64),
+        )
+
+    def test_needs_two_rows(self, ray_session):
+        import ray.data as rd
+
+        from parsel_ray.functions.similarity import pca_fit
+
+        ds = rd.from_items([{"embedding": [1.0, 2.0]}])
+        with pytest.raises(ValueError):
+            pca_fit(ds, dim=2)
