@@ -3346,6 +3346,47 @@ def partitioned_write_docs(sf_dir: str):
 PARTWRITE_SQL = "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang"
 
 
+def compact_partitioned_docs(sf_dir: str):
+    """Small-file compaction lifecycle: a many-block write fragments each
+    lang partition into many tiny shards, ``compact_partitioned`` rewrites
+    each to ceil(rows/target) files (one task per partition, receipts
+    only on the driver), and a second pass is certified a NO-OP — the
+    steady-state maintenance job of any long-lived 100 TB corpus.  The
+    returned per-partition row counts oracle-check against DuckDB."""
+    import glob as _glob
+    import math as _math
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from ..sources import write_partitioned_parquet
+    from ..sources.partitioned import compact_partitioned
+
+    out = _tempfile.mkdtemp(prefix="docs_compact_", dir="/tmp")
+    try:
+        ds = _read(sf_dir, "documents", ["doc_id", "lang"]).repartition(24)
+        write_partitioned_parquet(ds, out, "lang")
+        frag = sum(
+            len(_glob.glob(_os.path.join(p, "*.parquet")))
+            for p in _glob.glob(_os.path.join(out, "lang=*"))
+        )
+        target = 1_000_000  # every partition fits one shard at gate scale
+        rec = compact_partitioned(out, "lang", target_rows_per_shard=target)
+        assert int(pc.sum(rec["files_after"]).as_py()) < frag
+        for fb, fa, n in zip(
+            rec["files_before"].to_pylist(),
+            rec["files_after"].to_pylist(),
+            rec["n_rows"].to_pylist(),
+        ):
+            assert fa == max(1, _math.ceil(n / target))
+        rec2 = compact_partitioned(out, "lang", target_rows_per_shard=target)
+        assert rec2["files_before"].to_pylist() == rec2["files_after"].to_pylist()
+        assert rec2["n_rows"].to_pylist() == rec["n_rows"].to_pylist()
+        return pa.table({"lang": rec["lang"], "n": rec["n_rows"]})
+    finally:
+        _shutil.rmtree(out, ignore_errors=True)
+
+
 def pruned_partitioned_read(sf_dir: str):
     """Predicate/partition pruning at the READ (the read-side scale
     lever): documents written once as a hive-partitioned parquet dataset
@@ -6076,6 +6117,7 @@ QUERIES = {
     "deterministic_sample": deterministic_sample,
     "union_counts": union_counts,
     "partitioned_write_docs": partitioned_write_docs,
+    "compact_partitioned_docs": compact_partitioned_docs,
     "pruned_partitioned_read": pruned_partitioned_read,
     "doc_bpe_tokens": doc_bpe_tokens,
     "hash_join_native": hash_join_native,
@@ -6214,6 +6256,7 @@ ORACLE_SQL = {
     "deterministic_sample": SAMPLE_SQL,
     "union_counts": UNION_SQL,
     "partitioned_write_docs": PARTWRITE_SQL,
+    "compact_partitioned_docs": PARTWRITE_SQL,
     "pruned_partitioned_read": PRUNED_SQL,
     "doc_bpe_tokens": BPE_SQL,
     "hash_join_native": NATIVE_JOIN_SQL,

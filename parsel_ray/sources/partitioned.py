@@ -284,6 +284,144 @@ def delete_from_partitioned(out_dir: str, key_col: str, predicate,
     )
 
 
+def compact_partitioned(out_dir: str, key_col: str,
+                        target_rows_per_shard: int = 100_000,
+                        verify: bool = True) -> pa.Table:
+    """Small-file compaction over an existing partitioned corpus: every
+    partition whose shard count exceeds what ``target_rows_per_shard``
+    requires is rewritten into ceil(rows/target) shards; partitions
+    already at or under the target are left byte-identical (their files
+    are not even opened beyond the footer).  One Ray task per partition
+    — the driver sees only receipt rows, never data.
+
+    Same crash-safety protocol as :func:`delete_from_partitioned`:
+    orphan ``.tmp`` sweep, ``_DONE``-vs-footer cross-check BEFORE
+    reading, atomic per-shard publish via ``os.replace``, superseded
+    shards removed only after every replacement shard is live, and a
+    refreshed ``_DONE`` count.  A crash mid-compaction leaves either
+    extra live shards (caught by the count cross-check on the next
+    pass's read of ``_DONE``) or orphan tmps (swept), never lost rows.
+
+    Returns ``(key_col, files_before, files_after, n_rows)`` receipts.
+    """
+    import math as _math
+
+    import ray.data as rd
+
+    if target_rows_per_shard < 1:
+        raise ValueError("target_rows_per_shard must be >= 1")
+    pdirs = sorted(
+        d for d in glob.glob(os.path.join(out_dir, f"{key_col}=*"))
+        if _partition_value(d, key_col) is not None
+    )
+    empty = pa.table(
+        {
+            key_col: pa.array([], pa.string()),
+            "files_before": pa.array([], pa.int64()),
+            "files_after": pa.array([], pa.int64()),
+            "n_rows": pa.array([], pa.int64()),
+        }
+    )
+    if not pdirs:
+        return empty
+
+    def compact(t: pa.Table) -> pa.Table:
+        out = {k: [] for k in
+               (key_col, "files_before", "files_after", "n_rows")}
+        for pdir in t["pdir"].to_pylist():
+            val = _partition_value(pdir, key_col)
+            for stale in glob.glob(os.path.join(pdir, "*.parquet.tmp*")):
+                os.remove(stale)
+            files = sorted(glob.glob(os.path.join(pdir, "*.parquet")))
+            if not files:
+                continue
+            done_path = os.path.join(pdir, "_DONE")
+            expected = None
+            if os.path.exists(done_path):
+                txt = open(done_path).read().strip()
+                expected = int(txt) if txt.isdigit() else None
+            on_disk = sum(pq.read_metadata(f).num_rows for f in files)
+            if expected is not None and on_disk != expected:
+                raise RuntimeError(
+                    f"partition {key_col}={val}: _DONE records "
+                    f"{expected} rows but files hold {on_disk} — "
+                    f"crash window or lost write (stale shard?)"
+                )
+            want_files = max(1, _math.ceil(on_disk / target_rows_per_shard))
+            if len(files) <= want_files:
+                out[key_col].append(val)
+                out["files_before"].append(len(files))
+                out["files_after"].append(len(files))
+                out["n_rows"].append(on_disk)
+                continue
+            # deterministic row order: shards concatenate in sorted
+            # filename order, so re-runs produce identical output shards
+            tab = pa.concat_tables([pq.read_table(f) for f in files])
+            new_files: list[str] = []
+            for i in range(want_files):
+                sub = tab.slice(i * target_rows_per_shard,
+                                target_rows_per_shard)
+                new = os.path.join(pdir, _content_name(sub))
+                tmp = new + f".tmp{os.getpid()}"
+                pq.write_table(sub, tmp)
+                os.replace(tmp, new)  # atomic publish
+                new_files.append(new)
+            live = set(new_files)
+            for f in files:
+                if f not in live:
+                    os.remove(f)
+            with open(done_path, "w") as fh:
+                fh.write(str(on_disk))
+            out[key_col].append(val)
+            out["files_before"].append(len(files))
+            out["files_after"].append(len(new_files))
+            out["n_rows"].append(on_disk)
+        if not out[key_col]:
+            return empty
+        return pa.table(
+            {
+                key_col: pa.array(out[key_col], pa.string()),
+                "files_before": pa.array(out["files_before"], pa.int64()),
+                "files_after": pa.array(out["files_after"], pa.int64()),
+                "n_rows": pa.array(out["n_rows"], pa.int64()),
+            }
+        )
+
+    receipts = (
+        rd.from_arrow(pa.table({"pdir": pa.array(pdirs, pa.string())}))
+        .repartition(len(pdirs))  # one task per partition
+        .map_batches(compact, batch_format="pyarrow")
+        .take_all()  # O(partitions) receipt rows
+    )
+    if verify:
+        for r in receipts:
+            files = glob.glob(
+                os.path.join(out_dir, f"{key_col}={r[key_col]}", "*.parquet")
+            )
+            on_disk = sum(pq.read_metadata(f).num_rows for f in files)
+            if on_disk != r["n_rows"] or len(files) != r["files_after"]:
+                raise RuntimeError(
+                    f"partition {key_col}={r[key_col]}: compaction "
+                    f"receipts say {r['n_rows']} rows in "
+                    f"{r['files_after']} files but disk holds {on_disk} "
+                    f"rows in {len(files)} — crash window or lost write"
+                )
+    keys = sorted(r[key_col] for r in receipts)
+    by = {r[key_col]: r for r in receipts}
+    return pa.table(
+        {
+            key_col: pa.array(keys, pa.string()),
+            "files_before": pa.array(
+                [by[k]["files_before"] for k in keys], pa.int64()
+            ),
+            "files_after": pa.array(
+                [by[k]["files_after"] for k in keys], pa.int64()
+            ),
+            "n_rows": pa.array([by[k]["n_rows"] for k in keys], pa.int64()),
+        }
+    )
+
+
 def read_evolved_parquet(paths, promote: bool = True):
     """Read parquet files whose schemas EVOLVED over time (columns added,
     widths promoted) as one Dataset with the unified schema — the

@@ -9,6 +9,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
+import ray
 import ray.data as rd
 
 from parsel_ray.sources import write_partitioned_parquet
@@ -354,3 +355,90 @@ class TestBucketedJoin:
         )
         assert got == [(2, "b", 20), (2, "b", 21), (3, "c", 30),
                        (5, "e", 50)]
+
+
+class TestCompactPartitioned:
+    """sources/partitioned.py::compact_partitioned — small-file
+    compaction with the _DONE/receipt crash-safety protocol."""
+
+    def _fragmented(self, tmp_path, blocks=16):
+        from parsel_ray.sources import write_partitioned_parquet
+
+        out = str(tmp_path / "corpus")
+        ds = rd.from_arrow(_docs(300)).repartition(blocks)
+        write_partitioned_parquet(ds, out, "lang")
+        return out
+
+    def test_compacts_and_is_idempotent(self, ray_session, tmp_path):
+        from parsel_ray.sources.partitioned import compact_partitioned
+
+        out = self._fragmented(tmp_path)
+        before = {
+            p: sorted(glob.glob(os.path.join(p, "*.parquet")))
+            for p in glob.glob(os.path.join(out, "lang=*"))
+        }
+        assert sum(len(v) for v in before.values()) > 6  # fragmented
+
+        rec = compact_partitioned(out, "lang", target_rows_per_shard=60)
+        want = _docs(300).to_pandas()
+        got = (
+            rd.read_parquet(out).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True)
+        )
+        assert sorted(got["doc_id"]) == sorted(want["doc_id"])
+        assert got.groupby("lang").size().to_dict() == \
+            want.groupby("lang").size().to_dict()
+        import math
+        for k, fa, n in zip(rec["lang"].to_pylist(),
+                            rec["files_after"].to_pylist(),
+                            rec["n_rows"].to_pylist()):
+            files = glob.glob(os.path.join(out, f"lang={k}", "*.parquet"))
+            assert len(files) == fa == math.ceil(n / 60)
+            # _DONE refreshed with the row count
+            assert open(os.path.join(out, f"lang={k}", "_DONE")).read() \
+                == str(n)
+
+        # second pass: byte-identical no-op (same filenames, same receipts)
+        names1 = {
+            p: sorted(glob.glob(os.path.join(p, "*.parquet")))
+            for p in glob.glob(os.path.join(out, "lang=*"))
+        }
+        rec2 = compact_partitioned(out, "lang", target_rows_per_shard=60)
+        names2 = {
+            p: sorted(glob.glob(os.path.join(p, "*.parquet")))
+            for p in glob.glob(os.path.join(out, "lang=*"))
+        }
+        assert names1 == names2
+        assert rec2["files_before"].to_pylist() == \
+            rec2["files_after"].to_pylist()
+
+    def test_sweeps_orphan_tmps(self, ray_session, tmp_path):
+        from parsel_ray.sources.partitioned import compact_partitioned
+
+        out = self._fragmented(tmp_path)
+        pdir = glob.glob(os.path.join(out, "lang=*"))[0]
+        orphan = os.path.join(pdir, "shard-dead.parquet.tmp999")
+        open(orphan, "w").write("garbage from a crashed pass")
+        compact_partitioned(out, "lang", target_rows_per_shard=60)
+        assert not os.path.exists(orphan)
+
+    def test_detects_stale_duplicate_shard(self, ray_session, tmp_path):
+        from parsel_ray.sources.partitioned import compact_partitioned
+
+        out = self._fragmented(tmp_path)
+        pdir = glob.glob(os.path.join(out, "lang=*"))[0]
+        src = glob.glob(os.path.join(pdir, "*.parquet"))[0]
+        # a crash between publish and cleanup leaves a duplicate shard:
+        # the _DONE count no longer matches the footers and must raise
+        import shutil
+        shutil.copy(src, os.path.join(pdir, "shard-stalestale.parquet"))
+        with pytest.raises(ray.exceptions.RayTaskError,
+                           match="crash window|lost write"):
+            compact_partitioned(out, "lang", target_rows_per_shard=60)
+
+    def test_rejects_bad_target(self, ray_session, tmp_path):
+        from parsel_ray.sources.partitioned import compact_partitioned
+
+        with pytest.raises(ValueError):
+            compact_partitioned(str(tmp_path), "lang",
+                                target_rows_per_shard=0)
