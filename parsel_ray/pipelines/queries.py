@@ -4207,6 +4207,46 @@ FROM events
 """
 
 
+def events_range_window(sf_dir: str):
+    """RANGE-frame window: per event, the sum and count of the same
+    user's events in the trailing ONE HOUR (``RANGE BETWEEN INTERVAL 1
+    HOUR PRECEDING AND CURRENT ROW`` — equal-timestamp peers included,
+    per SQL RANGE semantics).  Per user-partition: one sort, then two
+    vectorized ``searchsorted`` bounds over the timestamp array and a
+    prefix-sum difference — O(n log n) per group, no per-row loop.
+    Measures cross the boundary as exact integer cents."""
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).copy()
+        ts = g["ts"].astype("int64").to_numpy()  # microseconds
+        cents = _cents(g["value"].to_numpy())
+        csum = np.concatenate([[0], np.cumsum(cents)])
+        hour = 3_600_000_000
+        # frame = all rows with ts in [t-1h, t]; ties share the frame
+        lo = np.searchsorted(ts, ts - hour, side="left")
+        hi = np.searchsorted(ts, ts, side="right")
+        g["win_cents"] = csum[hi] - csum[lo]
+        g["win_n"] = (hi - lo).astype(np.int64)
+        return g[["user_id", "event_id", "win_cents", "win_n"]]
+
+    return grouped_apply(
+        _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"]),
+        "user_id",
+        run,
+        num_partitions=16,
+    )
+
+
+RANGEWIN_SQL = f"""
+SELECT user_id, event_id,
+       CAST(SUM({_CENTS_SQL.format(expr='value')}) OVER w AS BIGINT) AS win_cents,
+       CAST(COUNT(*) OVER w AS BIGINT) AS win_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
 def docs_rollup(sf_dir: str):
     """GROUPING SETS / ROLLUP as a union of combiner groupbys: counts
     by (lang, source), by (lang), and the grand total — each level its
@@ -6154,6 +6194,7 @@ QUERIES = {
     "events_type_pivot": events_type_pivot,
     "customers_without_orders": customers_without_orders,
     "events_lag_delta": events_lag_delta,
+    "events_range_window": events_range_window,
     "docs_rollup": docs_rollup,
     "sitemap_extract": sitemap_extract,
     "events_forward_fill": events_forward_fill,
@@ -6274,6 +6315,7 @@ ORACLE_SQL = {
     "events_type_pivot": PIVOT_SQL,
     "customers_without_orders": ANTI_SQL,
     "events_lag_delta": LAG_SQL,
+    "events_range_window": RANGEWIN_SQL,
     "docs_rollup": ROLLUP_SQL,
     "sitemap_extract": SITEMAP_SQL,
     "events_forward_fill": FFILL_SQL,
