@@ -3572,6 +3572,61 @@ SELECT doc_id, term AS top_term, tf, df FROM (
 """
 
 
+_BOOL_TERMS = ("data", "hash", "join")
+
+
+def doc_boolean_search(sf_dir: str, k: int = 50):
+    """Conjunctive inverted-index search: documents containing ALL of
+    ``_BOOL_TERMS``, ranked by total tf of the query terms (ties by
+    doc_id), top-``k``.  Scale shape: the posting prune happens INSIDE
+    each tokenize batch (only query-term postings ever leave a task —
+    at 100 TB that's |query| rows per doc, not the vocabulary), the
+    per-doc (matched-term count, score) pair is an exact per-batch
+    partial (a doc never spans batches) summed by one keyed combiner
+    shuffle, the AND is a filter on the matched count, and the top-k is
+    a per-block partial sort before one tiny merge."""
+    terms = pa.array(list(_BOOL_TERMS))
+
+    def postings(t: pa.Table) -> pa.Table:
+        p = T.term_doc_tf(t)
+        p = p.filter(pc.is_in(p["term"], value_set=terms))
+        g = p.group_by("doc_id").aggregate([("term", "count"), ("tf", "sum")])
+        return g.rename_columns(["doc_id", "n_terms", "score"])
+
+    per_doc = partial_sum_groupby(
+        _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            postings, batch_format="pyarrow"
+        ),
+        ["doc_id"],
+        {"n_terms": "n_terms", "score": "score"},
+    )
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["n_terms"], len(_BOOL_TERMS)))
+        t = t.sort_by([("score", "descending"), ("doc_id", "ascending")])
+        return t.slice(0, k).select(["doc_id", "score"])
+
+    return (
+        per_doc.map_batches(block_topk, batch_format="pyarrow")
+        .sort(["score", "doc_id"], descending=[True, False])
+        .limit(k)
+    )
+
+
+BOOLSEARCH_SQL = """
+WITH pairs AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '[a-z]{2,}')) AS term
+        FROM documents)
+  GROUP BY doc_id, term
+)
+SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS score
+FROM pairs WHERE term IN ('data', 'hash', 'join')
+GROUP BY doc_id HAVING COUNT(DISTINCT term) = 3
+ORDER BY score DESC, doc_id LIMIT 50
+"""
+
+
 def top3_orders_per_customer(sf_dir: str):
     """Per-group top-k (k=3) via :func:`grouped_topk`: per-batch combiner
     bounds the shuffle at 3 rows per customer per block, coarse hash
@@ -6195,6 +6250,7 @@ QUERIES = {
     "customers_without_orders": customers_without_orders,
     "events_lag_delta": events_lag_delta,
     "events_range_window": events_range_window,
+    "doc_boolean_search": doc_boolean_search,
     "docs_rollup": docs_rollup,
     "sitemap_extract": sitemap_extract,
     "events_forward_fill": events_forward_fill,
@@ -6316,6 +6372,7 @@ ORACLE_SQL = {
     "customers_without_orders": ANTI_SQL,
     "events_lag_delta": LAG_SQL,
     "events_range_window": RANGEWIN_SQL,
+    "doc_boolean_search": BOOLSEARCH_SQL,
     "docs_rollup": ROLLUP_SQL,
     "sitemap_extract": SITEMAP_SQL,
     "events_forward_fill": FFILL_SQL,
