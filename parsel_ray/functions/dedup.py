@@ -1177,3 +1177,138 @@ def dedup_cdc(
         )
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+def paragraph_chunk_rows(
+    t: pa.Table,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 16,
+    max_chunks_bits: int = 20,
+) -> pa.Table:
+    """Split each doc into consecutive ``chunk_tokens``-token paragraphs
+    (space-separated), emitting one ``(chunk, rank)`` row per paragraph
+    where ``rank = doc_id << max_chunks_bits | chunk_idx`` packs the
+    occurrence's position into one orderable int64.
+
+    Fully vectorized: one RE2-free split, numpy offset arithmetic, one
+    ``ListArray.from_arrays`` re-group, one ``binary_join`` — no Python
+    loop over docs, tokens, or chunks.  A doc never spans batches, so
+    per-batch chunking is exact."""
+    import pyarrow.compute as pc
+
+    text = pc.fill_null(t[text_col], "")
+    toks = pc.split_pattern(text, " ")
+    n = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(toks)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    tot = int(n.sum())
+    starts = np.concatenate([[0], np.cumsum(n)[:-1]])
+    within = np.arange(tot, dtype=np.int64) - np.repeat(starts, n)
+    chunk_starts = np.flatnonzero(within % chunk_tokens == 0)
+    # int32 offsets: a block is <= a few hundred MB, far under 2**31 tokens
+    offsets = np.concatenate([chunk_starts, [tot]]).astype(np.int32)
+    chunks = pc.binary_join(
+        pa.ListArray.from_arrays(
+            pa.array(offsets), pc.cast(flat, pa.string())
+        ),
+        " ",
+    )
+    nchunks = -(-n // chunk_tokens)  # ceil; n>=1 always (split('')==[''])
+    doc = np.repeat(
+        t[id_col].to_numpy(zero_copy_only=False).astype(np.int64), nchunks
+    )
+    cstarts = np.concatenate([[0], np.cumsum(nchunks)[:-1]])
+    cidx = np.arange(len(chunk_starts), dtype=np.int64) - np.repeat(cstarts, nchunks)
+    if len(cidx) and int(cidx.max()) >= (1 << max_chunks_bits):
+        raise ValueError(
+            f"doc has >= 2**{max_chunks_bits} chunks; raise max_chunks_bits"
+        )
+    rank = (doc << max_chunks_bits) | cidx
+    return pa.table({"chunk": pc.cast(chunks, pa.string()), "rank": rank})
+
+
+def paragraph_dedup(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 16,
+    num_partitions: int = 32,
+    max_chunks_bits: int = 20,
+):
+    """Corpus-wide exact paragraph dedup (the CCNet / C4 shape): every
+    ``chunk_tokens``-token paragraph keeps only its FIRST occurrence in
+    (doc_id, position) order; docs are rebuilt from their surviving
+    paragraphs.  Returns ``(doc_id, text_clean, n_chunks)`` — docs whose
+    every paragraph lost the election disappear.
+
+    Scale shape: the only all-to-all is one min-combiner groupby keyed
+    by paragraph text (per-batch pyarrow pre-min bounds the shuffle at
+    one row per distinct paragraph per block).  The election result
+    ALREADY encodes the surviving occurrences (rank unpacks to
+    doc_id + position), so no join-back pass is needed; the rebuild is
+    a coarse hash partition by doc with a vectorized in-partition sort
+    + ListArray re-group + binary_join."""
+    from .agg import partial_agg_groupby
+    from .relational import _bucket_of
+
+    chunks = ds.map_batches(
+        lambda t: paragraph_chunk_rows(
+            t, text_col, id_col, chunk_tokens, max_chunks_bits
+        ),
+        batch_format="pyarrow",
+    )
+    winners = partial_agg_groupby(chunks, ["chunk"], [("rank", "min", "rank")])
+
+    mask = (1 << max_chunks_bits) - 1
+
+    def decode(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        rank = t["rank"].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = rank >> max_chunks_bits
+        out = pa.table(
+            {
+                id_col: pa.array(doc),
+                "chunk_idx": pa.array(rank & mask),
+                "chunk": t["chunk"],
+            }
+        )
+        part = _bucket_of(out[id_col], num_partitions)
+        return out.append_column("__part", part)
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, "chunk_idx"], kind="stable")
+        doc = g[id_col].to_numpy()
+        if not len(doc):
+            return pd.DataFrame(
+                {id_col: pd.Series([], dtype="int64"),
+                 "text_clean": pd.Series([], dtype="string"),
+                 "n_chunks": pd.Series([], dtype="int64")}
+            )
+        bounds = np.flatnonzero(np.diff(doc)) + 1
+        offsets = np.concatenate([[0], bounds, [len(doc)]]).astype(np.int32)
+        import pyarrow.compute as pc
+
+        la = pa.ListArray.from_arrays(
+            pa.array(offsets),
+            pa.array(g["chunk"].to_numpy(), type=pa.string()),
+        )
+        heads = np.concatenate([[0], bounds])
+        return pd.DataFrame(
+            {
+                id_col: doc[heads],
+                "text_clean": pc.binary_join(la, " ").to_pylist(),
+                "n_chunks": np.diff(offsets),
+            }
+        )
+
+    return (
+        winners.map_batches(decode, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(
+            lambda g: rebuild(g.drop(columns=["__part"])),
+            batch_format="pandas",
+        )
+    )

@@ -3627,6 +3627,42 @@ ORDER BY score DESC, doc_id LIMIT 50
 """
 
 
+def doc_paragraph_dedup(sf_dir: str):
+    """Corpus-wide exact paragraph dedup (the CCNet / C4 preprocessing
+    shape): every 16-token paragraph keeps only its first occurrence in
+    (doc_id, position) order, docs rebuilt from surviving paragraphs.
+    One min-combiner shuffle keyed by paragraph text; the election
+    result itself encodes the survivors (packed int64 rank), so there is
+    no join-back pass.  See :func:`parsel_ray.functions.dedup.paragraph_dedup`."""
+    return D.paragraph_dedup(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        chunk_tokens=16,
+        num_partitions=16,
+    )
+
+
+PARA_DEDUP_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) - 1 AS ord
+  FROM (SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS l
+        FROM documents)
+),
+chunks AS (
+  SELECT doc_id, ord // 16 AS chunk_idx,
+         string_agg(tok, ' ' ORDER BY ord) AS chunk
+  FROM toks GROUP BY doc_id, ord // 16
+),
+winners AS (
+  SELECT chunk, MIN(doc_id * 1048576 + chunk_idx) AS rank
+  FROM chunks GROUP BY chunk
+)
+SELECT rank // 1048576 AS doc_id,
+       string_agg(chunk, ' ' ORDER BY rank % 1048576) AS text_clean,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks
+FROM winners GROUP BY rank // 1048576
+"""
+
+
 def top3_orders_per_customer(sf_dir: str):
     """Per-group top-k (k=3) via :func:`grouped_topk`: per-batch combiner
     bounds the shuffle at 3 rows per customer per block, coarse hash
@@ -6251,6 +6287,7 @@ QUERIES = {
     "events_lag_delta": events_lag_delta,
     "events_range_window": events_range_window,
     "doc_boolean_search": doc_boolean_search,
+    "doc_paragraph_dedup": doc_paragraph_dedup,
     "docs_rollup": docs_rollup,
     "sitemap_extract": sitemap_extract,
     "events_forward_fill": events_forward_fill,
@@ -6373,6 +6410,7 @@ ORACLE_SQL = {
     "events_lag_delta": LAG_SQL,
     "events_range_window": RANGEWIN_SQL,
     "doc_boolean_search": BOOLSEARCH_SQL,
+    "doc_paragraph_dedup": PARA_DEDUP_SQL,
     "docs_rollup": ROLLUP_SQL,
     "sitemap_extract": SITEMAP_SQL,
     "events_forward_fill": FFILL_SQL,

@@ -738,3 +738,73 @@ class TestDqChecks:
             "null_custkey": 2,
             "nonpositive_totalprice": 2,
         }
+
+
+class TestParagraphDedup:
+    """functions/dedup.py::paragraph_dedup — corpus-wide first-occurrence
+    paragraph dedup with doc rebuild.  Pins the chunker on a handcrafted
+    doc and the full distributed path against a single-process reference
+    on planted cross-doc duplicate paragraphs."""
+
+    def test_chunk_rows_pinned(self, ray_session):
+        from parsel_ray.functions.dedup import paragraph_chunk_rows
+
+        toks = [f"t{i}" for i in range(10)]
+        t = pa.table(
+            {
+                "doc_id": pa.array([7], pa.int64()),
+                "text": pa.array([" ".join(toks)]),
+            }
+        )
+        out = paragraph_chunk_rows(t, chunk_tokens=4)
+        assert out["chunk"].to_pylist() == [
+            "t0 t1 t2 t3", "t4 t5 t6 t7", "t8 t9",
+        ]
+        assert out["rank"].to_pylist() == [
+            (7 << 20) | 0, (7 << 20) | 1, (7 << 20) | 2,
+        ]
+
+    def test_matches_reference(self, ray_session):
+        import ray.data as rd
+
+        from parsel_ray.functions.dedup import paragraph_dedup
+
+        rng = np.random.RandomState(5)
+        vocab = [f"w{i}" for i in range(30)]
+        ct = 4  # chunk_tokens
+        paras = [" ".join(rng.choice(vocab, ct)) for _ in range(40)]
+        docs = []
+        for d in range(120):
+            # planted duplication: docs share paragraphs from a small pool
+            k = rng.randint(1, 6)
+            docs.append(" ".join(rng.choice(paras, k)))
+
+        # single-process reference
+        seen, want = set(), {}
+        for d, text in enumerate(docs):
+            toks = text.split(" ")
+            kept = []
+            for c in range(0, len(toks), ct):
+                chunk = " ".join(toks[c:c + ct])
+                if chunk not in seen:
+                    seen.add(chunk)
+                    kept.append(chunk)
+            if kept:
+                want[d] = (" ".join(kept), len(kept))
+
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(docs)), pa.int64()),
+                    "text": pa.array(docs),
+                }
+            )
+        ).repartition(7)
+        got = {
+            r["doc_id"]: (r["text_clean"], r["n_chunks"])
+            for r in paragraph_dedup(
+                ds, chunk_tokens=ct, num_partitions=5
+            ).take_all()
+        }
+        assert got == want
+        assert len(got) < len(docs)  # some doc fully deduped away
