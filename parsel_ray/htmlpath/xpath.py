@@ -1049,12 +1049,14 @@ class Evaluator:
             p = node_parent(node)
             return [p] if p is not None else []
         if axis in ("ancestor", "ancestor-or-self"):
+            # reverse axis: candidates in PROXIMITY order (self, parent, ...,
+            # root) so position() counts nearest-first per XPath 1.0 §2.4;
+            # the caller document-orders the post-predicate node-set
             out = [node] if axis == "ancestor-or-self" else []
             p = node_parent(node)
             while p is not None:
                 out.append(p)
                 p = node_parent(p)
-            out.reverse()
             return out
         if axis in ("following-sibling", "preceding-sibling"):
             parent = node_parent(node)

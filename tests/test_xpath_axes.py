@@ -252,3 +252,123 @@ class TestNumberStringEdges:
         assert s.xpath("substring('12345', -1 div 0)").get() == "12345"
         assert s.xpath("substring('12345', -1 div 0, 3)").get() == ""
         assert s.xpath("substring('12345', -1 div 0, 1 div 0)").get() == ""
+
+
+class TestReverseAxisPosition:
+    """XPath 1.0 §2.4: on reverse axes (ancestor, ancestor-or-self,
+    preceding, preceding-sibling) position() counts in PROXIMITY order
+    (nearest first), while the returned node-set is document-ordered.
+    Pins the round-3 ancestor-ordering fix."""
+
+    HTML = (
+        "<html><body>"
+        "<p id='p1'>a</p><p id='p2'>b</p><p id='p3'>c</p>"
+        "<div id='d'><span id='s'>x</span></div>"
+        "</body></html>"
+    )
+
+    def sel(self):
+        from parsel_ray import Selector
+
+        return Selector(text=self.HTML)
+
+    def test_ancestor_or_self_first_is_self(self):
+        s = self.sel()
+        assert s.xpath("//div/ancestor-or-self::*[1]/@id").get() == "d"
+
+    def test_ancestor_or_self_last_is_root(self):
+        s = self.sel()
+        got = s.xpath("name(//div/ancestor-or-self::*[last()])").get()
+        assert got == "html"
+
+    def test_ancestor_position_counts_upward(self):
+        s = self.sel()
+        assert s.xpath("//span/ancestor::*[1]/@id").get() == "d"
+        assert s.xpath("name(//span/ancestor::*[2])").get() == "body"
+        assert s.xpath("//span/ancestor::div[1]/@id").get() == "d"
+
+    def test_preceding_sibling_proximity(self):
+        s = self.sel()
+        assert s.xpath("//div/preceding-sibling::p[1]/@id").get() == "p3"
+        assert s.xpath("//div/preceding-sibling::p[last()]/@id").get() == "p1"
+
+    def test_preceding_proximity(self):
+        s = self.sel()
+        assert s.xpath("//p[@id='p3']/preceding::p[2]/@id").get() == "p1"
+
+    def test_result_set_is_document_ordered(self):
+        s = self.sel()
+        import re
+
+        names = [
+            re.match(r"<(\w+)", n).group(1)
+            for n in s.xpath("//span/ancestor-or-self::*").getall()
+        ]
+        assert names == ["html", "body", "div", "span"]
+
+
+class TestGrammarEdges:
+    """Exotic-but-legal XPath 1.0 constructs a scrapy user might carry
+    over: mod in positional predicates, parenthesized node-set
+    indexing, unions with predicates, nested function composition,
+    unary minus, cross-step .. predicates."""
+
+    HTML = (
+        "<html><body>"
+        "<ul><li class='a'>one</li><li class='b'>two</li>"
+        "<li class='a'>three</li><li>four</li></ul>"
+        "<div data-n='3.7'>x</div><div data-n='2'>y</div>"
+        "</body></html>"
+    )
+
+    def sel(self):
+        from parsel_ray import Selector
+
+        return Selector(text=self.HTML)
+
+    def test_position_mod(self):
+        s = self.sel()
+        assert s.xpath("//li[position() mod 2 = 1]/text()").getall() == [
+            "one", "three",
+        ]
+
+    def test_last_minus_one(self):
+        assert self.sel().xpath("//li[last()-1]/text()").get() == "three"
+
+    def test_parenthesized_indexing(self):
+        assert self.sel().xpath("(//li)[2]/text()").get() == "two"
+
+    def test_union_with_predicates(self):
+        s = self.sel()
+        got = s.xpath("//ul/li[@class='a'] | //div[@data-n='2']").getall()
+        assert len(got) == 3 and got[-1].startswith("<div")
+
+    def test_sum_floor_over_attrs(self):
+        s = self.sel()
+        assert s.xpath("string(sum(//div/@data-n))").get() == "5.7"
+        assert s.xpath("string(floor(sum(//div/@data-n)))").get() == "5"
+
+    def test_translate_of_string_of_nodeset(self):
+        s = self.sel()
+        assert (
+            s.xpath("translate(string(//li[1]), 'one', 'ONE')").get() == "ONE"
+        )
+
+    def test_dotdot_predicate(self):
+        s = self.sel()
+        # every li whose parent also has a class='b' li -> all four
+        assert len(s.xpath("//li[../li[@class='b']]/text()").getall()) == 4
+
+    def test_unary_minus_arithmetic(self):
+        assert self.sel().xpath("string(-3 + 5)").get() == "2"
+
+    def test_hasclass_style_contains(self):
+        s = self.sel()
+        got = s.xpath(
+            "//li[contains(concat(' ', @class, ' '), ' a ')]/text()"
+        ).getall()
+        assert got == ["one", "three"]
+
+    def test_string_length_of_substring(self):
+        s = self.sel()
+        assert s.xpath("string(string-length(substring('hello', 2, 3)))").get() == "3"
