@@ -409,6 +409,19 @@ class Translator:
             expr.add_condition(
                 "count(preceding-sibling::*) = 0 and count(following-sibling::*) = 0"
             )
+        elif name in ("first-of-type", "last-of-type", "only-of-type"):
+            # of-type counts siblings of the SAME element type; a typed
+            # selector is required (cssselect raises on *:first-of-type too)
+            el = self._of_type_element(expr, name)
+            if name == "first-of-type":
+                expr.add_condition(f"count(preceding-sibling::{el}) = 0")
+            elif name == "last-of-type":
+                expr.add_condition(f"count(following-sibling::{el}) = 0")
+            else:
+                expr.add_condition(
+                    f"count(preceding-sibling::{el}) = 0 and "
+                    f"count(following-sibling::{el}) = 0"
+                )
         elif name == "empty":
             expr.add_condition("not(*) and not(string-length())")
         elif name == "root":
@@ -449,6 +462,17 @@ class Translator:
                     f"(count(following-sibling::*) + 1 >= {b}) and "
                     f"((count(following-sibling::*) + 1 - {b}) mod {a} = 0)"
                 )
+        elif name in ("nth-of-type", "nth-last-of-type"):
+            el = self._of_type_element(expr, name + "()")
+            sib = ("preceding" if name == "nth-of-type" else "following")
+            a, b = _parse_nth(raw_args)
+            if a == 0:
+                expr.add_condition(f"count({sib}-sibling::{el}) = {b - 1}")
+            else:
+                expr.add_condition(
+                    f"(count({sib}-sibling::{el}) + 1 >= {b}) and "
+                    f"((count({sib}-sibling::{el}) + 1 - {b}) mod {a} = 0)"
+                )
         elif name == "not":
             inner_css = "".join(v for _k, v in raw_args)
             inner = Translator(self.html)
@@ -473,6 +497,12 @@ class Translator:
         else:
             raise ExpressionError(f"The pseudo-class :{name}() is unknown")
         return pos
+
+    @staticmethod
+    def _of_type_element(expr: XPathExpr, pseudo: str) -> str:
+        if expr.element == "*":
+            raise ExpressionError(f"*:{pseudo} is not implemented")
+        return expr.element
 
 
 def _parse_nth(raw_args: list[tuple[str, str]]) -> tuple[int, int]:

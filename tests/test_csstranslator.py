@@ -217,3 +217,52 @@ class TestReferenceLayoutCompat:
         setup()  # idempotent
         assert set_xpathfunc is parsel_ray.set_xpathfunc
         SafeXMLParser(resolve_entities=False)  # constructible, inert
+
+
+class TestOfTypePseudoClasses:
+    """of-type pseudo-class family (round 3): typed selectors translate
+    to same-tag sibling counts; the universal selector raises, matching
+    cssselect's '*:...-of-type is not implemented'."""
+
+    HTML = (
+        "<html><body><div>"
+        "<p>p1</p><span>s1</span><p>p2</p><span>s2</span><p>p3</p>"
+        "</div></body></html>"
+    )
+
+    def sel(self):
+        from parsel_ray import Selector
+
+        return Selector(text=self.HTML)
+
+    def test_nth_of_type(self):
+        s = self.sel()
+        assert s.css("p:nth-of-type(2)::text").getall() == ["p2"]
+        assert s.css("p:nth-of-type(odd)::text").getall() == ["p1", "p3"]
+        assert s.css("p:nth-of-type(2n)::text").getall() == ["p2"]
+
+    def test_nth_last_of_type(self):
+        s = self.sel()
+        assert s.css("span:nth-last-of-type(1)::text").getall() == ["s2"]
+        assert s.css("p:nth-last-of-type(3)::text").getall() == ["p1"]
+
+    def test_first_last_only_of_type(self):
+        s = self.sel()
+        assert s.css("p:first-of-type::text").getall() == ["p1"]
+        assert s.css("p:last-of-type::text").getall() == ["p3"]
+        assert s.css("span:first-of-type::text").getall() == ["s1"]
+        from parsel_ray import Selector
+
+        s2 = Selector(text="<div><p>a</p><em>e</em></div>")
+        assert s2.css("em:only-of-type::text").getall() == ["e"]
+        assert s2.css("p:only-of-type::text").getall() == ["a"]
+
+    def test_universal_of_type_raises(self):
+        import pytest as _pytest
+
+        from parsel_ray.htmlpath.csstranslate import ExpressionError
+
+        s = self.sel()
+        for q in ("*:nth-of-type(1)", "*:first-of-type", "*:only-of-type"):
+            with _pytest.raises(ExpressionError):
+                s.css(q)
