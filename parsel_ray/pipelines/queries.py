@@ -2922,6 +2922,262 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1
 """
 
 
+def q13_order_distribution(sf_dir: str):
+    """TPC-H Q13 shape: customer order-count distribution.  Two-level
+    aggregation with a LEFT join: per-customer order counts come from
+    one combiner groupby over orders (never shipping order rows), the
+    zero-order customers come from a left bucket join of the customer
+    keys against those counts, and the distribution is a second tiny
+    combiner groupby over the counts — at 100 TB both shuffles carry
+    one row per customer, not per order."""
+    counts = partial_sum_groupby(
+        _read(sf_dir, "orders", ["o_custkey"]).map_batches(
+            lambda t: t.rename_columns(["c_custkey"]),
+            batch_format="pyarrow",
+        ),
+        ["c_custkey"],
+        {},
+        count_as="c_count",
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    joined = hash_bucket_join(cust, counts, on="c_custkey", how="left",
+                              buckets=16)
+
+    def fill(t: pa.Table) -> pa.Table:
+        c = pc.fill_null(pc.cast(t["c_count"], pa.int64()), 0)
+        return pa.table({"c_count": c})
+
+    dist = partial_sum_groupby(
+        joined.map_batches(fill, batch_format="pyarrow"),
+        ["c_count"],
+        {},
+        count_as="custdist",
+    )
+    return dist.sort(["custdist", "c_count"], descending=[True, True])
+
+
+Q13_SQL = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q12_priority_lines(sf_dir: str):
+    """TPC-H Q12 shape (conditional aggregation over a join): per
+    lineitem status, how many lines belong to critical-priority orders
+    vs not.  The order side ships only (key, is-critical bit) into the
+    bucket join; both CASE sums are per-batch integer partials."""
+    crit = pa.array(["1-URGENT", "2-HIGH"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]).map_batches(
+        lambda t: pa.table(
+            {
+                "l_orderkey": t["o_orderkey"],
+                "is_crit": pc.cast(
+                    pc.is_in(t["o_orderpriority"], value_set=crit), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linestatus"])
+    joined = hash_bucket_join(li, orders, on="l_orderkey", buckets=16)
+
+    def measures(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_linestatus": t["l_linestatus"],
+                "high_line_count": t["is_crit"],
+                "low_line_count": pc.subtract(
+                    pa.scalar(1, pa.int64()), t["is_crit"]
+                ),
+            }
+        )
+
+    return partial_sum_groupby(
+        joined.map_batches(measures, batch_format="pyarrow"),
+        ["l_linestatus"],
+        {"high_line_count": "high_line_count",
+         "low_line_count": "low_line_count"},
+    ).sort("l_linestatus")
+
+
+Q12_SQL = """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+
+
+def q15_top_supplier(sf_dir: str):
+    """TPC-H Q15 shape (view + scalar MAX + equality): supplier(s) with
+    the maximum half-year revenue.  Revenue per supplier is one combiner
+    groupby; the global max is a one-row tree reduce whose scalar
+    broadcasts back as a filter — no second pass over lineitem, and the
+    winning row count is O(ties), so the name join is a broadcast."""
+    d0, d1 = datetime(1996, 1, 1), datetime(1996, 7, 1)
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(
+                pc.greater_equal(t["l_shipdate"], pa.scalar(d0)),
+                pc.less(t["l_shipdate"], pa.scalar(d1)),
+            )
+        )
+        return pa.table(
+            {
+                "s_suppkey": t["l_suppkey"],
+                "rev_cents": pa.array(
+                    _cents(
+                        t["l_extendedprice"].to_numpy(zero_copy_only=False)
+                        * (1.0 - t["l_discount"].to_numpy(zero_copy_only=False))
+                    )
+                ),
+            }
+        )
+
+    rev = partial_sum_groupby(
+        _read(
+            sf_dir, "lineitem",
+            ["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+        ).map_batches(prep, batch_format="pyarrow"),
+        ["s_suppkey"],
+        {"rev_cents": "total_revenue_cents"},
+    )
+    best = int(rev.max("total_revenue_cents"))
+    winners = rev.map_batches(
+        lambda t: t.filter(pc.equal(t["total_revenue_cents"], best)),
+        batch_format="pyarrow",
+    )
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    out = hash_bucket_join(winners, sup, on="s_suppkey", buckets=4)
+    return out.select_columns(
+        ["s_suppkey", "s_name", "total_revenue_cents"]
+    ).sort("s_suppkey")
+
+
+Q15_SQL = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS s_suppkey,
+         CAST(SUM({_CENTS_SQL.format(expr='l_extendedprice * (1.0 - l_discount)')}) AS BIGINT) AS total_revenue_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-07-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue_cents
+FROM revenue JOIN supplier USING (s_suppkey)
+WHERE total_revenue_cents = (SELECT MAX(total_revenue_cents) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q22_idle_customers(sf_dir: str):
+    """TPC-H Q22 shape: positive-balance customers ABOVE the global
+    average balance with no RECENT order (none since 1999 — this corpus
+    has no order-less customers, so the recency window supplies the
+    anti-join selectivity), grouped by nation.  The scalar average is a
+    two-int tree reduce broadcast into the filter; the NOT EXISTS
+    decorrelates into an anti bucket join against the distinct recent
+    custkeys (one row per customer on both sides)."""
+    recent_cut = datetime(1999, 1, 1)
+    cust = _read(
+        sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "c_nationkey": t["c_nationkey"],
+                "bal_cents": pa.array(
+                    _cents(t["c_acctbal"].to_numpy(zero_copy_only=False))
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def pos_partial(t: pa.Table) -> pa.Table:
+        pos = t.filter(pc.greater(t["bal_cents"], 0))
+        return pa.table(
+            {
+                "s": pa.array([
+                    int(pc.sum(pos["bal_cents"]).as_py() or 0)
+                ], pa.int64()),
+                "n": pa.array([len(pos)], pa.int64()),
+            }
+        )
+
+    stats = cust.map_batches(pos_partial, batch_format="pyarrow").sum(["s", "n"])
+    # avg as an exact rational: bal > s/n  <=>  bal * n > s (ints)
+    s_tot, n_tot = int(stats["sum(s)"]), int(stats["sum(n)"])
+
+    rich = cust.map_batches(
+        lambda t: t.filter(
+            pc.greater(
+                pc.multiply(t["bal_cents"], pa.scalar(n_tot, pa.int64())),
+                pa.scalar(s_tot, pa.int64()),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    ordered = (
+        _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+        .map_batches(
+            lambda t: t.filter(
+                pc.greater_equal(t["o_orderdate"], pa.scalar(recent_cut))
+            )
+            .select(["o_custkey"])
+            .rename_columns(["c_custkey"])
+            .group_by("c_custkey")
+            .aggregate([]),
+            batch_format="pyarrow",
+        )
+    )
+    idle = hash_bucket_join(rich, ordered.map_batches(
+        lambda t: t.append_column("__hit", pa.array([1] * len(t), pa.int64())),
+        batch_format="pyarrow",
+    ), on="c_custkey", how="left", buckets=16)
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_null(t["__hit"]))
+        return pa.table(
+            {"c_nationkey": t["c_nationkey"], "bal_cents": t["bal_cents"]}
+        )
+
+    return partial_sum_groupby(
+        idle.map_batches(finish, batch_format="pyarrow"),
+        ["c_nationkey"],
+        {"bal_cents": "totacctbal_cents"},
+        count_as="numcust",
+    ).sort("c_nationkey")
+
+
+Q22_SQL = f"""
+SELECT c_nationkey,
+       CAST(SUM({_CENTS_SQL.format(expr='c_acctbal')}) AS BIGINT) AS totacctbal_cents,
+       CAST(COUNT(*) AS BIGINT) AS numcust
+FROM customer
+WHERE {_CENTS_SQL.format(expr='c_acctbal')} * (
+        SELECT COUNT(*) FROM customer WHERE c_acctbal > 0.0
+      ) > (
+        SELECT SUM({_CENTS_SQL.format(expr='c_acctbal')})
+        FROM customer WHERE c_acctbal > 0.0
+      )
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
 def q17_small_quantity(sf_dir: str):
     """TPC-H Q17 shape: the correlated scalar subquery ``l_quantity <
     0.5 * avg(l_quantity) per part`` decorrelates into per-part
@@ -6236,6 +6492,10 @@ QUERIES = {
     "q14_promo_revenue": q14_promo_revenue,
     "q17_small_quantity": q17_small_quantity,
     "q19_brand_disjunction": q19_brand_disjunction,
+    "q12_priority_lines": q12_priority_lines,
+    "q13_order_distribution": q13_order_distribution,
+    "q15_top_supplier": q15_top_supplier,
+    "q22_idle_customers": q22_idle_customers,
     "dq_orders_checks": dq_orders_checks,
     "orders_cdc_merge": orders_cdc_merge,
     "bucketed_storage_join": bucketed_storage_join,
@@ -6378,6 +6638,10 @@ ORACLE_SQL = {
     "q14_promo_revenue": Q14_SQL,
     "q17_small_quantity": Q17_SQL,
     "q19_brand_disjunction": Q19_SQL,
+    "q12_priority_lines": Q12_SQL,
+    "q13_order_distribution": Q13_SQL,
+    "q15_top_supplier": Q15_SQL,
+    "q22_idle_customers": Q22_SQL,
     "dq_orders_checks": DQ_SQL,
     "orders_cdc_merge": CDC_SQL,
     "bucketed_storage_join": BUCKETED_JOIN_SQL,
