@@ -4594,6 +4594,69 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 """
 
 
+def events_moving_sum(sf_dir: str):
+    """ROWS-frame window (``ROWS BETWEEN 3 PRECEDING AND CURRENT ROW``):
+    per event, the sum of the same user's last 4 event values in
+    (ts, event_id) order.  Per partition: one sort + one prefix-sum
+    difference — O(n log n), no per-row loop.  Complements
+    :func:`events_range_window` (time-based frame)."""
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).copy()
+        cents = _cents(g["value"].to_numpy())
+        csum = np.concatenate([[0], np.cumsum(cents)])
+        idx = np.arange(len(g))
+        lo = np.maximum(idx - 3, 0)
+        g["win4_cents"] = csum[idx + 1] - csum[lo]
+        return g[["user_id", "event_id", "win4_cents"]]
+
+    return grouped_apply(
+        _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"]),
+        "user_id",
+        run,
+        num_partitions=16,
+    )
+
+
+MOVSUM_SQL = f"""
+SELECT user_id, event_id,
+       CAST(SUM({_CENTS_SQL.format(expr='value')}) OVER w AS BIGINT) AS win4_cents
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+"""
+
+
+def events_type_unpivot(sf_dir: str):
+    """UNPIVOT / melt: the per-user pivoted type counts reshaped back to
+    long form ``(user_id, event_type, n)``, zero cells dropped.  The
+    melt is a per-batch concat of K column slices — no shuffle beyond
+    the pivot's own combiner groupby."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = events_type_pivot(sf_dir)
+
+    def melt(t: pa.Table) -> pa.Table:
+        parts = []
+        for ty in types:
+            sub = pa.table(
+                {
+                    "user_id": t["user_id"],
+                    "event_type": pa.array([ty] * len(t), pa.string()),
+                    "n": pc.cast(t[f"n_{ty}"], pa.int64()),
+                }
+            )
+            parts.append(sub.filter(pc.greater(sub["n"], 0)))
+        return pa.concat_tables(parts)
+
+    return wide.map_batches(melt, batch_format="pyarrow")
+
+
+UNPIVOT_SQL = """
+SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY user_id, event_type
+"""
+
+
 def docs_rollup(sf_dir: str):
     """GROUPING SETS / ROLLUP as a union of combiner groupbys: counts
     by (lang, source), by (lang), and the grand total — each level its
@@ -6548,6 +6611,8 @@ QUERIES = {
     "events_range_window": events_range_window,
     "doc_boolean_search": doc_boolean_search,
     "doc_paragraph_dedup": doc_paragraph_dedup,
+    "events_moving_sum": events_moving_sum,
+    "events_type_unpivot": events_type_unpivot,
     "docs_rollup": docs_rollup,
     "sitemap_extract": sitemap_extract,
     "events_forward_fill": events_forward_fill,
@@ -6675,6 +6740,8 @@ ORACLE_SQL = {
     "events_range_window": RANGEWIN_SQL,
     "doc_boolean_search": BOOLSEARCH_SQL,
     "doc_paragraph_dedup": PARA_DEDUP_SQL,
+    "events_moving_sum": MOVSUM_SQL,
+    "events_type_unpivot": UNPIVOT_SQL,
     "docs_rollup": ROLLUP_SQL,
     "sitemap_extract": SITEMAP_SQL,
     "events_forward_fill": FFILL_SQL,
