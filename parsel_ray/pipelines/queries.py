@@ -4594,6 +4594,74 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 """
 
 
+def events_value_mad(sf_dir: str):
+    """Per-group median absolute deviation (robust spread): two exact
+    distributed median passes over the bounded integer-cents domain.
+    Pass 1's result is |groups| rows (driver-scale by construction) and
+    broadcasts into pass 2's deviation kernel via a searchsorted lookup
+    — the only shuffles are the two domain-sized value histograms."""
+    from ..functions.agg import grouped_quantiles
+
+    def cents_tbl(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "cents": pa.array(_cents(t["value"].to_numpy(zero_copy_only=False))),
+            }
+        )
+
+    def ds():
+        return _read(sf_dir, "events", ["event_type", "value"]).map_batches(
+            cents_tbl, batch_format="pyarrow"
+        )
+
+    med = {
+        r["event_type"]: int(r["value"])
+        for r in grouped_quantiles(ds(), "event_type", "cents", [0.5]).take_all()
+    }
+    keys = np.array(sorted(med), dtype=object)
+    meds = np.array([med[k] for k in keys], dtype=np.int64)
+
+    def dev(t: pa.Table) -> pa.Table:
+        g = t["event_type"].to_numpy(zero_copy_only=False)
+        m = meds[np.searchsorted(keys, g)]
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "adev": pa.array(
+                    np.abs(t["cents"].to_numpy(zero_copy_only=False) - m)
+                ),
+            }
+        )
+
+    out = grouped_quantiles(
+        ds().map_batches(dev, batch_format="pyarrow"),
+        "event_type", "adev", [0.5],
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "event_type": t["event_type"],
+                "mad_cents": pc.cast(t["value"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).sort("event_type")
+
+
+MAD_SQL = f"""
+WITH c AS (
+  SELECT event_type, {_CENTS_SQL.format(expr='value')} AS cents FROM events
+), m AS (
+  SELECT event_type, quantile_disc(cents, 0.5) AS med FROM c GROUP BY event_type
+)
+SELECT c.event_type,
+       CAST(quantile_disc(abs(c.cents - m.med), 0.5) AS BIGINT) AS mad_cents
+FROM c JOIN m USING (event_type)
+GROUP BY c.event_type ORDER BY c.event_type
+"""
+
+
 def events_moving_sum(sf_dir: str):
     """ROWS-frame window (``ROWS BETWEEN 3 PRECEDING AND CURRENT ROW``):
     per event, the sum of the same user's last 4 event values in
@@ -6611,6 +6679,7 @@ QUERIES = {
     "events_range_window": events_range_window,
     "doc_boolean_search": doc_boolean_search,
     "doc_paragraph_dedup": doc_paragraph_dedup,
+    "events_value_mad": events_value_mad,
     "events_moving_sum": events_moving_sum,
     "events_type_unpivot": events_type_unpivot,
     "docs_rollup": docs_rollup,
@@ -6740,6 +6809,7 @@ ORACLE_SQL = {
     "events_range_window": RANGEWIN_SQL,
     "doc_boolean_search": BOOLSEARCH_SQL,
     "doc_paragraph_dedup": PARA_DEDUP_SQL,
+    "events_value_mad": MAD_SQL,
     "events_moving_sum": MOVSUM_SQL,
     "events_type_unpivot": UNPIVOT_SQL,
     "docs_rollup": ROLLUP_SQL,
