@@ -3178,6 +3178,68 @@ GROUP BY c_nationkey ORDER BY c_nationkey
 """
 
 
+def q2_min_price_suppliers(sf_dir: str, first_parts: int = 200):
+    """TPC-H Q2 shape (correlated MIN subquery, join-back): for each
+    part (first ``first_parts`` keys — Q2's region filter stand-in),
+    EVERY supplier row whose price equals the per-part minimum (ties
+    all kept, unlike an argmin top-1).  Decorrelation: one min-combiner
+    groupby over the pruned items, then an equality filter after a
+    bucket join back — two shuffles of one-row-per-(part[,supp])."""
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["l_partkey"], first_parts))
+        return pa.table(
+            {
+                "l_partkey": t["l_partkey"],
+                "l_suppkey": t["l_suppkey"],
+                "price_cents": pa.array(
+                    _cents(t["l_extendedprice"].to_numpy(zero_copy_only=False))
+                ),
+            }
+        )
+
+    items = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_extendedprice"]
+    ).map_batches(prep, batch_format="pyarrow")
+    mins = partial_agg_groupby(
+        items, ["l_partkey"], [("price_cents", "min", "min_cents")]
+    )
+    joined = hash_bucket_join(items, mins, on="l_partkey", buckets=8)
+
+    def keep_min(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["price_cents"], t["min_cents"]))
+        return t.select(["l_partkey", "l_suppkey", "price_cents"])
+
+    # a (part, supp) pair can hit the min price on several lines; Q2
+    # returns the supplier once — distinct via one combiner groupby
+    return (
+        joined.map_batches(keep_min, batch_format="pyarrow")
+        .map_batches(
+            lambda t: t.group_by(
+                ["l_partkey", "l_suppkey", "price_cents"]
+            ).aggregate([]),
+            batch_format="pyarrow",
+        )
+        .groupby(["l_partkey", "l_suppkey"])
+        .aggregate(ray.data.aggregate.Min("price_cents", alias_name="price_cents"))
+        .sort(["l_partkey", "l_suppkey"])
+    )
+
+
+Q2_SQL = f"""
+WITH items AS (
+  SELECT l_partkey, l_suppkey,
+         {_CENTS_SQL.format(expr='l_extendedprice')} AS price_cents
+  FROM lineitem WHERE l_partkey < 200
+)
+SELECT DISTINCT l_partkey, l_suppkey, price_cents
+FROM items i
+WHERE price_cents = (SELECT MIN(price_cents) FROM items m
+                     WHERE m.l_partkey = i.l_partkey)
+ORDER BY l_partkey, l_suppkey
+"""
+
+
 def q17_small_quantity(sf_dir: str):
     """TPC-H Q17 shape: the correlated scalar subquery ``l_quantity <
     0.5 * avg(l_quantity) per part`` decorrelates into per-part
@@ -4591,6 +4653,69 @@ SELECT user_id, event_id,
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts
              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
+def events_hour_gaps(sf_dir: str):
+    """Gaps-and-islands aggregate: per user, how many whole hours inside
+    their [first, last] activity span saw NO event.  Needs only three
+    algebraic aggregates over distinct hours — min, max, distinct-count
+    — so the shuffle carries one row per (user, hour) per block and the
+    hour series is never materialized (the generate_series oracle is
+    the quadratic formulation; this is the O(events) one)."""
+
+    def hours(t: pa.Table) -> pa.Table:
+        h = pc.floor(
+            pc.divide(
+                pc.cast(t["ts"], pa.int64()), pa.scalar(3_600_000_000, pa.int64())
+            )
+        )
+        out = pa.table(
+            {"user_id": t["user_id"], "hour": pc.cast(h, pa.int64())}
+        )
+        return out.group_by(["user_id", "hour"]).aggregate([])
+
+    per_uh = (
+        _read(sf_dir, "events", ["user_id", "ts"])
+        .map_batches(hours, batch_format="pyarrow")
+        .groupby(["user_id", "hour"])
+        .count()
+        .drop_columns(["count()"])
+    )
+    agg = partial_agg_groupby(
+        per_uh,
+        ["user_id"],
+        [("hour", "min", "h0"), ("hour", "max", "h1")],
+        count_as="n_active",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        span = pc.add(pc.subtract(t["h1"], t["h0"]), pa.scalar(1, pa.int64()))
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "n_hours_span": span,
+                "n_hours_active": pc.cast(t["n_active"], pa.int64()),
+                "n_hours_missing": pc.subtract(
+                    span, pc.cast(t["n_active"], pa.int64())
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("user_id")
+
+
+HOURGAP_SQL = """
+WITH uh AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour
+  FROM events
+)
+SELECT user_id,
+       MAX(hour) - MIN(hour) + 1 AS n_hours_span,
+       CAST(COUNT(*) AS BIGINT) AS n_hours_active,
+       MAX(hour) - MIN(hour) + 1 - COUNT(*) AS n_hours_missing
+FROM uh GROUP BY user_id ORDER BY user_id
 """
 
 
@@ -6627,6 +6752,8 @@ QUERIES = {
     "q13_order_distribution": q13_order_distribution,
     "q15_top_supplier": q15_top_supplier,
     "q22_idle_customers": q22_idle_customers,
+    "q2_min_price_suppliers": q2_min_price_suppliers,
+    "events_hour_gaps": events_hour_gaps,
     "dq_orders_checks": dq_orders_checks,
     "orders_cdc_merge": orders_cdc_merge,
     "bucketed_storage_join": bucketed_storage_join,
@@ -6776,6 +6903,8 @@ ORACLE_SQL = {
     "q13_order_distribution": Q13_SQL,
     "q15_top_supplier": Q15_SQL,
     "q22_idle_customers": Q22_SQL,
+    "q2_min_price_suppliers": Q2_SQL,
+    "events_hour_gaps": HOURGAP_SQL,
     "dq_orders_checks": DQ_SQL,
     "orders_cdc_merge": CDC_SQL,
     "bucketed_storage_join": BUCKETED_JOIN_SQL,
