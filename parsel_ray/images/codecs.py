@@ -435,3 +435,103 @@ def phash64(px: np.ndarray) -> int:
         np.packbits(bits, bitorder="little").tobytes(), "little"
     )
     return val - (1 << 64) if val >= 1 << 63 else val
+
+
+# -- header sniffing (format + dimensions WITHOUT decoding) ----------------
+#
+# At crawl scale most fetched blobs only need (fmt, w, h) to be routed,
+# filtered or size-bucketed; full decode is 100-1000x the cost of reading
+# the few header bytes every container format front-loads.  Each sniffer
+# touches O(header) bytes — no entropy decode, no zlib inflate.
+# Reference parity: parsel has no image layer; this mirrors what a scrapy
+# media pipeline learns from Content-Type + PIL's lazy ``Image.open``
+# (which also reads only the header).
+
+
+def _sniff_jpeg_dims(data: bytes) -> "tuple[int, int] | None":
+    """Walk JFIF marker segments to the first SOF0/1/2 frame header.
+
+    Marker-segment lengths let us hop over quantization/huffman tables and
+    APPn blobs without parsing them; dimensions live at a fixed offset in
+    the SOF payload (ITU T.81 B.2.2)."""
+    n = len(data)
+    i = 2  # past SOI
+    while i + 3 < n:
+        if data[i] != 0xFF:
+            return None  # lost marker sync: corrupt header
+        marker = data[i + 1]
+        if marker == 0xFF:  # fill byte
+            i += 1
+            continue
+        if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
+            if i + 9 > n:
+                return None
+            h, w = struct.unpack_from(">HH", data, i + 5)
+            return (w, h)
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:  # SOI/RSTn: bare
+            i += 2
+            continue
+        if marker == 0xD9 or marker == 0xDA:  # EOI / SOS before any SOF
+            return None
+        (seglen,) = struct.unpack_from(">H", data, i + 2)
+        if seglen < 2:
+            return None
+        i += 2 + seglen
+    return None
+
+
+def _sniff_pnm_dims(data: bytes) -> "tuple[int, int] | None":
+    """P6 header: ``P6 <ws> w <ws> h <ws> maxval``; comments allowed."""
+    toks, i, n = [], 2, len(data)
+    while i < min(n, 256) and len(toks) < 2:
+        c = data[i]
+        if c == 0x23:  # '#' comment to end of line
+            while i < n and data[i] not in (0x0A, 0x0D):
+                i += 1
+        elif c in (0x20, 0x09, 0x0A, 0x0D):
+            i += 1
+        else:
+            j = i
+            while j < n and data[j] not in (0x20, 0x09, 0x0A, 0x0D):
+                j += 1
+            toks.append(data[i:j])
+            i = j
+    try:
+        w, h = int(toks[0]), int(toks[1])
+    except (IndexError, ValueError):
+        return None
+    return (w, h) if w > 0 and h > 0 else None
+
+
+def sniff_image_meta(data: bytes) -> "tuple[str, int, int] | None":
+    """Identify ``(fmt, w, h)`` from magic bytes + fixed-offset header
+    fields alone.  Returns None for unknown/corrupt headers rather than
+    raising — the crawl path routes those to quarantine.  Supported:
+    every fmt in ALL_FORMATS (ppm, png, qjpg, jpeg, gif, bmp)."""
+    data = bytes(data[:4096])  # sniffers never need more than the head
+    n = len(data)
+    if n >= 24 and data.startswith(_PNG_SIG) and data[12:16] == b"IHDR":
+        w, h = struct.unpack_from(">II", data, 16)
+        return ("png", w, h) if 0 < w < 1 << 31 and 0 < h < 1 << 31 else None
+    if n >= 4 and data.startswith(b"\xff\xd8\xff"):
+        dims = _sniff_jpeg_dims(data)
+        return ("jpeg", dims[0], dims[1]) if dims else None
+    if n >= 10 and data[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack_from("<HH", data, 6)
+        return ("gif", w, h) if w > 0 and h > 0 else None
+    if n >= 26 and data[:2] == b"BM":
+        hsz, w, h = struct.unpack_from("<Iii", data, 14)
+        if hsz >= 40 and w > 0 and h != 0:
+            return ("bmp", w, abs(h))
+        return None
+    if data.startswith(b"P6"):
+        dims = _sniff_pnm_dims(data)
+        return ("ppm", dims[0], dims[1]) if dims else None
+    if data.startswith(b"QJ1\n"):
+        dims, _, _ = data[4:].partition(b"\n")
+        try:
+            w, h = (int(x) for x in dims.split())
+        except ValueError:
+            return None
+        return ("qjpg", w, h) if w > 0 and h > 0 else None
+    return None

@@ -1755,6 +1755,58 @@ def image_bmp_roundtrip(sf_dir: str):
     )
 
 
+def image_header_sniff(sf_dir: str):
+    """Header-only format + dimension sniff across ALL six container
+    formats (``SniffImageMeta``): each doc is encoded in the format
+    picked by ``doc_id % 6``; every 7th doc's blob is replaced by junk
+    bytes.  The sniffer reads magic bytes + fixed-offset header fields
+    only — no entropy decode, no inflate — which is the crawl-scale
+    routing primitive (decide decode-worthiness at ~10 bytes/blob).
+    Oracle: fmt by modulo, dims by the _doc_image formula, NULLs + false
+    for the junk rows."""
+    from ..images.codecs import ALL_FORMATS, encode_image
+    from ..stages.multimodal import SniffImageMeta
+
+    def build(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        blobs = [
+            b"\x00JUNK\x00\x00\x00" if i % 7 == 0
+            else encode_image(_doc_image(i), ALL_FORMATS[i % 6])
+            for i in ids
+        ]
+        return pa.table(
+            {"doc_id": t["doc_id"], "bytes": pa.array(blobs, pa.binary())}
+        )
+
+    return (
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(build, batch_format="pyarrow", batch_size=256)
+        .map_batches(SniffImageMeta(), batch_format="pyarrow",
+                     batch_size=256)
+        .map_batches(
+            lambda t: t.select(
+                ["doc_id", "sniffed_fmt", "sniffed_w", "sniffed_h",
+                 "sniff_ok"]
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+SNIFF_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 7 = 0 THEN NULL
+            ELSE ['ppm','png','qjpg','jpeg','gif','bmp'][doc_id % 6 + 1]
+       END AS sniffed_fmt,
+       CASE WHEN doc_id % 7 = 0 THEN NULL
+            ELSE CAST(16 + doc_id % 23 AS INTEGER) END AS sniffed_w,
+       CASE WHEN doc_id % 7 = 0 THEN NULL
+            ELSE CAST(16 + doc_id % 17 AS INTEGER) END AS sniffed_h,
+       doc_id % 7 <> 0 AS sniff_ok
+FROM documents
+"""
+
+
 def image_gif_roundtrip(sf_dir: str):
     """GIF87a (LZW) encode→decode round-trip: per-doc gradient images →
     fixed 3-3-2 palette quantization → encode_gif → DecodeGif stage.
@@ -6785,6 +6837,7 @@ QUERIES = {
     "image_png_roundtrip": image_png_roundtrip,
     "image_gif_roundtrip": image_gif_roundtrip,
     "image_bmp_roundtrip": image_bmp_roundtrip,
+    "image_header_sniff": image_header_sniff,
     "video_frame_sample": video_frame_sample,
     "doc_term_df": doc_term_df,
     "doc_tfidf_top_term": doc_tfidf_top_term,
@@ -6887,6 +6940,7 @@ ORACLE_SQL = {
     "image_png_roundtrip": PNG_SQL,
     "image_gif_roundtrip": JPEG_SQL,
     "image_bmp_roundtrip": JPEG_SQL,
+    "image_header_sniff": SNIFF_SQL,
     "image_resize_bilinear": RESIZE_BILINEAR_SQL,
     "image_quality_signals": IMG_QUALITY_SQL,
     "video_frame_sample": VIDEO_SQL,

@@ -115,6 +115,37 @@ class ResizeImage:
         return t
 
 
+class SniffImageMeta:
+    """Header-only format + dimension sniff (``codecs.sniff_image_meta``):
+    binary → (sniffed_fmt, sniffed_w, sniffed_h, sniff_ok) from magic
+    bytes and fixed-offset header fields — no entropy decode, no inflate.
+    At crawl scale this is the routing/filter stage that decides which
+    blobs are worth a full decode; unknown or corrupt headers emit
+    ``sniff_ok=False`` with nulls instead of failing the batch."""
+
+    def __init__(self, bytes_col: str = "bytes") -> None:
+        self.bytes_col = bytes_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from ..images.codecs import sniff_image_meta
+
+        fmts, ws, hs, oks = [], [], [], []
+        for data in t[self.bytes_col].to_pylist():
+            meta = sniff_image_meta(data) if data is not None else None
+            if meta is None:
+                fmts.append(None); ws.append(None); hs.append(None)
+                oks.append(False)
+            else:
+                fmts.append(meta[0]); ws.append(meta[1]); hs.append(meta[2])
+                oks.append(True)
+        return (
+            t.append_column("sniffed_fmt", pa.array(fmts, pa.string()))
+            .append_column("sniffed_w", pa.array(ws, pa.int32()))
+            .append_column("sniffed_h", pa.array(hs, pa.int32()))
+            .append_column("sniff_ok", pa.array(oks, pa.bool_()))
+        )
+
+
 class DecodeJpeg:
     """Baseline JPEG decode (pure-numpy codec, :mod:`parsel_ray.images.
     jpeg` — round 2: the round-1 stub replaced by a real T.81 baseline

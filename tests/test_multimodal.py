@@ -744,3 +744,69 @@ class TestImageQuality:
         d = out["edge_density"].to_pylist()
         assert d[0] == 0.0 and d[1] > 0 and d[2] is None
         assert out["gray_std"].to_pylist()[0] == 0.0
+
+
+class TestSniffImageMeta:
+    """Header-only (fmt, w, h) sniffing: no decode, no inflate."""
+
+    def test_all_formats_roundtrip(self):
+        from parsel_ray.images.codecs import ALL_FORMATS, sniff_image_meta
+
+        rng = np.random.default_rng(3)
+        px = rng.integers(0, 256, (19, 27, 3), dtype=np.uint8)
+        for fmt in ALL_FORMATS:
+            assert sniff_image_meta(encode_image(px, fmt)) == (fmt, 27, 19)
+
+    def test_header_only_no_body_needed(self):
+        # truncating the payload body must not matter — only the header
+        # bytes are read (that's the whole point of the sniffer)
+        from parsel_ray.images.codecs import sniff_image_meta
+
+        px = gradient(33, 41)
+        for fmt in ("png", "jpeg", "gif", "bmp"):
+            blob = encode_image(px, fmt)
+            head = blob[: 64 if fmt != "jpeg" else 1024]
+            assert sniff_image_meta(head) == (fmt, 41, 33), fmt
+
+    def test_ppm_comments_and_whitespace(self):
+        from parsel_ray.images.codecs import sniff_image_meta
+
+        blob = b"P6\n# a comment\n  12\t9\n255\n" + b"\x00" * (12 * 9 * 3)
+        assert sniff_image_meta(blob) == ("ppm", 12, 9)
+
+    def test_jpeg_marker_walk_skips_appn(self):
+        # APP1 (Exif-ish) segment before SOF must be hopped via its length
+        from parsel_ray.images.codecs import sniff_image_meta
+
+        blob = encode_image(gradient(17, 23), "jpeg")
+        app1 = b"\xff\xe1" + struct.pack(">H", 12) + b"Exif\x00\x00abcd"
+        spliced = blob[:2] + app1 + blob[2:]
+        assert sniff_image_meta(spliced) == ("jpeg", 23, 17)
+
+    def test_corrupt_and_truncated(self):
+        from parsel_ray.images.codecs import sniff_image_meta
+
+        assert sniff_image_meta(b"") is None
+        assert sniff_image_meta(b"\x00JUNK\x00\x00\x00") is None
+        assert sniff_image_meta(b"\xff\xd8\xff\xe0tr") is None  # no SOF
+        assert sniff_image_meta(b"P6\nnot numbers\n") is None
+        assert sniff_image_meta(b"QJ1\nxx yy\n") is None
+        assert sniff_image_meta(b"BM" + b"\x00" * 10) is None
+
+    def test_stage_batch(self):
+        from parsel_ray.images.codecs import sniff_image_meta  # noqa: F401
+        from parsel_ray.stages.multimodal import SniffImageMeta
+
+        t = pa.table(
+            {
+                "bytes": pa.array(
+                    [encode_image(gradient(8, 9), "png"), b"junk", None],
+                    pa.binary(),
+                )
+            }
+        )
+        out = SniffImageMeta()(t)
+        assert out["sniffed_fmt"].to_pylist() == ["png", None, None]
+        assert out["sniffed_w"].to_pylist() == [9, None, None]
+        assert out["sniffed_h"].to_pylist() == [8, None, None]
+        assert out["sniff_ok"].to_pylist() == [True, False, False]
