@@ -3230,6 +3230,505 @@ GROUP BY c_nationkey ORDER BY c_nationkey
 """
 
 
+def q8_market_share(sf_dir: str):
+    """TPC-H Q8 shape: one nation's share of a region's market by order
+    year.  Both key→nation maps are the genuinely small dimensions
+    (broadcast once via ``ray.put``); lineitem⋈orders is the one
+    partitioned hash join, with the region filter pruning the orders
+    side BEFORE the shuffle.  The share crosses the boundary as two
+    exact integer-cent sums (numerator, denominator), never a float."""
+    d0, d1 = datetime(1996, 1, 1), datetime(1998, 1, 1)
+    TGT = 2  # supplier nation whose share we measure
+    REGION = 2  # customers of region 2 define the market
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
+    region_of = dict(zip(nat["n_nationkey"].astype(int),
+                         nat["n_regionkey"].astype(int)))
+    in_region = {
+        int(k) for k, nk in zip(cust["c_custkey"], cust["c_nationkey"])
+        if region_of[int(nk)] == REGION
+    }
+    s_map = ray.put(lookup_arrays(dict(zip(supp["s_suppkey"],
+                                           supp["s_nationkey"]))))
+    c_ref = ray.put(in_region)
+
+    class LiPrep:
+        def __init__(self, ref):
+            self.s = LazyRef(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys, vals = self.s.get()
+            snat = vec_lookup(
+                keys, vals, t["l_suppkey"].to_numpy(zero_copy_only=False),
+                np.int64(-1),
+            )
+            ext = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+            disc = t["l_discount"].to_numpy(zero_copy_only=False)
+            rev = _cents(ext * (1.0 - disc))
+            return pa.table(
+                {
+                    "orderkey": t["l_orderkey"],
+                    "rev_cents": pa.array(rev),
+                    "tgt_cents": pa.array(
+                        np.where(snat == TGT, rev, 0).astype(np.int64)
+                    ),
+                }
+            )
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(LiPrep(s_map), batch_format="pyarrow")
+
+    orders = broadcast_semi_join(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+        .map_batches(
+            lambda t: t.filter(
+                pc.and_(
+                    pc.greater_equal(t["o_orderdate"], pa.scalar(d0)),
+                    pc.less(t["o_orderdate"], pa.scalar(d1)),
+                )
+            ),
+            batch_format="pyarrow",
+        ),
+        c_ref, "o_custkey",
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "orderkey": t["o_orderkey"],
+                "o_year": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = hash_bucket_join(li, orders, on="orderkey", buckets=16)
+    return partial_sum_groupby(
+        joined, ["o_year"],
+        {"tgt_cents": "nation_cents", "rev_cents": "market_cents"},
+    )
+
+
+Q8_SQL = f"""
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CASE WHEN s_nationkey = 2
+                     THEN {_CENTS_SQL.format(expr='l_extendedprice * (1.0 - l_discount)')}
+                     ELSE 0 END) AS BIGINT) AS nation_cents,
+       CAST(SUM({_CENTS_SQL.format(expr='l_extendedprice * (1.0 - l_discount)')}) AS BIGINT) AS market_cents
+FROM lineitem
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation   ON n_nationkey = c_nationkey
+WHERE n_regionkey = 2
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY EXTRACT(year FROM o_orderdate)
+"""
+
+
+def q9_product_profit(sf_dir: str):
+    """TPC-H Q9 shape: profit (revenue minus a retail-price-proportional
+    cost, standing in for ps_supplycost — this corpus has no partsupp)
+    by supplier nation and order year, for parts whose name contains a
+    word.  TWO chained partitioned hash joins (lineitem⋈part on partkey,
+    then ⋈orders on orderkey — both sides corpus-scale, neither
+    broadcastable); only the supplier→nation map is broadcast.  The part
+    name filter prunes the part side BEFORE its shuffle."""
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    s_map = ray.put(lookup_arrays(dict(zip(supp["s_suppkey"],
+                                           supp["s_nationkey"]))))
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"]) \
+        .map_batches(
+            lambda t: t.filter(
+                pc.match_substring(t["p_name"], "red")
+            ).select(["p_partkey", "p_retailprice"]),
+            batch_format="pyarrow",
+        )
+
+    class LiPrep:
+        def __init__(self, ref):
+            self.s = LazyRef(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys, vals = self.s.get()
+            snat = vec_lookup(
+                keys, vals, t["l_suppkey"].to_numpy(zero_copy_only=False),
+                np.int64(-1),
+            )
+            return pa.table(
+                {
+                    "p_partkey": t["l_partkey"],
+                    "orderkey": t["l_orderkey"],
+                    "supp_nation": pa.array(snat.astype(np.int64)),
+                    "ext": t["l_extendedprice"],
+                    "disc": t["l_discount"],
+                    "qty": t["l_quantity"],
+                }
+            )
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+         "l_extendedprice", "l_discount"],
+    ).map_batches(LiPrep(s_map), batch_format="pyarrow")
+
+    with_part = hash_bucket_join(li, part, on="p_partkey", buckets=16) \
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "orderkey": t["orderkey"],
+                    "supp_nation": t["supp_nation"],
+                    "profit_cents": pa.array(_cents(
+                        t["ext"].to_numpy(zero_copy_only=False)
+                        * (1.0 - t["disc"].to_numpy(zero_copy_only=False))
+                        - 0.1
+                        * t["p_retailprice"].to_numpy(zero_copy_only=False)
+                        * t["qty"].to_numpy(zero_copy_only=False)
+                    )),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]) \
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "orderkey": t["o_orderkey"],
+                    "o_year": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    joined = hash_bucket_join(with_part, orders, on="orderkey", buckets=16)
+    return partial_sum_groupby(
+        joined, ["supp_nation", "o_year"], {"profit_cents": "profit_cents"}
+    )
+
+
+Q9_SQL = f"""
+SELECT CAST(s_nationkey AS BIGINT) AS supp_nation,
+       CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM({_CENTS_SQL.format(expr='(l_extendedprice * (1.0 - l_discount) - 0.1 * p_retailprice * l_quantity)')}) AS BIGINT) AS profit_cents
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE p_name LIKE '%red%'
+GROUP BY s_nationkey, EXTRACT(year FROM o_orderdate)
+"""
+
+
+def q11_important_parts(sf_dir: str):
+    """TPC-H Q11 shape: parts whose shipped value (from suppliers of a
+    nation band) exceeds a GLOBAL-scalar fraction of the total — the
+    decorrelated ``HAVING SUM(...) > (SELECT SUM(...) * f)``.  The
+    per-part aggregate is a combiner groupby; it is materialized ONCE
+    (output is one row per part — orders of magnitude below lineitem),
+    the global total is a tree-reduce ``sum()`` over that SAME
+    materialized aggregate (no second lineitem pass), and the threshold
+    comparison cross-multiplies integers (``value * 2000 > total``) so
+    no float crosses a boundary."""
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    band = {int(k) for k, n in zip(supp["s_suppkey"], supp["s_nationkey"])
+            if int(n) < 8}
+    s_ref = ray.put(band)
+
+    li = broadcast_semi_join(
+        _read(sf_dir, "lineitem",
+              ["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"]),
+        s_ref, "l_suppkey",
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "p_partkey": t["l_partkey"],
+                "value_cents": pa.array(_cents(
+                    t["l_extendedprice"].to_numpy(zero_copy_only=False)
+                    * t["l_quantity"].to_numpy(zero_copy_only=False)
+                )),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    per_part = partial_sum_groupby(
+        li, ["p_partkey"], {"value_cents": "value_cents"}
+    ).materialize()
+    total = int(per_part.sum("value_cents") or 0)
+    return per_part.map_batches(
+        lambda t: t.filter(
+            pc.greater(
+                pc.multiply(t["value_cents"], pa.scalar(2000, pa.int64())),
+                pa.scalar(total, pa.int64()),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+
+
+Q11_SQL = """
+WITH per_part AS (
+  SELECT l_partkey AS p_partkey,
+         CAST(SUM(CAST(floor(l_extendedprice * l_quantity * 100 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS value_cents
+  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+  WHERE s_nationkey < 8
+  GROUP BY l_partkey)
+SELECT p_partkey, value_cents FROM per_part
+WHERE value_cents * 2000 > (SELECT SUM(value_cents) FROM per_part)
+"""
+
+
+def q16_supplier_counts(sf_dir: str):
+    """TPC-H Q16 shape: distinct-supplier count per part attribute
+    combo, excluding a NOT-IN supplier set (negative balance stands in
+    for the complaints LIKE).  The NOT-IN set broadcasts as an anti
+    semi-join (suppliers are the small dimension); lineitem⋈part is the
+    partitioned hash join with the brand/type filter pruning part
+    BEFORE its shuffle; COUNT(DISTINCT) decorrelates into two combiner
+    groupbys — per-batch dedupe → global distinct (suppkey carried) →
+    count per attribute combo."""
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"]).to_pandas()
+    bad = {int(k) for k, b in zip(supp["s_suppkey"], supp["s_acctbal"])
+           if float(b) < 0.0}
+    bad_ref = ray.put(bad)
+
+    part = _read(sf_dir, "part",
+                 ["p_partkey", "p_brand", "p_type", "p_size"]) \
+        .map_batches(
+            lambda t: t.filter(
+                pc.and_(
+                    pc.not_equal(t["p_brand"], pa.scalar("Brand#1")),
+                    pc.not_equal(t["p_type"], pa.scalar("SMALL")),
+                )
+            ),
+            batch_format="pyarrow",
+        )
+    li = broadcast_semi_join(
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]),
+        bad_ref, "l_suppkey", anti=True,
+    ).map_batches(
+        lambda t: t.rename_columns(["p_partkey", "suppkey"]),
+        batch_format="pyarrow",
+    )
+    joined = hash_bucket_join(li, part, on="p_partkey", buckets=16)
+    keys = ["p_brand", "p_type", "p_size", "suppkey"]
+    distinct = joined.map_batches(
+        lambda t: t.select(keys).group_by(keys).aggregate([]),
+        batch_format="pyarrow",
+    ).groupby(keys).aggregate(Count(alias_name="__n"))
+    return partial_sum_groupby(
+        distinct, ["p_brand", "p_type", "p_size"], {}, count_as="supplier_cnt"
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'SMALL'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q20_excess_suppliers(sf_dir: str):
+    """TPC-H Q20 shape: suppliers who shipped more than TWICE the
+    average supplier's volume of a name-prefixed part — the correlated
+    ``sum per (part, supp) > 2 * avg over that part's suppliers``
+    decorrelates into a pair-grain combiner groupby, a part-grain
+    groupby OVER THE PAIR SUMS (no lineitem rescan — it also yields the
+    per-part supplier count), one partitioned join of the two
+    aggregates, and an exact integer cross-multiply
+    (``pair * n_supp > 2 * total``).  Supplier names attach from the
+    broadcast small dimension at the end.  (The 2×-average form keeps
+    the predicate scale-stable: a fixed share like TPC-H's 50% empties
+    as supplier count per part grows with sf.)"""
+    pset = set(
+        _read(sf_dir, "part", ["p_partkey", "p_name"])
+        .map_batches(
+            lambda t: t.filter(pc.starts_with(t["p_name"], "small")),
+            batch_format="pyarrow",
+        )
+        .unique("p_partkey")
+    )
+    p_ref = ray.put(pset)
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
+    name_of = dict(zip(supp["s_suppkey"].astype(int), supp["s_name"]))
+
+    li = broadcast_semi_join(
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_quantity"]),
+        p_ref, "l_partkey",
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "p_partkey": t["l_partkey"],
+                "suppkey": t["l_suppkey"],
+                "qty": pc.cast(t["l_quantity"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    pairs = partial_sum_groupby(
+        li, ["p_partkey", "suppkey"], {"qty": "pair_qty"}
+    )
+    totals = partial_sum_groupby(
+        pairs.map_batches(
+            lambda t: t.select(["p_partkey", "pair_qty"]),
+            batch_format="pyarrow",
+        ),
+        ["p_partkey"], {"pair_qty": "part_qty"}, count_as="n_supp",
+    )
+    joined = hash_bucket_join(pairs, totals, on="p_partkey", buckets=8)
+
+    def pick(t: pa.Table) -> pa.Table:
+        keep = t.filter(
+            pc.greater(
+                pc.multiply(t["pair_qty"], t["n_supp"]),
+                pc.multiply(t["part_qty"], pa.scalar(2, pa.int64())),
+            )
+        )
+        sk = keep["suppkey"].to_numpy(zero_copy_only=False)
+        return pa.table({"s_suppkey": keep["suppkey"],
+                         "s_name": pa.array([name_of[int(k)] for k in sk])})
+
+    # a supplier can win several parts → distinct via a tiny groupby
+    return joined.map_batches(pick, batch_format="pyarrow") \
+        .groupby(["s_suppkey", "s_name"]).aggregate(Count(alias_name="__n")) \
+        .select_columns(["s_suppkey", "s_name"])
+
+
+Q20_SQL = """
+WITH pairs AS (
+  SELECT l_partkey, l_suppkey AS suppkey,
+         SUM(CAST(l_quantity AS BIGINT)) AS pair_qty
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE 'small%'
+  GROUP BY l_partkey, l_suppkey),
+totals AS (
+  SELECT l_partkey, SUM(pair_qty) AS part_qty, COUNT(*) AS n_supp
+  FROM pairs GROUP BY l_partkey)
+SELECT DISTINCT pairs.suppkey AS s_suppkey, s_name
+FROM pairs JOIN totals USING (l_partkey)
+JOIN supplier ON s_suppkey = pairs.suppkey
+WHERE pair_qty * n_supp > 2 * part_qty
+"""
+
+
+def q21_waiting_suppliers(sf_dir: str):
+    """TPC-H Q21 shape: suppliers who were the ONLY late shipper in a
+    multi-supplier finished order (late = shipped >60 days after the
+    order date; this corpus has no commit/receipt dates).  The
+    EXISTS + NOT-EXISTS pair over the same table decorrelates into one
+    lineitem⋈orders partitioned hash join and two combiner groupbys:
+    per (order, supplier) ANY(late), then per order
+    (supplier count, late count, MAX(late ? suppkey : -1)) — orders
+    with n_supp ≥ 2 and n_late = 1 convict exactly that max.  No row
+    pair is ever materialized."""
+    d60 = np.timedelta64(60, "D")
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderstatus", "o_orderdate"]) \
+        .map_batches(
+            lambda t: t.filter(
+                pc.equal(t["o_orderstatus"], pa.scalar("F"))
+            ).select(["o_orderkey", "o_orderdate"])
+            .rename_columns(["orderkey", "o_orderdate"]),
+            batch_format="pyarrow",
+        )
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_shipdate"]) \
+        .map_batches(
+            lambda t: t.rename_columns(["orderkey", "suppkey", "l_shipdate"]),
+            batch_format="pyarrow",
+        )
+    joined = hash_bucket_join(li, orders, on="orderkey", buckets=16) \
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "orderkey": t["orderkey"],
+                    "suppkey": t["suppkey"],
+                    "late": pa.array(
+                        (
+                            t["l_shipdate"].to_numpy(zero_copy_only=False)
+                            - t["o_orderdate"].to_numpy(zero_copy_only=False)
+                            > d60
+                        ).astype(np.int64)
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    pair = partial_agg_groupby(
+        joined, ["orderkey", "suppkey"], [("late", "max", "late")]
+    ).map_batches(
+        lambda t: t.append_column(
+            "late_key",
+            pc.if_else(
+                pc.equal(t["late"], pa.scalar(1, pa.int64())),
+                pc.cast(t["suppkey"], pa.int64()),
+                pa.scalar(-1, pa.int64()),
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+    per_order = partial_agg_groupby(
+        pair, ["orderkey"],
+        [("late", "sum", "n_late"), ("late_key", "max", "late_supp")],
+        count_as="n_supp",
+    ).map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.greater_equal(t["n_supp"], pa.scalar(2, pa.int64())),
+                pc.equal(t["n_late"], pa.scalar(1, pa.int64())),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    counts = partial_sum_groupby(
+        per_order.map_batches(
+            lambda t: t.select(["late_supp"]), batch_format="pyarrow"
+        ),
+        ["late_supp"], {}, count_as="numwait",
+    )
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
+    name_of = dict(zip(supp["s_suppkey"].astype(int), supp["s_name"]))
+
+    def names(t: pa.Table) -> pa.Table:
+        ks = t["late_supp"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "s_name": pa.array([name_of[int(k)] for k in ks]),
+                "numwait": t["numwait"],
+            }
+        )
+
+    out = counts.map_batches(names, batch_format="pyarrow") \
+        .sort(["numwait", "s_name"], descending=[True, False]) \
+        .limit(100)
+    return out
+
+
+Q21_SQL = """
+WITH pairs AS (
+  SELECT l_orderkey, l_suppkey,
+         MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                  THEN 1 ELSE 0 END) AS late
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY l_orderkey, l_suppkey),
+per_order AS (
+  SELECT l_orderkey, COUNT(*) AS n_supp, SUM(late) AS n_late,
+         MAX(CASE WHEN late = 1 THEN l_suppkey ELSE -1 END) AS late_supp
+  FROM pairs GROUP BY l_orderkey)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM per_order JOIN supplier ON s_suppkey = late_supp
+WHERE n_supp >= 2 AND n_late = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
 def q2_min_price_suppliers(sf_dir: str, first_parts: int = 200):
     """TPC-H Q2 shape (correlated MIN subquery, join-back): for each
     part (first ``first_parts`` keys — Q2's region filter stand-in),
@@ -6796,6 +7295,12 @@ QUERIES = {
     "q6_revenue": q6_revenue,
     "q4_late_orders": q4_late_orders,
     "q7_volume_shipping": q7_volume_shipping,
+    "q8_market_share": q8_market_share,
+    "q9_product_profit": q9_product_profit,
+    "q11_important_parts": q11_important_parts,
+    "q16_supplier_counts": q16_supplier_counts,
+    "q20_excess_suppliers": q20_excess_suppliers,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
     "q10_returned_revenue": q10_returned_revenue,
     "q14_promo_revenue": q14_promo_revenue,
     "q17_small_quantity": q17_small_quantity,
@@ -6949,6 +7454,12 @@ ORACLE_SQL = {
     "q6_revenue": Q6_SQL,
     "q4_late_orders": Q4_SQL,
     "q7_volume_shipping": Q7_SQL,
+    "q8_market_share": Q8_SQL,
+    "q9_product_profit": Q9_SQL,
+    "q11_important_parts": Q11_SQL,
+    "q16_supplier_counts": Q16_SQL,
+    "q20_excess_suppliers": Q20_SQL,
+    "q21_waiting_suppliers": Q21_SQL,
     "q10_returned_revenue": Q10_SQL,
     "q14_promo_revenue": Q14_SQL,
     "q17_small_quantity": Q17_SQL,
