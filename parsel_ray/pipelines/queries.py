@@ -1807,6 +1807,68 @@ FROM documents
 """
 
 
+def content_type_route(sf_dir: str):
+    """Byte-level content-type routing (``ContentTypeRouter``): every
+    doc becomes one of six blob kinds (html / xml / json / image in a
+    rotating container format / NUL-laced binary / plain text) and the
+    sniffer must recover the kind from header bytes alone — the router
+    stage that fronts a crawl ingest and decides which pipeline each
+    fetched body enters.  Sniff cost is O(512 bytes) per blob regardless
+    of payload size.  Oracle: the kind is a pure function of doc_id."""
+    from ..crawl.contentsniff import ContentTypeRouter
+    from ..images.codecs import ALL_FORMATS, encode_image
+
+    def build(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        blobs = []
+        for i, txt in zip(ids, texts):
+            k = i % 6
+            if k == 0:
+                blobs.append(b"<!DOCTYPE html><html><body><p>"
+                             + txt[:64].encode() + b"</p></body></html>")
+            elif k == 1:
+                blobs.append(b"<?xml version=\"1.0\"?><doc id=\""
+                             + str(i).encode() + b"\"/>")
+            elif k == 2:
+                blobs.append(b'{"doc_id": ' + str(i).encode() + b"}")
+            elif k == 3:
+                blobs.append(
+                    encode_image(_doc_image(i), ALL_FORMATS[(i // 6) % 6])
+                )
+            elif k == 4:
+                blobs.append(b"\x00\x01\x02\xff" * 32)
+            else:
+                blobs.append(txt[:256].encode() or b"plain text")
+        return pa.table(
+            {"doc_id": t["doc_id"], "bytes": pa.array(blobs, pa.binary())}
+        )
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(build, batch_format="pyarrow", batch_size=256)
+        .map_batches(ContentTypeRouter(), batch_format="pyarrow",
+                     batch_size=256)
+        .map_batches(lambda t: t.select(["doc_id", "ctype"]),
+                     batch_format="pyarrow")
+    )
+
+
+CTYPE_SQL = """
+SELECT doc_id,
+       CASE doc_id % 6
+         WHEN 0 THEN 'html'
+         WHEN 1 THEN 'xml'
+         WHEN 2 THEN 'json'
+         WHEN 3 THEN 'image/' ||
+              ['ppm','png','qjpg','jpeg','gif','bmp'][(doc_id // 6) % 6 + 1]
+         WHEN 4 THEN 'binary'
+         ELSE 'text'
+       END AS ctype
+FROM documents
+"""
+
+
 def image_gif_roundtrip(sf_dir: str):
     """GIF87a (LZW) encode→decode round-trip: per-doc gradient images →
     fixed 3-3-2 palette quantization → encode_gif → DecodeGif stage.
@@ -7343,6 +7405,7 @@ QUERIES = {
     "image_gif_roundtrip": image_gif_roundtrip,
     "image_bmp_roundtrip": image_bmp_roundtrip,
     "image_header_sniff": image_header_sniff,
+    "content_type_route": content_type_route,
     "video_frame_sample": video_frame_sample,
     "doc_term_df": doc_term_df,
     "doc_tfidf_top_term": doc_tfidf_top_term,
@@ -7446,6 +7509,7 @@ ORACLE_SQL = {
     "image_gif_roundtrip": JPEG_SQL,
     "image_bmp_roundtrip": JPEG_SQL,
     "image_header_sniff": SNIFF_SQL,
+    "content_type_route": CTYPE_SQL,
     "image_resize_bilinear": RESIZE_BILINEAR_SQL,
     "image_quality_signals": IMG_QUALITY_SQL,
     "video_frame_sample": VIDEO_SQL,

@@ -810,3 +810,29 @@ class TestSniffImageMeta:
         assert out["sniffed_w"].to_pylist() == [9, None, None]
         assert out["sniffed_h"].to_pylist() == [8, None, None]
         assert out["sniff_ok"].to_pylist() == [True, False, False]
+
+
+class TestContentTypeSniff:
+    def test_markup_and_json(self):
+        from parsel_ray.crawl.contentsniff import detect_content_type as d
+
+        assert d(b"  <!DOCTYPE html><html>") == "html"
+        assert d(b"<HTML><body>") == "html"
+        assert d(b"<?xml version='1.0'?><a/>") == "xml"
+        assert d(b"<custom-root><x/></custom-root>") == "xml"
+        assert d(b' {"k": 1}') == "json"
+        assert d(b"[1, 2, 3]") == "json"
+
+    def test_images_delegate_to_codec_sniff(self):
+        from parsel_ray.crawl.contentsniff import detect_content_type as d
+
+        assert d(encode_image(gradient(8, 8), "png")) == "image/png"
+        assert d(encode_image(gradient(8, 8), "gif")) == "image/gif"
+
+    def test_text_binary_fallback(self):
+        from parsel_ray.crawl.contentsniff import detect_content_type as d
+
+        assert d(b"just some plain prose, nothing else") == "text"
+        assert d(b"with\x00nul") == "binary"
+        assert d(bytes(range(1, 8)) * 20) == "binary"  # control-dense
+        assert d(b"") == "binary"
