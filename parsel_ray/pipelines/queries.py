@@ -5977,6 +5977,83 @@ SELECT user_id FROM events WHERE event_type = 'purchase'
 """
 
 
+def recrawl_priority(sf_dir: str, top_k: int = 50):
+    """Recrawl scheduling from fetch history — the frontier-side
+    operator that decides WHICH known URLs to refetch next.  Events
+    replay as a fetch log (user_id = url, ts = fetch time, props.k =
+    content fingerprint); per url the change count is fingerprint ≠
+    previous fingerprint in fetch order (the integerized
+    Cho/Garcia-Molina change-rate signal) and the refetch priority is
+    ``age_hours_since_last_fetch × (changes + 1)`` — hot pages that
+    haven't been seen recently float to the top.  Scale shape: one
+    ``grouped_apply`` coarse-partition shuffle co-locates each url's
+    history; the per-url scan is a vectorized shift-compare, and only
+    one row per url reaches the tiny top-k sort."""
+    horizon_us = np.datetime64("2025-01-01", "us").astype(np.int64)
+
+    def extract(t: pa.Table) -> pa.Table:
+        st = pc.extract_regex(
+            pc.fill_null(t["props"], ""), r'"k":\s*(?P<k>-?\d+)'
+        )
+        return pa.table(
+            {
+                "url_id": t["user_id"],
+                "event_id": t["event_id"],
+                "ts": t["ts"],
+                "fp": pc.cast(pc.struct_field(st, "k"), pa.int64()),
+            }
+        )
+
+    log = _read(sf_dir, "events",
+                ["event_id", "ts", "user_id", "props"]) \
+        .map_batches(extract, batch_format="pyarrow")
+
+    def per_url(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        fp = g["fp"].to_numpy()
+        n_changes = int((fp[1:] != fp[:-1]).sum()) if len(fp) > 1 else 0
+        last_us = g["ts"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64).max()
+        age_h = int((horizon_us - last_us) // 3_600_000_000)
+        return pd.DataFrame(
+            {
+                "url_id": [int(g["url_id"].iloc[0])],
+                "n_fetches": [len(g)],
+                "n_changes": [n_changes],
+                "priority": [age_h * (n_changes + 1)],
+            }
+        )
+
+    per = grouped_apply(log, ["url_id"], per_url, num_partitions=32)
+    return per.sort(["priority", "url_id"], descending=[True, False]) \
+        .limit(top_k)
+
+
+RECRAWL_SQL = """
+WITH fetches AS (
+  SELECT user_id AS url_id, ts, event_id,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS fp
+  FROM events),
+scans AS (
+  SELECT url_id, fp, ts,
+         LAG(fp) OVER (PARTITION BY url_id ORDER BY ts, event_id) AS prev
+  FROM fetches),
+per_url AS (
+  SELECT url_id,
+         CAST(COUNT(*) AS BIGINT) AS n_fetches,
+         CAST(SUM(CASE WHEN prev IS NOT NULL AND fp <> prev
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+         MAX(ts) AS last_ts
+  FROM scans GROUP BY url_id)
+SELECT url_id, n_fetches, n_changes,
+       ((epoch_us(TIMESTAMP '2025-01-01') - epoch_us(last_ts))
+        // 3600000000) * (n_changes + 1) AS priority
+FROM per_url
+ORDER BY priority DESC, url_id
+LIMIT 50
+"""
+
+
 def events_props_k_sum(sf_dir: str):
     """Vectorized JSON field extraction over the events props column:
     one RE2 ``extract_regex`` kernel pulls the integer ``k`` out of each
@@ -7441,6 +7518,7 @@ QUERIES = {
     "events_intersect_users": events_intersect_users,
     "events_except_hours": events_except_hours,
     "events_props_k_sum": events_props_k_sum,
+    "recrawl_priority": recrawl_priority,
     "events_value_histogram": events_value_histogram,
     "doc_url_regex_groups": doc_url_regex_groups,
     "kmeans_embeddings": kmeans_embeddings,
@@ -7581,6 +7659,7 @@ ORACLE_SQL = {
     "events_intersect_users": INTERSECT_SQL,
     "events_except_hours": EXCEPT_SQL,
     "events_props_k_sum": PROPS_SQL,
+    "recrawl_priority": RECRAWL_SQL,
     "events_value_histogram": HISTOGRAM_SQL,
     "doc_url_regex_groups": URL_GROUPS_SQL,
     "customer_order_full_outer": FULL_OUTER_SQL,
