@@ -6719,6 +6719,59 @@ def orc_roundtrip(sf_dir: str):
     )
 
 
+def arrow_ipc_roundtrip(sf_dir: str):
+    """Arrow IPC (Feather V2) sink → memory-mapped source round-trip
+    (fifth interchange format; :mod:`parsel_ray.sources.arrowipc`) —
+    the zero-copy hot-path format for stage handoffs/spills, vs parquet
+    for archival.  Worker-side shard writes with retry-stable digest
+    names; the read side memory-maps and column-prunes at the reader.
+    Exact cents through the format and back, receipt-verified."""
+    import tempfile as _tempfile
+
+    from ..sources.arrowipc import read_arrow_ipc, write_arrow_ipc
+
+    out = _tempfile.mkdtemp(prefix="lineitem_ipc_", dir="/tmp")
+    n = write_arrow_ipc(
+        _read(
+            sf_dir, "lineitem",
+            ["l_orderkey", "l_returnflag", "l_extendedprice"],
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "l_orderkey": t["l_orderkey"],
+                    "l_returnflag": t["l_returnflag"],
+                    "cents": pa.array(_cents(t["l_extendedprice"])),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        out,
+    )
+    back = read_arrow_ipc(out, columns=["l_returnflag", "cents"])
+    res = partial_sum_groupby(
+        back, ["l_returnflag"], {"cents": "sum_cents"}, count_as="n_items"
+    )
+
+    def receipts_match(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc_
+
+        assert pc_.sum(t["n_items"]).as_py() == n, "ipc receipt mismatch"
+        return t
+
+    return res.repartition(1).map_batches(
+        receipts_match, batch_format="pyarrow"
+    )
+
+
+IPC_SQL = f"""
+SELECT l_returnflag,
+       CAST(SUM({_CENTS_SQL.format(expr='l_extendedprice')}) AS BIGINT)
+           AS sum_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def part_name_fuzzy_join(sf_dir: str):
     """Fuzzy self-join: distinct part-name pairs within edit distance 1
     (typo-class near-dups) via FastSS deletion-neighborhood blocking —
@@ -7527,6 +7580,7 @@ QUERIES = {
     "web_pagerank": web_pagerank,
     "lineitem_triangles": lineitem_triangles,
     "orc_roundtrip": orc_roundtrip,
+    "arrow_ipc_roundtrip": arrow_ipc_roundtrip,
     "events_cume_dist": events_cume_dist,
     "events_percent_rank": events_percent_rank,
     "events_first_last_value": events_first_last_value,
@@ -7669,6 +7723,7 @@ ORACLE_SQL = {
     "events_ntile": NTILE_SQL,
     "csv_roundtrip": CSV_SQL,
     "orc_roundtrip": CSV_SQL,
+    "arrow_ipc_roundtrip": IPC_SQL,
     "part_name_fuzzy_join": FUZZY_SQL,
     "favorite_event_type": MODE_SQL,
     "orders_global_rank": GLOBAL_RANK_SQL,
