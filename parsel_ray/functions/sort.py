@@ -23,7 +23,12 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .agg import _exact_quantiles, grouped_apply, partial_sum_groupby
+from .agg import (
+    _exact_quantiles,
+    grouped_apply,
+    partial_agg_groupby,
+    partial_sum_groupby,
+)
 
 
 def global_row_number(
@@ -118,3 +123,81 @@ def global_row_number(
         return out.append_column(out_col, pa.array(rank, pa.int64()))
 
     return ranked.map_batches(finalize, batch_format="pyarrow")
+
+
+def global_prefix_sum(
+    ds,
+    order_by,
+    ascending,
+    val_col: str,
+    out_col: str = "prefix",
+    num_partitions: int = 16,
+):
+    """Attach the EXCLUSIVE running sum of ``val_col`` in global
+    ``order_by`` order — ``SUM(val) OVER (ORDER BY ... ROWS UNBOUNDED
+    PRECEDING AND 1 PRECEDING)`` — to every row.
+
+    Same scale shape as :func:`global_row_number`: range-partition on
+    the numeric primary key (O(distinct) bound-picking histogram),
+    in-partition sort + vectorized cumsum, and only the P per-partition
+    TOTALS visit the driver to become broadcast offsets.  The column
+    list must give a total order for deterministic results."""
+    import ray
+
+    primary = order_by[0]
+    qs = [i / num_partitions for i in range(1, num_partitions)]
+    _, vals, _cum = _exact_quantiles(ds, primary, qs, return_hist=True)
+    idxs = np.linspace(1, len(vals) - 1, num_partitions - 1).astype(int) \
+        if len(vals) > 1 else np.array([], dtype=int)
+    bounds = np.unique(vals[idxs]) if len(idxs) else np.array([])
+    bounds_ref = ray.put(bounds)
+    asc0 = bool(ascending[0])
+
+    def assign_pid(t: pa.Table) -> pa.Table:
+        b = ray.get(bounds_ref)
+        key = t[primary].to_numpy(zero_copy_only=False)
+        pid = np.searchsorted(b, key, side="right").astype(np.int64)
+        if not asc0:
+            pid = len(b) - pid
+        return t.append_column("__pid", pa.array(pid, pa.int64()))
+
+    withpid = ds.map_batches(assign_pid, batch_format="pyarrow")
+
+    def local_scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(list(order_by), ascending=list(ascending),
+                          kind="mergesort").copy()
+        v = g[val_col].to_numpy().astype(np.int64)
+        g["__local"] = np.cumsum(v) - v  # exclusive
+        g["__ptotal"] = int(v.sum())
+        return g
+
+    scanned = grouped_apply(
+        withpid, "__pid", local_scan, num_partitions=num_partitions
+    ).materialize()
+
+    totals = partial_agg_groupby(
+        scanned.map_batches(
+            lambda t: t.select(["__pid", "__ptotal"]).group_by(
+                ["__pid"]).aggregate([("__ptotal", "max")]).rename_columns(
+                ["__pid", "__ptotal"]),
+            batch_format="pyarrow",
+        ),
+        ["__pid"], [("__ptotal", "max", "total")],
+    ).take_all()  # P rows
+    totals.sort(key=lambda r: r["__pid"])
+    offsets, acc = {}, 0
+    for r in totals:
+        offsets[r["__pid"]] = acc
+        acc += r["total"]
+    off_ref = ray.put(offsets)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        off = ray.get(off_ref)
+        pid = t["__pid"].to_numpy(zero_copy_only=False)
+        local = t["__local"].to_numpy(zero_copy_only=False)
+        lut = {p: off[p] for p in np.unique(pid)}
+        pre = local + np.vectorize(lut.get, otypes=[np.int64])(pid)
+        out = t.drop_columns(["__pid", "__local", "__ptotal"])
+        return out.append_column(out_col, pa.array(pre, pa.int64()))
+
+    return scanned.map_batches(finalize, batch_format="pyarrow")

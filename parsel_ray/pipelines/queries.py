@@ -680,6 +680,57 @@ FROM documents
 """
 
 
+def sequence_packing(sf_dir: str, seq_len: int = 2048):
+    """Concat-and-chunk sequence packing — the training-data op that
+    maps every document to its (bin, offset) position in the fixed-
+    length token stream fed to an LLM trainer.  bin = exclusive global
+    token prefix-sum // seq_len in doc_id order; the prefix sum is the
+    distributed range-partition + local-cumsum + O(P)-offsets scan
+    (:func:`global_prefix_sum`) — no driver pass over rows, no
+    sequential bottleneck."""
+    from ..functions.sort import global_prefix_sum
+
+    toks = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        T.token_stats, batch_format="pyarrow"
+    ).select_columns(["doc_id", "n_tokens"])
+    pre = global_prefix_sum(
+        toks, ["doc_id"], [True], "n_tokens", out_col="prefix"
+    )
+    L = pa.scalar(seq_len, pa.int64())
+
+    def place(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": t["n_tokens"],
+                "bin": pc.divide(t["prefix"], L),
+                "bin_offset": pc.subtract(
+                    t["prefix"], pc.multiply(pc.divide(t["prefix"], L), L)
+                ),
+            }
+        )
+
+    return pre.map_batches(place, batch_format="pyarrow")
+
+
+PACKING_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+  FROM documents),
+p AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS prefix
+  FROM t)
+SELECT doc_id, n_tokens,
+       CAST(prefix // 2048 AS BIGINT) AS bin,
+       CAST(prefix % 2048 AS BIGINT) AS bin_offset
+FROM p
+"""
+
+
 def dedup_exact(sf_dir: str):
     """Exact dedup: md5 fingerprint → hash-partitioned groupby → first-wins
     (min doc_id).  Per-batch pre-dedup keeps the shuffle at one row per
@@ -7463,6 +7514,7 @@ QUERIES = {
     "extract_regex_first": extract_regex_first,
     "jmespath_props": jmespath_props,
     "doc_token_stats": doc_token_stats,
+    "sequence_packing": sequence_packing,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_cdc_docs": dedup_cdc_docs,
@@ -7627,6 +7679,7 @@ ORACLE_SQL = {
     "extract_regex_first": REGEX_SQL,
     "jmespath_props": JMES_SQL,
     "doc_token_stats": TOKEN_SQL,
+    "sequence_packing": PACKING_SQL,
     "dedup_exact": DEDUP_SQL,
     "dedup_ngram_jaccard": NGRAM_SQL,
     "lineitem_triangles": TRIANGLE_SQL,
