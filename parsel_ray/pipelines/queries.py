@@ -1300,6 +1300,89 @@ WHERE 5 * i >= 3 * (ca.n + cb.n - i)
 """
 
 
+def decontaminate_docs(sf_dir: str, n: int = 3):
+    """Benchmark decontamination (the pre-training hygiene op): docs
+    with ``doc_id % 97 == 0`` stand in for a held-out eval set; every
+    other doc is flagged if it shares ANY word n-gram with a benchmark
+    doc.  The benchmark gram set is genuinely small (real benchmarks
+    are fixed-size) so it broadcasts once via ``ray.put`` — at corpus
+    scale the exact set swaps for the BloomFilter stage with identical
+    call shape; the per-doc check is one set-intersection over the
+    doc's distinct grams.  Tokenization matches the corpus SQL
+    convention (lower, whitespace-collapse, split) byte-for-byte."""
+    bench = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda t: t.filter(
+            pa.array(
+                t["doc_id"].to_numpy(zero_copy_only=False) % 97 == 0
+            )
+        ),
+        batch_format="pyarrow",
+    )
+
+    def grams_of(txt: str) -> set:
+        toks = (txt or "").strip().lower().split()
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    def bench_grams(t: pa.Table) -> pa.Table:
+        out = set()
+        for txt in t["text"].to_pylist():
+            out |= grams_of(txt)
+        return pa.table({"g": pa.array(sorted(out), pa.string())})
+
+    # tiny driver set: O(benchmark grams), not O(corpus)
+    gset = frozenset(
+        r["g"] for r in bench.map_batches(
+            bench_grams, batch_format="pyarrow").take_all()
+    )
+    g_ref = ray.put(gset)
+
+    class Flag:
+        def __init__(self, ref):
+            self.g = LazyRef(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            gs = self.g.get()
+            ids, flags = [], []
+            for i, txt in zip(t["doc_id"].to_pylist(),
+                              t["text"].to_pylist()):
+                if i % 97 == 0:
+                    continue  # benchmark docs aren't scored
+                ids.append(i)
+                flags.append(not gs.isdisjoint(grams_of(txt)))
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "contaminated": pa.array(flags, pa.bool_()),
+                }
+            )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        Flag(g_ref), batch_format="pyarrow", batch_size=1024
+    )
+
+
+DECONTAM_SQL = r"""
+WITH arr AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                      ' ') AS ws
+  FROM documents),
+toks AS (
+  SELECT doc_id, ws[ord] AS w, ord
+  FROM arr, (SELECT unnest(generate_series(1, 2000)) AS ord)
+  WHERE ord <= len(ws) AND ws[ord] <> ''),
+tg AS (
+  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS g
+  FROM toks a
+  JOIN toks b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+  JOIN toks c ON a.doc_id = c.doc_id AND c.ord = a.ord + 2),
+bench AS (SELECT DISTINCT g FROM tg WHERE doc_id % 97 = 0),
+hits AS (SELECT DISTINCT tg.doc_id FROM tg JOIN bench USING (g))
+SELECT doc_id, doc_id IN (SELECT doc_id FROM hits) AS contaminated
+FROM documents WHERE doc_id % 97 <> 0
+"""
+
+
 def dedup_simhash(sf_dir: str):
     """SimHash fingerprints + exact-fingerprint duplicate groups."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
@@ -7531,6 +7614,7 @@ QUERIES = {
     # rows-only (non-SQL-expressible)
     "dedup_minhash": dedup_minhash,
     "dedup_simhash": dedup_simhash,
+    "decontaminate_docs": decontaminate_docs,
     "langid_guess": langid_guess,
     "doc_rolling_fingerprint": doc_rolling_fingerprint,
     "embedding_near_dup_lsh": embedding_near_dup_lsh,
@@ -7682,6 +7766,7 @@ ORACLE_SQL = {
     "sequence_packing": PACKING_SQL,
     "dedup_exact": DEDUP_SQL,
     "dedup_ngram_jaccard": NGRAM_SQL,
+    "decontaminate_docs": DECONTAM_SQL,
     "lineitem_triangles": TRIANGLE_SQL,
     "doc_dup_ngram_coverage": DUP_NGRAM_SQL,
     "indexed_point_lookup": POINT_LOOKUP_SQL,
