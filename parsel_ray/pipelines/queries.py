@@ -1300,6 +1300,76 @@ WHERE 5 * i >= 3 * (ca.n + cb.n - i)
 """
 
 
+_TEMPLATES = (
+    "<html><body><article><h1>{h}</h1><p>{t}</p></article></body></html>",
+    "<html><body><div><table><tr><td>{h}</td><td>{t}</td></tr></table>"
+    "</div></body></html>",
+    "<html><body><section><ul><li><a href='#'>{h}</a></li>"
+    "<li><a href='#'>{t}</a></li></ul></section></body></html>",
+    "<html><body><div><div><p><b>{h}</b></p><p><b>{t}</b></p></div></div>"
+    "</body></html>",
+    "<html><body><main><figure><img src='x.png'/>"
+    "<figcaption>{h}</figcaption></figure><p>{t}</p></main></body></html>",
+    "<html><body><header><nav><a href='#'>{h}</a></nav></header>"
+    "<footer>{t}</footer></body></html>",
+    "<html><body><pre><code>{h} {t}</code></pre></body></html>",
+)
+
+
+def template_cluster(sf_dir: str):
+    """Page-template clustering by DOM STRUCTURE fingerprint — the
+    crawl-side op that groups pages rendered from the same template so
+    extraction rules / boilerplate strippers can be learned once per
+    cluster instead of once per page.  Every doc renders into one of 7
+    structurally distinct HTML templates (content varies per doc,
+    structure doesn't); the kernel parses each page with the engine's
+    own from-scratch DOM/Selector stack, fingerprints the SET of
+    root-to-node tag paths (text/attrs excluded, repeat counts
+    collapsed — variable-length lists keep one fingerprint), and a
+    combiner groupby recovers the clusters.  Oracle: the template is a
+    pure function of doc_id, so cluster (min-id, size) must equal the
+    modulo grouping."""
+    import hashlib as _hashlib
+
+    from ..selector import Selector
+
+    def build_and_fp(t: pa.Table) -> pa.Table:
+        fps = []
+        for i, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            html_doc = _TEMPLATES[i % 7].format(
+                h=_html.escape(f"doc {i}"), t=_html.escape(txt[:80])
+            )
+            sel = Selector(text=html_doc)
+            paths = set()
+            for e in sel.xpath("//*"):
+                node, parts = e.root, []
+                while node is not None and getattr(node, "tag", None):
+                    parts.append(node.tag)
+                    node = node.getparent()
+                paths.add("/".join(reversed(parts)))
+            fps.append(
+                _hashlib.md5("\n".join(sorted(paths)).encode()).hexdigest()
+            )
+        return pa.table(
+            {"doc_id": t["doc_id"], "fp": pa.array(fps, pa.string())}
+        )
+
+    clustered = partial_agg_groupby(
+        _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            build_and_fp, batch_format="pyarrow", batch_size=512
+        ),
+        ["fp"], [("doc_id", "min", "template_rep")], count_as="n_pages",
+    )
+    return clustered.select_columns(["template_rep", "n_pages"])
+
+
+TEMPLATE_SQL = """
+SELECT CAST(MIN(doc_id) AS BIGINT) AS template_rep,
+       CAST(COUNT(*) AS BIGINT) AS n_pages
+FROM documents GROUP BY doc_id % 7
+"""
+
+
 def decontaminate_docs(sf_dir: str, n: int = 3):
     """Benchmark decontamination (the pre-training hygiene op): docs
     with ``doc_id % 97 == 0`` stand in for a held-out eval set; every
@@ -7615,6 +7685,7 @@ QUERIES = {
     "dedup_minhash": dedup_minhash,
     "dedup_simhash": dedup_simhash,
     "decontaminate_docs": decontaminate_docs,
+    "template_cluster": template_cluster,
     "langid_guess": langid_guess,
     "doc_rolling_fingerprint": doc_rolling_fingerprint,
     "embedding_near_dup_lsh": embedding_near_dup_lsh,
@@ -7767,6 +7838,7 @@ ORACLE_SQL = {
     "dedup_exact": DEDUP_SQL,
     "dedup_ngram_jaccard": NGRAM_SQL,
     "decontaminate_docs": DECONTAM_SQL,
+    "template_cluster": TEMPLATE_SQL,
     "lineitem_triangles": TRIANGLE_SQL,
     "doc_dup_ngram_coverage": DUP_NGRAM_SQL,
     "indexed_point_lookup": POINT_LOOKUP_SQL,
