@@ -2116,6 +2116,61 @@ def image_gif_roundtrip(sf_dir: str):
     )
 
 
+def video_shot_boundaries(sf_dir: str):
+    """Shot-boundary detection (``DetectShotBoundaries``): each doc's
+    NV1 video has 6 + doc_id%5 frames with scene CUTS at every frame k
+    where (doc_id + k) % 3 == 0 — scenes alternate between two flat
+    luminance bands (cross-cut mean-abs-diff ≈ 150, within-scene ≈ 5,
+    threshold 64), so the detector must recover the cut count exactly
+    from pixels.  Oracle: the closed-form count of qualifying k in
+    [1, n-1].  Payload bytes never leave the task — only the (n_frames,
+    n_shots) summary rows shuffle."""
+    from ..images.video import encode_video
+    from ..stages.multimodal import DetectShotBoundaries
+
+    def build(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        vids = []
+        for i in ids:
+            n = 6 + i % 5
+            h, w = 16 + i % 17, 16 + i % 23
+            frames, scene = [], 0
+            for k in range(n):
+                if k > 0 and (i + k) % 3 == 0:
+                    scene += 1
+                val = 40 + 150 * (scene % 2) + 5 * (k % 2)
+                frames.append(np.full((h, w, 3), val, np.uint8))
+            vids.append(encode_video(frames, fmt="png"))
+        return pa.table(
+            {"doc_id": t["doc_id"], "bytes": pa.array(vids, pa.binary())}
+        )
+
+    return (
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(build, batch_format="pyarrow", batch_size=256)
+        .map_batches(DetectShotBoundaries(), batch_format="pyarrow",
+                     batch_size=256)
+        .map_batches(
+            lambda t: t.select(["doc_id", "n_frames", "n_shots",
+                                "video_ok"]),
+            batch_format="pyarrow",
+        )
+    )
+
+
+SHOTS_SQL = """
+WITH base AS (
+  SELECT doc_id, 5 + doc_id % 5 AS m, (3 - doc_id % 3) % 3 AS r
+  FROM documents)
+SELECT doc_id,
+       CAST(m + 1 AS BIGINT) AS n_frames,
+       CAST(1 + CASE WHEN r = 0 THEN m // 3
+                     ELSE (m - r) // 3 + 1 END AS BIGINT) AS n_shots,
+       TRUE AS video_ok
+FROM base
+"""
+
+
 def video_frame_sample(sf_dir: str):
     """NV1 container build → SampleVideoFrames stage (round-2 de-stub:
     real container parse + selective frame decode).  Sampled count and
@@ -7744,6 +7799,7 @@ QUERIES = {
     "image_header_sniff": image_header_sniff,
     "content_type_route": content_type_route,
     "video_frame_sample": video_frame_sample,
+    "video_shot_boundaries": video_shot_boundaries,
     "doc_term_df": doc_term_df,
     "doc_tfidf_top_term": doc_tfidf_top_term,
     "top3_orders_per_customer": top3_orders_per_customer,
@@ -7855,6 +7911,7 @@ ORACLE_SQL = {
     "image_resize_bilinear": RESIZE_BILINEAR_SQL,
     "image_quality_signals": IMG_QUALITY_SQL,
     "video_frame_sample": VIDEO_SQL,
+    "video_shot_boundaries": SHOTS_SQL,
     "embedding_knn": KNN_SQL,
     "embedding_near_dup": NEARDUP_SQL,
     "q6_revenue": Q6_SQL,

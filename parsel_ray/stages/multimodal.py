@@ -583,3 +583,50 @@ class AugmentImages:
             .append_column("aug_op", pa.array(ops, pa.string()))
             .append_column("aug_ok", pa.array(oks, pa.bool_()))
         )
+
+
+class DetectShotBoundaries:
+    """Shot-boundary detection over NV1 video blobs: decode consecutive
+    frames, mean-absolute-difference between neighbors, a boundary
+    wherever the diff clears ``threshold``.  Sequential full-frame
+    decode is inherent (every neighbor pair is compared); payload bytes
+    never leave the task — only (n_frames, n_shots, boundaries) rows do.
+    Corrupt containers emit ``video_ok=False`` instead of failing the
+    batch."""
+
+    def __init__(self, bytes_col: str = "bytes",
+                 threshold: float = 64.0) -> None:
+        self.bytes_col = bytes_col
+        self.threshold = threshold
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from ..images.video import frame_offsets, parse_header, read_frame
+
+        ns, shots, bounds, oks = [], [], [], []
+        for data in t[self.bytes_col].to_pylist():
+            try:
+                n, _, _, _, _ = parse_header(data)
+                prev = read_frame(data, 0)
+                cuts = []
+                for k in range(1, n):
+                    cur = read_frame(data, k)
+                    diff = float(
+                        np.abs(cur.astype(np.int64)
+                               - prev.astype(np.int64)).mean()
+                    )
+                    if diff > self.threshold:
+                        cuts.append(k)
+                    prev = cur
+            except Exception:
+                ns.append(None); shots.append(None)
+                bounds.append(None); oks.append(False)
+                continue
+            ns.append(n); shots.append(1 + len(cuts))
+            bounds.append(cuts); oks.append(True)
+        return (
+            t.append_column("n_frames", pa.array(ns, pa.int64()))
+            .append_column("n_shots", pa.array(shots, pa.int64()))
+            .append_column("boundaries", pa.array(bounds,
+                                                  pa.list_(pa.int32())))
+            .append_column("video_ok", pa.array(oks, pa.bool_()))
+        )
