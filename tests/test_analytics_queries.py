@@ -808,3 +808,56 @@ class TestParagraphDedup:
         }
         assert got == want
         assert len(got) < len(docs)  # some doc fully deduped away
+
+
+class TestGlobalPrefixSum:
+    def test_matches_sequential_cumsum(self, ray_session):
+        import ray.data as rd
+        from parsel_ray.functions.sort import global_prefix_sum
+
+        rng = np.random.RandomState(5)
+        vals = rng.randint(0, 100, 400)
+        ds = rd.from_arrow(
+            pa.table({"k": pa.array(range(400), pa.int64()),
+                      "v": pa.array(vals, pa.int64())})
+        ).repartition(7)
+        out = global_prefix_sum(
+            ds, ["k"], [True], "v", out_col="pre", num_partitions=5
+        ).take_all()
+        got = {r["k"]: r["pre"] for r in out}
+        want = dict(enumerate(np.cumsum(vals) - vals))
+        assert got == {k: int(v) for k, v in want.items()}
+
+    def test_heavy_primary_ties_with_tiebreak(self, ray_session):
+        import ray.data as rd
+        from parsel_ray.functions.sort import global_prefix_sum
+
+        # primary has only 3 distinct values; k breaks ties totally
+        prim = [i % 3 for i in range(90)]
+        ds = rd.from_arrow(
+            pa.table({"p": pa.array(prim, pa.int64()),
+                      "k": pa.array(range(90), pa.int64()),
+                      "v": pa.array([1] * 90, pa.int64())})
+        )
+        out = global_prefix_sum(
+            ds, ["p", "k"], [True, True], "v", out_col="pre",
+            num_partitions=4,
+        ).take_all()
+        order = sorted(range(90), key=lambda i: (prim[i], i))
+        want = {k: pos for pos, k in enumerate(order)}  # all v == 1
+        assert {r["k"]: r["pre"] for r in out} == want
+
+
+class TestShotBoundaries:
+    def test_known_cuts_and_corrupt(self, ray_session):
+        from parsel_ray.images.video import encode_video
+        from parsel_ray.stages.multimodal import DetectShotBoundaries
+
+        mk = lambda val: np.full((8, 9, 3), val, np.uint8)
+        vid = encode_video([mk(40), mk(45), mk(190), mk(195), mk(40)],
+                           fmt="png")
+        t = pa.table({"bytes": pa.array([vid, b"notavideo"], pa.binary())})
+        out = DetectShotBoundaries()(t)
+        assert out["video_ok"].to_pylist() == [True, False]
+        assert out["n_shots"].to_pylist()[0] == 3  # cuts at frames 2 and 4
+        assert out["boundaries"].to_pylist()[0] == [2, 4]
