@@ -1709,6 +1709,62 @@ def audio_frame_rms(sf_dir: str):
     return ds.map_batches(agg, batch_format="pyarrow")
 
 
+def audio_silence_segments(sf_dir: str):
+    """VAD segmentation (``SilenceSegments``) over REAL RIFF/WAVE PCM16
+    cells built on-worker: each doc's audio alternates 3 + doc_id%4
+    runs of silence/±8000-square-wave voice (parity keyed by doc_id),
+    two 256-sample frames per run — the detector must recover the
+    voiced-run count and silent-frame count exactly from samples.
+    Oracle: closed-form parity counting."""
+    from ..stages.multimodal import SilenceSegments, encode_wav_pcm16
+
+    def build(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        blobs = []
+        for i in ids:
+            runs = []
+            for r in range(3 + i % 4):
+                if (i + r) % 2 == 0:  # silence run
+                    runs.append(np.zeros(512, np.int16))
+                else:  # voice: square wave well above threshold
+                    v = np.full(512, 8000, np.int16)
+                    v[1::2] = -8000
+                    runs.append(v)
+            blobs.append(encode_wav_pcm16(np.concatenate(runs)))
+        return pa.table(
+            {"doc_id": t["doc_id"], "bytes": pa.array(blobs, pa.binary())}
+        )
+
+    return (
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(build, batch_format="pyarrow", batch_size=512)
+        .map_batches(SilenceSegments(frame=256), batch_format="pyarrow",
+                     batch_size=512)
+        .map_batches(
+            lambda t: t.select(
+                ["doc_id", "n_frames", "n_silent_frames",
+                 "n_voice_segments", "audio_ok"]
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+VAD_SQL = """
+WITH b AS (
+  SELECT doc_id, 3 + doc_id % 4 AS nr,
+         CASE WHEN doc_id % 2 = 0 THEN (3 + doc_id % 4) // 2
+              ELSE (4 + doc_id % 4) // 2 END AS voiced_runs
+  FROM documents)
+SELECT doc_id,
+       CAST(2 * nr AS BIGINT) AS n_frames,
+       CAST(2 * (nr - voiced_runs) AS BIGINT) AS n_silent_frames,
+       CAST(voiced_runs AS BIGINT) AS n_voice_segments,
+       TRUE AS audio_ok
+FROM b
+"""
+
+
 def image_quality_signals(sf_dir: str):
     """Image quality signals (Sobel edge density + contrast) over
     lossless per-doc BMP gradients: the stage plumbing and decode path
@@ -7792,6 +7848,7 @@ QUERIES = {
     "audio_spectral_bands": audio_spectral_bands,
     "image_quality_signals": image_quality_signals,
     "audio_frame_rms": audio_frame_rms,
+    "audio_silence_segments": audio_silence_segments,
     "image_jpeg_roundtrip": image_jpeg_roundtrip,
     "image_png_roundtrip": image_png_roundtrip,
     "image_gif_roundtrip": image_gif_roundtrip,
@@ -7912,6 +7969,7 @@ ORACLE_SQL = {
     "image_quality_signals": IMG_QUALITY_SQL,
     "video_frame_sample": VIDEO_SQL,
     "video_shot_boundaries": SHOTS_SQL,
+    "audio_silence_segments": VAD_SQL,
     "embedding_knn": KNN_SQL,
     "embedding_near_dup": NEARDUP_SQL,
     "q6_revenue": Q6_SQL,

@@ -630,3 +630,61 @@ class DetectShotBoundaries:
                                                   pa.list_(pa.int32())))
             .append_column("video_ok", pa.array(oks, pa.bool_()))
         )
+
+
+def encode_wav_pcm16(samples: "np.ndarray", rate: int = 8000) -> bytes:
+    """Mono PCM16 RIFF/WAVE encoder (int16 samples → bytes) — the
+    write-side twin of :func:`_parse_wav_pcm16`, used to materialize
+    audio cells deterministically on workers."""
+    import struct as _struct
+
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = _struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return (
+        b"RIFF" + _struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(pcm))
+        + b"WAVE"
+        + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+        + b"data" + _struct.pack("<I", len(pcm)) + pcm
+    )
+
+
+class SilenceSegments:
+    """Voice-activity segmentation over PCM16 audio: frame RMS below
+    ``threshold`` is silence; output counts frames, silent frames and
+    maximal VOICED runs (the VAD segments a speech pipeline would clip).
+    Non-WAV payloads emit ``audio_ok=False`` instead of failing the
+    batch; the trailing partial frame is dropped (same frame contract
+    as :class:`AudioFeatures`)."""
+
+    def __init__(self, bytes_col: str = "bytes", frame: int = 256,
+                 threshold: float = 500.0) -> None:
+        self.bytes_col = bytes_col
+        self.frame = frame
+        self.threshold = threshold
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        nf, nsil, nseg, oks = [], [], [], []
+        for data in t[self.bytes_col].to_pylist():
+            pcm = _parse_wav_pcm16(data) if data else None
+            if pcm is None:
+                nf.append(None); nsil.append(None); nseg.append(None)
+                oks.append(False)
+                continue
+            n = len(pcm) // self.frame
+            frames = pcm[: n * self.frame].reshape(n, self.frame)
+            rms = np.sqrt((frames * frames).mean(axis=1))
+            voiced = rms >= self.threshold
+            # maximal voiced runs: rising edges of the voiced mask
+            starts = int(voiced[0]) + int(
+                (voiced[1:] & ~voiced[:-1]).sum()
+            ) if n else 0
+            nf.append(n)
+            nsil.append(int((~voiced).sum()))
+            nseg.append(starts)
+            oks.append(True)
+        return (
+            t.append_column("n_frames", pa.array(nf, pa.int64()))
+            .append_column("n_silent_frames", pa.array(nsil, pa.int64()))
+            .append_column("n_voice_segments", pa.array(nseg, pa.int64()))
+            .append_column("audio_ok", pa.array(oks, pa.bool_()))
+        )

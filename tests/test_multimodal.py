@@ -836,3 +836,35 @@ class TestContentTypeSniff:
         assert d(b"with\x00nul") == "binary"
         assert d(bytes(range(1, 8)) * 20) == "binary"  # control-dense
         assert d(b"") == "binary"
+
+
+class TestSilenceSegments:
+    def test_runs_and_corrupt(self):
+        from parsel_ray.stages.multimodal import (
+            SilenceSegments,
+            encode_wav_pcm16,
+        )
+
+        voice = np.full(512, 8000, np.int16); voice[1::2] = -8000
+        sil = np.zeros(512, np.int16)
+        wav = encode_wav_pcm16(np.concatenate([sil, voice, sil, voice, voice]))
+        t = pa.table({"bytes": pa.array([wav, b"mp3junk"], pa.binary())})
+        out = SilenceSegments(frame=256)(t)
+        assert out["audio_ok"].to_pylist() == [True, False]
+        assert out["n_frames"].to_pylist()[0] == 10
+        assert out["n_silent_frames"].to_pylist()[0] == 4
+        # voiced runs: frames 2-3 and 6-9 → 2 segments
+        assert out["n_voice_segments"].to_pylist()[0] == 2
+
+    def test_all_silent_and_all_voiced(self):
+        from parsel_ray.stages.multimodal import (
+            SilenceSegments,
+            encode_wav_pcm16,
+        )
+
+        t = pa.table({"bytes": pa.array(
+            [encode_wav_pcm16(np.zeros(1024, np.int16)),
+             encode_wav_pcm16(np.full(1024, 9000, np.int16))], pa.binary())})
+        out = SilenceSegments(frame=256)(t)
+        assert out["n_voice_segments"].to_pylist() == [0, 1]
+        assert out["n_silent_frames"].to_pylist() == [4, 0]
