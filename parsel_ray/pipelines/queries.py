@@ -6807,6 +6807,87 @@ def web_pagerank(sf_dir: str, iters: int = 8):
     return top
 
 
+def anchor_text_index(sf_dir: str, top_k: int = 20):
+    """Inlink anchor-text index over the synthetic web — the web-search
+    index op: every page's ``<a>`` elements yield (target, anchor-text)
+    pairs through the Selector kernel + RFC-3986 canonicalization (the
+    exact crawl extraction path); per-pair dedupe, then two combiner
+    groupbys build per-target ``n_inlinks`` (distinct linking pages)
+    and ``n_anchors`` (distinct anchor strings).  Top-20 by inlinks
+    with url tiebreak.  Rows-only gate: the page corpus is generated by
+    the deterministic PageStore, not a SQL table — determinism is
+    pinned by the fixed store seed (same contract as crawl_pop_order)."""
+    from ..crawl.pagestore import PageStore
+    from ..crawl.urlnorm import canonical_url
+
+    cfg = _demo_crawl_cfg().store
+    ps = PageStore(cfg)
+    urls = [
+        ps.url(h, k)
+        for h in range(cfg.n_hosts)
+        for k in range(ps.n_pages(h))
+    ]
+    pages = rd.from_arrow(pa.table({"url": pa.array(urls, pa.string())}))
+
+    def extract_anchors(t: pa.Table) -> pa.Table:
+        from ..selector import Selector
+
+        store = PageStore(cfg)
+        srcs, dsts, texts = [], [], []
+        for url in t["url"].to_pylist():
+            page = store.page(url)
+            if page is None:
+                continue
+            body, enc = page
+            sel = Selector(body=body, encoding=enc or "utf-8", type="html",
+                           base_url=url)
+            seen = set()
+            for a in sel.css("a"):
+                href = a.attrib.get("href")
+                canon = canonical_url(href, base=url) if href else None
+                if canon is None or canon == url:
+                    continue
+                if store._parse(canon) is None:
+                    continue  # off-graph target
+                text = " ".join("".join(a.css("::text").getall()).split())
+                if (canon, text) in seen:
+                    continue
+                seen.add((canon, text))
+                srcs.append(url); dsts.append(canon); texts.append(text)
+        return pa.table(
+            {
+                "src": pa.array(srcs, pa.string()),
+                "dst": pa.array(dsts, pa.string()),
+                "anchor": pa.array(texts, pa.string()),
+            }
+        )
+
+    pairs = pages.map_batches(extract_anchors, batch_format="pyarrow")
+    # distinct linking pages per target
+    inlinks = partial_sum_groupby(
+        pairs.map_batches(
+            lambda t: t.select(["src", "dst"]).group_by(
+                ["src", "dst"]).aggregate([]),
+            batch_format="pyarrow",
+        ).groupby(["src", "dst"]).aggregate(Count(alias_name="__n")),
+        ["dst"], {}, count_as="n_inlinks",
+    )
+    # distinct anchor strings per target
+    anchors = partial_sum_groupby(
+        pairs.map_batches(
+            lambda t: t.select(["dst", "anchor"]).group_by(
+                ["dst", "anchor"]).aggregate([]),
+            batch_format="pyarrow",
+        ).groupby(["dst", "anchor"]).aggregate(Count(alias_name="__n")),
+        ["dst"], {}, count_as="n_anchors",
+    )
+    joined = hash_bucket_join(inlinks, anchors, on="dst", buckets=8)
+    return joined.map_batches(
+        lambda t: t.select(["dst", "n_inlinks", "n_anchors"]),
+        batch_format="pyarrow",
+    ).sort(["n_inlinks", "dst"], descending=[True, False]).limit(top_k)
+
+
 def events_cume_dist(sf_dir: str):
     """Window ``cume_dist()`` — per event, the fraction of its
     event-type partition with value <= it: partition by key
@@ -7898,6 +7979,7 @@ QUERIES = {
     "embedding_pca_project": embedding_pca_project,
     "customer_order_full_outer": customer_order_full_outer,
     "web_pagerank": web_pagerank,
+    "anchor_text_index": anchor_text_index,
     "lineitem_triangles": lineitem_triangles,
     "orc_roundtrip": orc_roundtrip,
     "arrow_ipc_roundtrip": arrow_ipc_roundtrip,
