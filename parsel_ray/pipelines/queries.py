@@ -1765,6 +1765,95 @@ FROM b
 """
 
 
+def image_blur_detect(sf_dir: str):
+    """Blur/defocus gate (``BlurDetect``): per-doc seeded noise images,
+    box-blurred when ``doc_id % 3 == 0`` — variance-of-Laplacian must
+    separate them exactly (sharp ≈ 5e4 vs blurred ≈ 1e3 against a 5e3
+    threshold; the 50× gap is pinned in tests).  The standard corpus
+    quality filter before training-compute is spent.  Oracle: the blur
+    membership is a pure function of doc_id."""
+    from ..images.codecs import encode_image
+    from ..stages.multimodal import BlurDetect, box_blur3
+
+    def build(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        blobs = []
+        for i in ids:
+            rng = np.random.default_rng(i)
+            px = rng.integers(
+                0, 256, (16 + i % 17, 16 + i % 23, 3), dtype=np.uint8
+            )
+            if i % 3 == 0:
+                px = box_blur3(px)
+            blobs.append(encode_image(px, "png"))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "fmt": pa.array(["png"] * len(ids)),
+                "bytes": pa.array(blobs, pa.binary()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(build, batch_format="pyarrow", batch_size=256)
+        .map_batches(BlurDetect(), batch_format="pyarrow", batch_size=256)
+        .map_batches(
+            lambda t: t.select(["doc_id", "is_blurry", "decode_ok"]),
+            batch_format="pyarrow",
+        )
+    )
+
+
+BLUR_SQL = """
+SELECT doc_id, doc_id % 3 = 0 AS is_blurry, TRUE AS decode_ok
+FROM documents
+"""
+
+
+def image_region_count(sf_dir: str):
+    """Connected-component counting (``RegionCount``): each doc's image
+    holds 1 + doc_id%5 disjoint bright bars on a dark field; the
+    4-connected min-label propagation must recover the exact count from
+    pixels.  Oracle: the bar count is a pure function of doc_id."""
+    from ..images.codecs import encode_image
+    from ..stages.multimodal import RegionCount
+
+    def build(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        blobs = []
+        for i in ids:
+            k = 1 + i % 5
+            px = np.full((12, 4 * k + 2, 3), 20, np.uint8)
+            for j in range(k):
+                px[2:10, 4 * j + 1:4 * j + 3] = 230
+            blobs.append(encode_image(px, "png"))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "fmt": pa.array(["png"] * len(ids)),
+                "bytes": pa.array(blobs, pa.binary()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(build, batch_format="pyarrow", batch_size=256)
+        .map_batches(RegionCount(), batch_format="pyarrow", batch_size=256)
+        .map_batches(
+            lambda t: t.select(["doc_id", "n_regions", "decode_ok"]),
+            batch_format="pyarrow",
+        )
+    )
+
+
+REGION_SQL = """
+SELECT doc_id, CAST(1 + doc_id % 5 AS BIGINT) AS n_regions,
+       TRUE AS decode_ok
+FROM documents
+"""
+
+
 def image_quality_signals(sf_dir: str):
     """Image quality signals (Sobel edge density + contrast) over
     lossless per-doc BMP gradients: the stage plumbing and decode path
@@ -7935,6 +8024,8 @@ QUERIES = {
     "image_gif_roundtrip": image_gif_roundtrip,
     "image_bmp_roundtrip": image_bmp_roundtrip,
     "image_header_sniff": image_header_sniff,
+    "image_blur_detect": image_blur_detect,
+    "image_region_count": image_region_count,
     "content_type_route": content_type_route,
     "video_frame_sample": video_frame_sample,
     "video_shot_boundaries": video_shot_boundaries,
@@ -8046,6 +8137,8 @@ ORACLE_SQL = {
     "image_gif_roundtrip": JPEG_SQL,
     "image_bmp_roundtrip": JPEG_SQL,
     "image_header_sniff": SNIFF_SQL,
+    "image_blur_detect": BLUR_SQL,
+    "image_region_count": REGION_SQL,
     "content_type_route": CTYPE_SQL,
     "image_resize_bilinear": RESIZE_BILINEAR_SQL,
     "image_quality_signals": IMG_QUALITY_SQL,

@@ -868,3 +868,51 @@ class TestSilenceSegments:
         out = SilenceSegments(frame=256)(t)
         assert out["n_voice_segments"].to_pylist() == [0, 1]
         assert out["n_silent_frames"].to_pylist() == [4, 0]
+
+
+class TestBlurDetect:
+    def test_gap_and_threshold(self):
+        from parsel_ray.stages.multimodal import (
+            box_blur3,
+            laplacian_variance,
+        )
+
+        rng = np.random.default_rng(11)
+        px = rng.integers(0, 256, (20, 24, 3), dtype=np.uint8)
+        sharp, blurred = laplacian_variance(px), laplacian_variance(box_blur3(px))
+        assert sharp > 20000 and blurred < 3000  # ~50x separation
+
+    def test_stage_flags_and_corrupt(self):
+        from parsel_ray.stages.multimodal import BlurDetect, box_blur3
+
+        rng = np.random.default_rng(3)
+        px = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+        t = pa.table({
+            "fmt": pa.array(["png", "png", "png"]),
+            "bytes": pa.array(
+                [encode_image(px, "png"),
+                 encode_image(box_blur3(px), "png"), b"junk"], pa.binary()),
+        })
+        out = BlurDetect()(t)
+        assert out["is_blurry"].to_pylist() == [False, True, None]
+        assert out["decode_ok"].to_pylist() == [True, True, False]
+
+
+class TestRegionCount:
+    def test_shapes(self):
+        from parsel_ray.stages.multimodal import count_regions
+
+        m = np.zeros((8, 12), bool)
+        assert count_regions(m) == 0
+        m[1:3, 1:3] = True
+        m[5:7, 1:3] = True
+        m[1:7, 8:10] = True
+        assert count_regions(m) == 3
+        # diagonal touch is NOT 4-connected
+        d = np.zeros((4, 4), bool)
+        d[0, 0] = d[1, 1] = True
+        assert count_regions(d) == 2
+        # snake shape (worst case for propagation passes)
+        s = np.zeros((5, 5), bool)
+        s[0, :] = True; s[:, 4] = True; s[4, :] = True
+        assert count_regions(s) == 1
