@@ -1765,6 +1765,92 @@ FROM b
 """
 
 
+_PALETTE = (
+    ("red", (200, 30, 30)), ("green", (30, 200, 30)),
+    ("blue", (30, 30, 200)), ("yellow", (200, 200, 30)),
+    ("purple", (200, 30, 200)), ("cyan", (30, 200, 200)),
+)
+
+
+def caption_alignment(sf_dir: str):
+    """Caption–image ALIGNMENT gate over (image, caption) pairs — the
+    north-rule payload: each doc's image is a noisy solid in one of six
+    palette colors and its caption names a color word, WRONG for every
+    4th doc.  The kernel classifies the decoded image's mean RGB to the
+    nearest palette color, extracts the caption's color word with one
+    compiled regex, and flags the pair aligned iff they agree — the
+    deterministic stand-in for a CLIP-score filter, with the Ray-side
+    plumbing (joint text+binary batch, actor-pool-able kernel, boolean
+    gate column) fully real.  Oracle: alignment is a pure function of
+    doc_id."""
+    import re as _re
+
+    from ..images.codecs import decode_image, encode_image
+
+    def build(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        blobs, caps = [], []
+        for i in ids:
+            name, rgb = _PALETTE[i % 6]
+            rng = np.random.default_rng(i)
+            px = np.clip(
+                np.asarray(rgb, np.int64)
+                + rng.integers(-20, 21, (16, 16, 3)),
+                0, 255,
+            ).astype(np.uint8)
+            blobs.append(encode_image(px, "png"))
+            cap_name = _PALETTE[(i + 1) % 6][0] if i % 4 == 0 else name
+            caps.append(f"a photo of a {cap_name} object")
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "bytes": pa.array(blobs, pa.binary()),
+                "caption": pa.array(caps, pa.string()),
+            }
+        )
+
+    class Align:
+        """Stateful kernel: palette matrix + caption regex compiled once
+        per actor/worker, applied per batch."""
+
+        def __init__(self) -> None:
+            self.mat = np.array([c for _, c in _PALETTE], np.float64)
+            self.names = [n for n, _ in _PALETTE]
+            self.rx = _re.compile(
+                "|".join(n for n, _ in _PALETTE)
+            )
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            flags = []
+            for data, cap in zip(t["bytes"].to_pylist(),
+                                 t["caption"].to_pylist()):
+                px = decode_image(data, "png")
+                mean = px.reshape(-1, 3).mean(axis=0)
+                img_color = self.names[
+                    int(np.argmin(((self.mat - mean) ** 2).sum(axis=1)))
+                ]
+                m = self.rx.search(cap or "")
+                flags.append(bool(m) and m.group(0) == img_color)
+            return pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "aligned": pa.array(flags, pa.bool_()),
+                }
+            )
+
+    return (
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(build, batch_format="pyarrow", batch_size=256)
+        .map_batches(Align, batch_format="pyarrow", batch_size=256,
+                     concurrency=4)
+    )
+
+
+ALIGN_SQL = """
+SELECT doc_id, doc_id % 4 <> 0 AS aligned FROM documents
+"""
+
+
 def image_blur_detect(sf_dir: str):
     """Blur/defocus gate (``BlurDetect``): per-doc seeded noise images,
     box-blurred when ``doc_id % 3 == 0`` — variance-of-Laplacian must
@@ -8025,6 +8111,7 @@ QUERIES = {
     "image_bmp_roundtrip": image_bmp_roundtrip,
     "image_header_sniff": image_header_sniff,
     "image_blur_detect": image_blur_detect,
+    "caption_alignment": caption_alignment,
     "image_region_count": image_region_count,
     "content_type_route": content_type_route,
     "video_frame_sample": video_frame_sample,
@@ -8138,6 +8225,7 @@ ORACLE_SQL = {
     "image_bmp_roundtrip": JPEG_SQL,
     "image_header_sniff": SNIFF_SQL,
     "image_blur_detect": BLUR_SQL,
+    "caption_alignment": ALIGN_SQL,
     "image_region_count": REGION_SQL,
     "content_type_route": CTYPE_SQL,
     "image_resize_bilinear": RESIZE_BILINEAR_SQL,
