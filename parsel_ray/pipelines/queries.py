@@ -6422,6 +6422,54 @@ def docs_cube(sf_dir: str):
     )
 
 
+def docs_grouping_sets(sf_dir: str):
+    """GROUPING SETS ((lang, source), (lang), ()) with an explicit
+    GROUPING() bitmask — the arbitrary-sets member of the CUBE/ROLLUP
+    family.  The ``gid`` column is what disambiguates a genuinely-NULL
+    key from a rolled-up one.  Same one-scan shape as docs_cube: every
+    set re-aggregates the materialized group-domain-sized fine
+    aggregate."""
+    base = _read(sf_dir, "documents", ["lang", "source", "n_chars"])
+    fine = partial_sum_groupby(
+        base, ["lang", "source"], {"n_chars": "chars"}, count_as="n"
+    ).materialize()
+
+    def with_gid(t: pa.Table, gid: int) -> pa.Table:
+        return t.append_column(
+            "gid", pa.array([gid] * len(t), pa.int64())
+        ).select(["lang", "source", "gid", "chars", "n"])
+
+    set0 = fine.map_batches(lambda t: with_gid(t, 0),
+                            batch_format="pyarrow")
+    set1 = partial_sum_groupby(
+        fine, ["lang"], {"chars": "chars", "n": "n"}
+    ).map_batches(
+        lambda t: with_gid(
+            t.append_column("source", pa.nulls(len(t), pa.string())), 1
+        ),
+        batch_format="pyarrow",
+    )
+    rows = fine.select_columns(["chars", "n"]).take_all()
+    total = pa.table(
+        {
+            "lang": pa.array([None], pa.string()),
+            "source": pa.array([None], pa.string()),
+            "gid": pa.array([3], pa.int64()),
+            "chars": pa.array([sum(r["chars"] for r in rows)], pa.int64()),
+            "n": pa.array([sum(r["n"] for r in rows)], pa.int64()),
+        }
+    )
+    return set0.union(set1).union(rd.from_arrow(total))
+
+
+GSETS_SQL = """
+SELECT lang, source, CAST(GROUPING(lang, source) AS BIGINT) AS gid,
+       CAST(SUM(n_chars) AS BIGINT) AS chars,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM documents GROUP BY GROUPING SETS ((lang, source), (lang), ())
+"""
+
+
 CUBE_SQL = """
 SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
 FROM documents GROUP BY CUBE (lang, source)
@@ -8147,6 +8195,7 @@ QUERIES = {
     "lineitem_corr": lineitem_corr,
     "price_quantiles_cont": price_quantiles_cont,
     "docs_cube": docs_cube,
+    "docs_grouping_sets": docs_grouping_sets,
     "events_intersect_users": events_intersect_users,
     "events_except_hours": events_except_hours,
     "events_props_k_sum": events_props_k_sum,
@@ -8298,6 +8347,7 @@ ORACLE_SQL = {
     "lineitem_corr": CORR_SQL,
     "price_quantiles_cont": QCONT_SQL,
     "docs_cube": CUBE_SQL,
+    "docs_grouping_sets": GSETS_SQL,
     "events_intersect_users": INTERSECT_SQL,
     "events_except_hours": EXCEPT_SQL,
     "events_props_k_sum": PROPS_SQL,
