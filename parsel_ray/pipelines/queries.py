@@ -3978,10 +3978,12 @@ def q11_important_parts(sf_dir: str):
     decorrelated ``HAVING SUM(...) > (SELECT SUM(...) * f)``.  The
     per-part aggregate is a combiner groupby; it is materialized ONCE
     (output is one row per part — orders of magnitude below lineitem),
-    the global total is a tree-reduce ``sum()`` over that SAME
-    materialized aggregate (no second lineitem pass), and the threshold
-    comparison cross-multiplies integers (``value * 2000 > total``) so
-    no float crosses a boundary."""
+    the global total AND part count are tree-reduce scalars over that
+    SAME materialized aggregate (no second lineitem pass), and the
+    threshold comparison cross-multiplies integers
+    (``value * n_parts > 2 * total`` — i.e. parts worth over 2× the
+    average part; TPC-H's fixed fraction empties as the part count
+    grows with sf, which is why the spec scales it by 1/SF)."""
     supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
     band = {int(k) for k, n in zip(supp["s_suppkey"], supp["s_nationkey"])
             if int(n) < 8}
@@ -4007,11 +4009,13 @@ def q11_important_parts(sf_dir: str):
         li, ["p_partkey"], {"value_cents": "value_cents"}
     ).materialize()
     total = int(per_part.sum("value_cents") or 0)
+    n_parts = per_part.count()
     return per_part.map_batches(
         lambda t: t.filter(
             pc.greater(
-                pc.multiply(t["value_cents"], pa.scalar(2000, pa.int64())),
-                pa.scalar(total, pa.int64()),
+                pc.multiply(t["value_cents"],
+                            pa.scalar(n_parts, pa.int64())),
+                pa.scalar(2 * total, pa.int64()),
             )
         ),
         batch_format="pyarrow",
@@ -4027,7 +4031,8 @@ WITH per_part AS (
   WHERE s_nationkey < 8
   GROUP BY l_partkey)
 SELECT p_partkey, value_cents FROM per_part
-WHERE value_cents * 2000 > (SELECT SUM(value_cents) FROM per_part)
+WHERE value_cents * (SELECT COUNT(*) FROM per_part)
+      > 2 * (SELECT SUM(value_cents) FROM per_part)
 """
 
 
