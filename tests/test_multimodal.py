@@ -916,3 +916,28 @@ class TestRegionCount:
         s = np.zeros((5, 5), bool)
         s[0, :] = True; s[:, 4] = True; s[4, :] = True
         assert count_regions(s) == 1
+
+
+class TestSniffEdgeCases:
+    def test_progressive_sof2_and_topdown_bmp(self):
+        from parsel_ray.images.codecs import sniff_image_meta
+
+        # hand-built SOF2 (progressive) header after an APP0 segment
+        sof2 = (b"\xff\xd8"                       # SOI
+                b"\xff\xe0" + struct.pack(">H", 4) + b"JF"   # APP0
+                + b"\xff\xc2" + struct.pack(">H", 11)        # SOF2
+                + bytes([8]) + struct.pack(">HH", 31, 47)    # h=31 w=47
+                + bytes([3, 0, 0x11, 0]))
+        assert sniff_image_meta(sof2) == ("jpeg", 47, 31)
+        # top-down BMP: negative height sniffs as abs(h)
+        hdr = (b"BM" + struct.pack("<IHHI", 54, 0, 0, 54)
+               + struct.pack("<IiiHHI", 40, 13, -9, 1, 24, 0) + b"\x00" * 20)
+        assert sniff_image_meta(hdr) == ("bmp", 13, 9)
+
+    def test_jpeg_fill_bytes_between_markers(self):
+        from parsel_ray.images.codecs import sniff_image_meta
+
+        blob = encode_image(gradient(10, 11), "jpeg")
+        # inject FF fill padding before the first marker segment
+        spliced = blob[:2] + b"\xff\xff" + blob[2:]
+        assert sniff_image_meta(spliced) == ("jpeg", 11, 10)
