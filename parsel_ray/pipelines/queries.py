@@ -7396,6 +7396,68 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def tar_shard_roundtrip(sf_dir: str):
+    """WebDataset-style tar shard sink → source round-trip (sixth
+    interchange format; :mod:`parsel_ray.sources.tarshard`) — the
+    training-loader layout for image/text corpora: members group into
+    samples by key prefix (``{key}.txt`` + ``{key}.json``), one
+    deterministic USTAR tar per block, worker-side writes with
+    retry-stable digest names.  The read side prunes by member
+    extension (the shard analogue of a column-pruned read) and
+    re-groups members into sample rows.  Byte length + a json metadata
+    field survive the trip exactly, receipt-verified."""
+    import tempfile as _tempfile
+
+    from ..sources.tarshard import read_tar_shards, write_tar_shards
+
+    out = _tempfile.mkdtemp(prefix="docs_tar_", dir="/tmp")
+    n = write_tar_shards(
+        _read(sf_dir, "documents", ["doc_id", "text", "lang"]),
+        out,
+        key_col="doc_id",
+        payload_exts={"text": "txt"},
+        meta_cols=["lang"],
+    )
+
+    def unpack(t: pa.Table) -> pa.Table:
+        import json as _json
+
+        keys = t["__key__"].to_pylist()
+        txts = t["txt"].to_pylist()
+        metas = t["json"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": pa.array([int(k) for k in keys], pa.int64()),
+                "n_bytes": pa.array(
+                    [len(b) for b in txts], pa.int64()
+                ),
+                "lang": pa.array(
+                    [_json.loads(m)["lang"] for m in metas], pa.string()
+                ),
+            }
+        )
+
+    back = read_tar_shards(out, exts=["txt", "json"]).map_batches(
+        unpack, batch_format="pyarrow"
+    )
+
+    def receipts_match(t: pa.Table) -> pa.Table:
+        assert len(t) == n, "tar shard receipt mismatch"
+        return t
+
+    return (
+        back.repartition(1)
+        .map_batches(receipts_match, batch_format="pyarrow")
+        .sort("doc_id")
+    )
+
+
+TAR_SQL = """
+SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, lang
+FROM documents ORDER BY doc_id
+"""
+
+
 def part_name_fuzzy_join(sf_dir: str):
     """Fuzzy self-join: distinct part-name pairs within edit distance 1
     (typo-class near-dups) via FastSS deletion-neighborhood blocking —
@@ -8214,6 +8276,7 @@ QUERIES = {
     "anchor_text_index": anchor_text_index,
     "lineitem_triangles": lineitem_triangles,
     "orc_roundtrip": orc_roundtrip,
+    "tar_shard_roundtrip": tar_shard_roundtrip,
     "arrow_ipc_roundtrip": arrow_ipc_roundtrip,
     "events_cume_dist": events_cume_dist,
     "events_percent_rank": events_percent_rank,
@@ -8366,6 +8429,7 @@ ORACLE_SQL = {
     "events_ntile": NTILE_SQL,
     "csv_roundtrip": CSV_SQL,
     "orc_roundtrip": CSV_SQL,
+    "tar_shard_roundtrip": TAR_SQL,
     "arrow_ipc_roundtrip": IPC_SQL,
     "part_name_fuzzy_join": FUZZY_SQL,
     "favorite_event_type": MODE_SQL,
