@@ -125,6 +125,92 @@ def global_row_number(
     return ranked.map_batches(finalize, batch_format="pyarrow")
 
 
+def grouped_row_number(
+    ds,
+    group_col: str,
+    order_by,
+    ascending,
+    out_col: str = "rank",
+    num_partitions: int = 16,
+):
+    """Attach a 1-based ``row_number() OVER (PARTITION BY group ORDER BY
+    ...)`` to every row — the per-group variant of
+    :func:`global_row_number`, built for LOW-cardinality groups whose
+    members are corpus-scale (aspect-ratio buckets, language shards): a
+    hot group must never collapse into one task, so rows partition by
+    (group, range-of-order-key) cells and only the O(groups ×
+    num_partitions) per-cell counts visit the driver to become prefix
+    offsets.  ``order_by[0]`` must be numeric with a domain-bounded
+    distinct-value set; the column list must give a total order within
+    each group for deterministic ranks.
+    """
+    import ray
+
+    primary = order_by[0]
+    qs = [i / num_partitions for i in range(1, num_partitions)]
+    _, vals, _cum = _exact_quantiles(ds, primary, qs, return_hist=True)
+    idxs = np.linspace(1, len(vals) - 1, num_partitions - 1).astype(int) \
+        if len(vals) > 1 else np.array([], dtype=int)
+    bounds = np.unique(vals[idxs]) if len(idxs) else np.array([])
+    bounds_ref = ray.put(bounds)
+    asc0 = bool(ascending[0])
+
+    def assign_pid(t: pa.Table) -> pa.Table:
+        b = ray.get(bounds_ref)
+        key = t[primary].to_numpy(zero_copy_only=False)
+        pid = np.searchsorted(b, key, side="right").astype(np.int64)
+        if not asc0:
+            pid = len(b) - pid
+        return t.append_column("__pid", pa.array(pid, pa.int64()))
+
+    withpid = ds.map_batches(assign_pid, batch_format="pyarrow")
+
+    def local_sort(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(list(order_by), ascending=list(ascending),
+                          kind="mergesort").copy()
+        g["__local"] = np.arange(len(g), dtype=np.int64)
+        return g
+
+    ranked = grouped_apply(
+        withpid, [group_col, "__pid"], local_sort,
+        num_partitions=num_partitions,
+    ).materialize()
+
+    counts = partial_sum_groupby(
+        ranked.map_batches(
+            lambda t: t.select([group_col, "__pid"]),
+            batch_format="pyarrow",
+        ),
+        [group_col, "__pid"],
+        {},
+        count_as="n",
+    ).take_all()  # groups × P rows
+    counts.sort(key=lambda r: (r[group_col], r["__pid"]))
+    offsets, acc, cur = {}, 0, None
+    for r in counts:
+        if r[group_col] != cur:
+            cur, acc = r[group_col], 0
+        offsets[(cur, r["__pid"])] = acc
+        acc += r["n"]
+    off_ref = ray.put(offsets)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        off = ray.get(off_ref)
+        grp = t[group_col].to_pylist()
+        pid = t["__pid"].to_numpy(zero_copy_only=False)
+        local = t["__local"].to_numpy(zero_copy_only=False)
+        base = np.fromiter(
+            (off[(g, p)] for g, p in zip(grp, pid)),
+            dtype=np.int64, count=len(t),
+        )
+        out = t.drop_columns(["__pid", "__local"])
+        return out.append_column(
+            out_col, pa.array(local + base + 1, pa.int64())
+        )
+
+    return ranked.map_batches(finalize, batch_format="pyarrow")
+
+
 def global_prefix_sum(
     ds,
     order_by,

@@ -7458,6 +7458,80 @@ FROM documents ORDER BY doc_id
 """
 
 
+def image_ar_bucket_pack(sf_dir: str):
+    """Aspect-ratio bucketing + per-bucket batch packing (the SDXL
+    multi-resolution training layout): every training batch holds
+    images of ONE target resolution.  Dimensions are synthesized
+    deterministically from ``p_partkey`` (integer arithmetic — SQL
+    reproduces them exactly); assignment is a vectorized linear-ratio
+    argmin (IEEE division/compare only, bit-reproducible vs the
+    oracle); packing spreads hot buckets over (bucket, key-range)
+    cells via ``grouped_row_number`` so no bucket collapses into one
+    task."""
+    from ..functions.arbucket import assign_ar_buckets, pack_bucket_batches
+
+    def dims(t: pa.Table) -> pa.Table:
+        k = t["p_partkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "p_partkey": t["p_partkey"],
+                "w": pa.array(64 + (k * 37) % 1984, pa.int64()),
+                "h": pa.array(64 + (k * 101) % 1984, pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "part", ["p_partkey"]).map_batches(
+        dims, batch_format="pyarrow"
+    )
+    packed = pack_bucket_batches(
+        assign_ar_buckets(ds, "w", "h"),
+        order_by=["p_partkey"],
+        ascending=[True],
+        batch_size=64,
+    )
+    return packed.map_batches(
+        lambda t: t.select(
+            ["p_partkey", "bucket_id", "bucket_w", "bucket_h",
+             "batch_idx", "slot"]
+        ),
+        batch_format="pyarrow",
+    ).sort("p_partkey")
+
+
+AR_BUCKET_SQL = """
+WITH dims AS (
+  SELECT p_partkey,
+         64 + (p_partkey * 37) % 1984 AS w,
+         64 + (p_partkey * 101) % 1984 AS h
+  FROM part
+), buckets(bucket_id, bw, bh) AS (
+  VALUES (0, 1024, 1024), (1, 1152, 896), (2, 896, 1152),
+         (3, 1280, 768), (4, 768, 1280), (5, 1536, 640), (6, 640, 1536)
+), assigned AS (
+  SELECT p_partkey, bucket_id, bw, bh,
+         row_number() OVER (
+           PARTITION BY p_partkey
+           ORDER BY abs(CAST(w AS DOUBLE) / h - CAST(bw AS DOUBLE) / bh),
+                    bucket_id
+         ) AS rk
+  FROM dims CROSS JOIN buckets
+), ranked AS (
+  SELECT p_partkey, bucket_id, bw, bh,
+         row_number() OVER (
+           PARTITION BY bucket_id ORDER BY p_partkey
+         ) - 1 AS rn
+  FROM assigned WHERE rk = 1
+)
+SELECT p_partkey,
+       CAST(bucket_id AS BIGINT) AS bucket_id,
+       CAST(bw AS BIGINT) AS bucket_w,
+       CAST(bh AS BIGINT) AS bucket_h,
+       CAST(rn // 64 AS BIGINT) AS batch_idx,
+       CAST(rn % 64 AS BIGINT) AS slot
+FROM ranked ORDER BY p_partkey
+"""
+
+
 def part_name_fuzzy_join(sf_dir: str):
     """Fuzzy self-join: distinct part-name pairs within edit distance 1
     (typo-class near-dups) via FastSS deletion-neighborhood blocking —
@@ -8277,6 +8351,7 @@ QUERIES = {
     "lineitem_triangles": lineitem_triangles,
     "orc_roundtrip": orc_roundtrip,
     "tar_shard_roundtrip": tar_shard_roundtrip,
+    "image_ar_bucket_pack": image_ar_bucket_pack,
     "arrow_ipc_roundtrip": arrow_ipc_roundtrip,
     "events_cume_dist": events_cume_dist,
     "events_percent_rank": events_percent_rank,
@@ -8430,6 +8505,7 @@ ORACLE_SQL = {
     "csv_roundtrip": CSV_SQL,
     "orc_roundtrip": CSV_SQL,
     "tar_shard_roundtrip": TAR_SQL,
+    "image_ar_bucket_pack": AR_BUCKET_SQL,
     "arrow_ipc_roundtrip": IPC_SQL,
     "part_name_fuzzy_join": FUZZY_SQL,
     "favorite_event_type": MODE_SQL,
