@@ -7458,6 +7458,47 @@ FROM documents ORDER BY doc_id
 """
 
 
+def epoch_shuffle_split(sf_dir: str):
+    """Deterministic training-loader assignments over the document
+    corpus: seed-keyed epoch shuffle order, sample-keyed (epoch-stable)
+    train/val/test split, and trainer shard = rank % world_size.  The
+    LCG hash keeps every intermediate under 2^63 so the SQL oracle
+    reproduces the permutation bit-for-bit (see
+    :mod:`parsel_ray.functions.epochshuffle`)."""
+    from ..functions.epochshuffle import epoch_shuffle_assign
+
+    out = epoch_shuffle_assign(
+        _read(sf_dir, "documents", ["doc_id"]),
+        key_col="doc_id", seed=17, world_size=8,
+    )
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "epoch_rank", "split", "shard"]),
+        batch_format="pyarrow",
+    ).sort("doc_id")
+
+
+EPOCH_SHUFFLE_SQL = """
+WITH h AS (
+  SELECT doc_id,
+         ((((doc_id + 17) % 2147483648) * 1103515245 + 12345)
+            % 2147483648 * 1103515245 + 12345) % 2147483648 AS eh,
+         (((doc_id % 2147483648) * 1103515245 + 12345)
+            % 2147483648 * 1103515245 + 12345) % 2147483648 % 100 AS sh
+  FROM documents
+), ranked AS (
+  SELECT doc_id, sh,
+         row_number() OVER (ORDER BY eh, doc_id) AS epoch_rank
+  FROM h
+)
+SELECT doc_id,
+       CAST(epoch_rank AS BIGINT) AS epoch_rank,
+       CASE WHEN sh < 80 THEN 'train'
+            WHEN sh < 90 THEN 'val' ELSE 'test' END AS split,
+       CAST((epoch_rank - 1) % 8 AS BIGINT) AS shard
+FROM ranked ORDER BY doc_id
+"""
+
+
 def image_ar_bucket_pack(sf_dir: str):
     """Aspect-ratio bucketing + per-bucket batch packing (the SDXL
     multi-resolution training layout): every training batch holds
@@ -8352,6 +8393,7 @@ QUERIES = {
     "orc_roundtrip": orc_roundtrip,
     "tar_shard_roundtrip": tar_shard_roundtrip,
     "image_ar_bucket_pack": image_ar_bucket_pack,
+    "epoch_shuffle_split": epoch_shuffle_split,
     "arrow_ipc_roundtrip": arrow_ipc_roundtrip,
     "events_cume_dist": events_cume_dist,
     "events_percent_rank": events_percent_rank,
@@ -8506,6 +8548,7 @@ ORACLE_SQL = {
     "orc_roundtrip": CSV_SQL,
     "tar_shard_roundtrip": TAR_SQL,
     "image_ar_bucket_pack": AR_BUCKET_SQL,
+    "epoch_shuffle_split": EPOCH_SHUFFLE_SQL,
     "arrow_ipc_roundtrip": IPC_SQL,
     "part_name_fuzzy_join": FUZZY_SQL,
     "favorite_event_type": MODE_SQL,
