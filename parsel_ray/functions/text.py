@@ -594,3 +594,76 @@ def compression_ratio(
         raw = v.encode("utf-8")
         vals.append(len(zlib.compress(raw, level)) / len(raw))
     return batch.append_column(out, pa.array(vals, pa.float64()))
+
+
+def repetition_stats(
+    batch: pa.Table, col: str = "text", key_col: str = "doc_id",
+) -> pa.Table:
+    """Per-document word-repetition signals (the Gopher/MassiveText
+    repetition-filter family, Rae et al. 2021 §A1.1, restated over
+    whitespace tokens): total and distinct word counts plus the most
+    frequent word and adjacent bigram with their counts.  Counts are
+    exact integers (callers derive the filter fractions), so a SQL
+    oracle reproduces them bit-for-bit.  Ties break by (count desc,
+    token asc).  Documents with fewer than two words emit no row
+    (no bigram exists — mirrors the oracle's inner join).
+
+    Vectorized: pandas split/explode + two groupby counts; the only
+    per-row work is the split itself.
+    """
+    import pandas as pd
+
+    keys = batch[key_col].to_pandas()
+    s = pd.Series(batch[col].to_pylist())
+    words = s.str.split(" ")
+
+    ex = words.explode()
+    exf = pd.DataFrame({"row": ex.index, "w": ex.to_numpy()})
+
+    wc = exf.groupby(["row", "w"], sort=False).size().rename("n") \
+        .reset_index()
+    agg = wc.groupby("row").agg(
+        n_words=("n", "sum"), n_distinct=("n", "size")
+    )
+    topw = wc.sort_values(
+        ["row", "n", "w"], ascending=[True, False, True], kind="mergesort"
+    ).drop_duplicates("row").set_index("row")
+
+    nxt = exf["w"].shift(-1)
+    same = exf["row"] == exf["row"].shift(-1)
+    bgf = pd.DataFrame(
+        {
+            "row": exf.loc[same, "row"],
+            "bg": exf.loc[same, "w"] + " " + nxt[same],
+        }
+    )
+    bc = bgf.groupby(["row", "bg"], sort=False).size().rename("n") \
+        .reset_index()
+    topb = bc.sort_values(
+        ["row", "n", "bg"], ascending=[True, False, True], kind="mergesort"
+    ).drop_duplicates("row").set_index("row")
+
+    rows = topb.index.to_numpy()  # docs with >= 1 bigram
+    return pa.table(
+        {
+            key_col: pa.array(keys.iloc[rows].to_numpy()),
+            "n_words": pa.array(
+                agg.loc[rows, "n_words"].to_numpy(), pa.int64()
+            ),
+            "n_distinct": pa.array(
+                agg.loc[rows, "n_distinct"].to_numpy(), pa.int64()
+            ),
+            "top_word": pa.array(
+                topw.loc[rows, "w"].to_numpy(), pa.string()
+            ),
+            "top_word_n": pa.array(
+                topw.loc[rows, "n"].to_numpy(), pa.int64()
+            ),
+            "top_bigram": pa.array(
+                topb.loc[rows, "bg"].to_numpy(), pa.string()
+            ),
+            "top_bigram_n": pa.array(
+                topb.loc[rows, "n"].to_numpy(), pa.int64()
+            ),
+        }
+    )

@@ -7499,6 +7499,144 @@ FROM ranked ORDER BY doc_id
 """
 
 
+def doc_repetition_stats(sf_dir: str):
+    """Gopher-family per-document repetition signals (most-frequent
+    word / adjacent bigram + exact word counts), fully vectorized
+    (pandas explode + groupby inside ``map_batches``); each document is
+    independent so the stage is embarrassingly parallel with no
+    shuffle.  Integer counts (no float fractions) keep the SQL oracle
+    bit-exact."""
+    from ..functions.text import repetition_stats
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(repetition_stats, batch_format="pyarrow")
+        .sort("doc_id")
+    )
+
+
+REPETITION_SQL = """
+WITH wl AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+), words AS (
+  SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS i FROM wl
+), wc AS (
+  SELECT doc_id, w, COUNT(*) AS n FROM words GROUP BY doc_id, w
+), topw AS (
+  SELECT doc_id, w AS top_word, n AS top_word_n,
+         row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, w) AS rk
+  FROM wc
+), bigrams AS (
+  SELECT a.doc_id, a.w || ' ' || b.w AS bg
+  FROM words a JOIN words b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+), bc AS (
+  SELECT doc_id, bg, COUNT(*) AS n FROM bigrams GROUP BY doc_id, bg
+), topb AS (
+  SELECT doc_id, bg AS top_bigram, n AS top_bigram_n,
+         row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, bg) AS rk
+  FROM bc
+), agg AS (
+  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_words,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct
+  FROM wc GROUP BY doc_id
+)
+SELECT agg.doc_id, n_words, n_distinct,
+       top_word, CAST(top_word_n AS BIGINT) AS top_word_n,
+       top_bigram, CAST(top_bigram_n AS BIGINT) AS top_bigram_n
+FROM agg
+JOIN topw ON topw.doc_id = agg.doc_id AND topw.rk = 1
+JOIN topb ON topb.doc_id = agg.doc_id AND topb.rk = 1
+ORDER BY agg.doc_id
+"""
+
+
+def pii_redaction(sf_dir: str):
+    """PII span redaction (the C4-style scrub): emails, IPv4s and
+    phone-shaped digit runs replaced by typed placeholder tokens, with
+    exact match counts.  Both sides run RE2 (pyarrow.compute's
+    replace/count kernels here, DuckDB's regexp_* in the oracle), so
+    leftmost-nonoverlapping replacement semantics agree exactly.  PII
+    is injected deterministically from ``doc_id`` (the synthetic corpus
+    contains none) by both engines, making the gate non-vacuous."""
+
+    def redact(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        text = pc.binary_join_element_wise(
+            t["text"].cast(pa.string()),
+            pa.array(
+                [
+                    f"contact user{d}@mail{d % 7}.example.com "
+                    f"at 10.{d % 256}.{(d * 3) % 256}.{d % 100} "
+                    f"tel +1 {d % 900 + 100}-555-{d % 10000:04d}"
+                    for d in did
+                ],
+                pa.string(),
+            ),
+            " ",
+        )
+        email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+        ip_re = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+        tel_re = r"\+\d[\d -]{7,}\d"
+        n_email = pc.count_substring_regex(text, email_re)
+        out = pc.replace_substring_regex(text, email_re, "<EMAIL>")
+        n_ip = pc.count_substring_regex(out, ip_re)
+        out = pc.replace_substring_regex(out, ip_re, "<IP>")
+        n_tel = pc.count_substring_regex(out, tel_re)
+        out = pc.replace_substring_regex(out, tel_re, "<PHONE>")
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "redacted": out,
+                "n_email": n_email.cast(pa.int64()),
+                "n_ip": n_ip.cast(pa.int64()),
+                "n_tel": n_tel.cast(pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(redact, batch_format="pyarrow")
+        .sort("doc_id")
+    )
+
+
+PII_SQL = r"""
+WITH injected AS (
+  SELECT doc_id,
+         text || ' ' || 'contact user' || doc_id || '@mail'
+              || (doc_id % 7) || '.example.com at 10.' || (doc_id % 256)
+              || '.' || ((doc_id * 3) % 256) || '.' || (doc_id % 100)
+              || ' tel +1 ' || (doc_id % 900 + 100) || '-555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+  FROM documents
+), s1 AS (
+  SELECT doc_id,
+         CAST(length(regexp_extract_all(
+            t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+            AS BIGINT) AS n_email,
+         regexp_replace(
+            t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+            '<EMAIL>', 'g') AS t
+  FROM injected
+), s2 AS (
+  SELECT doc_id, n_email,
+         CAST(length(regexp_extract_all(
+            t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT)
+            AS n_ip,
+         regexp_replace(
+            t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')
+            AS t
+  FROM s1
+)
+SELECT doc_id,
+       regexp_replace(t, '\+\d[\d -]{7,}\d', '<PHONE>', 'g') AS redacted,
+       n_email, n_ip,
+       CAST(length(regexp_extract_all(t, '\+\d[\d -]{7,}\d')) AS BIGINT)
+           AS n_tel
+FROM s2 ORDER BY doc_id
+"""
+
+
 def image_ar_bucket_pack(sf_dir: str):
     """Aspect-ratio bucketing + per-bucket batch packing (the SDXL
     multi-resolution training layout): every training batch holds
@@ -8394,6 +8532,8 @@ QUERIES = {
     "tar_shard_roundtrip": tar_shard_roundtrip,
     "image_ar_bucket_pack": image_ar_bucket_pack,
     "epoch_shuffle_split": epoch_shuffle_split,
+    "doc_repetition_stats": doc_repetition_stats,
+    "pii_redaction": pii_redaction,
     "arrow_ipc_roundtrip": arrow_ipc_roundtrip,
     "events_cume_dist": events_cume_dist,
     "events_percent_rank": events_percent_rank,
@@ -8549,6 +8689,8 @@ ORACLE_SQL = {
     "tar_shard_roundtrip": TAR_SQL,
     "image_ar_bucket_pack": AR_BUCKET_SQL,
     "epoch_shuffle_split": EPOCH_SHUFFLE_SQL,
+    "doc_repetition_stats": REPETITION_SQL,
+    "pii_redaction": PII_SQL,
     "arrow_ipc_roundtrip": IPC_SQL,
     "part_name_fuzzy_join": FUZZY_SQL,
     "favorite_event_type": MODE_SQL,

@@ -81,3 +81,34 @@ def test_flatten() -> None:
     assert flatten(["foo", "bar"]) == ["foo", "bar"]
     assert flatten(["foo", ["baz", 42], "bar"]) == ["foo", "baz", 42, "bar"]
     assert list(iflatten([[1, 2], (3, 4)])) == [1, 2, 3, 4]
+
+
+class TestRepetitionStats:
+    def test_counts_and_tiebreak(self):
+        import pyarrow as pa
+
+        from parsel_ray.functions.text import repetition_stats
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    [
+                        "a b a b c",   # top word tie a/b -> 'a'; bigram 'a b' x2
+                        "x",            # single word: dropped (no bigram)
+                        "z z z",
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+        out = repetition_stats(t).to_pandas().set_index("doc_id")
+        assert list(out.index) == [1, 3]
+        assert out.loc[1, "n_words"] == 5
+        assert out.loc[1, "n_distinct"] == 3
+        assert out.loc[1, "top_word"] == "a"
+        assert out.loc[1, "top_word_n"] == 2
+        assert out.loc[1, "top_bigram"] == "a b"
+        assert out.loc[1, "top_bigram_n"] == 2
+        assert out.loc[3, "top_bigram"] == "z z"
+        assert out.loc[3, "top_bigram_n"] == 2
