@@ -7637,6 +7637,70 @@ FROM s2 ORDER BY doc_id
 """
 
 
+def source_balance_resample(sf_dir: str):
+    """Deterministic mixture balancing: downsample every source to the
+    smallest source's row count by keeping each row iff its
+    seeded-hash rank WITHIN its source is <= min_count — exact (not
+    expected-value) proportions, restart-stable, no RNG state.  The
+    per-source ranks come from ``grouped_row_number`` (hot sources
+    spread over hash-range cells); only the O(sources) counts visit
+    the driver to pick the floor."""
+    from ..functions.epochshuffle import _lcg2
+    from ..functions.sort import grouped_row_number
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        k = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "__eh", pa.array(_lcg2(k, 29), pa.int64())
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"]).map_batches(
+        add_hash, batch_format="pyarrow"
+    )
+    counts = partial_sum_groupby(
+        ds.map_batches(
+            lambda t: t.select(["source"]), batch_format="pyarrow"
+        ),
+        ["source"], {}, count_as="n",
+    ).take_all()  # O(sources)
+    # target = 60% of the smallest source (a strict downsample even
+    # when the corpus arrives pre-balanced)
+    mc = max(1, min(r["n"] for r in counts) * 3 // 5)
+
+    ranked = grouped_row_number(
+        ds, "source", ["__eh", "doc_id"], [True, True], out_col="rk"
+    )
+    return (
+        ranked.filter(expr=f"rk <= {mc}")
+        .map_batches(
+            lambda t: t.select(["doc_id", "source", "rk"]),
+            batch_format="pyarrow",
+        )
+        .sort("doc_id")
+    )
+
+
+SOURCE_BALANCE_SQL = """
+WITH h AS (
+  SELECT doc_id, source,
+         ((((doc_id + 29) % 2147483648) * 1103515245 + 12345)
+            % 2147483648 * 1103515245 + 12345) % 2147483648 AS eh
+  FROM documents
+), r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY eh, doc_id)
+             AS rk
+  FROM h
+), m AS (
+  SELECT GREATEST(1, MIN(c) * 3 // 5) AS mc FROM (
+    SELECT COUNT(*) AS c FROM documents GROUP BY source
+  )
+)
+SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
+FROM r, m WHERE rk <= mc ORDER BY doc_id
+"""
+
+
 def image_ar_bucket_pack(sf_dir: str):
     """Aspect-ratio bucketing + per-bucket batch packing (the SDXL
     multi-resolution training layout): every training batch holds
@@ -8534,6 +8598,7 @@ QUERIES = {
     "epoch_shuffle_split": epoch_shuffle_split,
     "doc_repetition_stats": doc_repetition_stats,
     "pii_redaction": pii_redaction,
+    "source_balance_resample": source_balance_resample,
     "arrow_ipc_roundtrip": arrow_ipc_roundtrip,
     "events_cume_dist": events_cume_dist,
     "events_percent_rank": events_percent_rank,
@@ -8691,6 +8756,7 @@ ORACLE_SQL = {
     "epoch_shuffle_split": EPOCH_SHUFFLE_SQL,
     "doc_repetition_stats": REPETITION_SQL,
     "pii_redaction": PII_SQL,
+    "source_balance_resample": SOURCE_BALANCE_SQL,
     "arrow_ipc_roundtrip": IPC_SQL,
     "part_name_fuzzy_join": FUZZY_SQL,
     "favorite_event_type": MODE_SQL,
