@@ -192,15 +192,45 @@ def _png_unfilter(raw: np.ndarray, h: int, w: int, bpp: int) -> np.ndarray:
     return out
 
 
+# Adam7 pass geometry: (x0, y0, dx, dy) per pass, PNG spec §8.2
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_deinterlace(raw: np.ndarray, h: int, w: int, bpp: int) -> np.ndarray:
+    """Reassemble an Adam7 stream: each of the 7 passes is an
+    independently-filtered sub-image; unfilter it, then scatter into
+    the full frame by strided assignment (vectorized per pass)."""
+    out = np.zeros((h, w, bpp), np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        n = ph * (1 + pw * bpp)
+        if pos + n > raw.size:
+            raise ValueError("corrupt PNG: Adam7 pass truncated")
+        px = _png_unfilter(raw[pos : pos + n], ph, pw, bpp)
+        out[y0::dy, x0::dx] = px.reshape(ph, pw, bpp)
+        pos += n
+    if pos != raw.size:
+        raise ValueError("corrupt PNG: Adam7 size mismatch")
+    return out
+
+
 def decode_png(data: bytes, check_crc: bool = True) -> np.ndarray:
     """Full 8-bit PNG decoder → (h, w, c) uint8 with c in {1, 2, 3, 4}
     (palette images expand to RGB, c=3).  Handles all five scanline
-    filters, multiple IDAT chunks, and verifies chunk CRCs.  Interlaced
-    (Adam7) and sub-8-bit streams raise ValueError."""
+    filters, multiple IDAT chunks, Adam7 interlacing, and verifies
+    chunk CRCs.  Sub-8-bit streams raise ValueError."""
     if not data.startswith(_PNG_SIG):
         raise ValueError("not a png")
     pos = len(_PNG_SIG)
     w = h = ctype = None
+    interlace = 0
     palette = None
     idat = bytearray()
     saw_iend = False
@@ -225,8 +255,10 @@ def decode_png(data: bytes, check_crc: bool = True) -> np.ndarray:
                 raise ValueError(f"unsupported PNG color type {ctype}")
             if comp != 0 or filt != 0:
                 raise ValueError("corrupt PNG: bad compression/filter method")
-            if interlace != 0:
-                raise ValueError("unsupported PNG: Adam7 interlace")
+            if interlace not in (0, 1):
+                raise ValueError(
+                    f"corrupt PNG: interlace method {interlace}"
+                )
         elif tag == b"PLTE":
             if length % 3:
                 raise ValueError("corrupt PNG: PLTE length not multiple of 3")
@@ -246,9 +278,12 @@ def decode_png(data: bytes, check_crc: bool = True) -> np.ndarray:
         raw = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
     except zlib.error as e:
         raise ValueError(f"corrupt PNG: zlib {e}") from e
-    if raw.size != h * (1 + w * bpp):
-        raise ValueError("corrupt PNG: IDAT size mismatch")
-    px = _png_unfilter(raw, h, w, bpp).reshape(h, w, bpp)
+    if interlace == 1:
+        px = _png_deinterlace(raw, h, w, bpp)
+    else:
+        if raw.size != h * (1 + w * bpp):
+            raise ValueError("corrupt PNG: IDAT size mismatch")
+        px = _png_unfilter(raw, h, w, bpp).reshape(h, w, bpp)
     if ctype == 3:
         if palette is None:
             raise ValueError("corrupt PNG: palette image without PLTE")

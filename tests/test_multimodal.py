@@ -421,6 +421,79 @@ class TestFullPng:
         )
         assert np.array_equal(decode_png(blob), pal[idx])
 
+    @staticmethod
+    def _adam7_blob(px, filt=0):
+        """Interlaced PNG from scratch: serialize the 7 Adam7 passes,
+        each row with the given filter type (0=None or 2=Up)."""
+        import zlib
+
+        from parsel_ray.images.codecs import _ADAM7, _PNG_SIG, _png_chunk
+
+        h, w, c = px.shape
+        ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+        stream = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = px[y0::dy, x0::dx]
+            ph, pw = sub.shape[:2]
+            if ph == 0 or pw == 0:
+                continue
+            flat = sub.reshape(ph, pw * c).astype(np.int64)
+            for y in range(ph):
+                if filt == 2:
+                    prev = flat[y - 1] if y else np.zeros(pw * c, np.int64)
+                    row = (flat[y] - prev) % 256
+                else:
+                    row = flat[y]
+                stream += bytes([filt]) + row.astype(np.uint8).tobytes()
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 1)
+        return (
+            _PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(stream)))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    @pytest.mark.parametrize("c", [1, 3, 4])
+    @pytest.mark.parametrize("filt", [0, 2])
+    def test_adam7_interlaced_decode(self, c, filt):
+        from parsel_ray.images.codecs import decode_png
+
+        px = self._rand(c, h=21, w=15, seed=9)
+        assert np.array_equal(decode_png(self._adam7_blob(px, filt)), px)
+
+    def test_adam7_small_image_skips_empty_passes(self):
+        # 2x2: passes 1 keeps (0,0); passes 2-3 empty; etc.
+        from parsel_ray.images.codecs import decode_png
+
+        px = self._rand(3, h=2, w=2, seed=4)
+        assert np.array_equal(decode_png(self._adam7_blob(px)), px)
+
+    def test_adam7_truncated_raises(self):
+        from parsel_ray.images.codecs import decode_png
+
+        blob = self._adam7_blob(self._rand(3, h=21, w=15, seed=9))
+        # rebuild with IDAT cut mid-stream: recompress a prefix
+        import zlib
+
+        from parsel_ray.images.codecs import _PNG_SIG, _png_chunk
+
+        pos, idat = len(_PNG_SIG), b""
+        while pos < len(blob):
+            (ln,) = struct.unpack_from(">I", blob, pos)
+            tag = blob[pos + 4 : pos + 8]
+            if tag == b"IDAT":
+                idat += blob[pos + 8 : pos + 8 + ln]
+            pos += 12 + ln
+        raw = zlib.decompress(idat)
+        cut = (
+            _PNG_SIG
+            + blob[len(_PNG_SIG) : len(_PNG_SIG) + 25]  # IHDR chunk (12+13)
+            + _png_chunk(b"IDAT", zlib.compress(raw[: len(raw) // 2]))
+            + _png_chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError):
+            decode_png(cut)
+
     def test_crc_and_corruption_raise(self):
         from parsel_ray.images.codecs import decode_png, encode_png
 
