@@ -208,8 +208,7 @@ def decode_gif(data: bytes) -> "tuple[np.ndarray, np.ndarray]":
     pos += 10
     if iflags & 0x80:
         raise ValueError("unsupported GIF: local color table")
-    if iflags & 0x40:
-        raise ValueError("unsupported GIF: interlaced image")
+    interlaced = bool(iflags & 0x40)
     if pos >= len(data):
         raise ValueError("corrupt GIF: truncated before LZW")
     min_code = data[pos]
@@ -231,7 +230,18 @@ def decode_gif(data: bytes) -> "tuple[np.ndarray, np.ndarray]":
     if pos >= len(data) or data[pos] != 0x3B:
         raise ValueError("corrupt GIF: missing trailer")
     raw = _lzw_decode(bytes(lzw), min_code, iw * ih)
-    return np.frombuffer(raw, np.uint8).reshape(ih, iw), palette
+    rows = np.frombuffer(raw, np.uint8).reshape(ih, iw)
+    if interlaced:
+        # GIF87a 4-pass interlace: stored row order is passes
+        # (y0=0,step8),(4,8),(2,4),(1,2) — invert by strided scatter
+        out = np.empty_like(rows)
+        src = 0
+        for y0, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+            n = len(range(y0, ih, step))
+            out[y0::step] = rows[src : src + n]
+            src += n
+        rows = out
+    return rows, palette
 
 
 def decode_gif_rgb(data: bytes) -> np.ndarray:

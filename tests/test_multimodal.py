@@ -558,6 +558,25 @@ class TestGif:
         rep = np.tile(np.arange(7, dtype=np.uint8), 9000)
         assert _lzw_decode(_lzw_encode(rep, 8), 8, rep.size) == rep.tobytes()
 
+    def test_interlaced_decode(self):
+        # build an interlaced GIF by permuting encoder rows into GIF87a
+        # 4-pass storage order and setting the interlace flag
+        from parsel_ray.images.gif import decode_gif, encode_gif
+
+        rng = np.random.RandomState(13)
+        idx = rng.randint(0, 256, (23, 9), dtype=np.uint8)
+        h = idx.shape[0]
+        order = [y for y0, st in ((0, 8), (4, 8), (2, 4), (1, 2))
+                 for y in range(y0, h, st)]
+        blob = bytearray(encode_gif(idx[order]))
+        # image descriptor starts after 13-byte header + 768-byte table:
+        # 0x2c + 8 bytes of geometry, then the flags byte
+        dpos = 13 + 768 + 9
+        assert blob[13 + 768] == 0x2C
+        blob[dpos] |= 0x40
+        back, _pal = decode_gif(bytes(blob))
+        assert np.array_equal(back, idx)
+
     def test_lzw_table_fill_clear(self):
         from parsel_ray.images.gif import _lzw_decode, _lzw_encode
 
