@@ -7701,6 +7701,86 @@ FROM r, m WHERE rk <= mc ORDER BY doc_id
 """
 
 
+def sitemap_extract(sf_dir: str):
+    """Sitemap generation + namespace-aware XML extraction as a
+    distributed round-trip: one sitemap-protocol document per nation
+    host (built in a ``grouped_apply`` — hosts are the natural crawl
+    partition), parsed back by the selector stack inside
+    ``map_batches`` with the sitemaps.org default namespace mapped to a
+    prefix (reference namespace semantics:
+    /root/reference/parsel/selector.py register_namespace usage).  The
+    oracle rebuilds every <loc>/<lastmod> pair relationally."""
+    import pandas as pd
+
+    from ..functions.agg import grouped_apply
+    from ..selector import Selector
+
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).take_all()
+    nat.sort(key=lambda r: r["n_nationkey"])
+    nkeys = np.array([r["n_nationkey"] for r in nat], np.int64)
+    nnames = np.array(
+        [r["n_name"].lower().replace(" ", "-") for r in nat], object
+    )
+    import ray as _ray
+
+    nref = _ray.put((nkeys, nnames))
+
+    def build_xml(g: pd.DataFrame) -> pd.DataFrame:
+        keys, names = _ray.get(nref)
+        nk = int(g["c_nationkey"].iloc[0])
+        host = names[np.searchsorted(keys, nk)]
+        parts = ["<?xml version=\"1.0\" encoding=\"UTF-8\"?>",
+                 "<urlset xmlns=\"http://www.sitemaps.org/schemas/"
+                 "sitemap/0.9\">"]
+        for k in sorted(g["c_custkey"].tolist()):
+            parts.append(
+                f"<url><loc>https://{host}.example.com/customer/{k}"
+                f"</loc><lastmod>2024-{k % 12 + 1:02d}-{k % 28 + 1:02d}"
+                f"</lastmod></url>"
+            )
+        parts.append("</urlset>")
+        return pd.DataFrame({"xml": ["".join(parts)]})
+
+    sitemaps = grouped_apply(
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+        "c_nationkey", build_xml, num_partitions=8,
+    )
+
+    _NS = {"sm": "http://www.sitemaps.org/schemas/sitemap/0.9"}
+
+    def parse(t: pa.Table) -> pa.Table:
+        urls, mods = [], []
+        for xml in t["xml"].to_pylist():
+            sel = Selector(text=xml, type="xml")
+            urls.extend(
+                sel.xpath("//sm:url/sm:loc/text()", namespaces=_NS)
+                .getall()
+            )
+            mods.extend(
+                sel.xpath("//sm:url/sm:lastmod/text()", namespaces=_NS)
+                .getall()
+            )
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "lastmod": pa.array(mods, pa.string()),
+            }
+        )
+
+    return sitemaps.map_batches(parse, batch_format="pyarrow").sort("url")
+
+
+SITEMAP_SQL = """
+SELECT 'https://' || replace(lower(n_name), ' ', '-')
+           || '.example.com/customer/' || c_custkey AS url,
+       '2024-' || lpad(CAST(c_custkey % 12 + 1 AS VARCHAR), 2, '0')
+           || '-' || lpad(CAST(c_custkey % 28 + 1 AS VARCHAR), 2, '0')
+           AS lastmod
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+ORDER BY url
+"""
+
+
 def image_ar_bucket_pack(sf_dir: str):
     """Aspect-ratio bucketing + per-bucket batch packing (the SDXL
     multi-resolution training layout): every training batch holds
@@ -8599,6 +8679,7 @@ QUERIES = {
     "doc_repetition_stats": doc_repetition_stats,
     "pii_redaction": pii_redaction,
     "source_balance_resample": source_balance_resample,
+    "sitemap_extract": sitemap_extract,
     "arrow_ipc_roundtrip": arrow_ipc_roundtrip,
     "events_cume_dist": events_cume_dist,
     "events_percent_rank": events_percent_rank,
@@ -8757,6 +8838,7 @@ ORACLE_SQL = {
     "doc_repetition_stats": REPETITION_SQL,
     "pii_redaction": PII_SQL,
     "source_balance_resample": SOURCE_BALANCE_SQL,
+    "sitemap_extract": SITEMAP_SQL,
     "arrow_ipc_roundtrip": IPC_SQL,
     "part_name_fuzzy_join": FUZZY_SQL,
     "favorite_event_type": MODE_SQL,
