@@ -6,11 +6,17 @@ Scope (honestly bounded):
 * **encode**: baseline sequential, 8-bit, YCbCr 4:4:4, one scan, the
   Annex K example quantization tables scaled by ``quality`` (libjpeg's
   scaling curve) and the Annex K "typical" Huffman tables.
-* **decode**: baseline sequential (SOF0) with generic MCU interleaving —
-  sampling factors 1–2 per axis (4:4:4, 4:2:2, 4:2:0), tables read from
-  the stream (DQT/DHT), restart markers (DRI/RSTn) supported, EXIF/APPn
-  segments skipped.  Progressive (SOF2), arithmetic coding and 12-bit
-  precision raise ``ValueError``.
+* **decode**: baseline sequential (SOF0/1) with generic MCU interleaving
+  — sampling factors 1–2 per axis (4:4:4, 4:2:2, 4:2:0), tables read
+  from the stream (DQT/DHT), restart markers (DRI/RSTn) supported,
+  EXIF/APPn segments skipped — AND progressive (SOF2, T.81 Annex G):
+  spectral selection, successive approximation (DC+AC first/refine
+  passes), EOB runs, interleaved DC + non-interleaved AC scans.
+  Arithmetic coding, lossless/hierarchical SOFs and 12-bit precision
+  raise ``ValueError``.
+* **encode**: additionally ``encode_jpeg_progressive`` writes a SOF2
+  scan script (DC/AC first at Al=1 + refinement to Al=0) that decodes
+  bit-identically to the baseline encoding of the same pixels.
 
 The DCT is vectorized (one einsum over all blocks); the entropy coder is
 a per-symbol Python loop — images in this engine's pipelines are small
@@ -385,7 +391,9 @@ def _extend(v: int, size: int) -> int:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JFIF bytes → (H, W, 3) uint8 RGB."""
+    """JFIF bytes → (H, W, 3) uint8 RGB.  Baseline sequential (SOF0/1)
+    and progressive (SOF2, spectral selection + successive
+    approximation, T.81 Annex G) streams."""
     data = bytes(data)
     if data[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG (missing SOI)")
@@ -394,6 +402,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     htables: dict[tuple[int, int], _HuffTable] = {}
     frame = None
     restart_interval = 0
+    prog_coefs = None
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError("corrupt JPEG: expected marker")
@@ -423,7 +432,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 values = list(seg[p + 17:p + 17 + n])
                 htables[(tc, th)] = _HuffTable(bits, values)
                 p += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
             prec, fh, fw, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
@@ -432,12 +441,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
                               "tq": tq})
-            frame = {"h": fh, "w": fw, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = {"h": fh, "w": fw, "comps": comps,
+                     "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "only baseline sequential JPEG is supported (got SOF "
-                f"marker 0xFF{marker:02X})"
+                "only baseline and progressive JPEG are supported (got "
+                f"SOF marker 0xFF{marker:02X})"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
@@ -448,16 +458,32 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             scomps = []
             for i in range(ns):
                 cs, tabs = seg[1 + 2 * i], seg[2 + 2 * i]
-                comp = next(c for c in frame["comps"] if c["id"] == cs)
-                scomps.append(
-                    {**comp, "dc": tabs >> 4, "ac": tabs & 0x0F}
+                ci, comp = next(
+                    (j, c) for j, c in enumerate(frame["comps"])
+                    if c["id"] == cs
                 )
-            return _decode_scan(
-                data, pos + seglen, frame, scomps, qtables, htables,
-                restart_interval,
+                scomps.append(
+                    {**comp, "ci": ci, "dc": tabs >> 4, "ac": tabs & 0x0F}
+                )
+            if not frame["progressive"]:
+                return _decode_scan(
+                    data, pos + seglen, frame, scomps, qtables, htables,
+                    restart_interval,
+                )
+            if prog_coefs is None:
+                prog_coefs = _prog_init(frame)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            pos = _decode_prog_scan(
+                data, pos + seglen, frame, scomps, ss, se,
+                ahal >> 4, ahal & 0x0F, htables, restart_interval,
+                prog_coefs,
             )
+            continue
         # APPn / COM / others: skip
         pos += seglen
+    if prog_coefs is not None:
+        return _prog_reconstruct(frame, prog_coefs, qtables)
     raise ValueError("corrupt JPEG: no scan data")
 
 
@@ -543,3 +569,416 @@ def _decode_block(br, dc_tab, ac_tab, pred, ci) -> np.ndarray:
         blk[k] = _extend(br.read_bits(size), size)
         k += 1
     return blk
+
+
+# -- progressive (SOF2, T.81 Annex G) ---------------------------------------
+
+
+def _frame_geometry(frame):
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    mcux = -(-frame["w"] // (8 * hmax))
+    mcuy = -(-frame["h"] // (8 * vmax))
+    return hmax, vmax, mcux, mcuy
+
+
+def _prog_init(frame):
+    """Per-component zigzag coefficient planes, padded to the MCU grid."""
+    hmax, vmax, mcux, mcuy = _frame_geometry(frame)
+    if hmax > 2 or vmax > 2:
+        raise ValueError("sampling factors above 2 not supported")
+    return [
+        np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
+        for c in frame["comps"]
+    ]
+
+
+def _ni_blocks(frame, c):
+    """Non-interleaved scan grid for one component (T.81 A.2.2):
+    ceil(component samples / 8) in each direction."""
+    hmax, vmax, _, _ = _frame_geometry(frame)
+    cw = -(-frame["w"] * c["h"] // hmax)
+    ch = -(-frame["h"] * c["v"] // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _decode_prog_scan(data, pos, frame, scomps, ss, se, ah, al,
+                      htables, restart_interval, coefs) -> int:
+    """Decode one progressive scan into ``coefs`` (in place); returns
+    the stream position of the next marker."""
+    br = _BitReader(data, pos)
+    state = {"eobrun": 0}
+    pred = [0] * len(scomps)
+    for sc in scomps:
+        sc["__dc_tab"] = htables.get((0, sc["dc"]))
+        sc["__ac_tab"] = htables.get((1, sc["ac"]))
+    try:
+        if ss == 0:
+            if se != 0:
+                raise ValueError("corrupt JPEG: DC scan with Se != 0")
+            _prog_dc_scan(br, frame, scomps, ah, al, restart_interval,
+                          coefs, pred)
+        else:
+            if len(scomps) != 1:
+                raise ValueError(
+                    "corrupt JPEG: progressive AC scan must be "
+                    "non-interleaved"
+                )
+            _prog_ac_scan(br, frame, scomps[0], ss, se, ah, al,
+                          restart_interval, coefs, state)
+    except _RestartMarker as rst:
+        raise ValueError(
+            "corrupt JPEG: unexpected restart marker "
+            f"0xFF{rst.marker:02X} in progressive scan"
+        ) from None
+    except IndexError:
+        raise ValueError(
+            "corrupt JPEG: truncated progressive scan"
+        ) from None
+    # skip remaining entropy bytes to the next marker (RSTn and stuffed
+    # 0xFF00 belong to the scan)
+    p = br.pos
+    n = len(data)
+    while p + 1 < n:
+        if data[p] == 0xFF and data[p + 1] != 0x00 and not (
+                0xD0 <= data[p + 1] <= 0xD7):
+            return p
+        p += 1
+    return n
+
+
+def _prog_dc_scan(br, frame, scomps, ah, al, ri, coefs, pred):
+    count = 0
+    if len(scomps) > 1:  # interleaved MCU order
+        _, _, mcux, mcuy = _frame_geometry(frame)
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if ri and count and count % ri == 0:
+                    br.sync_restart()
+                    pred[:] = [0] * len(pred)
+                count += 1
+                for si, c in enumerate(scomps):
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            _prog_dc_block(
+                                br, _htable_dc(c, ah), coefs[c["ci"]],
+                                my * c["v"] + by, mx * c["h"] + bx,
+                                ah, al, pred, si,
+                            )
+    else:
+        c = scomps[0]
+        bh, bw = _ni_blocks(frame, c)
+        for by in range(bh):
+            for bx in range(bw):
+                if ri and count and count % ri == 0:
+                    br.sync_restart()
+                    pred[0] = 0
+                count += 1
+                _prog_dc_block(
+                    br, _htable_dc(c, ah), coefs[c["ci"]], by, bx,
+                    ah, al, pred, 0,
+                )
+
+
+def _htable_dc(c, ah):
+    # refinement scans read raw bits only — no table needed
+    if ah:
+        return None
+    if c["__dc_tab"] is None:
+        raise ValueError("corrupt JPEG: DC scan without DC table")
+    return c["__dc_tab"]
+
+
+def _prog_dc_block(br, dc_tab, carr, by, bx, ah, al, pred, si):
+    if ah == 0:  # first pass: baseline DC diff, shifted by Al
+        size = dc_tab.decode(br)
+        diff = _extend(br.read_bits(size), size) if size else 0
+        pred[si] += diff
+        carr[by, bx, 0] = pred[si] << al
+    else:  # refinement: one bit per block
+        if br.read_bit():
+            carr[by, bx, 0] |= 1 << al
+
+
+def _prog_ac_scan(br, frame, c, ss, se, ah, al, ri, coefs, state):
+    ac_tab = c["__ac_tab"]
+    carr = coefs[c["ci"]]
+    bh, bw = _ni_blocks(frame, c)
+    count = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if ri and count and count % ri == 0:
+                br.sync_restart()
+                state["eobrun"] = 0
+            count += 1
+            blk = carr[by, bx]
+            if ah == 0:
+                _prog_ac_first(br, ac_tab, blk, ss, se, al, state)
+            else:
+                _prog_ac_refine(br, ac_tab, blk, ss, se, al, state)
+
+
+def _prog_ac_first(br, ac_tab, blk, ss, se, al, state):
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = ac_tab.decode(br)
+        r, s = rs >> 4, rs & 0x0F
+        if s:
+            k += r
+            if k > se:
+                raise ValueError("corrupt JPEG: AC index overflow")
+            blk[k] = _extend(br.read_bits(s), s) << al
+            k += 1
+        else:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            state["eobrun"] = (1 << r) - 1
+            if r:
+                state["eobrun"] += br.read_bits(r)
+            break
+
+
+def _prog_ac_refine(br, ac_tab, blk, ss, se, al, state):
+    """T.81 G.2 / libjpeg decode_mcu_AC_refine: place newly-significant
+    ±1<<Al coefficients and append a correction bit to every already-
+    nonzero coefficient the scan passes over."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = ac_tab.decode(br)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r != 15:
+                    state["eobrun"] = 1 << r
+                    if r:
+                        state["eobrun"] += br.read_bits(r)
+                    break
+                # r == 15: ZRL — skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError(
+                        "corrupt JPEG: AC refinement size != 1"
+                    )
+                s = p1 if br.read_bit() else m1
+            while k <= se:
+                coef = int(blk[k])
+                if coef != 0:
+                    if br.read_bit() and (coef & p1) == 0:
+                        blk[k] = coef + (p1 if coef >= 0 else m1)
+                else:
+                    r -= 1
+                    if r < 0:
+                        break
+                k += 1
+            if s and k <= se:
+                blk[k] = s
+            k += 1
+    if state["eobrun"] > 0:
+        while k <= se:
+            coef = int(blk[k])
+            if coef != 0 and br.read_bit() and (coef & p1) == 0:
+                blk[k] = coef + (p1 if coef >= 0 else m1)
+            k += 1
+        state["eobrun"] -= 1
+
+
+def _prog_reconstruct(frame, coefs, qtables):
+    """Dequantize + IDCT every component plane (vectorized einsum over
+    all blocks at once), then upsample/crop/color-convert like the
+    baseline path."""
+    h, w = frame["h"], frame["w"]
+    hmax, vmax, _, _ = _frame_geometry(frame)
+    full = []
+    for ci, c in enumerate(frame["comps"]):
+        arr = coefs[ci].astype(np.float64)
+        by, bx = arr.shape[:2]
+        q = qtables[c["tq"]]
+        blk = arr[:, :, UNZIGZAG].reshape(by, bx, 8, 8) * q
+        pix = np.einsum("ka,yxkl,lb->yxab", _D, blk, _D)
+        plane = pix.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8) + 128.0
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        full.append(plane[:h, :w])
+    if len(full) == 1:
+        g = np.clip(full[0], 0, 255).astype(np.uint8)
+        return np.stack([g, g, g], axis=-1)
+    if len(full) != 3:
+        raise ValueError(f"unsupported component count {len(full)}")
+    return _ycbcr_to_rgb(np.stack(full, axis=-1))
+
+
+# -- progressive encoder -----------------------------------------------------
+
+
+def _emit_dc_first(bw, tab, dcs, preds, si, al):
+    v = int(dcs) >> al  # arithmetic shift (T.81 point transform)
+    diff = v - preds[si]
+    preds[si] = v
+    size, bits = _magnitude(diff)
+    code, ln = tab[size]
+    bw.write(code, ln)
+    if size:
+        bw.write(bits, size)
+
+
+def _emit_ac_first(bw, tab, blk, ss, se, al):
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(blk[k])
+        av = abs(v) >> al
+        if av == 0:
+            r += 1
+            continue
+        while r > 15:
+            code, ln = tab[0xF0]
+            bw.write(code, ln)
+            r -= 16
+        sv = av if v > 0 else -av
+        size, bits = _magnitude(sv)
+        code, ln = tab[(r << 4) | size]
+        bw.write(code, ln)
+        bw.write(bits, size)
+        r = 0
+    if r:
+        code, ln = tab[0x00]  # EOB (EOBRUN = 1)
+        bw.write(code, ln)
+
+
+def _emit_ac_refine(bw, tab, blk, ss, se, al):
+    """Mirror of the G.1.2.3 refinement decoder (libjpeg
+    encode_mcu_AC_refine structure): correction bits for
+    already-significant coefficients buffer until the next emitted
+    symbol; EOB runs are flushed per block (EOBRUN = 1 → symbol 0x00),
+    which every conforming decoder accepts."""
+    ah = al + 1
+    eobk = ss - 1
+    for k in range(ss, se + 1):
+        if (abs(int(blk[k])) >> al) == 1:
+            eobk = k
+    r = 0
+    pend: list = []
+    for k in range(ss, se + 1):
+        v = int(blk[k])
+        t = abs(v) >> al
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eobk:
+            code, ln = tab[0xF0]
+            bw.write(code, ln)
+            r -= 16
+            for b in pend:
+                bw.write(b, 1)
+            pend = []
+        if (abs(v) >> ah) != 0:  # history-significant: correction bit
+            pend.append(t & 1)
+            continue
+        code, ln = tab[(r << 4) | 1]
+        bw.write(code, ln)
+        bw.write(1 if v > 0 else 0, 1)
+        for b in pend:
+            bw.write(b, 1)
+        pend = []
+        r = 0
+    if r > 0 or pend:
+        code, ln = tab[0x00]
+        bw.write(code, ln)
+        for b in pend:
+            bw.write(b, 1)
+
+
+def encode_jpeg_progressive(px: np.ndarray, quality: int = 90) -> bytes:
+    """(H, W, 3) uint8 RGB → progressive JFIF bytes (SOF2, 4:4:4): an
+    interleaved DC-first scan at Al=1, per-component spectral-band AC
+    scans at Al=1, then DC and AC refinement scans to Al=0 — the
+    web-typical spectral-selection + successive-approximation script.
+    Decodes to the same pixels as ``encode_jpeg`` at the same quality
+    (identical quantized coefficients, different scan order)."""
+    px = np.ascontiguousarray(px, dtype=np.uint8)
+    h, w, c = px.shape
+    if c != 3:
+        raise ValueError("encode_jpeg_progressive expects (H, W, 3) RGB")
+    lq, cq = _quality_tables(quality)
+    ycc = _rgb_to_ycbcr(px) - 128.0
+    zz = []
+    for ci in range(3):
+        blocks = _blocks_of(ycc[..., ci])
+        coef = np.einsum("ux,nxy,vy->nuv", _D, blocks, _D)
+        q = lq if ci == 0 else cq
+        zz.append(
+            np.round(coef / q).astype(np.int64).reshape(-1, 64)[:, ZIGZAG]
+        )
+    n_blocks = zz[0].shape[0]
+
+    dc_tabs = [_build_codes(*DC_LUM), _build_codes(*DC_CHROM),
+               _build_codes(*DC_CHROM)]
+    ac_tabs = [_build_codes(*AC_LUM), _build_codes(*AC_CHROM),
+               _build_codes(*AC_CHROM)]
+
+    out = bytearray()
+    out += b"\xFF\xD8"
+    out += b"\xFF\xE0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + \
+        struct.pack(">HHBB", 1, 1, 0, 0)
+    for tid, tbl in ((0, lq), (1, cq)):
+        out += b"\xFF\xDB" + struct.pack(">HB", 67, tid)
+        out += bytes(int(x) for x in tbl.reshape(-1)[ZIGZAG])
+    out += b"\xFF\xC2" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+    for cid, (hv, tq) in enumerate(((0x11, 0), (0x11, 1), (0x11, 1)),
+                                   start=1):
+        out += struct.pack(">BBB", cid, hv, tq)
+    for tclass, tid, (bits, values) in (
+        (0, 0, DC_LUM), (0, 1, DC_CHROM), (1, 0, AC_LUM), (1, 1, AC_CHROM)
+    ):
+        out += b"\xFF\xC4" + struct.pack(">HB", 19 + len(values),
+                                         (tclass << 4) | tid)
+        out += bytes(bits) + bytes(values)
+
+    def sos(comps, ss, se, ah, al, body):
+        hdr = b"\xFF\xDA" + struct.pack(">HB", 6 + 2 * len(comps),
+                                        len(comps))
+        for cid, tabs in comps:
+            hdr += struct.pack(">BB", cid, tabs)
+        hdr += struct.pack(">BBB", ss, se, (ah << 4) | al)
+        return hdr + body
+
+    # scan 1: interleaved DC first, Al=1
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    for bi in range(n_blocks):
+        for ci in range(3):
+            _emit_dc_first(bw, dc_tabs[ci], zz[ci][bi, 0], preds, ci, 1)
+    out += sos([(1, 0x00), (2, 0x10), (3, 0x10)], 0, 0, 0, 1, bw.flush())
+
+    # per-component AC-first scans, Al=1 (Y split into two bands)
+    bands = [(0, 1, 5), (0, 6, 63), (1, 1, 63), (2, 1, 63)]
+    for ci, bs, be in bands:
+        bw = _BitWriter()
+        for bi in range(n_blocks):
+            _emit_ac_first(bw, ac_tabs[ci], zz[ci][bi], bs, be, 1)
+        out += sos([(ci + 1, 0x00 if ci == 0 else 0x01)], bs, be, 0, 1,
+                   bw.flush())
+
+    # DC refinement to Al=0 (interleaved, raw bits)
+    bw = _BitWriter()
+    for bi in range(n_blocks):
+        for ci in range(3):
+            bw.write(int(zz[ci][bi, 0]) & 1, 1)
+    out += sos([(1, 0x00), (2, 0x00), (3, 0x00)], 0, 0, 1, 0, bw.flush())
+
+    # per-component AC refinement scans to Al=0
+    for ci, bs, be in bands:
+        bw = _BitWriter()
+        for bi in range(n_blocks):
+            _emit_ac_refine(bw, ac_tabs[ci], zz[ci][bi], bs, be, 0)
+        out += sos([(ci + 1, 0x00 if ci == 0 else 0x01)], bs, be, 1, 0,
+                   bw.flush())
+
+    out += b"\xFF\xD9"
+    return bytes(out)

@@ -2082,6 +2082,55 @@ FROM documents
 """
 
 
+def image_jpeg_progressive(sf_dir: str):
+    """Progressive-JPEG (SOF2) round-trip: the same per-doc images as
+    ``image_jpeg_roundtrip`` but written with
+    ``encode_jpeg_progressive`` (spectral selection + successive
+    approximation) and decoded by the multi-scan Annex G path.  The
+    in-kernel assert pins the strongest property the scan script
+    guarantees: progressive decode is BIT-IDENTICAL to the baseline
+    encoding of the same pixels at the same quality."""
+    from ..images.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+    from ..stages.multimodal import DecodeJpeg
+
+    def build(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "bytes": pa.array(
+                    [
+                        encode_jpeg_progressive(_doc_image(i), quality=90)
+                        for i in ids
+                    ],
+                    pa.binary(),
+                ),
+            }
+        )
+
+    def check(t: pa.Table) -> pa.Table:
+        for i, data, ok in zip(
+            t["doc_id"].to_pylist(), t["bytes"].to_pylist(),
+            t["decode_ok"].to_pylist(),
+        ):
+            assert ok, f"doc {i} failed progressive decode"
+            base = decode_jpeg(encode_jpeg(_doc_image(i), quality=90))
+            assert np.array_equal(decode_jpeg(data), base), \
+                f"doc {i}: progressive != baseline decode"
+        return t.select(["doc_id", "decoded_w", "decoded_h", "decode_ok"])
+
+    return (
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(build, batch_format="pyarrow", batch_size=256)
+        .map_batches(DecodeJpeg(), batch_format="pyarrow", batch_size=256)
+        .map_batches(check, batch_format="pyarrow")
+    )
+
+
 def image_png_roundtrip(sf_dir: str):
     """Full-PNG encode→decode round-trip exercising the REAL web surface
     of the format: color type varies by doc (gray / RGB / RGBA) and the
@@ -8618,6 +8667,7 @@ QUERIES = {
     "audio_frame_rms": audio_frame_rms,
     "audio_silence_segments": audio_silence_segments,
     "image_jpeg_roundtrip": image_jpeg_roundtrip,
+    "image_jpeg_progressive": image_jpeg_progressive,
     "image_png_roundtrip": image_png_roundtrip,
     "image_gif_roundtrip": image_gif_roundtrip,
     "image_bmp_roundtrip": image_bmp_roundtrip,
@@ -8740,6 +8790,7 @@ ORACLE_SQL = {
     "events_value_trend": TREND_SQL,
     "zorder_range_scan": ZORDER_SQL,
     "image_jpeg_roundtrip": JPEG_SQL,
+    "image_jpeg_progressive": JPEG_SQL,
     "image_png_roundtrip": PNG_SQL,
     "image_gif_roundtrip": JPEG_SQL,
     "image_bmp_roundtrip": JPEG_SQL,

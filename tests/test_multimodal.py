@@ -101,11 +101,21 @@ class TestJpegCodec:
         with pytest.raises(ValueError, match="restart marker"):
             decode_jpeg(bytes(data))
 
-    def test_progressive_rejected(self):
+    def test_baseline_scan_in_sof2_frame_rejected(self):
+        # SOF2 is now decodable, but a baseline full-band scan header
+        # (Ss=0, Se=63) inside a progressive frame violates G.1 — the
+        # stream is corrupt, not merely unsupported
         data = bytearray(encode_jpeg(gradient(16, 16), 90))
         i = data.find(b"\xFF\xC0")
         data[i + 1] = 0xC2  # flip SOF0 -> SOF2
-        with pytest.raises(ValueError, match="baseline"):
+        with pytest.raises(ValueError, match="corrupt"):
+            decode_jpeg(bytes(data))
+
+    def test_lossless_sof3_rejected(self):
+        data = bytearray(encode_jpeg(gradient(16, 16), 90))
+        i = data.find(b"\xFF\xC0")
+        data[i + 1] = 0xC3  # SOF3 (lossless) stays unsupported
+        with pytest.raises(ValueError, match="SOF"):
             decode_jpeg(bytes(data))
 
     @staticmethod
@@ -1033,3 +1043,224 @@ class TestSniffEdgeCases:
         # inject FF fill padding before the first marker segment
         spliced = blob[:2] + b"\xff\xff" + blob[2:]
         assert sniff_image_meta(spliced) == ("jpeg", 11, 10)
+
+
+class TestProgressiveJpeg:
+    """SOF2 progressive decode (T.81 Annex G): spectral selection,
+    successive approximation (DC+AC first/refine), EOB runs — pinned
+    against the baseline decoder on identical quantized coefficients."""
+
+    @pytest.mark.parametrize("hw", [(8, 8), (16, 24), (29, 37)])
+    def test_progressive_equals_baseline(self, hw):
+        from parsel_ray.images.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+            encode_jpeg_progressive,
+        )
+
+        h, w = hw
+        px = np.random.RandomState(7).randint(
+            0, 256, (h, w, 3), dtype=np.uint8
+        )
+        base = decode_jpeg(encode_jpeg(px, quality=90))
+        prog = decode_jpeg(encode_jpeg_progressive(px, quality=90))
+        assert np.array_equal(prog, base)
+
+    def test_smooth_image_eob_and_zrl_paths(self):
+        from parsel_ray.images.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+            encode_jpeg_progressive,
+        )
+
+        yy, xx = np.mgrid[0:40, 0:56]
+        smooth = np.stack(
+            [(xx * 4) % 256, (yy * 3) % 256, ((xx + yy) * 2) % 256], -1
+        ).astype(np.uint8)
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg_progressive(smooth, 85)),
+            decode_jpeg(encode_jpeg(smooth, 85)),
+        )
+
+    @staticmethod
+    def _gray_prog(scans, w=16, h=8, dht_extra=()):
+        """Minimal 1-component SOF2 container with identity quant and a
+        tiny custom Huffman table pair."""
+        import struct as _s
+
+        dc_bits = [0, 4, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+        dc_vals = [0, 1, 2, 3]
+        ac_bits = [0, 0, 4, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+        ac_vals = [0x00, 0x10, 0xF0, 0x12]
+        out = bytearray(b"\xFF\xD8")
+        out += b"\xFF\xDB" + _s.pack(">HB", 67, 0) + bytes([1] * 64)
+        out += b"\xFF\xC2" + _s.pack(">HBHHB", 11, 8, h, w, 1)
+        out += _s.pack(">BBB", 1, 0x11, 0)
+        for tclass, bits, vals in ((0, dc_bits, dc_vals),
+                                   (1, ac_bits, ac_vals)):
+            out += b"\xFF\xC4" + _s.pack(">HB", 19 + len(vals), tclass << 4)
+            out += bytes(bits) + bytes(vals)
+        for ss, se, ah, al, body in scans:
+            out += b"\xFF\xDA" + _s.pack(">HB", 8, 1)
+            out += _s.pack(">BB", 1, 0x00)
+            out += _s.pack(">BBB", ss, se, (ah << 4) | al)
+            out += body
+        out += b"\xFF\xD9"
+        return bytes(out)
+
+    def test_eobrun_spans_blocks(self):
+        from parsel_ray.images.jpeg import (
+            _D,
+            UNZIGZAG,
+            _BitWriter,
+            _build_codes,
+            decode_jpeg,
+        )
+
+        dc_tab = _build_codes(
+            [0, 4, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0], [0, 1, 2, 3]
+        )
+        ac_tab = _build_codes(
+            [0, 0, 4, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+            [0x00, 0x10, 0xF0, 0x12],
+        )
+        # DC scan (Al=0): block0 dc=3, block1 dc=2 (diff -1)
+        bw = _BitWriter()
+        c, ln = dc_tab[2]; bw.write(c, ln); bw.write(0b11, 2)   # +3
+        c, ln = dc_tab[1]; bw.write(c, ln); bw.write(0b0, 1)    # -1
+        dc_body = bw.flush()
+        # AC scan 1..63 (Al=0): block0 has coef k=2 → run=1, size=2,
+        # value +2; then EOBRUN r=1 + 1 extension bit = EOBRUN 2 →
+        # closes block0 AND skips block1 entirely
+        bw = _BitWriter()
+        c, ln = ac_tab[0x12]; bw.write(c, ln); bw.write(0b10, 2)
+        c, ln = ac_tab[0x10]; bw.write(c, ln); bw.write(0b0, 1)
+        ac_body = bw.flush()
+        blob = self._gray_prog(
+            [(0, 0, 0, 0, dc_body), (1, 63, 0, 0, ac_body)]
+        )
+        got = decode_jpeg(blob)
+        # expected: two 8x8 blocks with identity quant
+        z0 = np.zeros(64); z0[0] = 3; z0[2] = 2
+        z1 = np.zeros(64); z1[0] = 2
+        exp = np.zeros((8, 16))
+        exp[:, :8] = _D.T @ z0[UNZIGZAG].reshape(8, 8) @ _D
+        exp[:, 8:] = _D.T @ z1[UNZIGZAG].reshape(8, 8) @ _D
+        exp = np.clip(exp + 128, 0, 255).astype(np.uint8)
+        assert np.array_equal(got[:, :, 0], exp)
+
+    def test_progressive_420_subsampled(self):
+        # hand-built 4:2:0 progressive stream: interleaved DC scan over
+        # Y(2x2 blocks)+Cb+Cr, then non-interleaved AC scans per comp
+        from parsel_ray.images.jpeg import (
+            _BitWriter,
+            _build_codes,
+            _emit_ac_first,
+            decode_jpeg,
+            DC_LUM,
+            AC_LUM,
+            ZIGZAG,
+        )
+        import struct as _s
+
+        rng = np.random.RandomState(5)
+        ydc = [10, -4, 7, 3]
+        yac = rng.randint(-3, 4, (4, 64)); yac[:, 0] = 0
+        dc_tab = _build_codes(*DC_LUM)
+        ac_tab = _build_codes(*AC_LUM)
+
+        out = bytearray(b"\xFF\xD8")
+        out += b"\xFF\xDB" + _s.pack(">HB", 67, 0) + bytes([1] * 64)
+        out += b"\xFF\xC2" + _s.pack(">HBHHB", 17, 8, 16, 16, 3)
+        out += _s.pack(">BBB", 1, 0x22, 0)   # Y 2x2
+        out += _s.pack(">BBB", 2, 0x11, 0)
+        out += _s.pack(">BBB", 3, 0x11, 0)
+        out += b"\xFF\xC4" + _s.pack(">HB", 19 + 12, 0x00)
+        out += bytes(DC_LUM[0]) + bytes(DC_LUM[1])
+        out += b"\xFF\xC4" + _s.pack(">HB", 19 + len(AC_LUM[1]), 0x10)
+        out += bytes(AC_LUM[0]) + bytes(AC_LUM[1])
+        # interleaved DC first (Al=0): Y blocks in MCU order then Cb, Cr
+        from parsel_ray.images.jpeg import _magnitude
+
+        bw = _BitWriter()
+        pred = 0
+        for v in ydc:
+            size, bits = _magnitude(v - pred)
+            pred = v
+            c, ln = dc_tab[size]; bw.write(c, ln)
+            if size:
+                bw.write(bits, size)
+        for _ in (2, 3):  # Cb, Cr dc = 0 (diff 0)
+            c, ln = dc_tab[0]; bw.write(c, ln)
+        out += b"\xFF\xDA" + _s.pack(">HB", 12, 3)
+        for cid in (1, 2, 3):
+            out += _s.pack(">BB", cid, 0x00)
+        out += _s.pack(">BBB", 0, 0, 0)
+        out += bw.flush()
+        # non-interleaved Y AC scan, raster order over the 2x2 grid
+        bw = _BitWriter()
+        for bi in range(4):
+            _emit_ac_first(bw, ac_tab, yac[bi], 1, 63, 0)
+        out += b"\xFF\xDA" + _s.pack(">HB", 8, 1)
+        out += _s.pack(">BB", 1, 0x10) + _s.pack(">BBB", 1, 63, 0)
+        out += bw.flush()
+        out += b"\xFF\xD9"
+
+        got = decode_jpeg(bytes(out))
+        assert got.shape == (16, 16, 3)
+        # reference: reconstruct Y plane; Cb=Cr=0 shift ⇒ grayscale RGB
+        from parsel_ray.images.jpeg import _D, UNZIGZAG
+
+        yplane = np.zeros((16, 16))
+        for bi, (by, bx) in enumerate([(0, 0), (0, 1), (1, 0), (1, 1)]):
+            z = yac[bi].astype(float).copy()
+            z[0] = ydc[bi]
+            blk = _D.T @ z[UNZIGZAG].reshape(8, 8) @ _D
+            yplane[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = blk
+        exp = np.clip(yplane + 128, 0, 255).astype(np.uint8)
+        assert np.array_equal(got[:, :, 1], exp)  # G == Y when Cb=Cr=128
+
+    def test_refinement_size_violation_raises(self):
+        from parsel_ray.images.jpeg import _BitWriter, _build_codes, decode_jpeg
+
+        ac_tab = _build_codes(
+            [0, 0, 4, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+            [0x00, 0x10, 0xF0, 0x12],
+        )
+        bw = _BitWriter()
+        c, ln = ac_tab[0x12]  # size 2 inside a refinement scan: invalid
+        bw.write(c, ln); bw.write(0b10, 2)
+        blob = self._gray_prog([(1, 63, 1, 0, bw.flush())])
+        with pytest.raises(ValueError):
+            decode_jpeg(blob)
+
+    def test_truncated_progressive_raises(self):
+        from parsel_ray.images.jpeg import encode_jpeg_progressive, decode_jpeg
+
+        px = np.random.RandomState(3).randint(
+            0, 256, (16, 16, 3), dtype=np.uint8
+        )
+        blob = encode_jpeg_progressive(px, 90)
+        with pytest.raises(ValueError):
+            decode_jpeg(blob[: int(len(blob) * 0.6)])
+
+    def test_decode_stage_accepts_progressive(self, ray_session):
+        import ray.data as rd
+
+        from parsel_ray.images.jpeg import encode_jpeg_progressive
+        from parsel_ray.stages.multimodal import DecodeJpeg
+
+        px = np.random.RandomState(1).randint(
+            0, 256, (16, 16, 3), dtype=np.uint8
+        )
+        t = pa.table(
+            {
+                "image_id": pa.array([1], pa.int64()),
+                "bytes": pa.array([encode_jpeg_progressive(px, 90)],
+                                  pa.binary()),
+            }
+        )
+        out = rd.from_arrow(t).map_batches(
+            DecodeJpeg(), batch_format="pyarrow"
+        ).to_pandas()
+        assert len(out) == 1
