@@ -7830,6 +7830,65 @@ ORDER BY url
 """
 
 
+def unicode_nfc_normalize(sf_dir: str):
+    """Unicode NFC normalization (the canonical pre-dedup text
+    normalization step: visually identical strings with different
+    combining-character encodings must hash equal).  Decomposed
+    sequences are injected deterministically from ``doc_id`` (the
+    synthetic corpus is ASCII); both engines normalize with their
+    Unicode NFC implementation and the gate pins byte equality plus the
+    changed-length evidence column."""
+    import unicodedata
+
+    # combining marks: acute, grave, diaeresis
+    marks = ["́", "̀", "̈"]
+
+    def norm(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        raw = [
+            f"{s} cafe{marks[i % 3]} nai{marks[(i + 1) % 3]}ve"
+            for i, s in zip(ids, texts)
+        ]
+        out = [unicodedata.normalize("NFC", s) for s in raw]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "normalized": pa.array(out, pa.string()),
+                "n_chars": pa.array(
+                    [len(s) for s in out], pa.int64()
+                ),
+                "shrunk": pa.array(
+                    [len(o) < len(r) for o, r in zip(out, raw)],
+                    pa.bool_(),
+                ),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(norm, batch_format="pyarrow")
+        .sort("doc_id")
+    )
+
+
+NFC_SQL = """
+WITH built AS (
+  SELECT doc_id,
+         text || ' cafe' || CASE doc_id % 3 WHEN 0 THEN chr(769)
+              WHEN 1 THEN chr(768) ELSE chr(776) END
+           || ' nai' || CASE (doc_id + 1) % 3 WHEN 0 THEN chr(769)
+              WHEN 1 THEN chr(768) ELSE chr(776) END || 've' AS raw
+  FROM documents
+)
+SELECT doc_id,
+       nfc_normalize(raw) AS normalized,
+       CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_chars,
+       length(nfc_normalize(raw)) < length(raw) AS shrunk
+FROM built ORDER BY doc_id
+"""
+
+
 def image_ar_bucket_pack(sf_dir: str):
     """Aspect-ratio bucketing + per-bucket batch packing (the SDXL
     multi-resolution training layout): every training batch holds
@@ -8703,6 +8762,7 @@ QUERIES = {
     "events_type_unpivot": events_type_unpivot,
     "docs_rollup": docs_rollup,
     "sitemap_extract": sitemap_extract,
+    "unicode_nfc_normalize": unicode_nfc_normalize,
     "events_forward_fill": events_forward_fill,
     "lineitem_profile": lineitem_profile,
     "events_funnel": events_funnel,
@@ -8730,6 +8790,7 @@ QUERIES = {
     "pii_redaction": pii_redaction,
     "source_balance_resample": source_balance_resample,
     "sitemap_extract": sitemap_extract,
+    "unicode_nfc_normalize": unicode_nfc_normalize,
     "arrow_ipc_roundtrip": arrow_ipc_roundtrip,
     "events_cume_dist": events_cume_dist,
     "events_percent_rank": events_percent_rank,
@@ -8863,6 +8924,7 @@ ORACLE_SQL = {
     "events_type_unpivot": UNPIVOT_SQL,
     "docs_rollup": ROLLUP_SQL,
     "sitemap_extract": SITEMAP_SQL,
+    "unicode_nfc_normalize": NFC_SQL,
     "events_forward_fill": FFILL_SQL,
     "lineitem_profile": PROFILE_SQL,
     "events_funnel": FUNNEL_SQL,
@@ -8890,6 +8952,7 @@ ORACLE_SQL = {
     "pii_redaction": PII_SQL,
     "source_balance_resample": SOURCE_BALANCE_SQL,
     "sitemap_extract": SITEMAP_SQL,
+    "unicode_nfc_normalize": NFC_SQL,
     "arrow_ipc_roundtrip": IPC_SQL,
     "part_name_fuzzy_join": FUZZY_SQL,
     "favorite_event_type": MODE_SQL,
