@@ -7889,6 +7889,58 @@ FROM built ORDER BY doc_id
 """
 
 
+def doc_chunking(sf_dir: str):
+    """Context-window chunking (RAG/embedding prep): split every
+    document into overlapping word windows (W=32, stride 24) —
+    embarrassingly parallel inside ``map_batches``, one output row per
+    chunk with its exact text and word count; a short document yields
+    one whole-document chunk.  The oracle rebuilds the identical
+    windows with list_slice + generate_series."""
+    W, S = 32, 24
+
+    def chunk(t: pa.Table) -> pa.Table:
+        ids, cidx, texts, nwords = [], [], [], []
+        for i, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            words = s.split(" ")
+            n = len(words)
+            n_chunks = (max(n, W) - W + S - 1) // S + 1
+            for c in range(n_chunks):
+                piece = words[c * S : c * S + W]
+                ids.append(i)
+                cidx.append(c)
+                texts.append(" ".join(piece))
+                nwords.append(len(piece))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "chunk_idx": pa.array(cidx, pa.int64()),
+                "chunk": pa.array(texts, pa.string()),
+                "n_words": pa.array(nwords, pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(chunk, batch_format="pyarrow")
+        .sort(["doc_id", "chunk_idx"])
+    )
+
+
+CHUNK_SQL = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+), idx AS (
+  SELECT doc_id, l, unnest(generate_series(0,
+      CAST(ceil((greatest(len(l), 32) - 32) / 24.0) AS BIGINT))) AS i
+  FROM d
+)
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+       array_to_string(list_slice(l, i*24 + 1, i*24 + 32), ' ') AS chunk,
+       CAST(len(list_slice(l, i*24 + 1, i*24 + 32)) AS BIGINT) AS n_words
+FROM idx ORDER BY doc_id, chunk_idx
+"""
+
+
 def image_ar_bucket_pack(sf_dir: str):
     """Aspect-ratio bucketing + per-bucket batch packing (the SDXL
     multi-resolution training layout): every training batch holds
@@ -8763,6 +8815,7 @@ QUERIES = {
     "docs_rollup": docs_rollup,
     "sitemap_extract": sitemap_extract,
     "unicode_nfc_normalize": unicode_nfc_normalize,
+    "doc_chunking": doc_chunking,
     "events_forward_fill": events_forward_fill,
     "lineitem_profile": lineitem_profile,
     "events_funnel": events_funnel,
@@ -8791,6 +8844,7 @@ QUERIES = {
     "source_balance_resample": source_balance_resample,
     "sitemap_extract": sitemap_extract,
     "unicode_nfc_normalize": unicode_nfc_normalize,
+    "doc_chunking": doc_chunking,
     "arrow_ipc_roundtrip": arrow_ipc_roundtrip,
     "events_cume_dist": events_cume_dist,
     "events_percent_rank": events_percent_rank,
@@ -8925,6 +8979,7 @@ ORACLE_SQL = {
     "docs_rollup": ROLLUP_SQL,
     "sitemap_extract": SITEMAP_SQL,
     "unicode_nfc_normalize": NFC_SQL,
+    "doc_chunking": CHUNK_SQL,
     "events_forward_fill": FFILL_SQL,
     "lineitem_profile": PROFILE_SQL,
     "events_funnel": FUNNEL_SQL,
@@ -8953,6 +9008,7 @@ ORACLE_SQL = {
     "source_balance_resample": SOURCE_BALANCE_SQL,
     "sitemap_extract": SITEMAP_SQL,
     "unicode_nfc_normalize": NFC_SQL,
+    "doc_chunking": CHUNK_SQL,
     "arrow_ipc_roundtrip": IPC_SQL,
     "part_name_fuzzy_join": FUZZY_SQL,
     "favorite_event_type": MODE_SQL,
