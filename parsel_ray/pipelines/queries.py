@@ -7941,6 +7941,84 @@ FROM idx ORDER BY doc_id, chunk_idx
 """
 
 
+def boilerplate_removal(sf_dir: str):
+    """Readability-style main-content extraction: pages are synthesized
+    with nav/aside/footer boilerplate (heavy in links) around the
+    document text split into paragraphs; the extractor scores every
+    block element by link-density-penalized text mass (the
+    boilerpipe/readability signal — no tag names hardcoded) and returns
+    the best subtree's paragraph text.  The gate pins exact recovery of
+    the original document text through build → parse → score →
+    extract."""
+    from ..selector import Selector
+
+    def build_and_extract(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        out = []
+        for i, s in zip(ids, t["text"].to_pylist()):
+            words = s.split(" ")
+            paras = [
+                " ".join(words[j : j + 12])
+                for j in range(0, len(words), 12)
+            ]
+            body = "".join(f"<p>{p}</p>" for p in paras)
+            html = (
+                "<html><head><title>d</title></head><body>"
+                "<nav><a href='/a'>home sweet home</a>"
+                "<a href='/b'>about the site</a>"
+                "<a href='/c'>contact us now</a></nav>"
+                f"<div id='main'>{body}</div>"
+                "<aside><a href='/x'>related article one</a>"
+                "<a href='/y'>related article two</a></aside>"
+                "<footer><a href='/z'>terms</a> copyright legal "
+                "boilerplate <a href='/w'>privacy</a></footer>"
+                "</body></html>"
+            )
+            sel = Selector(text=html)
+            best, best_score = None, -1.0
+            for node in sel.xpath(
+                "//body//*[self::div or self::section or self::nav "
+                "or self::aside or self::footer or self::main]"
+            ):
+                text = " ".join(
+                    x.strip() for x in node.xpath(".//text()").getall()
+                    if x.strip()
+                )
+                link_text = " ".join(
+                    x.strip()
+                    for x in node.xpath(".//a//text()").getall()
+                    if x.strip()
+                )
+                score = len(text) - 2.0 * len(link_text)
+                if score > best_score:
+                    best, best_score = node, score
+            paras_out = [
+                " ".join(
+                    x.strip() for x in p.xpath(".//text()").getall()
+                    if x.strip()
+                )
+                for p in best.xpath(".//p")
+            ]
+            out.append(" ".join(paras_out))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "extracted": pa.array(out, pa.string()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(build_and_extract, batch_format="pyarrow")
+        .sort("doc_id")
+    )
+
+
+BOILERPLATE_SQL = """
+SELECT doc_id, text AS extracted FROM documents ORDER BY doc_id
+"""
+
+
 def image_ar_bucket_pack(sf_dir: str):
     """Aspect-ratio bucketing + per-bucket batch packing (the SDXL
     multi-resolution training layout): every training batch holds
@@ -8816,6 +8894,7 @@ QUERIES = {
     "sitemap_extract": sitemap_extract,
     "unicode_nfc_normalize": unicode_nfc_normalize,
     "doc_chunking": doc_chunking,
+    "boilerplate_removal": boilerplate_removal,
     "events_forward_fill": events_forward_fill,
     "lineitem_profile": lineitem_profile,
     "events_funnel": events_funnel,
@@ -8845,6 +8924,7 @@ QUERIES = {
     "sitemap_extract": sitemap_extract,
     "unicode_nfc_normalize": unicode_nfc_normalize,
     "doc_chunking": doc_chunking,
+    "boilerplate_removal": boilerplate_removal,
     "arrow_ipc_roundtrip": arrow_ipc_roundtrip,
     "events_cume_dist": events_cume_dist,
     "events_percent_rank": events_percent_rank,
@@ -8980,6 +9060,7 @@ ORACLE_SQL = {
     "sitemap_extract": SITEMAP_SQL,
     "unicode_nfc_normalize": NFC_SQL,
     "doc_chunking": CHUNK_SQL,
+    "boilerplate_removal": BOILERPLATE_SQL,
     "events_forward_fill": FFILL_SQL,
     "lineitem_profile": PROFILE_SQL,
     "events_funnel": FUNNEL_SQL,
@@ -9009,6 +9090,7 @@ ORACLE_SQL = {
     "sitemap_extract": SITEMAP_SQL,
     "unicode_nfc_normalize": NFC_SQL,
     "doc_chunking": CHUNK_SQL,
+    "boilerplate_removal": BOILERPLATE_SQL,
     "arrow_ipc_roundtrip": IPC_SQL,
     "part_name_fuzzy_join": FUZZY_SQL,
     "favorite_event_type": MODE_SQL,
