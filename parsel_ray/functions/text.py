@@ -667,3 +667,93 @@ def repetition_stats(
             ),
         }
     )
+
+
+def char_bigram_counts(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Per-batch partial char-bigram counts — the combiner stage of the
+    distributed LM train (shuffle state is O(distinct bigrams), bounded
+    by alphabet², never by corpus size)."""
+    from collections import Counter
+
+    c: Counter = Counter()
+    for s in batch[col].to_pylist():
+        if not s:
+            continue
+        c.update(zip(s, s[1:]))
+    if not c:
+        return pa.table(
+            {
+                "prev": pa.array([], pa.string()),
+                "cur": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+    prev, cur = zip(*c.keys())
+    return pa.table(
+        {
+            "prev": pa.array(list(prev), pa.string()),
+            "cur": pa.array(list(cur), pa.string()),
+            "n": pa.array(list(c.values()), pa.int64()),
+        }
+    )
+
+
+def train_char_bigram_lm(ds, col: str = "text", alpha: float = 1.0):
+    """Distributed char-bigram LM (the CCNet-style quality-filter model,
+    Wenzek et al. 2020 §4.3, with a bigram model standing in for the
+    KenLM 5-gram): combiner counts inside ``map_batches``, one small
+    groupby over O(alphabet²) rows, Laplace smoothing.  Returns
+    ``(bigram_logp, prev_total, vocab)`` dicts sized by the alphabet —
+    broadcastable via ``ray.put``."""
+    import math
+
+    from .agg import partial_sum_groupby
+
+    counts = partial_sum_groupby(
+        ds.map_batches(
+            lambda t: char_bigram_counts(t, col), batch_format="pyarrow"
+        ),
+        ["prev", "cur"],
+        {"n": "n"},
+    ).take_all()  # O(alphabet²) rows
+    prev_tot: dict = {}
+    vocab = set()
+    for r in counts:
+        prev_tot[r["prev"]] = prev_tot.get(r["prev"], 0) + r["n"]
+        vocab.add(r["prev"])
+        vocab.add(r["cur"])
+    v = len(vocab)
+    logp = {
+        (r["prev"], r["cur"]): math.log(
+            (r["n"] + alpha) / (prev_tot[r["prev"]] + alpha * v)
+        )
+        for r in counts
+    }
+    return logp, prev_tot, vocab
+
+
+def perplexity_scores(
+    batch: pa.Table, model, col: str = "text", alpha: float = 1.0,
+    out: str = "ppl",
+) -> pa.Table:
+    """Append per-document bits-per-char perplexity under a broadcast
+    char-bigram LM (unseen bigrams back off to the Laplace floor)."""
+    import math
+
+    logp, prev_tot, vocab = model
+    v = len(vocab)
+    vals = []
+    for s in batch[col].to_pylist():
+        if not s or len(s) < 2:
+            vals.append(None)
+            continue
+        total = 0.0
+        for pair in zip(s, s[1:]):
+            lp = logp.get(pair)
+            if lp is None:
+                lp = math.log(
+                    alpha / (prev_tot.get(pair[0], 0) + alpha * v)
+                )
+            total += lp
+        vals.append(math.exp(-total / (len(s) - 1)))
+    return batch.append_column(out, pa.array(vals, pa.float64()))

@@ -8019,6 +8019,43 @@ SELECT doc_id, text AS extracted FROM documents ORDER BY doc_id
 """
 
 
+def doc_lm_perplexity(sf_dir: str):
+    """CCNet-style LM quality filter: train a char-bigram LM on the
+    corpus itself (distributed combiner counts, O(alphabet²) shuffle
+    state), broadcast it once via ``ray.put``, and score every document
+    with bits-per-char perplexity — low = fluent/common, high =
+    junk-shaped.  Certified in-kernel: the distributed model's total
+    bigram mass must equal the corpus' exact bigram count (computed
+    from the same Dataset), and every perplexity must be finite and
+    positive.  Rows-only gate (float scores; ordering is pinned by the
+    pytest reference-equality test instead)."""
+    import ray as _ray
+
+    from ..functions.text import perplexity_scores, train_char_bigram_lm
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    model = train_char_bigram_lm(ds, "text")
+    total_mass = sum(model[1].values())
+    mref = _ray.put(model)
+
+    def score(t: pa.Table) -> pa.Table:
+        out = perplexity_scores(t, _ray.get(mref), "text")
+        ppl = out["ppl"].to_numpy(zero_copy_only=False)
+        assert np.isfinite(ppl).all() and (ppl > 0).all()
+        return out.select(["doc_id", "ppl"])
+
+    def certify(t: pa.Table) -> pa.Table:
+        # exact mass check: sum over docs of (len(text)-1)
+        n = sum(
+            max(0, len(s) - 1) for s in t["text"].to_pylist()
+        )
+        return pa.table({"m": pa.array([n], pa.int64())})
+
+    mass = ds.map_batches(certify, batch_format="pyarrow").sum("m")
+    assert int(mass) == total_mass, "bigram mass mismatch"
+    return ds.map_batches(score, batch_format="pyarrow").sort("doc_id")
+
+
 def image_ar_bucket_pack(sf_dir: str):
     """Aspect-ratio bucketing + per-bucket batch packing (the SDXL
     multi-resolution training layout): every training batch holds
@@ -8895,6 +8932,7 @@ QUERIES = {
     "unicode_nfc_normalize": unicode_nfc_normalize,
     "doc_chunking": doc_chunking,
     "boilerplate_removal": boilerplate_removal,
+    "doc_lm_perplexity": doc_lm_perplexity,
     "events_forward_fill": events_forward_fill,
     "lineitem_profile": lineitem_profile,
     "events_funnel": events_funnel,
@@ -8925,6 +8963,7 @@ QUERIES = {
     "unicode_nfc_normalize": unicode_nfc_normalize,
     "doc_chunking": doc_chunking,
     "boilerplate_removal": boilerplate_removal,
+    "doc_lm_perplexity": doc_lm_perplexity,
     "arrow_ipc_roundtrip": arrow_ipc_roundtrip,
     "events_cume_dist": events_cume_dist,
     "events_percent_rank": events_percent_rank,

@@ -112,3 +112,77 @@ class TestRepetitionStats:
         assert out.loc[1, "top_bigram_n"] == 2
         assert out.loc[3, "top_bigram"] == "z z"
         assert out.loc[3, "top_bigram_n"] == 2
+
+
+class TestCharBigramLM:
+    def test_distributed_equals_reference(self, ray_session):
+        import math
+
+        import pyarrow as pa
+        import ray.data as rd
+
+        from parsel_ray.functions.text import (
+            perplexity_scores,
+            train_char_bigram_lm,
+        )
+
+        texts = ["the cat sat", "the dog ran far", "zzz qqq xxx", "hello"]
+        t = pa.table(
+            {
+                "doc_id": pa.array(list(range(4)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        model = train_char_bigram_lm(rd.from_arrow(t).repartition(3))
+        # single-process reference
+        from collections import Counter
+
+        ref = Counter()
+        for s in texts:
+            ref.update(zip(s, s[1:]))
+        vocab = {c for pair in ref for c in pair}
+        v = len(vocab)
+        prev_tot = Counter()
+        for (p, _c), n in ref.items():
+            prev_tot[p] += n
+        assert model[1] == dict(prev_tot)
+        for pair, n in ref.items():
+            want = math.log((n + 1) / (prev_tot[pair[0]] + v))
+            assert abs(model[0][pair] - want) < 1e-12
+        # a model trained on fluent text scores held-out junk worse
+        fluent = pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(
+                    ["the cat sat on the mat", "the dog ran to the car"],
+                    pa.string(),
+                ),
+            }
+        )
+        fm = train_char_bigram_lm(rd.from_arrow(fluent))
+        held = pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(
+                    ["the rat sat on the car", "zqx jww vkk pzz"],
+                    pa.string(),
+                ),
+            }
+        )
+        scored = perplexity_scores(held, fm).to_pandas().set_index("doc_id")
+        assert scored.loc[1, "ppl"] > scored.loc[0, "ppl"]
+
+    def test_short_docs_null(self):
+        import pyarrow as pa
+
+        from parsel_ray.functions.text import perplexity_scores
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(["", "a"], pa.string()),
+            }
+        )
+        model = ({}, {}, {"a"})
+        out = perplexity_scores(t, model).to_pandas()
+        assert out["ppl"].isna().all()
