@@ -8959,11 +8959,6 @@ QUERIES = {
     "doc_repetition_stats": doc_repetition_stats,
     "pii_redaction": pii_redaction,
     "source_balance_resample": source_balance_resample,
-    "sitemap_extract": sitemap_extract,
-    "unicode_nfc_normalize": unicode_nfc_normalize,
-    "doc_chunking": doc_chunking,
-    "boilerplate_removal": boilerplate_removal,
-    "doc_lm_perplexity": doc_lm_perplexity,
     "arrow_ipc_roundtrip": arrow_ipc_roundtrip,
     "events_cume_dist": events_cume_dist,
     "events_percent_rank": events_percent_rank,
@@ -9126,10 +9121,6 @@ ORACLE_SQL = {
     "doc_repetition_stats": REPETITION_SQL,
     "pii_redaction": PII_SQL,
     "source_balance_resample": SOURCE_BALANCE_SQL,
-    "sitemap_extract": SITEMAP_SQL,
-    "unicode_nfc_normalize": NFC_SQL,
-    "doc_chunking": CHUNK_SQL,
-    "boilerplate_removal": BOILERPLATE_SQL,
     "arrow_ipc_roundtrip": IPC_SQL,
     "part_name_fuzzy_join": FUZZY_SQL,
     "favorite_event_type": MODE_SQL,
