@@ -192,3 +192,114 @@ def image_corpus_prep(crawl_cfg, out_dir: str | None = None):
         ),
         out_dir,
     )
+
+
+def training_batch_prep(crawl_cfg, batch_size: int = 8):
+    """Training-loader capstone: crawl image corpus → aspect-ratio
+    buckets → fixed-size per-bucket batch packing → WebDataset tar
+    shards, each stage the engine's own operator.
+
+        crawl (worker-side image shards)   [stateful actor frontier]
+          → AR bucket assignment            [vectorized ratio argmin]
+          → (bucket, batch, slot) packing   [grouped_row_number cells]
+          → batch-contiguous tar shards     [grouped_apply + tarshard]
+
+    Contracts asserted in-pipeline: packing is a permutation (row count
+    preserved), every non-tail batch holds exactly ``batch_size``
+    members of ONE bucket, batches never span tar shards, and the tar
+    sample receipts equal the packed row count.  Returns (funnel table,
+    shard dir).
+    """
+    import pandas as pd
+
+    from ..functions.arbucket import assign_ar_buckets, pack_bucket_batches
+    from ..sources.tarshard import write_tar_shards
+    from ..crawl.frontier import run_crawl
+
+    work = tempfile.mkdtemp(prefix="batchprep_", dir="/tmp")
+    run_crawl(crawl_cfg, out_dir=work, collect_images=False, verify=False)
+    shard_files = sorted(
+        _glob.glob(os.path.join(work, "images", "epoch=*", "chunk-*.parquet"))
+    )
+    if not shard_files:
+        raise ValueError("crawl produced no image shards")
+    imgs = rd.read_parquet(shard_files)
+    funnel: list = []
+    n0 = imgs.count()
+    funnel.append(("crawled", n0))
+
+    packed = pack_bucket_batches(
+        assign_ar_buckets(imgs, "w", "h"),
+        order_by=["phash", "image_id"],
+        ascending=[True, True],
+        batch_size=batch_size,
+        num_partitions=4,
+    ).materialize()
+    n1 = packed.count()
+    assert n1 == n0, f"packing dropped rows: {n0} -> {n1}"
+    funnel.append(("packed", n1))
+
+    # batch-shape audit: O(batches) rows on the driver, not O(images)
+    from ..functions.agg import grouped_apply, partial_sum_groupby
+
+    shapes = partial_sum_groupby(
+        packed.map_batches(
+            lambda t: t.select(["bucket_id", "batch_idx"]),
+            batch_format="pyarrow",
+        ),
+        ["bucket_id", "batch_idx"], {}, count_as="n",
+    ).take_all()
+    per_bucket: dict = {}
+    for r in shapes:
+        per_bucket.setdefault(r["bucket_id"], []).append(
+            (r["batch_idx"], r["n"])
+        )
+    for bid, lst in per_bucket.items():
+        lst.sort()
+        for bidx, n in lst[:-1]:
+            assert n == batch_size, \
+                f"bucket {bid} batch {bidx} has {n} != {batch_size}"
+        assert lst[-1][1] <= batch_size
+
+    # batch-contiguous shard layout: coarse-partition by whole
+    # (bucket, batch) groups, order members inside each partition
+    def order_rows(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["bucket_id", "batch_idx", "slot"])
+
+    ordered = grouped_apply(
+        packed, ["bucket_id", "batch_idx"], order_rows, num_partitions=4
+    )
+
+    def tar_key(t: pa.Table) -> pa.Table:
+        key = [
+            f"{b}/{x:06d}/{s:03d}-{i}"
+            for b, x, s, i in zip(
+                t["bucket_id"].to_pylist(), t["batch_idx"].to_pylist(),
+                t["slot"].to_pylist(), t["image_id"].to_pylist(),
+            )
+        ]
+        return (
+            t.select(["bytes", "fmt", "caption", "bucket_w", "bucket_h"])
+            .append_column("__key__", pa.array(key, pa.string()))
+        )
+
+    shard_dir = os.path.join(work, "tars")
+    n2 = write_tar_shards(
+        ordered.map_batches(tar_key, batch_format="pyarrow"),
+        shard_dir,
+        key_col="__key__",
+        payload_exts={"bytes": "img"},
+        meta_cols=["fmt", "caption", "bucket_w", "bucket_h"],
+    )
+    assert n2 == n1, f"tar receipts {n2} != packed rows {n1}"
+    funnel.append(("tar_samples", n2))
+    funnel.append(
+        ("tar_shards",
+         len(_glob.glob(os.path.join(shard_dir, "*.tar"))))
+    )
+    return pa.table(
+        {
+            "stage": pa.array([s for s, _ in funnel], pa.string()),
+            "rows": pa.array([int(n) for _, n in funnel], pa.int64()),
+        }
+    ), shard_dir

@@ -4597,6 +4597,20 @@ def image_corpus_prep_q(sf_dir: str):
     return funnel
 
 
+def training_batch_prep_q(sf_dir: str):
+    """Training-loader capstone
+    (:mod:`parsel_ray.pipelines.image_prep.training_batch_prep`):
+    crawl image corpus → aspect-ratio buckets → fixed-size per-bucket
+    batch packing → batch-contiguous WebDataset tar shards.  Packing
+    permutation, batch shape (full batches except one tail per
+    bucket), and tar receipt equality are asserted in-pipeline; the
+    gate records the funnel (rows-only)."""
+    from .image_prep import training_batch_prep
+
+    funnel, _shards = training_batch_prep(_demo_crawl_cfg())
+    return funnel
+
+
 def phash_near_dup(sf_dir: str):
     """Perceptual-hash near-duplicate pairs over the crawled image corpus
     (hamming-banded grouping, exact popcount verify) — the phash hook
@@ -8882,6 +8896,7 @@ QUERIES = {
     "hash_join_native": hash_join_native,
     "phash_near_dup": phash_near_dup,
     "image_corpus_prep": image_corpus_prep_q,
+    "training_batch_prep": training_batch_prep_q,
     "crawl_demo": crawl_demo,
     "crawl_pop_order": crawl_pop_order,
     "crawl_image_verify": crawl_image_verify,

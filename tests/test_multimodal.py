@@ -1264,3 +1264,49 @@ class TestProgressiveJpeg:
             DecodeJpeg(), batch_format="pyarrow"
         ).to_pandas()
         assert len(out) == 1
+
+
+class TestTrainingBatchPrep:
+    """pipelines/image_prep.training_batch_prep — AR buckets → packed
+    batches → batch-contiguous WebDataset tar shards."""
+
+    def test_funnel_and_shard_layout(self, ray_session):
+        import os
+        import tarfile
+
+        from parsel_ray.pipelines.image_prep import training_batch_prep
+        from parsel_ray.pipelines.queries import _demo_crawl_cfg
+
+        funnel, shard_dir = training_batch_prep(_demo_crawl_cfg(),
+                                                batch_size=8)
+        rows = dict(zip(
+            funnel["stage"].to_pylist(), funnel["rows"].to_pylist()
+        ))
+        assert rows["crawled"] == rows["packed"] == rows["tar_samples"] > 0
+        assert rows["tar_shards"] >= 1
+        # batch contiguity: within every tar, the (bucket, batch) prefix
+        # of sample keys forms contiguous runs, and a batch never spans
+        # two shards
+        seen_batches = set()
+        total = 0
+        for f in sorted(os.listdir(shard_dir)):
+            if not f.endswith(".tar"):
+                continue
+            with tarfile.open(os.path.join(shard_dir, f)) as tf:
+                names = [m.name for m in tf.getmembers() if m.isfile()]
+            keys = []
+            for n in names:
+                k = n.rsplit(".", 1)[0]
+                if not keys or keys[-1] != k:
+                    keys.append(k)
+            total += len(keys)
+            prefixes = ["/".join(k.split("/")[:2]) for k in keys]
+            runs = []
+            for p in prefixes:
+                if not runs or runs[-1] != p:
+                    runs.append(p)
+            assert len(runs) == len(set(runs)), f"split batch in {f}"
+            for p in set(runs):
+                assert p not in seen_batches, f"batch {p} spans shards"
+                seen_batches.add(p)
+        assert total == rows["tar_samples"]
