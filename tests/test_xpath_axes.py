@@ -372,3 +372,72 @@ class TestGrammarEdges:
     def test_string_length_of_substring(self):
         s = self.sel()
         assert s.xpath("string(string-length(substring('hello', 2, 3)))").get() == "3"
+
+
+class TestGrammarCorners:
+    """XPath 1.0 grammar/function corners beyond the ported conformance
+    suite (spec §§2.4, 3.5-3.7, 4.2-4.4) — pinned after checking each
+    against the spec's rules (position rounding, per-context last(),
+    parenthesized path re-rooting, numeric lexing)."""
+
+    HTML = (
+        '<html><body>'
+        '<div id="a"><p class="x">one</p><p>two</p></div>'
+        '<div id="b"><p>three</p></div>'
+        '<span data-n="5">n5</span><span data-n="12">n12</span>'
+        '</body></html>'
+    )
+
+    def sel(self):
+        from parsel_ray import Selector
+
+        return Selector(text=self.HTML)
+
+    def test_last_is_per_context_vs_parenthesized(self):
+        s = self.sel()
+        assert s.xpath("//p[last()]/text()").getall() == ["two", "three"]
+        assert s.xpath("(//p)[last()]/text()").getall() == ["three"]
+
+    def test_position_mod_predicate(self):
+        assert self.sel().xpath(
+            "//div/p[position() mod 2 = 1]/text()"
+        ).getall() == ["one", "three"]
+
+    def test_parent_abbreviation_to_attribute(self):
+        assert self.sel().xpath("//p/../@id").getall() == ["a", "b"]
+
+    def test_numeric_attribute_comparison(self):
+        assert self.sel().xpath(
+            "//span[@data-n > 10]/@data-n"
+        ).getall() == ["12"]
+
+    def test_substring_rounding_rules(self):
+        # spec §4.2: round(1.5)=2, round(1.5+2.6)=4 → chars 2..3
+        s = self.sel()
+        assert s.xpath("substring('12345', 1.5, 2.6)").get() == "234"
+        assert s.xpath("substring('12345', 0)").get() == "12345"
+        assert s.xpath("substring('12345', 2, 3)").get() == "234"
+
+    def test_translate_drops_unmapped(self):
+        assert self.sel().xpath(
+            "translate('abcabc', 'abc', 'AB')"
+        ).get() == "ABAB"
+
+    def test_nodeset_to_string_takes_first(self):
+        assert self.sel().xpath("concat(//p, '-')").get() == "one-"
+
+    def test_arithmetic_precedence_div_mod(self):
+        s = self.sel()
+        assert s.xpath("2 + 3 * 4 - 1").get() == "13.0"
+        assert s.xpath("10 div 4").get() == "2.5"
+        assert s.xpath("7 mod 3").get() == "1.0"
+        assert s.xpath("5.5 mod 2").get() == "1.5"  # fmod, not int mod
+        assert s.xpath("-(-5)").get() == "5.0"
+
+    def test_number_trims_whitespace(self):
+        assert self.sel().xpath("number('  12  ')").get() == "12.0"
+
+    def test_union_count_and_boolean_combinators(self):
+        s = self.sel()
+        assert s.xpath("count(//p | //span)").get() == "5.0"
+        assert s.xpath("boolean(//p) and not(//table)").get() == "1"
