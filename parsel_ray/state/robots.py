@@ -31,6 +31,24 @@ def parse_robots(text: str) -> list[str]:
     return disallows
 
 
+def parse_sitemap_urls(text: str) -> list[str]:
+    """``Sitemap:`` directives from a robots.txt body (REP: they apply
+    regardless of the User-agent group, values are absolute URLs) —
+    the discovery hook that feeds :func:`sitemap_extract`-style seed
+    generation into the frontier."""
+    out: list[str] = []
+    for line in text.splitlines():
+        line = line.split("#", 1)[0].strip()
+        if not line:
+            continue
+        key, _, val = line.partition(":")
+        if key.strip().lower() == "sitemap":
+            val = val.strip()
+            if val:
+                out.append(val)
+    return out
+
+
 class RobotsCache:
     """Per-host Disallow-prefix cache; ``fetch_robots(host) -> str | None``
     supplies the robots body (None = no robots file = allow all)."""

@@ -155,6 +155,22 @@ class TestState:
         cache2.restore(st)
         assert not cache2.allowed("h.test", "/page/3")
 
+    def test_sitemap_discovery(self):
+        from parsel_ray.state.robots import parse_sitemap_urls
+
+        body = (
+            "User-agent: *\nDisallow: /x\n"
+            "Sitemap: https://h.test/sitemap.xml\n"
+            "# Sitemap: https://h.test/commented.xml\n"
+            "sitemap: https://h.test/other.xml\n"
+            "Sitemap:\n"
+        )
+        assert parse_sitemap_urls(body) == [
+            "https://h.test/sitemap.xml",
+            "https://h.test/other.xml",
+        ]
+        assert parse_sitemap_urls("") == []
+
 
 class TestPageStore:
     def test_pages_deterministic(self):
