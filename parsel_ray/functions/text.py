@@ -737,23 +737,43 @@ def perplexity_scores(
     out: str = "ppl",
 ) -> pa.Table:
     """Append per-document bits-per-char perplexity under a broadcast
-    char-bigram LM (unseen bigrams back off to the Laplace floor)."""
+    char-bigram LM (unseen bigrams back off to the Laplace floor).
+
+    Vectorized: the model densifies once per call into a (V+1)² log-prob
+    matrix (V = alphabet size; the extra row/col is OOV), each document
+    becomes a codepoint array via a utf-32 view, and the bigram log-prob
+    sum is one fancy-indexed gather — no per-char Python."""
     import math
 
     logp, prev_tot, vocab = model
     v = len(vocab)
+    chars = np.array(sorted(vocab))
+    codes = np.array([ord(c) for c in chars], dtype=np.uint32)
+    order = np.argsort(codes)
+    codes = codes[order]
+    chars = chars[order]
+    # floor per previous-char (OOV prev has prev_tot 0)
+    floors = np.array(
+        [math.log(alpha / (prev_tot.get(c, 0) + alpha * v))
+         for c in chars] + [math.log(1.0 / v) if v else 0.0]
+    )
+    mat = np.tile(floors[:, None], (1, v + 1))
+    for (p, c), lp in logp.items():
+        pi = np.searchsorted(codes, ord(p))
+        ci = np.searchsorted(codes, ord(c))
+        mat[pi, ci] = lp
+
     vals = []
     for s in batch[col].to_pylist():
         if not s or len(s) < 2:
             vals.append(None)
             continue
-        total = 0.0
-        for pair in zip(s, s[1:]):
-            lp = logp.get(pair)
-            if lp is None:
-                lp = math.log(
-                    alpha / (prev_tot.get(pair[0], 0) + alpha * v)
-                )
-            total += lp
-        vals.append(math.exp(-total / (len(s) - 1)))
+        cp = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+        idx = np.searchsorted(codes, cp)
+        idx_c = np.minimum(idx, v - 1) if v else np.zeros_like(idx)
+        ids = np.where(
+            (v > 0) & (codes[idx_c] == cp), idx_c, v
+        ).astype(np.int64)
+        total = float(mat[ids[:-1], ids[1:]].sum())
+        vals.append(math.exp(-total / (len(cp) - 1)))
     return batch.append_column(out, pa.array(vals, pa.float64()))
