@@ -7772,7 +7772,12 @@ def sitemap_extract(sf_dir: str):
     ``map_batches`` with the sitemaps.org default namespace mapped to a
     prefix (reference namespace semantics:
     /root/reference/parsel/selector.py register_namespace usage).  The
-    oracle rebuilds every <loc>/<lastmod> pair relationally."""
+    oracle rebuilds every <loc>/<lastmod> pair relationally.  (The
+    sitemap protocol caps one file at 50k URLs / 50 MB; the production
+    builder would emit a sitemapindex + per-50k-chunk files from the
+    same grouped_apply — chunking by ``rank // 50_000`` with
+    ``grouped_row_number`` — the single-file build here keeps the gate
+    round-trip exact.)"""
     import pandas as pd
 
     from ..functions.agg import grouped_apply
