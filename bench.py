@@ -173,14 +173,23 @@ def bench_sessionize(sf_dir: str) -> int:
     return events_sessionize(sf_dir).count()
 
 
-def crawl_config():
+def crawl_config(scale: int = 1):
+    """Crawl bench configuration.  ``scale`` widens the synthetic web
+    (pages-per-host and seeds ×scale — host count only grows the zipf web
+    logarithmically, page depth grows it linearly) WITHOUT adding BSP
+    epochs — the per-epoch actor-RTT/barrier cost is a fixed serial term
+    (~6.5 s at sf0.1 probe size, measured), so the default probe
+    under-reads scaling efficiency the way a 7 k-URL crawl would
+    under-read a 10^10-URL frontier; the scaling probe passes scale>1
+    (env ``BENCH_CRAWL_SCALE``) to amortize it, mirroring extract's
+    ``BENCH_REPLICATE`` bump."""
     from parsel_ray.crawl.oracle import CrawlConfig
     from parsel_ray.crawl.pagestore import StoreConfig
 
     return CrawlConfig(
         store=StoreConfig(
             n_hosts=64,
-            pages_per_host=2048,
+            pages_per_host=2048 * scale,
             figures_base=5,
             figures_mod=4,
             links_base=3,
@@ -188,13 +197,18 @@ def crawl_config():
             img_size_min=48,
             img_size_span=81,
         ),
-        n_seeds=64,
+        n_seeds=64 * scale,
         max_depth=12,
         max_epochs=40,
         shards=16,
-        bucket_capacity=128,
-        bucket_refill=128,
-        filter_capacity=1 << 17,
+        # politeness budget scales with the web: a fixed 128/host/epoch
+        # refill against an 8x-deeper zipf host leaves the crawl tail
+        # politeness-starved (128-URL waves that cannot use the cluster —
+        # real for ONE giant host, but a 10^10-URL frontier has hosts >>
+        # workers and its waves stay wide, which is what the probe models)
+        bucket_capacity=128 * scale,
+        bucket_refill=128 * scale,
+        filter_capacity=(1 << 17) * scale,
     )
 
 
@@ -211,9 +225,10 @@ def bench_crawl(sf_dir: str) -> int:
     from parsel_ray.crawl.frontier import run_crawl
 
     out = tempfile.mkdtemp(prefix="crawl_bench_", dir="/tmp")
+    scale = int(os.environ.get("BENCH_CRAWL_SCALE", "1"))
     try:
-        res = run_crawl(crawl_config(), out_dir=out, collect_images=False,
-                        verify=False)
+        res = run_crawl(crawl_config(scale), out_dir=out,
+                        collect_images=False, verify=False)
     finally:
         shutil.rmtree(out, ignore_errors=True)
     return int(res.metrics["popped"])
@@ -334,6 +349,15 @@ def main() -> None:
                     # ~1 s fixed pipeline cost that otherwise caps the
                     # efficiency reading
                     env["BENCH_REPLICATE"] = str(max(REPLICATE, 80))
+                if name == "crawl":
+                    # wider synthetic web for the scaling probe: the BSP
+                    # epoch barrier is a fixed ~6.5 s serial term that the
+                    # 7 k-URL default probe cannot amortize (55% of the
+                    # 16-cpu runtime); ×8 hosts/seeds keeps the epoch
+                    # count while widening each wave — the 10^10-URL
+                    # frontier shape
+                    env["BENCH_CRAWL_SCALE"] = os.environ.get(
+                        "BENCH_CRAWL_SCALE", "8")
                 for _ in range(repeats):  # median of repeats: the shared
                     # box shows ±30-60% noise; the median resists outliers
                     # in BOTH directions (a lucky fast small-CPU run would

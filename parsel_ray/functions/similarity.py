@@ -881,3 +881,61 @@ class PcaProject:
                 np.floor(proj[:, i] * 1e6 + 0.5).astype(np.int64)
             )
         return pa.table(cols)
+
+
+def semdedup(ds, centroids_ref, threshold: float = 0.95,
+             id_col: str = "vec_id", emb_col: str = "embedding",
+             num_partitions: int = 32):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication of an embedding corpus — cluster with k-means, then
+    drop within-cluster rows whose cosine similarity to an EARLIER
+    (lower ``id_col``) row of the same cluster is >= ``threshold``.
+
+    Distribution: one :class:`IvfAssign` map (broadcast centroids via
+    ``ray.put``/LazyRef, zero-copy batches) + one cell-keyed coarse
+    shuffle; per cell a single normalized matmul and an upper-triangle
+    any() give the drop mask — no per-row Python, no driver-side
+    vectors.  Per-cell memory is (N/k)^2 floats; at corpus scale k grows
+    with N (SemDeDup's own prescription) to bound the cell quadratic.
+
+    Deterministic contract (what the in-kernel mask certifies): a row is
+    dropped iff SOME earlier same-cell row (kept or not — chains drop
+    with their head, matching the paper's "keep one representative per
+    duplicate neighborhood" at the stated threshold) is >= threshold.
+
+    Returns the surviving rows (original columns + ``ivf_cell``).
+    """
+    import pandas as pd
+
+    from .relational import _bucket_of
+
+    assigned = ds.map_batches(
+        IvfAssign(centroids_ref, emb_col=emb_col), batch_format="pyarrow"
+    )
+
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__part", _bucket_of(t["ivf_cell"].cast(pa.int64()), num_partitions)
+        )
+
+    def per_cell(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, sub in g.groupby("ivf_cell", sort=True):
+            sub = sub.sort_values(id_col, kind="mergesort")
+            mat = np.stack(sub[emb_col].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            mat = mat / norms[:, None]
+            sims = mat @ mat.T
+            dup = (np.triu(sims >= threshold, k=1)).any(axis=0)
+            out.append(sub.loc[~dup])
+        return pd.concat(out, ignore_index=True) if out else g.iloc[0:0]
+
+    return (
+        assigned.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(
+            lambda g: per_cell(g.drop(columns=["__part"])),
+            batch_format="pandas",
+        )
+    )

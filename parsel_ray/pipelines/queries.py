@@ -8813,6 +8813,76 @@ def events_hourly_streaming(sf_dir: str):
     return ds
 
 
+def dedup_substring_spans(sf_dir: str):
+    """Exact cross-document duplicated-substring spans (the Lee et al.
+    2022 suffix-array dedup shape as one gram-keyed shuffle): every
+    32-char gram shared verbatim by >= 2 docs marks its range, ranges
+    merge per doc into maximal spans.  Exact ``key="gram"`` mode (UTF-32
+    byte keys — what the oracle checks); the hashed-key 100 TB variant
+    is asserted equal in tests.  See
+    :func:`parsel_ray.functions.dedup.duplicated_substring_spans`."""
+    return D.duplicated_substring_spans(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        L=32, key="gram", num_partitions=16,
+    )
+
+
+SUBSTR_SPANS_SQL = """
+WITH grams AS (
+  SELECT doc_id, CAST(u.p AS BIGINT) AS pos,
+         substr(text, CAST(u.p AS INTEGER) + 1, 32) AS gram
+  FROM documents,
+       UNNEST(range(0, GREATEST(length(COALESCE(text, '')) - 31, 0))) AS u(p)
+),
+shared AS (
+  SELECT gram FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+),
+marked AS (
+  SELECT g.doc_id, g.pos FROM grams g JOIN shared s USING (gram)
+),
+flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > COALESCE(
+                lag(pos) OVER (PARTITION BY doc_id ORDER BY pos),
+                -2147483648) + 32
+              THEN 1 ELSE 0 END AS brk
+  FROM marked
+),
+islands AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+  FROM flagged
+)
+SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 32 AS span_end,
+       MAX(pos) + 32 - MIN(pos) AS span_chars
+FROM islands GROUP BY doc_id, gid
+"""
+
+
+def semdedup_embeddings(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023): k-means cells over the embedding
+    corpus, drop rows with a >= 0.5-cosine earlier neighbor in the same
+    cell.  Centroids train on a seeded distributed ``random_sample``
+    (driver holds only the k x D matrix, broadcast back via ``ray.put``);
+    the per-cell dedup mask is one matmul + triu-any per cell.  Rows-only
+    gate (k-means cells are not SQL-expressible); planted-duplicate
+    recall and the drop-rule contract are pinned in tests.  See
+    :func:`parsel_ray.functions.similarity.semdedup`."""
+    from ..functions.similarity import semdedup, train_centroids
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    n = ds.count()  # parquet metadata only — no scan
+    frac = min(1.0, 8192.0 / max(n, 1))
+    sample = ds.random_sample(frac, seed=42).take_batch(
+        16384, batch_format="pyarrow"
+    )
+    cent = train_centroids(_stack_embeddings(sample["embedding"]), k=8)
+    surv = semdedup(
+        ds, ray.put(cent), threshold=0.5, num_partitions=8
+    )
+    return surv.select_columns(["vec_id", "ivf_cell"])
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -9000,6 +9070,8 @@ QUERIES = {
     "events_enrich_streaming": events_enrich_streaming,
     "evolved_schema_read": evolved_schema_read,
     "events_hourly_streaming": events_hourly_streaming,
+    "dedup_substring_spans": dedup_substring_spans,
+    "semdedup_embeddings": semdedup_embeddings,
 }
 
 ORACLE_SQL = {
@@ -9156,4 +9228,5 @@ ORACLE_SQL = {
     "events_enrich_streaming": ENRICH_STREAM_SQL,
     "evolved_schema_read": EVOLVED_SQL,
     "events_hourly_streaming": HOURLY_SQL,
+    "dedup_substring_spans": SUBSTR_SPANS_SQL,
 }

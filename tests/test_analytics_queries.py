@@ -861,3 +861,157 @@ class TestShotBoundaries:
         assert out["video_ok"].to_pylist() == [True, False]
         assert out["n_shots"].to_pylist()[0] == 3  # cuts at frames 2 and 4
         assert out["boundaries"].to_pylist()[0] == [2, 4]
+
+
+class TestDuplicatedSubstringSpans:
+    """functions/dedup.py::duplicated_substring_spans — exact Lee et al.
+    2022 substring dedup as a gram-keyed shuffle.  Pins the span merge
+    against a brute-force single-process reference on a planted-overlap
+    corpus and asserts the hash64 scale path emits the identical span
+    set as the exact UTF-32 gram path."""
+
+    @staticmethod
+    def _reference(docs, L):
+        from collections import defaultdict
+
+        owners = defaultdict(set)
+        for d, txt in docs.items():
+            for s in range(len(txt) - L + 1):
+                owners[txt[s:s + L]].add(d)
+        spans = []
+        for d, txt in docs.items():
+            marked = sorted(
+                s for s in range(len(txt) - L + 1)
+                if len(owners[txt[s:s + L]]) >= 2
+            )
+            cur = None
+            for s in marked:
+                if cur is None or s > cur[1] + L:
+                    if cur:
+                        spans.append((d, cur[0], cur[1] + L))
+                    cur = [s, s]
+                else:
+                    cur[1] = s
+            if cur:
+                spans.append((d, cur[0], cur[1] + L))
+        return {(d, a, b, b - a) for d, a, b in spans}
+
+    @pytest.mark.parametrize("key", ["gram", "hash64"])
+    def test_matches_reference(self, ray_session, key):
+        import ray.data as rd
+
+        from parsel_ray.functions.dedup import duplicated_substring_spans
+
+        rng = np.random.RandomState(11)
+        L = 8
+        shared = ["".join(rng.choice(list("abcdef"), 20)) for _ in range(6)]
+        docs = {}
+        for d in range(40):
+            parts = []
+            for _ in range(rng.randint(1, 4)):
+                if rng.rand() < 0.6:
+                    parts.append(shared[rng.randint(len(shared))])
+                parts.append("".join(rng.choice(list("ghijklmnop"),
+                                                rng.randint(3, 25))))
+            docs[d] = "".join(parts)
+        docs[40] = "xy"           # shorter than L -> no gram rows
+        docs[41] = None           # null text tolerated
+
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(list(docs), pa.int64()),
+                    "text": pa.array(list(docs.values())),
+                }
+            )
+        ).repartition(7)
+        got = {
+            (r["doc_id"], r["span_start"], r["span_end"], r["span_chars"])
+            for r in duplicated_substring_spans(
+                ds, L=L, key=key, num_partitions=5
+            ).take_all()
+        }
+        want = self._reference(
+            {d: t for d, t in docs.items() if t is not None}, L
+        )
+        assert got == want
+        assert got  # planted overlaps actually produced spans
+
+    def test_bad_key_rejected(self, ray_session):
+        import ray.data as rd
+
+        from parsel_ray.functions.dedup import duplicated_substring_spans
+
+        ds = rd.from_arrow(pa.table({"doc_id": pa.array([1], pa.int64()),
+                                     "text": pa.array(["x"])}))
+        with pytest.raises(ValueError, match="gram"):
+            duplicated_substring_spans(ds, key="md5")
+
+
+class TestSemDedup:
+    """functions/similarity.py::semdedup — planted near-duplicate
+    clusters: within a cell, every row with an earlier >=threshold
+    neighbor drops; the earliest of each duplicate neighborhood stays."""
+
+    def test_planted_duplicates(self, ray_session):
+        import ray
+        import ray.data as rd
+
+        from parsel_ray.functions.similarity import semdedup
+
+        rng = np.random.RandomState(3)
+        D = 16
+        bases = rng.randn(5, D)
+        bases /= np.linalg.norm(bases, axis=1, keepdims=True)
+        rows, dup_of = [], {}
+        vid = 0
+        for b in range(5):
+            head = vid
+            for j in range(8):
+                if j == 0:
+                    v = bases[b]
+                else:
+                    # tight jitter: cosine to base stays > 0.999
+                    v = bases[b] + rng.randn(D) * 1e-3
+                    dup_of[vid] = head
+                rows.append((vid, (v / np.linalg.norm(v))
+                             .astype(np.float32)))
+                vid += 1
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "embedding": pa.array([r[1].tolist() for r in rows],
+                                          pa.list_(pa.float32())),
+                }
+            )
+        ).repartition(4)
+        # centroids = the exact bases -> each planted cluster is one cell
+        surv = semdedup(
+            ds, ray.put(bases.astype(np.float32)), threshold=0.99,
+            num_partitions=3,
+        ).take_all()
+        kept = sorted(r["vec_id"] for r in surv)
+        # exactly the 5 cluster heads survive
+        assert kept == [0, 8, 16, 24, 32]
+
+    def test_threshold_one_keeps_all(self, ray_session):
+        import ray
+        import ray.data as rd
+
+        from parsel_ray.functions.similarity import semdedup
+
+        rng = np.random.RandomState(4)
+        mat = rng.randn(30, 8).astype(np.float32)
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(30), pa.int64()),
+                    "embedding": pa.array([v.tolist() for v in mat],
+                                          pa.list_(pa.float32())),
+                }
+            )
+        )
+        cent = rng.randn(4, 8).astype(np.float32)
+        surv = semdedup(ds, ray.put(cent), threshold=1.5).take_all()
+        assert sorted(r["vec_id"] for r in surv) == list(range(30))
