@@ -139,7 +139,15 @@ def main() -> int:
             spark_rows=len(got), oracle_rows=len(want))
     if json_out:
         import json
+        import os
 
+        if only and os.path.exists(json_out):
+            # partial run: update the existing snapshot in registry order
+            # instead of clobbering the other entries
+            with open(json_out) as f:
+                prior = json.load(f)
+            prior.update(records)
+            records = {n: prior[n] for n in qs if n in prior}
         with open(json_out, "w") as f:
             json.dump(records, f, indent=2)
         print(f"wrote {len(records)} records to {json_out}")
