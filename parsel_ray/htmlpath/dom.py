@@ -119,8 +119,11 @@ class ProcessingInstruction:
         self.parent: Any = None
 
     def serialize(self, method: str = "html") -> str:
-        body = f"{self.target} {self.text}".rstrip()
-        return f"<?{body}?>"
+        body = f"{self.target} {self.text}" if self.text else self.target
+        # libxml2 serialization: XML PIs close with "?>"; HTML PIs are
+        # SGML-style and close with a bare ">" (any trailing "?" the HTML
+        # tokenizer captured is already part of ``text``)
+        return f"<?{body}>" if method == "html" else f"<?{body}?>"
 
 
 class Element:
@@ -428,7 +431,19 @@ class _TreeBuilder(_StdHTMLParser):
         pass
 
     def handle_pi(self, data: str) -> None:
-        pass
+        # libxml2's HTML parser keeps <?...> as a PI node (SGML-style,
+        # terminated by the first ">"; html.parser hands us everything
+        # between "<?" and ">", including any trailing "?").  The XML
+        # declaration is not a PI and is dropped, matching libxml2.
+        parts = data.split(None, 1)
+        if not parts:
+            return
+        target = parts[0]
+        if target.lower() == "xml":
+            return
+        self._append_node(
+            ProcessingInstruction(target, parts[1] if len(parts) > 1 else "")
+        )
 
 
 _WS_RE = re.compile(r"\S")
@@ -680,6 +695,15 @@ def parse_xml(text: str, base_url: str | None = None, huge_tree: bool = True) ->
                 doc.id_attrs = doc.id_attrs or None
             continue
         elif m.group("pi") is not None:
+            # keep PIs as tree nodes (libxml2 does); the XML declaration
+            # <?xml version=...?> is not a PI node and is dropped
+            parts = m.group("pi").split(None, 1)
+            if parts and parts[0].lower() != "xml":
+                append_node(
+                    ProcessingInstruction(
+                        parts[0], parts[1] if len(parts) > 1 else ""
+                    )
+                )
             continue
         elif m.group("open") is not None:
             if not huge_tree and len(stack) >= _MAX_DEPTH_NO_HUGE_TREE:

@@ -13,7 +13,12 @@ axes, ``processing-instruction()`` node tests, ``id()`` and ``lang()``
 are implemented (id-ness comes from the ``id`` attribute for parsed HTML,
 libxml2's behavior, plus DTD-declared ID attributes for XML).  Round 3
 added whole-node-set FilterExpr predicates (``(//a)[2]``), plain-decimal
-number->string conversion, and spec substring() bounds.  Queries are
+number->string conversion, spec substring() bounds, real
+processing-instruction NODES (both parsers build them; target-literal
+node tests, name()/string-value per spec section 5.5), the implicit
+``xml`` prefix binding, lang() over namespace-expanded ``xml:lang``,
+and the libxml2 number() grammar (no leading ``+``/``inf``/``nan``
+words; exponent accepted) — pinned in tests/test_xpath_spec_edges.py.  Queries are
 compiled per worker with an LRU cache (mirrors the reference's
 translation cache policy, csstranslator.py:130-138).
 """
@@ -659,12 +664,14 @@ class Parser:
             if nxt.kind == "sym" and nxt.value == "(":
                 self.next()  # name
                 self.next()  # (
+                pi_target = None
                 if local == "processing-instruction" and self.peek().kind == "str":
-                    self.next()
+                    pi_target = self.next().value
                 self.expect_sym(")")
                 kind = {"processing-instruction": "pi"}.get(local, local)
                 preds = self._parse_predicates()
-                return Step(axis, kind, None, None, preds)
+                # PI literal target rides in the ``local`` slot
+                return Step(axis, kind, None, pi_target, preds)
         self.next_qname()
         preds = self._parse_predicates()
         return Step(axis, "name", prefix, local, preds)
@@ -789,6 +796,9 @@ def to_string(v: Any) -> str:
     return str(v)
 
 
+_NUMBER_RE = re.compile(r"-?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?\Z")
+
+
 def to_number(v: Any) -> float:
     if isinstance(v, list):
         return to_number(to_string(v))
@@ -796,10 +806,14 @@ def to_number(v: Any) -> float:
         return 1.0 if v else 0.0
     if isinstance(v, float):
         return v
-    try:
-        return float(str(v).strip())
-    except ValueError:
+    # libxml2's xmlXPathStringEvalNumber grammar: optional minus, digits
+    # with optional fraction, optional exponent.  No leading "+", no
+    # "inf"/"nan" words, no underscores — all NaN (Python float() accepts
+    # them, so gate with a regex first).
+    s = str(v).strip()
+    if _NUMBER_RE.match(s) is None:
         return float("nan")
+    return float(s)
 
 
 def to_bool(v: Any) -> bool:
@@ -818,7 +832,9 @@ class Evaluator:
         namespaces: dict[str, str] | None = None,
         variables: dict[str, Any] | None = None,
     ) -> None:
-        self.namespaces = namespaces or {}
+        self.namespaces = dict(namespaces) if namespaces else {}
+        # the "xml" prefix is implicitly bound in every XPath context
+        self.namespaces.setdefault("xml", XML_NS)
         self.variables = variables or {}
         self.eval_context: dict[str, Any] = {}
         self.okey = make_order_key()
@@ -1114,7 +1130,9 @@ class Evaluator:
         if kind == "comment":
             return isinstance(node, Comment)
         if kind == "pi":
-            return isinstance(node, ProcessingInstruction)
+            return isinstance(node, ProcessingInstruction) and (
+                step.local is None or node.target == step.local
+            )
         # name test; principal node type depends on axis
         if step.axis == "attribute":
             if not isinstance(node, AttrNode):
@@ -1474,6 +1492,8 @@ def _fn_name(ev, args, ctx, pos, size):
         return n.parent._attr_name(n.name)
     if isinstance(n, NamespaceNode):
         return n.prefix or ""
+    if isinstance(n, ProcessingInstruction):
+        return n.target
     return ""
 
 
@@ -1488,6 +1508,8 @@ def _fn_local_name(ev, args, ctx, pos, size):
     if isinstance(n, AttrNode):
         name = n.name
         return name.split("}", 1)[1] if name.startswith("{") else name
+    if isinstance(n, ProcessingInstruction):
+        return n.target
     return ""
 
 
@@ -1545,7 +1567,11 @@ def _fn_lang(ev, args, ctx, pos, size):
     node = ctx
     while node is not None:
         if isinstance(node, Element):
+            # HTML mode stores the literal "xml:lang" name; XML mode stores
+            # the namespace-expanded form
             v = node.attrib.get("xml:lang")
+            if v is None:
+                v = node.attrib.get(f"{{{XML_NS}}}lang")
             if v is not None:
                 v = v.lower()
                 return v == want or v.startswith(want + "-")

@@ -396,7 +396,7 @@ class Selector:
             result = [result]
 
         from .htmlpath.xpath import AttrNode, NamespaceNode, TextNode
-        from .htmlpath.dom import Comment, _strip_entity_refs
+        from .htmlpath.dom import Comment, ProcessingInstruction, _strip_entity_refs
 
         smart = getattr(self, "_lxml_smart_strings", False)
         wrapped = []
@@ -415,6 +415,8 @@ class Selector:
                 x = x.uri
             elif isinstance(x, Comment):
                 x = f"<!--{x.text}-->"
+            elif isinstance(x, ProcessingInstruction):
+                x = x.serialize(_xml_or_html(self.type))
             wrapped.append(
                 self.__class__(
                     root=x,
