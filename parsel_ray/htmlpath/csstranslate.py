@@ -444,35 +444,19 @@ class Translator:
         self, name: str, raw_args: list[tuple[str, str]], expr: XPathExpr, pos: int
     ) -> int:
         if name == "nth-child":
-            a, b = _parse_nth(raw_args)
-            if a == 0:
-                expr.add_condition(f"count(preceding-sibling::*) = {b - 1}")
-            else:
-                # an+b pattern: (position - b) mod a == 0 and position >= b
-                expr.add_condition(
-                    f"(count(preceding-sibling::*) + 1 >= {b}) and "
-                    f"((count(preceding-sibling::*) + 1 - {b}) mod {a} = 0)"
-                )
+            expr.add_condition(
+                _nth_condition("count(preceding-sibling::*)", *_parse_nth(raw_args))
+            )
         elif name == "nth-last-child":
-            a, b = _parse_nth(raw_args)
-            if a == 0:
-                expr.add_condition(f"count(following-sibling::*) = {b - 1}")
-            else:
-                expr.add_condition(
-                    f"(count(following-sibling::*) + 1 >= {b}) and "
-                    f"((count(following-sibling::*) + 1 - {b}) mod {a} = 0)"
-                )
+            expr.add_condition(
+                _nth_condition("count(following-sibling::*)", *_parse_nth(raw_args))
+            )
         elif name in ("nth-of-type", "nth-last-of-type"):
             el = self._of_type_element(expr, name + "()")
-            sib = ("preceding" if name == "nth-of-type" else "following")
-            a, b = _parse_nth(raw_args)
-            if a == 0:
-                expr.add_condition(f"count({sib}-sibling::{el}) = {b - 1}")
-            else:
-                expr.add_condition(
-                    f"(count({sib}-sibling::{el}) + 1 >= {b}) and "
-                    f"((count({sib}-sibling::{el}) + 1 - {b}) mod {a} = 0)"
-                )
+            sib = "preceding" if name == "nth-of-type" else "following"
+            expr.add_condition(
+                _nth_condition(f"count({sib}-sibling::{el})", *_parse_nth(raw_args))
+            )
         elif name == "not":
             inner_css = "".join(v for _k, v in raw_args)
             inner = Translator(self.html)
@@ -503,6 +487,25 @@ class Translator:
         if expr.element == "*":
             raise ExpressionError(f"*:{pseudo} is not implemented")
         return expr.element
+
+
+def _nth_condition(count_expr: str, a: int, b: int) -> str:
+    """XPath condition for the CSS an+b pattern over a sibling count:
+    position p (= count_expr + 1) matches iff p = a*k + b for some
+    integer k >= 0.  For a > 0 that is p >= b with (p - b) mod a = 0;
+    for a < 0 it is p <= b with (b - p) mod -a = 0 (e.g. -n+2 matches
+    positions 2 and 1); a = 0 pins p = b exactly."""
+    if a == 0:
+        return f"{count_expr} = {b - 1}"
+    if a > 0:
+        return (
+            f"({count_expr} + 1 >= {b}) and "
+            f"(({count_expr} + 1 - {b}) mod {a} = 0)"
+        )
+    return (
+        f"({count_expr} + 1 <= {b}) and "
+        f"(({b} - ({count_expr} + 1)) mod {-a} = 0)"
+    )
 
 
 def _parse_nth(raw_args: list[tuple[str, str]]) -> tuple[int, int]:

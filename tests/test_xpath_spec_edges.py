@@ -279,3 +279,43 @@ class TestLangFunction:
             text='<html xml:lang="en"><body><p>x</p></body></html>'
         )
         assert h.xpath("//p[lang('en')]").get() == "<p>x</p>"
+
+
+class TestCssNthChildAnPlusB:
+    """CSS an+b with every sign combination, cross-checked against the
+    closed-form definition (p = a*k + b, k >= 0) on a 7-item list.
+    Round 3 fixed the a < 0 family (e.g. -n+2 = positions 1..2)."""
+
+    @pytest.fixture(scope="class")
+    def sel(self):
+        doc = (
+            "<html><body><ul>"
+            + "".join(f"<li>{i}</li>" for i in range(1, 8))
+            + "</ul></body></html>"
+        )
+        return Selector(text=doc)
+
+    @staticmethod
+    def _ref(a, b, n=7):
+        out = []
+        for p in range(1, n + 1):
+            if a == 0:
+                if p == b:
+                    out.append(p)
+            elif (p - b) % a == 0 and (p - b) // a >= 0:
+                out.append(p)
+        return [str(p) for p in out]
+
+    @pytest.mark.parametrize("a", range(-3, 4))
+    @pytest.mark.parametrize("b", range(-2, 9))
+    def test_all_sign_combinations(self, sel, a, b):
+        s = str(b) if a == 0 else (f"{a}n+{b}" if b >= 0 else f"{a}n{b}")
+        got = sel.css(f"li:nth-child({s})::text").getall()
+        assert got == self._ref(a, b), s
+        got_last = sel.css(f"li:nth-last-child({s})::text").getall()
+        want_last = [str(8 - int(p)) for p in self._ref(a, b)][::-1]
+        assert got_last == want_last, s
+
+    def test_minus_n_plus_two(self, sel):
+        assert sel.css("li:nth-child(-n+2)::text").getall() == ["1", "2"]
+        assert sel.css("li:nth-of-type(-2n+5)::text").getall() == ["1", "3", "5"]
