@@ -432,10 +432,50 @@ class Translator:
                 "(@checked and (name(.) = 'input' or name(.) = 'command') "
                 "and (@type = 'checkbox' or @type = 'radio'))"
             )
+        elif name == "link" and self.html:
+            expr.add_condition(
+                "@href and "
+                "(name(.) = 'a' or name(.) = 'link' or name(.) = 'area')"
+            )
         elif name == "disabled" and self.html:
-            expr.add_condition("@disabled")
+            # cssselect HTMLTranslator semantics, incl. its documented
+            # quirk: "input and @type != 'hidden'" is false for inputs
+            # with NO type attribute, and the first-legend exception of
+            # the HTML spec is not modeled
+            expr.add_condition(
+                "("
+                "@disabled and ("
+                "(name(.) = 'input' and @type != 'hidden') or "
+                "name(.) = 'button' or name(.) = 'select' or "
+                "name(.) = 'textarea' or name(.) = 'command' or "
+                "name(.) = 'fieldset' or name(.) = 'optgroup' or "
+                "name(.) = 'option')"
+                ") or ("
+                "((name(.) = 'input' and @type != 'hidden') or "
+                "name(.) = 'button' or name(.) = 'select' or "
+                "name(.) = 'textarea') "
+                "and ancestor::fieldset[@disabled]"
+                ")"
+            )
         elif name == "enabled" and self.html:
-            expr.add_condition("not(@disabled)")
+            expr.add_condition(
+                "("
+                "@href and (name(.) = 'a' or name(.) = 'link' or "
+                "name(.) = 'area')"
+                ") or ("
+                "(name(.) = 'command' or name(.) = 'fieldset' or "
+                "name(.) = 'optgroup') and not(@disabled)"
+                ") or ("
+                "((name(.) = 'input' and @type != 'hidden') or "
+                "name(.) = 'button' or name(.) = 'select' or "
+                "name(.) = 'textarea' or name(.) = 'keygen') "
+                "and not(@disabled) "
+                "and not(ancestor::fieldset[@disabled])"
+                ") or ("
+                "name(.) = 'option' and not(@disabled or "
+                "ancestor::optgroup[@disabled])"
+                ")"
+            )
         else:
             raise ExpressionError(f"The pseudo-class :{name} is unknown")
         return pos
@@ -468,6 +508,21 @@ class Translator:
                 name_test = f"name() = '{sub.element}'"
                 cond = f"{name_test} and ({cond})" if cond else name_test
             expr.add_condition(f"not({cond})" if cond else "0")
+        elif name == "lang":
+            value = "".join(v for _k, v in raw_args).strip().strip("'\"")
+            lit = value.replace("'", "")  # keep the condition parseable
+            if self.html:
+                # cssselect HTMLTranslator: nearest ancestor-or-self @lang,
+                # case-insensitive, hyphen-refinement prefix
+                expr.add_condition(
+                    "ancestor-or-self::*[@lang][1]"
+                    "[starts-with(concat(translate(@lang, "
+                    "'ABCDEFGHIJKLMNOPQRSTUVWXYZ', "
+                    "'abcdefghijklmnopqrstuvwxyz'), '-'), "
+                    f"'{lit.lower()}-')]"
+                )
+            else:
+                expr.add_condition(f"lang('{lit}')")
         elif name == "has":
             inner_css = "".join(v for _k, v in raw_args).strip()
             axis = "descendant::"
