@@ -72,6 +72,8 @@ def canonical_url(url: str, base: str | None = None) -> str | None:
         return None
     if not host:
         return None
+    if ":" in host:  # IPv6 literal: .hostname strips the brackets
+        host = f"[{host}]"
     netloc = host
     if port is not None and str(port) != _DEFAULT_PORTS.get(scheme):
         netloc = f"{host}:{port}"

@@ -55,6 +55,10 @@ class TestUrlNorm:
             ("http://host-1.test:abc/page/1", None),
             ("http://host-1.test:99999999/x", None),
             ("http://h.test:-1/x", None),
+            # IPv6 literals keep their brackets (urlsplit strips them)
+            ("http://[::1]:8080/p", "http://[::1]:8080/p"),
+            ("HTTP://[2001:DB8::1]/x", "http://[2001:db8::1]/x"),
+            ("http://[::1]:80/p", "http://[::1]/p"),
         ],
     )
     def test_canonical(self, raw, want):
