@@ -2082,6 +2082,69 @@ FROM documents
 """
 
 
+def image_exif_orientation(sf_dir: str):
+    """EXIF-orientation pipeline (``images/exif.py`` +
+    ``NormalizeOrientation`` stage): per-doc gradient JPEGs planted with
+    orientation 1 + doc_id % 8 via a minimal APP1 writer, decoded and
+    normalized to display pixels.  The oracle checks the parsed tag and
+    the oriented dims (5-8 swap the axes); the in-kernel assert pins the
+    pixel transform itself — normalized bytes must equal the reference
+    numpy transform of the decoded sensor pixels, exactly."""
+    from ..images.exif import apply_exif_orientation, write_exif_orientation
+    from ..images.jpeg import decode_jpeg, encode_jpeg
+    from ..stages.multimodal import NormalizeOrientation
+
+    def build(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "bytes": pa.array(
+                    [
+                        write_exif_orientation(
+                            encode_jpeg(_doc_image(i), quality=90), 1 + i % 8
+                        )
+                        for i in ids
+                    ],
+                    pa.binary(),
+                ),
+            }
+        )
+
+    def check(t: pa.Table) -> pa.Table:
+        for i, data, o, rgb, w, h in zip(
+            t["doc_id"].to_pylist(), t["bytes"].to_pylist(),
+            t["exif_orientation"].to_pylist(), t["rgb"].to_pylist(),
+            t["oriented_w"].to_pylist(), t["oriented_h"].to_pylist(),
+        ):
+            want = apply_exif_orientation(decode_jpeg(data), 1 + i % 8)
+            assert o == 1 + i % 8, f"doc {i}: tag {o}"
+            assert (h, w) == want.shape[:2], f"doc {i}: dims"
+            assert rgb == want.tobytes(), f"doc {i}: pixel transform"
+        return t.select(
+            ["doc_id", "exif_orientation", "oriented_w", "oriented_h"]
+        )
+
+    return (
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(build, batch_format="pyarrow", batch_size=256)
+        .map_batches(NormalizeOrientation(), batch_format="pyarrow",
+                     batch_size=256)
+        .map_batches(check, batch_format="pyarrow")
+    )
+
+
+EXIF_SQL = """
+SELECT doc_id,
+       CAST(1 + doc_id % 8 AS INTEGER) AS exif_orientation,
+       CAST(CASE WHEN 1 + doc_id % 8 >= 5 THEN 16 + doc_id % 17
+                 ELSE 16 + doc_id % 23 END AS INTEGER) AS oriented_w,
+       CAST(CASE WHEN 1 + doc_id % 8 >= 5 THEN 16 + doc_id % 23
+                 ELSE 16 + doc_id % 17 END AS INTEGER) AS oriented_h
+FROM documents
+"""
+
+
 def image_jpeg_progressive(sf_dir: str):
     """Progressive-JPEG (SOF2) round-trip: the same per-doc images as
     ``image_jpeg_roundtrip`` but written with
@@ -9072,6 +9135,7 @@ QUERIES = {
     "events_hourly_streaming": events_hourly_streaming,
     "dedup_substring_spans": dedup_substring_spans,
     "semdedup_embeddings": semdedup_embeddings,
+    "image_exif_orientation": image_exif_orientation,
 }
 
 ORACLE_SQL = {
@@ -9229,4 +9293,5 @@ ORACLE_SQL = {
     "evolved_schema_read": EVOLVED_SQL,
     "events_hourly_streaming": HOURLY_SQL,
     "dedup_substring_spans": SUBSTR_SPANS_SQL,
+    "image_exif_orientation": EXIF_SQL,
 }

@@ -181,6 +181,47 @@ class DecodeJpeg:
         )
 
 
+class NormalizeOrientation:
+    """EXIF-orientation-aware JPEG decode (``images/exif.py``): binary →
+    display-oriented RGB bytes + oriented dims + the parsed tag value
+    (1 when absent).  Every visual operator downstream (resize, phash,
+    AR bucketing, training tensors) must see DISPLAY pixels — a camera
+    tag of 5-8 swaps the axes, so ignoring it rotates thumbnails and
+    splits near-dup clusters.  Corrupt payloads set ``decode_ok`` =
+    False; corrupt EXIF inside a good JPEG degrades to orientation 1
+    rather than failing the decode."""
+
+    def __init__(self, bytes_col: str = "bytes") -> None:
+        self.bytes_col = bytes_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from ..images.exif import apply_exif_orientation, parse_exif_orientation
+        from ..images.jpeg import decode_jpeg
+
+        ws, hs, rgbs, orients, oks = [], [], [], [], []
+        for data in t[self.bytes_col].to_pylist():
+            try:
+                px = decode_jpeg(data)
+            except Exception:
+                oks.append(False)
+                ws.append(None); hs.append(None)
+                rgbs.append(None); orients.append(None)
+                continue
+            o = parse_exif_orientation(data) or 1
+            px = apply_exif_orientation(px, o)
+            oks.append(True)
+            orients.append(o)
+            hs.append(px.shape[0]); ws.append(px.shape[1])
+            rgbs.append(px.tobytes())
+        return (
+            t.append_column("exif_orientation", pa.array(orients, pa.int32()))
+            .append_column("oriented_w", pa.array(ws, pa.int32()))
+            .append_column("oriented_h", pa.array(hs, pa.int32()))
+            .append_column("rgb", pa.array(rgbs, pa.binary()))
+            .append_column("decode_ok", pa.array(oks, pa.bool_()))
+        )
+
+
 class DecodePng:
     """Full PNG decode (pure numpy+zlib codec, :mod:`parsel_ray.images.
     codecs.decode_png`): all five scanline filters, gray / gray+alpha /

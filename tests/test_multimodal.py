@@ -1310,3 +1310,104 @@ class TestTrainingBatchPrep:
                 assert p not in seen_batches, f"batch {p} spans shards"
                 seen_batches.add(p)
         assert total == rows["tar_samples"]
+
+
+class TestExifOrientation:
+    """images/exif.py: APP1 parse/write round-trip, the 8 display
+    transforms, corrupt-EXIF tolerance, and the NormalizeOrientation
+    stage contract."""
+
+    @staticmethod
+    def _jpeg(seed=3):
+        rng = np.random.RandomState(seed)
+        from parsel_ray.images.jpeg import encode_jpeg
+
+        yy, xx = np.mgrid[0:24, 0:32]
+        px = np.stack([(xx * 8) % 256, (yy * 11) % 256, (xx + yy) % 256],
+                      axis=-1).astype(np.uint8)
+        return encode_jpeg(px, quality=90)
+
+    @pytest.mark.parametrize("o", range(1, 9))
+    def test_write_parse_roundtrip(self, o):
+        from parsel_ray.images.exif import (
+            parse_exif_orientation, write_exif_orientation)
+        from parsel_ray.images.jpeg import decode_jpeg
+
+        base = self._jpeg()
+        tagged = write_exif_orientation(base, o)
+        assert parse_exif_orientation(tagged) == o
+        # the added APP1 never disturbs the entropy stream
+        assert (decode_jpeg(tagged) == decode_jpeg(base)).all()
+        # in-place rewrite path: tag again with a different value
+        retag = write_exif_orientation(tagged, 8 if o != 8 else 1)
+        assert parse_exif_orientation(retag) == (8 if o != 8 else 1)
+        assert len(retag) == len(tagged)
+
+    def test_untagged_and_corrupt(self):
+        from parsel_ray.images.exif import parse_exif_orientation
+
+        assert parse_exif_orientation(self._jpeg()) is None
+        assert parse_exif_orientation(b"") is None
+        assert parse_exif_orientation(b"\xff\xd8\xff\xe1\x00\x04Ex") is None
+        # APP1 present but truncated TIFF
+        bad = b"\xff\xd8\xff\xe1\x00\x0aExif\x00\x00II"
+        assert parse_exif_orientation(bad) is None
+
+    def test_strip(self):
+        from parsel_ray.images.exif import (
+            parse_exif_orientation, strip_exif_orientation,
+            write_exif_orientation)
+
+        tagged = write_exif_orientation(self._jpeg(), 6)
+        assert parse_exif_orientation(strip_exif_orientation(tagged)) == 1
+        plain = self._jpeg()
+        assert strip_exif_orientation(plain) is plain
+
+    def test_transforms_exact(self):
+        from parsel_ray.images.exif import apply_exif_orientation
+
+        a = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+        want = {
+            1: a,
+            2: a[:, ::-1],
+            3: a[::-1, ::-1],
+            4: a[::-1, :],
+            5: a.transpose(1, 0, 2),
+            6: a.transpose(1, 0, 2)[:, ::-1],
+            7: a.transpose(1, 0, 2)[::-1, ::-1],
+            8: a.transpose(1, 0, 2)[::-1, :],
+        }
+        for o, w in want.items():
+            got = apply_exif_orientation(a, o)
+            assert (got == w).all(), o
+            if o >= 5:
+                assert got.shape == (3, 2, 3)
+        # inverse pairs: rotating CW then CCW is identity, and the
+        # mirror/transpose orientations are involutions
+        assert (
+            apply_exif_orientation(apply_exif_orientation(a, 6), 8) == a
+        ).all()
+        for o in (2, 3, 4, 5, 7):
+            assert (
+                apply_exif_orientation(apply_exif_orientation(a, o), o) == a
+            ).all(), o
+
+    def test_stage(self, ray_session):
+        from parsel_ray.images.exif import write_exif_orientation
+        from parsel_ray.stages.multimodal import NormalizeOrientation
+
+        base = self._jpeg()
+        t = pa.table(
+            {
+                "bytes": pa.array(
+                    [base, write_exif_orientation(base, 6), b"junk"],
+                    pa.binary(),
+                )
+            }
+        )
+        out = NormalizeOrientation()(t)
+        assert out["decode_ok"].to_pylist() == [True, True, False]
+        assert out["exif_orientation"].to_pylist() == [1, 6, None]
+        # orientation 6 swaps the 32x24 image to 24x32
+        assert out["oriented_w"].to_pylist() == [32, 24, None]
+        assert out["oriented_h"].to_pylist() == [24, 32, None]
