@@ -472,6 +472,24 @@ def phash64(px: np.ndarray) -> int:
     return val - (1 << 64) if val >= 1 << 63 else val
 
 
+def phash_orbit64(px: np.ndarray) -> int:
+    """Rotation/mirror-canonical perceptual hash: the minimum
+    :func:`phash64` over the image's 8-element dihedral orbit (the EXIF
+    orientation transforms).  Any two images related by an EXACT
+    rotation/flip of the pixel array share the hash — the orbit sets are
+    identical — so hash-equality grouping catches rotated duplicates
+    that a single-orientation phash scatters across 8 buckets.  The
+    transforms must be applied to pixels (not to the 8x8 cell grid):
+    block boundaries of non-multiple-of-8 dims do not commute with
+    flips.  Lossy re-encoded rotations perturb bits and need the
+    Hamming-band path instead; this is the exact-orbit key."""
+    from .exif import apply_exif_orientation
+
+    return min(
+        phash64(apply_exif_orientation(px, o)) for o in range(1, 9)
+    )
+
+
 # -- header sniffing (format + dimensions WITHOUT decoding) ----------------
 #
 # At crawl scale most fetched blobs only need (fmt, w, h) to be routed,

@@ -4674,6 +4674,80 @@ def training_batch_prep_q(sf_dir: str):
     return funnel
 
 
+def phash_rotated_dedup(sf_dir: str):
+    """Rotation/mirror-robust image dedup via the orbit phash
+    (:func:`parsel_ray.images.codecs.phash_orbit64`): per-doc seeded
+    noise images, with every doc_id % 5 == 0 planting an EXACT
+    rotated/mirrored duplicate (dihedral transform 2-8 of the same
+    pixels) under id + 1,000,000.  One hash-keyed groupby recovers
+    exactly the planted pairs — a single-orientation phash scatters
+    them across buckets (asserted in tests).  Oracle: the planted pair
+    set is pure doc_id arithmetic."""
+    import pandas as pd
+
+    from ..images.codecs import phash_orbit64
+    from ..images.exif import apply_exif_orientation
+
+    def build(t: pa.Table) -> pa.Table:
+        img_ids, rgbs, ws, hs = [], [], [], []
+        for i in t["doc_id"].to_pylist():
+            rng = np.random.RandomState(i)
+            h, w = 16 + i % 13, 16 + i % 19
+            px = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+            img_ids.append(i)
+            rgbs.append(px.tobytes()); ws.append(w); hs.append(h)
+            if i % 5 == 0:
+                q = apply_exif_orientation(px, 2 + i % 7)
+                img_ids.append(i + 1_000_000)
+                rgbs.append(q.tobytes())
+                ws.append(q.shape[1]); hs.append(q.shape[0])
+        return pa.table(
+            {
+                "img_id": pa.array(img_ids, pa.int64()),
+                "rgb": pa.array(rgbs, pa.binary()),
+                "w": pa.array(ws, pa.int32()),
+                "h": pa.array(hs, pa.int32()),
+            }
+        )
+
+    def orbit_hash(t: pa.Table) -> pa.Table:
+        out = [
+            phash_orbit64(
+                np.frombuffer(r, np.uint8).reshape(h_, w_, 3)
+            )
+            for r, w_, h_ in zip(
+                t["rgb"].to_pylist(), t["w"].to_pylist(), t["h"].to_pylist()
+            )
+        ]
+        return pa.table(
+            {"img_id": t["img_id"], "ph": pa.array(out, pa.int64())}
+        )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame(
+                {"lo": pd.Series([], dtype="int64"),
+                 "hi": pd.Series([], dtype="int64")}
+            )
+        assert len(g) == 2, f"unexpected orbit-hash collision: {g}"
+        ids = sorted(g["img_id"])
+        return pd.DataFrame({"lo": [ids[0]], "hi": [ids[1]]})
+
+    return (
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(build, batch_format="pyarrow", batch_size=256)
+        .map_batches(orbit_hash, batch_format="pyarrow", batch_size=256)
+        .groupby("ph")
+        .map_groups(pairs, batch_format="pandas")
+    )
+
+
+PHASH_ROT_SQL = """
+SELECT doc_id AS lo, doc_id + 1000000 AS hi
+FROM documents WHERE doc_id % 5 = 0
+"""
+
+
 def phash_near_dup(sf_dir: str):
     """Perceptual-hash near-duplicate pairs over the crawled image corpus
     (hamming-banded grouping, exact popcount verify) — the phash hook
@@ -9136,6 +9210,7 @@ QUERIES = {
     "dedup_substring_spans": dedup_substring_spans,
     "semdedup_embeddings": semdedup_embeddings,
     "image_exif_orientation": image_exif_orientation,
+    "phash_rotated_dedup": phash_rotated_dedup,
 }
 
 ORACLE_SQL = {
@@ -9294,4 +9369,5 @@ ORACLE_SQL = {
     "events_hourly_streaming": HOURLY_SQL,
     "dedup_substring_spans": SUBSTR_SPANS_SQL,
     "image_exif_orientation": EXIF_SQL,
+    "phash_rotated_dedup": PHASH_ROT_SQL,
 }

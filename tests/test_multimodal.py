@@ -1411,3 +1411,33 @@ class TestExifOrientation:
         # orientation 6 swaps the 32x24 image to 24x32
         assert out["oriented_w"].to_pylist() == [32, 24, None]
         assert out["oriented_h"].to_pylist() == [24, 32, None]
+
+
+class TestOrbitPhash:
+    """images/codecs.py::phash_orbit64 — dihedral-orbit-canonical hash."""
+
+    def test_orbit_invariance(self):
+        from parsel_ray.images.codecs import phash64, phash_orbit64
+        from parsel_ray.images.exif import apply_exif_orientation
+
+        rng = np.random.RandomState(7)
+        px = rng.randint(0, 256, (17, 23, 3)).astype(np.uint8)
+        base = phash_orbit64(px)
+        scattered = set()
+        for o in range(1, 9):
+            q = apply_exif_orientation(px, o)
+            assert phash_orbit64(q) == base, o
+            scattered.add(phash64(q))
+        # the single-orientation hash really does scatter the orbit
+        # (non-multiple-of-8 dims: flips move block boundaries)
+        assert len(scattered) > 1
+
+    def test_distinct_images_distinct_hash(self):
+        from parsel_ray.images.codecs import phash_orbit64
+
+        rng = np.random.RandomState(9)
+        hashes = {
+            phash_orbit64(rng.randint(0, 256, (16, 16, 3)).astype(np.uint8))
+            for _ in range(64)
+        }
+        assert len(hashes) == 64
