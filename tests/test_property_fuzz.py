@@ -93,3 +93,80 @@ class TestCanonicalUrlProperties:
         out = canonical_url(rel, base="https://host.example/a/b")
         if out is not None and "://" in out:
             assert out.split("://", 1)[0] in ("https", "http")
+
+
+class TestXPathGrammarFuzz:
+    """Grammar-driven XPath fuzz: recursively generated expressions from
+    the XPath 1.0 production set must never escape the error contract —
+    evaluation either returns a clean SelectorList (getall() is
+    list[str] for HTML selectors) or raises ValueError.  No internal
+    exception type, no crash, regardless of how the productions
+    compose."""
+
+    _DOC = Selector(
+        text="<html><body><div id='a'><p class='x'>1</p>"
+        "<p>2</p></div><span>s</span></body></html>"
+    )
+
+    _AXES = [
+        "child::", "descendant::", "self::", "parent::", "ancestor::",
+        "following-sibling::", "preceding-sibling::", "following::",
+        "preceding::", "descendant-or-self::", "ancestor-or-self::",
+        "attribute::", "", "@",
+    ]
+    _TESTS = ["*", "p", "div", "node()", "text()", "comment()",
+              "processing-instruction()"]
+    _FNS1 = ["string", "number", "boolean", "not", "normalize-space",
+             "string-length", "count", "sum", "floor", "ceiling", "round",
+             "name", "local-name"]
+    _BINOPS = ["+", "-", "*", "div", "mod", "=", "!=", "<", ">", "<=",
+               ">=", "and", "or", "|"]
+
+    @classmethod
+    def _expr(cls, draw, depth):
+        kind = draw(st.integers(0, 6 if depth > 0 else 2))
+        if kind == 0:
+            steps = draw(st.lists(st.tuples(
+                st.sampled_from(cls._AXES), st.sampled_from(cls._TESTS)
+            ), min_size=1, max_size=3))
+            path = "/".join(
+                f"{ax}{t}" for ax, t in steps
+                if not (ax == "@" and "(" in t)
+            ) or "p"
+            return ("//" if draw(st.booleans()) else "") + path
+        if kind == 1:
+            return repr(draw(st.text(string.ascii_letters, max_size=5)))
+        if kind == 2:
+            return str(draw(st.integers(-99, 99)))
+        if kind == 3:
+            f = draw(st.sampled_from(cls._FNS1))
+            return f"{f}({cls._expr(draw, depth - 1)})"
+        if kind == 4:
+            a = cls._expr(draw, depth - 1)
+            b = cls._expr(draw, depth - 1)
+            op = draw(st.sampled_from(cls._BINOPS))
+            return f"({a} {op} {b})"
+        if kind == 5:
+            base = cls._expr(draw, depth - 1)
+            pred = cls._expr(draw, depth - 1)
+            return f"(({base})[{pred}])"
+        return f"-({cls._expr(draw, depth - 1)})"
+
+    @FAST
+    @given(st.data())
+    def test_generated_expression_contract(self, data):
+        expr = self._expr(data.draw, 3)
+        try:
+            out = self._DOC.xpath(expr).getall()
+        except ValueError:
+            return
+        assert isinstance(out, list)
+        assert all(isinstance(v, str) for v in out)
+
+    @FAST
+    @given(st.text(max_size=40))
+    def test_arbitrary_garbage_expression(self, expr):
+        try:
+            self._DOC.xpath(expr).getall()
+        except ValueError:
+            return
