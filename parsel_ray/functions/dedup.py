@@ -1476,3 +1476,101 @@ def duplicated_substring_spans(ds, id_col: str = "doc_id",
             batch_format="pandas",
         )
     )
+
+
+def orbit_hamming_near_dup_pairs(ds, hashes_col: str, id_col: str,
+                                 n_bands: int = 8, max_hamming: int = 6,
+                                 num_partitions: int = 32):
+    """Rotation/mirror-robust Hamming near-dup pairs: each row carries
+    the 8 dihedral-orbit perceptual hashes (``list<int64>``, orientation
+    order 1-8 — :func:`parsel_ray.images.codecs.phash_orbit64`'s
+    constituents), and two images are near-dups when the MINIMUM
+    Hamming distance over all 8x8 orientation combinations is
+    <= ``max_hamming`` — a lossy (re-encoded / perturbed) rotated copy
+    that plain single-orientation banding scatters across buckets.
+
+    Distribution: every image indexes under each of its 8 orientation
+    hashes' bands (pigeonhole: the (i, j) pair realizing the min shares
+    a band when ``n_bands > max_hamming``, so recall is guaranteed at
+    the stated threshold); per-image duplicate band keys collapse
+    before the shuffle, so fan-out is <= 8 x n_bands slim rows per
+    image with the 64-byte hash vector attached.  Per-band verification
+    is one vectorized (pairs, 8, 8) xor-popcount.  Pair dedup across
+    bands is a combiner groupby on the pair key.
+    """
+    import pandas as pd_
+
+    from .agg import grouped_apply, partial_agg_groupby
+
+    if 64 % n_bands:
+        raise ValueError("n_bands must divide 64")
+    if n_bands <= max_hamming:
+        raise ValueError(
+            f"n_bands={n_bands} cannot guarantee recall at "
+            f"max_hamming={max_hamming}"
+        )
+    width = 64 // n_bands
+    mask = np.uint64((1 << width) - 1)
+
+    def emit(t: pa.Table) -> pa.Table:
+        ids_out, bid_out, bval_out, vec_out = [], [], [], []
+        for i, hs in zip(t[id_col].to_pylist(), t[hashes_col].to_pylist()):
+            if hs is None or len(hs) != 8:
+                raise ValueError(f"{hashes_col} must hold 8 hashes")
+            arr = np.array(hs, dtype=np.int64).astype(np.uint64)
+            seen = set()
+            for bd in range(n_bands):
+                for band in ((arr >> np.uint64(bd * width)) & mask):
+                    key = (bd, int(band))
+                    if key in seen:
+                        continue
+                    seen.add(key)
+                    ids_out.append(i)
+                    bid_out.append(bd)
+                    bval_out.append(int(band))
+                    vec_out.append(arr.astype(np.int64).tobytes())
+        return pa.table(
+            {
+                id_col: pa.array(ids_out, pa.int64()),
+                "band_id": pa.array(bid_out, pa.int32()),
+                "band_val": pa.array(bval_out, pa.int64()),
+                "vec": pa.array(vec_out, pa.binary()),
+            }
+        )
+
+    bands = ds.map_batches(emit, batch_format="pyarrow")
+
+    empty = pd_.DataFrame(
+        {"id_a": pd_.Series([], dtype="int64"),
+         "id_b": pd_.Series([], dtype="int64"),
+         "hamming": pd_.Series([], dtype="int64")}
+    )
+
+    def pairs(g: "pd_.DataFrame") -> "pd_.DataFrame":
+        g = g.sort_values(id_col).drop_duplicates(id_col)
+        if len(g) < 2:
+            return empty
+        ids = g[id_col].to_numpy()
+        vecs = np.stack(
+            [np.frombuffer(v, dtype=np.int64) for v in g["vec"]]
+        ).astype(np.uint64)  # (n, 8)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        x = vecs[ia][:, :, None] ^ vecs[ib][:, None, :]  # (P, 8, 8)
+        ham = np.zeros(x.shape, dtype=np.int64)
+        for _ in range(64):
+            ham += (x & np.uint64(1)).astype(np.int64)
+            x = x >> np.uint64(1)
+        d = ham.min(axis=(1, 2))
+        keep = d <= max_hamming
+        return pd_.DataFrame(
+            {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]],
+             "hamming": d[keep]}
+        )
+
+    out = grouped_apply(bands, ["band_id", "band_val"], pairs,
+                        num_partitions=num_partitions)
+    # a pair can surface from several shared bands: one combiner groupby
+    # on the pair key keeps a single row (hamming is identical everywhere)
+    return partial_agg_groupby(
+        out, ["id_a", "id_b"], [("hamming", "min", "hamming")]
+    )

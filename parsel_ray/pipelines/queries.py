@@ -4748,6 +4748,62 @@ FROM documents WHERE doc_id % 5 = 0
 """
 
 
+def phash_rotated_near_dup(sf_dir: str):
+    """LOSSY rotated-duplicate recovery via orbit-aware Hamming LSH
+    (:func:`parsel_ray.functions.dedup.orbit_hamming_near_dup_pairs`):
+    the planted copies here are rotated AND perturbed (+-32 on half the
+    pixels — orbit distances 0-6, so exact orbit-hash equality would
+    miss most of them and single-orientation banding would scatter
+    them).  Each image indexes under all 8 orientation hashes' bands;
+    verification is the exact min-over-8x8 xor-popcount.  Oracle: the
+    planted pair set is pure doc_id arithmetic."""
+    from ..functions.dedup import orbit_hamming_near_dup_pairs
+    from ..images.codecs import phash64
+    from ..images.exif import apply_exif_orientation
+
+    def orbit_hashes(px):
+        return [
+            phash64(apply_exif_orientation(px, o)) for o in range(1, 9)
+        ]
+
+    def build(t: pa.Table) -> pa.Table:
+        ids_out, hashes_out = [], []
+        for i in t["doc_id"].to_pylist():
+            rng = np.random.RandomState(i)
+            h, w = 16 + i % 13, 16 + i % 19
+            px = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+            ids_out.append(i)
+            hashes_out.append(orbit_hashes(px))
+            if i % 5 == 0:
+                q = apply_exif_orientation(px, 2 + i % 7).astype(np.int16)
+                mask = rng.rand(*q.shape) < 0.5
+                q = np.clip(
+                    q + mask * rng.randint(-32, 33, q.shape), 0, 255
+                ).astype(np.uint8)
+                ids_out.append(i + 1_000_000)
+                hashes_out.append(orbit_hashes(q))
+        return pa.table(
+            {
+                "img_id": pa.array(ids_out, pa.int64()),
+                "hashes": pa.array(hashes_out, pa.list_(pa.int64())),
+            }
+        )
+
+    pairs = orbit_hamming_near_dup_pairs(
+        _read(sf_dir, "documents", ["doc_id"]).map_batches(
+            build, batch_format="pyarrow", batch_size=256
+        ),
+        "hashes",
+        "img_id",
+        num_partitions=16,
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"lo": t["id_a"], "hi": t["id_b"]})
+
+    return pairs.map_batches(rename, batch_format="pyarrow")
+
+
 def phash_near_dup(sf_dir: str):
     """Perceptual-hash near-duplicate pairs over the crawled image corpus
     (hamming-banded grouping, exact popcount verify) — the phash hook
@@ -9211,6 +9267,7 @@ QUERIES = {
     "semdedup_embeddings": semdedup_embeddings,
     "image_exif_orientation": image_exif_orientation,
     "phash_rotated_dedup": phash_rotated_dedup,
+    "phash_rotated_near_dup": phash_rotated_near_dup,
 }
 
 ORACLE_SQL = {
@@ -9370,4 +9427,5 @@ ORACLE_SQL = {
     "dedup_substring_spans": SUBSTR_SPANS_SQL,
     "image_exif_orientation": EXIF_SQL,
     "phash_rotated_dedup": PHASH_ROT_SQL,
+    "phash_rotated_near_dup": PHASH_ROT_SQL,
 }

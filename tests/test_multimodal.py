@@ -1441,3 +1441,68 @@ class TestOrbitPhash:
             for _ in range(64)
         }
         assert len(hashes) == 64
+
+
+class TestOrbitHammingNearDup:
+    """functions/dedup.py::orbit_hamming_near_dup_pairs — lossy rotated
+    duplicates recovered at min-orbit Hamming <= 6; recall pinned on
+    planted perturbation+rotation pairs, precision on the absence of
+    cross-image pairs."""
+
+    def test_planted_pairs(self, ray_session):
+        import ray.data as rd
+
+        from parsel_ray.functions.dedup import orbit_hamming_near_dup_pairs
+        from parsel_ray.images.codecs import phash64
+        from parsel_ray.images.exif import apply_exif_orientation
+
+        def orbit(px):
+            return [phash64(apply_exif_orientation(px, o))
+                    for o in range(1, 9)]
+
+        rows, want = [], set()
+        for i in range(50):
+            rng = np.random.RandomState(i)
+            px = rng.randint(0, 256, (16 + i % 13, 16 + i % 19, 3)) \
+                .astype(np.uint8)
+            rows.append((i, orbit(px)))
+            if i % 5 == 0:
+                q = apply_exif_orientation(px, 2 + i % 7).astype(np.int16)
+                mask = rng.rand(*q.shape) < 0.5
+                q = np.clip(q + mask * rng.randint(-32, 33, q.shape),
+                            0, 255).astype(np.uint8)
+                rows.append((i + 1000, orbit(q)))
+                want.add((i, i + 1000))
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "img_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "hashes": pa.array([r[1] for r in rows],
+                                       pa.list_(pa.int64())),
+                }
+            )
+        ).repartition(4)
+        got = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in orbit_hamming_near_dup_pairs(
+                ds, "hashes", "img_id", num_partitions=5
+            ).take_all()
+        }
+        assert set(got) == want
+        assert all(0 <= d <= 6 for d in got.values())
+
+    def test_parameter_validation(self, ray_session):
+        import ray.data as rd
+
+        from parsel_ray.functions.dedup import orbit_hamming_near_dup_pairs
+
+        ds = rd.from_arrow(
+            pa.table({"img_id": pa.array([1], pa.int64()),
+                      "hashes": pa.array([[0] * 8], pa.list_(pa.int64()))})
+        )
+        with pytest.raises(ValueError, match="divide"):
+            orbit_hamming_near_dup_pairs(ds, "hashes", "img_id", n_bands=7)
+        with pytest.raises(ValueError, match="recall"):
+            orbit_hamming_near_dup_pairs(
+                ds, "hashes", "img_id", n_bands=4, max_hamming=6
+            )
