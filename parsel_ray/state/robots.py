@@ -1,5 +1,11 @@
-"""Minimal robots.txt handling (crawl operator N3): ``User-agent: *``
-blocks with ``Disallow:`` path prefixes, cached per host.
+"""robots.txt handling per RFC 9309 (crawl operator N3): group
+selection by most-specific User-agent, Allow/Disallow rules with ``*``
+and ``$`` wildcards, longest-match precedence (Allow wins ties), cached
+per host.  Round 3 upgraded the round-1 "Disallow prefixes only"
+simplification; the synthetic corpus emits plain prefix rules, so the
+crawl byte-match artifacts are unchanged — the oracle and the
+distributed shards share this module, so any rule semantics move in
+lockstep.
 
 The fetcher resolves robots from the (deterministic, local) page store —
 robots fetches do not pass through the frontier ordering (documented
@@ -9,14 +15,23 @@ about content URLs).
 
 from __future__ import annotations
 
+import re
 from typing import Callable
 
+# (allow, pattern) pairs; pattern grammar: literal path bytes with "*"
+# (any sequence) and a final "$" (end anchor)
+Rule = "tuple[bool, str]"
 
-def parse_robots(text: str) -> list[str]:
-    """Return Disallow path prefixes for User-agent: * (simplified: no
-    Allow, no wildcards; empty Disallow means allow-all)."""
-    disallows: list[str] = []
-    active = False
+
+def parse_robots(text: str, agent: str = "*") -> list[tuple[bool, str]]:
+    """RFC 9309 rules for ``agent``: the group(s) whose ``User-agent``
+    token equals it case-insensitively, else the ``*`` group(s); groups
+    sharing the matched token merge.  Returns (allow, pattern) pairs in
+    file order; empty patterns (``Disallow:`` = allow-all) are dropped.
+    """
+    groups: list[tuple[list[str], list[tuple[bool, str]]]] = []
+    pending_agents: list[str] = []
+    rules: list[tuple[bool, str]] | None = None
     for line in text.splitlines():
         line = line.split("#", 1)[0].strip()
         if not line:
@@ -25,10 +40,25 @@ def parse_robots(text: str) -> list[str]:
         key = key.strip().lower()
         val = val.strip()
         if key == "user-agent":
-            active = val == "*"
-        elif key == "disallow" and active and val:
-            disallows.append(val)
-    return disallows
+            if rules is not None:  # a rule line closed the previous group
+                groups.append((pending_agents, rules))
+                pending_agents, rules = [], None
+            pending_agents.append(val.lower())
+        elif key in ("allow", "disallow"):
+            if not pending_agents:
+                continue  # rules before any User-agent line are ignored
+            if rules is None:
+                rules = []
+            if val:
+                rules.append((key == "allow", val))
+    if pending_agents:
+        groups.append((pending_agents, rules or []))
+
+    want = agent.lower()
+    exact = [r for agents, rs in groups if want in agents for r in rs]
+    if exact or any(want in agents for agents, _ in groups):
+        return exact
+    return [r for agents, rs in groups if "*" in agents for r in rs]
 
 
 def parse_sitemap_urls(text: str) -> list[str]:
@@ -49,24 +79,64 @@ def parse_sitemap_urls(text: str) -> list[str]:
     return out
 
 
+def _compile(pattern: str) -> "re.Pattern[str]":
+    """RFC 9309 pattern → anchored regex: ``*`` = any sequence, a final
+    ``$`` anchors the end; everything else is literal."""
+    anchored = pattern.endswith("$")
+    if anchored:
+        pattern = pattern[:-1]
+    body = ".*".join(re.escape(piece) for piece in pattern.split("*"))
+    return re.compile(body + ("$" if anchored else ""))
+
+
+class _HostRules:
+    __slots__ = ("rules", "matchers")
+
+    def __init__(self, rules: list[tuple[bool, str]]) -> None:
+        self.rules = rules
+        self.matchers = [
+            (allow, len(pat), _compile(pat)) for allow, pat in rules
+        ]
+
+    def allowed(self, path: str) -> bool:
+        best_len, best_allow = -1, True
+        for allow, plen, rx in self.matchers:
+            if rx.match(path) is None:
+                continue
+            # longest-match precedence; Allow wins exact ties
+            if plen > best_len or (plen == best_len and allow):
+                best_len, best_allow = plen, allow
+        return best_allow
+
+
 class RobotsCache:
-    """Per-host Disallow-prefix cache; ``fetch_robots(host) -> str | None``
+    """Per-host RFC 9309 rule cache; ``fetch_robots(host) -> str | None``
     supplies the robots body (None = no robots file = allow all)."""
 
-    def __init__(self, fetch_robots: Callable[[str], "str | None"]) -> None:
+    def __init__(self, fetch_robots: Callable[[str], "str | None"],
+                 agent: str = "*") -> None:
         self._fetch = fetch_robots
-        self._rules: dict[str, list[str]] = {}
+        self._agent = agent
+        self._rules: dict[str, _HostRules] = {}
 
     def allowed(self, host: str, path: str) -> bool:
-        rules = self._rules.get(host)
-        if rules is None:
+        hr = self._rules.get(host)
+        if hr is None:
             body = self._fetch(host)
-            rules = parse_robots(body) if body else []
-            self._rules[host] = rules
-        return not any(path.startswith(p) for p in rules)
+            hr = _HostRules(parse_robots(body, self._agent) if body else [])
+            self._rules[host] = hr
+        return hr.allowed(path)
 
     def state(self) -> dict:
-        return {"rules": {h: list(r) for h, r in self._rules.items()}}
+        return {
+            "rules": {
+                h: [[a, p] for a, p in hr.rules]
+                for h, hr in self._rules.items()
+            }
+        }
 
     def restore(self, st: dict) -> None:
-        self._rules = {str(h): list(r) for h, r in st["rules"].items()}
+        self._rules = {
+            str(h): _HostRules([(bool(a), str(p)) for a, p in rs])
+            for h, rs in st["rules"].items()
+        }

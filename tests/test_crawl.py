@@ -150,14 +150,50 @@ class TestState:
         rules = parse_robots(
             "User-agent: other\nDisallow: /x\nUser-agent: *\nDisallow: /page/3\n# c\n"
         )
-        assert rules == ["/page/3"]
+        assert rules == [(False, "/page/3")]
         cache = RobotsCache(lambda h: "User-agent: *\nDisallow: /page/3\n")
         assert not cache.allowed("h.test", "/page/3")
+        assert not cache.allowed("h.test", "/page/30")  # prefix rule
         assert cache.allowed("h.test", "/page/4")
         st = cache.state()
         cache2 = RobotsCache(lambda h: None)
         cache2.restore(st)
         assert not cache2.allowed("h.test", "/page/3")
+
+    def test_robots_rfc9309(self):
+        body = (
+            "User-agent: a\nUser-agent: b\nDisallow: /shared\n"
+            "User-agent: *\n"
+            "Disallow: /private/\n"
+            "Allow: /private/ok\n"
+            "Disallow: /*.pdf$\n"
+            "Allow: /p\n"
+            "Disallow: /page\n"
+        )
+        # group selection: exact agent beats *; grouped agent lines share
+        assert parse_robots(body, "B") == [(False, "/shared")]
+        cache = RobotsCache(lambda h: body)
+        # longest-match precedence
+        assert not cache.allowed("h", "/private/x")
+        assert cache.allowed("h", "/private/ok/deep")  # Allow is longer
+        # wildcard + end anchor
+        assert not cache.allowed("h", "/docs/manual.pdf")
+        assert cache.allowed("h", "/docs/manual.pdfx")  # $ anchored
+        assert cache.allowed("h", "/docs/manual.pdf/view")
+        # /page vs /p: Disallow /page (5) beats Allow /p (2) on /pageX
+        assert not cache.allowed("h", "/page9")
+        assert cache.allowed("h", "/px")
+        # Allow wins exact ties
+        tie = RobotsCache(lambda h: "User-agent: *\nAllow: /t\nDisallow: /t\n")
+        assert tie.allowed("h", "/t/x")
+        # no matching rule -> allowed; empty Disallow ignored
+        empty = RobotsCache(lambda h: "User-agent: *\nDisallow:\n")
+        assert empty.allowed("h", "/anything")
+        # state roundtrip preserves wildcard semantics
+        c2 = RobotsCache(lambda h: None)
+        c2.restore(cache.state())
+        assert not c2.allowed("h", "/docs/manual.pdf")
+        assert c2.allowed("h", "/private/ok")
 
     def test_sitemap_discovery(self):
         from parsel_ray.state.robots import parse_sitemap_urls
