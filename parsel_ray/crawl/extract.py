@@ -13,13 +13,21 @@ from ..selector import Selector
 
 
 def extract_page(body: bytes, encoding: str, url: str):
-    """→ (links: list[str] in document order, figures: list[dict]).
+    """→ (links: list[str] in document order, figures: list[dict],
+    base: str — the EFFECTIVE base for resolving the links: the page URL,
+    refined by the first ``<base href>`` when present (itself resolved
+    against the page URL, the HTML rule; scrapy honors it via
+    ``response.urljoin``)).
 
     figures: {"image_id", "caption"} — image_id parsed from the img URL
     tail; caption is the entity-unescaped figcaption text.
     """
+    from urllib.parse import urljoin
+
     sel = Selector(body=body, encoding=encoding or "utf-8", type="html",
                    base_url=url)
+    base_href = sel.css("base::attr(href)").get()
+    base = urljoin(url, base_href.strip()) if base_href else url
     links = sel.css("a::attr(href)").getall()
     figures = []
     for fig in sel.css("figure"):
@@ -29,4 +37,4 @@ def extract_page(body: bytes, encoding: str, url: str):
             continue
         image_id = src.rstrip("/").rsplit("/", 1)[-1]
         figures.append({"image_id": image_id, "caption": cap or ""})
-    return links, figures
+    return links, figures, base

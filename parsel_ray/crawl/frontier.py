@@ -380,9 +380,9 @@ class FetchExtract:
                 put("err", parent_depth=d, parent_url=u)
                 continue
             body, enc = page
-            links, figures = extract_page(body, enc, u)
+            links, figures, eff_base = extract_page(body, enc, u)
             for li, link in enumerate(links):
-                cu = canonical_url(link, base=u)
+                cu = canonical_url(link, base=eff_base)
                 if cu is None:
                     continue
                 put(

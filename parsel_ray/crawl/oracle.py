@@ -105,7 +105,7 @@ def oracle_crawl(cfg: CrawlConfig) -> CrawlResult:
             else:
                 deferred.append((d, u))
         pending = deferred
-        new_links: list[tuple[int, str, int, str]] = []
+        new_links: list[tuple[int, str, int, str, str]] = []
         for d, u in grants:
             pop_order.append((epoch, pop_ord, u))
             pop_ord += 1
@@ -115,9 +115,9 @@ def oracle_crawl(cfg: CrawlConfig) -> CrawlResult:
                 metrics["errors"] += 1
                 continue
             body, enc = page
-            links, figures = extract_page(body, enc, u)
+            links, figures, eff_base = extract_page(body, enc, u)
             for li, link in enumerate(links):
-                new_links.append((d, u, li, link))
+                new_links.append((d, u, li, link, eff_base))
             fmt_figs = {
                 f["image_id"]: f for f in store.figures_of(*_page_of(u))
             }
@@ -131,8 +131,8 @@ def oracle_crawl(cfg: CrawlConfig) -> CrawlResult:
                 image_rows.append(rec)
         # admission barrier: deterministic insert order
         new_links.sort(key=lambda t: (t[0], t[1], t[2]))
-        for d, parent, _li, link in new_links:
-            admit(link, d + 1, base=parent)
+        for d, _parent, _li, link, eff_base in new_links:
+            admit(link, d + 1, base=eff_base)
         buckets.tick()
 
     metrics["epochs"] = epoch + 1 if pop_order else 0

@@ -7248,7 +7248,7 @@ def web_pagerank(sf_dir: str, iters: int = 8):
             if page is None:
                 continue
             body, enc = page
-            links, _ = extract_page(body, enc, url)
+            links, _figs, _base = extract_page(body, enc, url)
             seen = set()
             for href in links:
                 canon = canonical_url(href, base=url)

@@ -517,3 +517,42 @@ class TestDistributedCrawl:
             if f == "qjpg"
         ]
         assert lossy and all(40.0 <= p < 1e9 for p in lossy)
+
+
+class TestBaseHref:
+    """extract_page returns the EFFECTIVE resolution base: the page URL
+    refined by the first <base href> (the HTML rule scrapy honors via
+    response.urljoin); both crawl loops resolve links against it."""
+
+    def test_base_tag_changes_resolution(self):
+        from parsel_ray.crawl.extract import extract_page
+
+        body = (
+            b"<html><head><base href='/sub/dir/'></head>"
+            b"<body><a href='page.html'>x</a></body></html>"
+        )
+        links, _figs, base = extract_page(
+            body, "utf-8", "http://h.test/top/index.html"
+        )
+        assert base == "http://h.test/sub/dir/"
+        assert canonical_url(links[0], base=base) == \
+            "http://h.test/sub/dir/page.html"
+
+    def test_absolute_base(self):
+        from parsel_ray.crawl.extract import extract_page
+
+        body = (
+            b"<html><head><base href='https://cdn.test/x/'></head>"
+            b"<body><a href='a'>x</a></body></html>"
+        )
+        _l, _f, base = extract_page(body, "utf-8", "http://h.test/p")
+        assert base == "https://cdn.test/x/"
+
+    def test_no_base_tag(self):
+        from parsel_ray.crawl.extract import extract_page
+
+        _l, _f, base = extract_page(
+            b"<html><body><a href='a'>x</a></body></html>",
+            "utf-8", "http://h.test/p",
+        )
+        assert base == "http://h.test/p"
