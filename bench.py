@@ -259,6 +259,22 @@ def bench_cdc(sf_dir: str) -> int:
     return dedup_cdc_docs(sf_dir).count()
 
 
+def bench_substring_dedup(sf_dir: str) -> int:
+    """Exact duplicated-substring spans (Lee et al. substring dedup as a
+    gram-keyed shuffle), hash64 scale mode — the heaviest text-dedup
+    shape: O(total chars) slim shuffle rows (round-3 bench key)."""
+    import ray.data as rd
+
+    from parsel_ray.functions.dedup import duplicated_substring_spans
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return duplicated_substring_spans(
+        ds, L=32, key="hash64", num_partitions=32
+    ).count()
+
+
 BENCHES = {
     "crawl": bench_crawl,
     "extract": bench_extract,
@@ -271,6 +287,7 @@ BENCHES = {
     # remain comparable round-over-round)
     "image_codecs": bench_image_codecs,
     "cdc_dedup": bench_cdc,
+    "substring_dedup": bench_substring_dedup,
 }
 
 HEADLINE = "extract"
