@@ -453,6 +453,50 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     return 10.0 * np.log10(255.0 * 255.0 / mse)
 
 
+def _box_mean(x: np.ndarray, win: int) -> np.ndarray:
+    """Uniform win x win local mean, 'valid' region, via 2D cumsum —
+    O(HW) regardless of window size (no per-window loop)."""
+    c = np.cumsum(np.cumsum(x, axis=0), axis=1)
+    c = np.pad(c, ((1, 0), (1, 0)))
+    s = (
+        c[win:, win:] - c[:-win, win:] - c[win:, :-win] + c[:-win, :-win]
+    )
+    return s / (win * win)
+
+
+def ssim(a: np.ndarray, b: np.ndarray, win: int = 7) -> float:
+    """Mean structural similarity (Wang et al. 2004, IEEE TIP 13(4) —
+    public algorithm) over grayscale with a uniform win x win window
+    (the paper's Gaussian window is a weighting refinement; the uniform
+    variant keeps the kernel one cumsum pipeline).  1.0 = identical;
+    lossy re-encodes of the same image score near 1, unrelated content
+    near 0.  Inputs must share dims; images smaller than the window
+    fall back to a global (single-window) SSIM."""
+    if a.shape != b.shape:
+        raise ValueError(f"ssim needs equal dims (got {a.shape} vs {b.shape})")
+    ga = a.astype(np.float64) @ np.array([0.299, 0.587, 0.114]) \
+        if a.ndim == 3 else a.astype(np.float64)
+    gb = b.astype(np.float64) @ np.array([0.299, 0.587, 0.114]) \
+        if b.ndim == 3 else b.astype(np.float64)
+    C1, C2 = (0.01 * 255.0) ** 2, (0.03 * 255.0) ** 2
+    if min(ga.shape) < win:  # tiny image: one global window
+        mu_a, mu_b = ga.mean(), gb.mean()
+        va, vb = ga.var(), gb.var()
+        cov = ((ga - mu_a) * (gb - mu_b)).mean()
+        return float(
+            ((2 * mu_a * mu_b + C1) * (2 * cov + C2))
+            / ((mu_a**2 + mu_b**2 + C1) * (va + vb + C2))
+        )
+    mu_a, mu_b = _box_mean(ga, win), _box_mean(gb, win)
+    va = _box_mean(ga * ga, win) - mu_a * mu_a
+    vb = _box_mean(gb * gb, win) - mu_b * mu_b
+    cov = _box_mean(ga * gb, win) - mu_a * mu_b
+    smap = ((2 * mu_a * mu_b + C1) * (2 * cov + C2)) / (
+        (mu_a * mu_a + mu_b * mu_b + C1) * (va + vb + C2)
+    )
+    return float(smap.mean())
+
+
 def phash64(px: np.ndarray) -> int:
     """64-bit average hash: grayscale → 8×8 block means → bit = mean-pixel
     > global mean → packed int64 (deterministic, resize-free: block means

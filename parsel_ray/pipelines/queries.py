@@ -2145,6 +2145,50 @@ FROM documents
 """
 
 
+def image_ssim_verify(sf_dir: str):
+    """SSIM verification kernel (Wang et al. 2004 structural similarity,
+    :func:`parsel_ray.images.codecs.ssim`): per-doc image → JPEG q85
+    round-trip must stay structurally identical (ssim >= 0.9) while a
+    pixel-shuffled impostor with the same histogram must not
+    (ssim < 0.5) — the metric a lossy near-dup verifier uses where PSNR
+    misrects structured noise.  The booleans are oracle-checked; the
+    raw scores are asserted in-kernel."""
+    from ..images.codecs import ssim
+    from ..images.jpeg import decode_jpeg, encode_jpeg
+
+    def check(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        passes, distincts = [], []
+        for i in ids:
+            px = _doc_image(i)
+            lossy = decode_jpeg(encode_jpeg(px, quality=85))
+            s_same = ssim(px, lossy)
+            rng = np.random.RandomState(i + 77)
+            flat = px.reshape(-1, 3).copy()
+            rng.shuffle(flat)
+            s_other = ssim(px, flat.reshape(px.shape))
+            assert s_same >= 0.9, f"doc {i}: lossy ssim {s_same:.3f}"
+            assert s_other < 0.5, f"doc {i}: impostor ssim {s_other:.3f}"
+            passes.append(s_same >= 0.9)
+            distincts.append(s_other < 0.5)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "ssim_pass": pa.array(passes, pa.bool_()),
+                "ssim_distinct": pa.array(distincts, pa.bool_()),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        check, batch_format="pyarrow", batch_size=256
+    )
+
+
+SSIM_SQL = """
+SELECT doc_id, TRUE AS ssim_pass, TRUE AS ssim_distinct FROM documents
+"""
+
+
 def image_jpeg_progressive(sf_dir: str):
     """Progressive-JPEG (SOF2) round-trip: the same per-doc images as
     ``image_jpeg_roundtrip`` but written with
@@ -9268,6 +9312,7 @@ QUERIES = {
     "image_exif_orientation": image_exif_orientation,
     "phash_rotated_dedup": phash_rotated_dedup,
     "phash_rotated_near_dup": phash_rotated_near_dup,
+    "image_ssim_verify": image_ssim_verify,
 }
 
 ORACLE_SQL = {
@@ -9428,4 +9473,5 @@ ORACLE_SQL = {
     "image_exif_orientation": EXIF_SQL,
     "phash_rotated_dedup": PHASH_ROT_SQL,
     "phash_rotated_near_dup": PHASH_ROT_SQL,
+    "image_ssim_verify": SSIM_SQL,
 }

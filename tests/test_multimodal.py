@@ -1506,3 +1506,58 @@ class TestOrbitHammingNearDup:
             orbit_hamming_near_dup_pairs(
                 ds, "hashes", "img_id", n_bands=4, max_hamming=6
             )
+
+
+class TestSsim:
+    """images/codecs.py::ssim — Wang et al. structural similarity with a
+    uniform window: identity = 1, lossy re-encode ~1, unrelated /
+    histogram-identical-but-shuffled content ~0."""
+
+    @staticmethod
+    def _img():
+        yy, xx = np.mgrid[0:48, 0:64]
+        return np.stack(
+            [(xx * 4) % 256, (yy * 4) % 256, ((xx + yy) * 2) % 256], -1
+        ).astype(np.uint8)
+
+    def test_identity_and_symmetry(self):
+        from parsel_ray.images.codecs import ssim
+
+        px = self._img()
+        assert ssim(px, px) == 1.0
+        rng = np.random.RandomState(2)
+        other = rng.randint(0, 256, px.shape).astype(np.uint8)
+        assert abs(ssim(px, other) - ssim(other, px)) < 1e-12
+
+    def test_lossy_high_unrelated_low(self):
+        from parsel_ray.images.codecs import ssim
+        from parsel_ray.images.jpeg import decode_jpeg, encode_jpeg
+
+        px = self._img()
+        assert ssim(px, decode_jpeg(encode_jpeg(px, 85))) > 0.99
+        rng = np.random.RandomState(3)
+        flat = px.reshape(-1, 3).copy()
+        rng.shuffle(flat)  # same histogram, destroyed structure
+        assert ssim(px, flat.reshape(px.shape)) < 0.1
+
+    def test_tiny_image_and_dim_mismatch(self):
+        from parsel_ray.images.codecs import ssim
+
+        px = self._img()
+        assert ssim(px[:4, :4], px[:4, :4]) == 1.0
+        with pytest.raises(ValueError, match="equal dims"):
+            ssim(px, px[:10, :10])
+
+    def test_box_mean_matches_naive(self):
+        from parsel_ray.images.codecs import _box_mean
+
+        rng = np.random.RandomState(4)
+        x = rng.rand(13, 17)
+        got = _box_mean(x, 5)
+        want = np.array(
+            [
+                [x[i : i + 5, j : j + 5].mean() for j in range(13)]
+                for i in range(9)
+            ]
+        )
+        assert np.allclose(got, want)
