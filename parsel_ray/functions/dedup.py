@@ -1391,14 +1391,18 @@ def duplicated_substring_spans(ds, id_col: str = "doc_id",
         if key == "gram":
             if n:
                 flat = np.concatenate(win_out).reshape(n, L)
+                # int64 offsets + large_binary: a batch of long docs can
+                # exceed 2^31 gram bytes (n * 4L), where int32 offsets
+                # would silently wrap and corrupt the keys
                 offs = pa.py_buffer(
-                    (np.arange(n + 1, dtype=np.int32) * (4 * L)).tobytes()
+                    (np.arange(n + 1, dtype=np.int64) * (4 * L)).tobytes()
                 )
                 g_arr = pa.Array.from_buffers(
-                    pa.binary(), n, [None, offs, pa.py_buffer(flat.tobytes())]
+                    pa.large_binary(), n,
+                    [None, offs, pa.py_buffer(flat.tobytes())],
                 )
             else:
-                g_arr = pa.array([], pa.binary())
+                g_arr = pa.array([], pa.large_binary())
         else:
             g_arr = pa.array(
                 (np.concatenate(h_out) if n else np.empty(0, np.uint64))
@@ -1502,8 +1506,8 @@ def orbit_hamming_near_dup_pairs(ds, hashes_col: str, id_col: str,
 
     from .agg import grouped_apply, partial_agg_groupby
 
-    if 64 % n_bands:
-        raise ValueError("n_bands must divide 64")
+    if 64 % n_bands or n_bands < 2:
+        raise ValueError("n_bands must divide 64 and be >= 2")
     if n_bands <= max_hamming:
         raise ValueError(
             f"n_bands={n_bands} cannot guarantee recall at "
@@ -1513,28 +1517,46 @@ def orbit_hamming_near_dup_pairs(ds, hashes_col: str, id_col: str,
     mask = np.uint64((1 << width) - 1)
 
     def emit(t: pa.Table) -> pa.Table:
-        ids_out, bid_out, bval_out, vec_out = [], [], [], []
-        for i, hs in zip(t[id_col].to_pylist(), t[hashes_col].to_pylist()):
-            if hs is None or len(hs) != 8:
-                raise ValueError(f"{hashes_col} must hold 8 hashes")
-            arr = np.array(hs, dtype=np.int64).astype(np.uint64)
-            seen = set()
-            for bd in range(n_bands):
-                for band in ((arr >> np.uint64(bd * width)) & mask):
-                    key = (bd, int(band))
-                    if key in seen:
-                        continue
-                    seen.add(key)
-                    ids_out.append(i)
-                    bid_out.append(bd)
-                    bval_out.append(int(band))
-                    vec_out.append(arr.astype(np.int64).tobytes())
+        # fully vectorized banding (mirrors hamming_near_dup_pairs.emit):
+        # whole-column shift/mask per band, per-(row, band) dedup via one
+        # np.unique over packed keys, 64-byte orbit vectors sliced from a
+        # single buffer — no per-image Python loop
+        n = len(t)
+        col = t[hashes_col].combine_chunks()
+        import pyarrow.compute as _pc
+
+        if n and (
+            col.null_count
+            or not _pc.all(
+                _pc.equal(_pc.list_value_length(col), 8)
+            ).as_py()
+        ):
+            raise ValueError(f"{hashes_col} must hold 8 hashes")
+        H = (
+            col.flatten().to_numpy(zero_copy_only=False)
+            .reshape(n, 8).astype(np.uint64)
+        )
+        vecs = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(64), n,
+            [None, pa.py_buffer(H.astype("<i8").tobytes())],
+        )
+        rows8 = np.repeat(np.arange(n, dtype=np.int64), 8)
+        row_parts, bid_parts, bval_parts = [], [], []
+        for bd in range(n_bands):
+            bv = ((H >> np.uint64(bd * width)) & mask).astype(np.int64)
+            packed = np.unique((rows8 << np.int64(width)) | bv.ravel())
+            row_parts.append(packed >> np.int64(width))
+            bval_parts.append(packed & np.int64(mask))
+            bid_parts.append(np.full(len(packed), bd, np.int32))
+        rows = np.concatenate(row_parts) if row_parts else \
+            np.empty(0, np.int64)
+        take = pa.array(rows, pa.int64())
         return pa.table(
             {
-                id_col: pa.array(ids_out, pa.int64()),
-                "band_id": pa.array(bid_out, pa.int32()),
-                "band_val": pa.array(bval_out, pa.int64()),
-                "vec": pa.array(vec_out, pa.binary()),
+                id_col: t[id_col].combine_chunks().take(take),
+                "band_id": pa.array(np.concatenate(bid_parts), pa.int32()),
+                "band_val": pa.array(np.concatenate(bval_parts), pa.int64()),
+                "vec": vecs.take(take),
             }
         )
 

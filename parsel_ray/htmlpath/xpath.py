@@ -796,7 +796,10 @@ def to_string(v: Any) -> str:
     return str(v)
 
 
-_NUMBER_RE = re.compile(r"-?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?\Z")
+_NUMBER_RE = re.compile(
+    r"-?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?\Z", re.ASCII
+)
+_XML_WS = " \t\n\r"  # XML whitespace only — not Unicode str.strip()
 
 
 def to_number(v: Any) -> float:
@@ -810,7 +813,7 @@ def to_number(v: Any) -> float:
     # with optional fraction, optional exponent.  No leading "+", no
     # "inf"/"nan" words, no underscores — all NaN (Python float() accepts
     # them, so gate with a regex first).
-    s = str(v).strip()
+    s = str(v).strip(_XML_WS)
     if _NUMBER_RE.match(s) is None:
         return float("nan")
     return float(s)

@@ -4768,14 +4768,17 @@ def phash_rotated_dedup(sf_dir: str):
         )
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame(
-                {"lo": pd.Series([], dtype="int64"),
-                 "hi": pd.Series([], dtype="int64")}
-            )
-        assert len(g) == 2, f"unexpected orbit-hash collision: {g}"
+        # all unordered pairs within the hash-equality group — the
+        # standard semantics of a hash dedup key; an (astronomically
+        # unlikely here) cross-image collision yields extra pairs
+        # rather than killing the task
         ids = sorted(g["img_id"])
-        return pd.DataFrame({"lo": [ids[0]], "hi": [ids[1]]})
+        los = [a for i, a in enumerate(ids) for _ in ids[i + 1 :]]
+        his = [b for i, _ in enumerate(ids) for b in ids[i + 1 :]]
+        return pd.DataFrame(
+            {"lo": pd.Series(los, dtype="int64"),
+             "hi": pd.Series(his, dtype="int64")}
+        )
 
     return (
         _read(sf_dir, "documents", ["doc_id"])
@@ -7292,10 +7295,12 @@ def web_pagerank(sf_dir: str, iters: int = 8):
             if page is None:
                 continue
             body, enc = page
-            links, _figs, _base = extract_page(body, enc, url)
+            links, _figs, eff_base = extract_page(body, enc, url)
             seen = set()
             for href in links:
-                canon = canonical_url(href, base=url)
+                # resolve against the <base href>-effective base, exactly
+                # like the crawl admission path
+                canon = canonical_url(href, base=eff_base)
                 if canon is None or canon == url or canon in seen:
                     continue
                 if store._parse(canon) is None:
@@ -7358,6 +7363,8 @@ def anchor_text_index(sf_dir: str, top_k: int = 20):
     pages = rd.from_arrow(pa.table({"url": pa.array(urls, pa.string())}))
 
     def extract_anchors(t: pa.Table) -> pa.Table:
+        from urllib.parse import urljoin as _urljoin
+
         from ..selector import Selector
 
         store = PageStore(cfg)
@@ -7369,10 +7376,14 @@ def anchor_text_index(sf_dir: str, top_k: int = 20):
             body, enc = page
             sel = Selector(body=body, encoding=enc or "utf-8", type="html",
                            base_url=url)
+            base_href = sel.css("base::attr(href)").get()
+            eff_base = (
+                _urljoin(url, base_href.strip()) if base_href else url
+            )
             seen = set()
             for a in sel.css("a"):
                 href = a.attrib.get("href")
-                canon = canonical_url(href, base=url) if href else None
+                canon = canonical_url(href, base=eff_base) if href else None
                 if canon is None or canon == url:
                     continue
                 if store._parse(canon) is None:

@@ -136,7 +136,14 @@ class RobotsCache:
         }
 
     def restore(self, st: dict) -> None:
+        def _rule(r) -> tuple[bool, str]:
+            if isinstance(r, str):
+                # pre-RFC-9309 checkpoint shape: a bare Disallow prefix
+                return (False, r)
+            a, p = r
+            return (bool(a), str(p))
+
         self._rules = {
-            str(h): _HostRules([(bool(a), str(p)) for a, p in rs])
+            str(h): _HostRules([_rule(r) for r in rs])
             for h, rs in st["rules"].items()
         }

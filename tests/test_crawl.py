@@ -194,6 +194,11 @@ class TestState:
         c2.restore(cache.state())
         assert not c2.allowed("h", "/docs/manual.pdf")
         assert c2.allowed("h", "/private/ok")
+        # legacy (pre-RFC-9309) checkpoint shape: bare Disallow prefixes
+        old = RobotsCache(lambda h: None)
+        old.restore({"rules": {"h": ["/page/3"]}})
+        assert not old.allowed("h", "/page/30")
+        assert old.allowed("h", "/other")
 
     def test_sitemap_discovery(self):
         from parsel_ray.state.robots import parse_sitemap_urls

@@ -75,6 +75,10 @@ class TestNumberSemantics:
             ("'1_0'", "NaN"),  # Python numeric-literal underscores
             ("'1e2'", "100"),  # libxml2 deviation: exponent accepted
             ("'-7'", "-7"),
+            # ASCII digits only: Unicode digits/whitespace are NaN
+            ("'\u0665'", "NaN"),
+            ("'\uFF15'", "NaN"),
+            ("'\u00a07\u00a0'", "NaN"),
         ],
     )
     def test_number_conversion(self, lit, want):
