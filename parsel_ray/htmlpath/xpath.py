@@ -1252,6 +1252,17 @@ class Evaluator:
             a, b = ns(args[0]), ns(args[1])
             b_ids = {_identity(n) for n in b}
             return any(_identity(n) in b_ids for n in a)
+        if name == "distinct":
+            # EXSLT set:distinct — first node (document order) per
+            # distinct string-value
+            seen: set = set()
+            out = []
+            for n in sorted(ns(args[0]), key=self.okey):
+                sv = string_value(n)
+                if sv not in seen:
+                    seen.add(sv)
+                    out.append(n)
+            return out
         if name == "leading":
             a, b = ns(args[0]), ns(args[1])
             if not b:

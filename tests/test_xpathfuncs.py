@@ -78,3 +78,17 @@ def test_set_xpathfunc() -> None:
     set_xpathfunc("myfunc", None)
     with pytest.raises(ValueError, match=r"Unregistered function(: myfunc)? in myfunc"):
         sel.xpath("myfunc()")
+
+
+def test_exslt_set_distinct():
+    """EXSLT set:distinct — first node in document order per distinct
+    string-value (round 3: closed the one missing set: function)."""
+    from parsel_ray import Selector
+
+    s = Selector(
+        text='<html><body><p class="b">1</p><p class="a">2</p>'
+        '<p class="b">3</p></body></html>'
+    )
+    assert s.xpath("set:distinct(//p/@class)").getall() == ["b", "a"]
+    assert s.xpath("count(set:distinct(//p))").get() == "3.0"
+    assert s.xpath("set:distinct(//nope)").getall() == []
