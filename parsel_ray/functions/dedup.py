@@ -24,16 +24,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-def _ignore_overflow(fn):
-    """uint64 wraparound is intentional in these hash kernels."""
-    import functools
-
-    @functools.wraps(fn)
-    def wrapper(*a, **k):
-        with np.errstate(over="ignore"):
-            return fn(*a, **k)
-
-    return wrapper
+from ._numutil import _ignore_overflow  # noqa: F401 (re-export)
 
 
 
@@ -77,12 +68,18 @@ def exact_dedup_rows(ds, fp_col: str = "fingerprint",
         first = pa.concat_arrays(
             [pa.array([True]), pc.not_equal(fp.slice(1), fp.slice(0, len(fp) - 1))]
         )
-        t = t.filter(first)
+        # null fingerprints carry no equality evidence: keep every such
+        # row (not_equal yields null there, and filter would silently
+        # DELETE them — data loss, not dedup)
+        t = t.filter(pc.fill_null(first, True))
         return t.append_column("__part", _bucket_of(t[fp_col], num_partitions))
 
     def per_partition(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([fp_col, id_col], kind="mergesort")
-        return g.loc[~g[fp_col].duplicated()].drop(columns="__part")
+        # pandas duplicated() treats None == None: exempt null
+        # fingerprints from dedup explicitly
+        keep = ~g[fp_col].duplicated() | g[fp_col].isna()
+        return g.loc[keep].drop(columns="__part")
 
     return (
         # large batch_size: coalesces small upstream blocks so (a) the
@@ -659,10 +656,7 @@ class SimHasher:
         toks = text.lower().split()
         if not toks:
             return np.empty(0, dtype=np.uint64)
-        hs = np.fromiter(
-            (hash_str64(t) for t in toks), dtype=np.uint64, count=len(toks)
-        )
-        return hs
+        return hash_strs64(toks)
 
     @_ignore_overflow
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -675,7 +669,6 @@ class SimHasher:
                 continue
             bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
             votes = (bits * 2 - 1).sum(axis=0)
-            sim = np.uint64(0)
             sim = np.bitwise_or.reduce(
                 (votes > 0).astype(np.uint64) << shifts
             )
@@ -689,6 +682,37 @@ def hash_str64(s: str) -> np.uint64:
     h = np.uint64(14695981039346656037)
     for byte in s.encode("utf-8"):
         h = np.uint64((h ^ np.uint64(byte)) * np.uint64(1099511628211))
+    return h
+
+
+@_ignore_overflow
+def hash_strs64(tokens) -> np.ndarray:
+    """Vectorized FNV-1a over a token list — bit-identical to
+    :func:`hash_str64` per element.  FNV is byte-sequential, so the
+    vectorization runs over byte POSITIONS (bounded by the longest
+    token, ~tens) with whole-array ops per position, instead of a
+    Python-level loop over every byte of every token (the hot inner
+    loop of SimHash and n-gram shingling)."""
+    n = len(tokens)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    bs = [t.encode("utf-8") for t in tokens]
+    lens = np.fromiter((len(b) for b in bs), np.int64, count=n)
+    m = int(lens.max())
+    h = np.full(n, np.uint64(14695981039346656037))
+    if m == 0:
+        return h
+    flat = np.frombuffer(b"".join(bs), dtype=np.uint8)
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    buf = np.zeros((n, m), dtype=np.uint8)
+    idx = np.arange(len(flat), dtype=np.int64)
+    rows = np.searchsorted(ends, idx, side="right")
+    buf[rows, idx - starts[rows]] = flat
+    F = np.uint64(1099511628211)
+    for j in range(m):
+        live = lens > j
+        h[live] = (h[live] ^ buf[live, j].astype(np.uint64)) * F
     return h
 
 
@@ -749,9 +773,7 @@ def word_ngram_jaccard_pairs(ds, id_col: str = "doc_id",
             toks = (txt or "").strip().lower().split()
             if len(toks) < n:
                 continue
-            th = np.fromiter(
-                (hash_str64(w) for w in toks), dtype=np.uint64, count=len(toks)
-            )
+            th = hash_strs64(toks)
             g = th[: len(th) - n + 1].copy()
             for j in range(1, n):  # n-1 vectorized combines
                 g = g * B + th[j : len(th) - n + 1 + j]
@@ -855,7 +877,8 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
 
 
 def hamming_near_dup_pairs(ds, col: str, id_col: str, n_bands: int | None = None,
-                           max_hamming: int = 6, num_partitions: int = 32):
+                           max_hamming: int = 6, num_partitions: int = 32,
+                           max_group: int = 8192):
     """Near-dup pairs on a 64-bit fingerprint column (phash / simhash) by
     hamming distance: band the hash into ``n_bands`` keys, group per band,
     verify exact popcount <= max_hamming.  The phash near-dup hook
@@ -907,6 +930,16 @@ def hamming_near_dup_pairs(ds, col: str, id_col: str, n_bands: int | None = None
         g = g.sort_values(id_col).drop_duplicates(id_col)
         if len(g) < 2:
             return pd_.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        if len(g) > max_group:
+            # degenerate band (e.g. fingerprint 0 from empty/boilerplate
+            # docs): the O(B^2) verify would OOM a worker — fail loudly,
+            # naming the knob (the sibling bucket verifiers cap the same
+            # way; silently dropping pairs would fake recall)
+            raise ValueError(
+                f"hamming band group of {len(g)} rows exceeds "
+                f"max_group={max_group}; pre-filter degenerate "
+                f"fingerprints or raise max_group"
+            )
         ids = g[id_col].to_numpy()
         hs = g[col].to_numpy().astype(np.uint64)
         ia, ib = np.triu_indices(len(ids), k=1)
@@ -1484,7 +1517,8 @@ def duplicated_substring_spans(ds, id_col: str = "doc_id",
 
 def orbit_hamming_near_dup_pairs(ds, hashes_col: str, id_col: str,
                                  n_bands: int = 8, max_hamming: int = 6,
-                                 num_partitions: int = 32):
+                                 num_partitions: int = 32,
+                                 max_group: int = 8192):
     """Rotation/mirror-robust Hamming near-dup pairs: each row carries
     the 8 dihedral-orbit perceptual hashes (``list<int64>``, orientation
     order 1-8 — :func:`parsel_ray.images.codecs.phash_orbit64`'s
@@ -1525,15 +1559,18 @@ def orbit_hamming_near_dup_pairs(ds, hashes_col: str, id_col: str,
         col = t[hashes_col].combine_chunks()
         import pyarrow.compute as _pc
 
+        flat = col.flatten() if n else pa.array([], pa.int64())
         if n and (
             col.null_count
+            or flat.null_count  # a null ELEMENT turns to_numpy float64,
+            # silently corrupting every hash in the batch above 2^53
             or not _pc.all(
                 _pc.equal(_pc.list_value_length(col), 8)
             ).as_py()
         ):
-            raise ValueError(f"{hashes_col} must hold 8 hashes")
+            raise ValueError(f"{hashes_col} must hold 8 non-null hashes")
         H = (
-            col.flatten().to_numpy(zero_copy_only=False)
+            flat.to_numpy(zero_copy_only=False)
             .reshape(n, 8).astype(np.uint64)
         )
         vecs = pa.FixedSizeBinaryArray.from_buffers(
@@ -1572,6 +1609,12 @@ def orbit_hamming_near_dup_pairs(ds, hashes_col: str, id_col: str,
         g = g.sort_values(id_col).drop_duplicates(id_col)
         if len(g) < 2:
             return empty
+        if len(g) > max_group:
+            raise ValueError(
+                f"orbit hamming band group of {len(g)} rows exceeds "
+                f"max_group={max_group}; pre-filter degenerate "
+                f"fingerprints or raise max_group"
+            )
         ids = g[id_col].to_numpy()
         vecs = np.stack(
             [np.frombuffer(v, dtype=np.int64) for v in g["vec"]]

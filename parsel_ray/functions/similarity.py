@@ -675,6 +675,10 @@ def sparse_cosine_top1(
     import pyarrow.compute as pc
 
     if max_df is None:
+        # pin the lineage before consuming it twice (count() here, the
+        # tf pass below) — otherwise an expensive upstream pipeline
+        # re-executes from scratch for the second consumer
+        ds = ds.materialize()
         # floor, mirrored by the oracle's CAST(floor(...)) — Python
         # int() truncation vs SQL CAST's round-to-nearest would disagree
         # whenever frac(0.1*n) >= 0.5
@@ -798,6 +802,13 @@ def pca_fit(ds, dim: int, col: str = "embedding"):
     import pyarrow as pa
 
     def batch_stats(t: pa.Table) -> pa.Table:
+        if len(t) == 0:  # filters upstream may empty whole blocks; a
+            # 0-row batch would emit shape-(0,) partials that break fold
+            return pa.table(
+                {"n": pa.array([], pa.int64()),
+                 "s": pa.array([], pa.list_(pa.float64())),
+                 "outer": pa.array([], pa.list_(pa.float64()))}
+            )
         mat = _stack_embeddings(t[col]).astype(np.float64)
         s = mat.sum(axis=0)
         outer = mat.T @ mat

@@ -18,16 +18,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-def _ignore_overflow(fn):
-    """uint64 wraparound is intentional in these hash kernels."""
-    import functools
-
-    @functools.wraps(fn)
-    def wrapper(*a, **k):
-        with np.errstate(over="ignore"):
-            return fn(*a, **k)
-
-    return wrapper
+from ._numutil import _ignore_overflow  # noqa: F401 (re-export)
 
 
 

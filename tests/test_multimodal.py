@@ -1561,3 +1561,73 @@ class TestSsim:
             ]
         )
         assert np.allclose(got, want)
+
+
+class TestReviewRegressionPins:
+    """Round-3 adversarial-review fixes pinned."""
+
+    def test_exact_dedup_keeps_null_fingerprints(self, ray_session):
+        import ray.data as rd
+
+        from parsel_ray.functions.dedup import exact_dedup_rows
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "fingerprint": pa.array(["a", "a", None, None, "b"]),
+            }
+        )
+        out = sorted(
+            r["doc_id"]
+            for r in exact_dedup_rows(
+                rd.from_arrow(t), num_partitions=4
+            ).take_all()
+        )
+        # null fingerprints carry no equality evidence: rows 3 and 4
+        # both survive (the bug deleted them outright)
+        assert out == [1, 3, 4, 5]
+
+    def test_orbit_hamming_rejects_null_hash_element(self, ray_session):
+        import ray.data as rd
+
+        from parsel_ray.functions.dedup import orbit_hamming_near_dup_pairs
+
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "img_id": pa.array([1, 2], pa.int64()),
+                    "hashes": pa.array(
+                        [[1, 2, 3, 4, 5, 6, 7, None], [0] * 8],
+                        pa.list_(pa.int64()),
+                    ),
+                }
+            )
+        )
+        with pytest.raises(Exception, match="non-null"):
+            orbit_hamming_near_dup_pairs(ds, "hashes", "img_id").take_all()
+
+    def test_hamming_hot_group_guard(self, ray_session):
+        import ray.data as rd
+
+        from parsel_ray.functions.dedup import hamming_near_dup_pairs
+
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "id": pa.array(range(40), pa.int64()),
+                    "h": pa.array([0] * 40, pa.int64()),  # degenerate
+                }
+            )
+        )
+        with pytest.raises(Exception, match="max_group"):
+            hamming_near_dup_pairs(
+                ds, "h", "id", max_group=10
+            ).take_all()
+
+    def test_hash_strs64_bit_identical(self):
+        from parsel_ray.functions.dedup import hash_str64, hash_strs64
+
+        toks = ["hello", "", "a", "naïve", "x" * 50, "日本語"]
+        assert [int(hash_str64(t)) for t in toks] == [
+            int(h) for h in hash_strs64(toks)
+        ]
