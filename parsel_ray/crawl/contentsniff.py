@@ -56,7 +56,12 @@ def detect_content_type(data: bytes) -> str:
     meta = sniff_image_meta(data)
     if meta is not None:
         return f"image/{meta[0]}"
-    head = _lstrip_ws(data[:512])
+    head = data[:512]
+    if head.startswith(b"\xef\xbb\xbf"):
+        # WHATWG MIME sniffing handles the UTF-8 BOM before the markup
+        # table; without this, BOM-prefixed HTML/XML/JSON reads as text
+        head = head[3:]
+    head = _lstrip_ws(head)
     low = head[:16].lower()
     if low.startswith(b"<?xml"):
         return "xml"

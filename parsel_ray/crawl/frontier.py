@@ -35,7 +35,7 @@ from ..state.robots import RobotsCache
 from ..state.tokenbucket import TokenBuckets
 from .extract import extract_page
 from .oracle import CrawlConfig, CrawlResult, shard_of
-from .pagestore import PageStore, make_seeds
+from .pagestore import PageStore, make_seeds, page_indices
 from .urlnorm import canonical_url, host_of, path_of
 
 IMAGE_SCHEMA = pa.schema(
@@ -427,10 +427,7 @@ class FetchExtract:
 
 
 def _page_indices(url: str) -> tuple[int, int]:
-    host, _, rest = url.partition("//")[2].partition("/")
-    h = int(host[5:-5])
-    k = int(rest.split("/")[1])
-    return h, k
+    return page_indices(url)
 
 
 @ray.remote
@@ -449,7 +446,10 @@ def _fetch_chunk(fetcher: FetchExtract, depths: list, urls: list,
     return values (``num_returns``) so each FrontierShard pulls only its
     own partition from the object store and the driver handles only refs.
 
-    Returns (images-or-None, n_images, links_shard_0, ..., links_shard_K-1).
+    Returns (images-or-None, (n_images, n_errors), links_shard_0, ...,
+    links_shard_K-1) — the error count feeds the oracle-parity "errors"
+    metric (fetch misses), gathered lazily after the epoch loop so the
+    no-image-output fast path keeps its zero-barrier property.
     Callers must invoke via ``.options(num_returns=2 + n_shards)``."""
     t = fetcher(
         pa.table(
@@ -474,7 +474,8 @@ def _fetch_chunk(fetcher: FetchExtract, depths: list, urls: list,
         links.filter(pc.equal(sh, i)).drop_columns(["shard"])
         for i in range(n_shards)
     )
-    return (imgs if return_images else None, len(imgs)) + per_shard
+    n_err = len(t.filter(pc.equal(kinds, "err")))
+    return (imgs if return_images else None, (len(imgs), n_err)) + per_shard
 
 
 def run_crawl(
@@ -513,6 +514,7 @@ def run_crawl(
     ]
     pop_order: list[tuple[int, int, str]] = []
     n_popped = 0
+    errors_restored = 0
     image_tables: list[pa.Table] = []
     start_epoch = 0
 
@@ -522,7 +524,8 @@ def run_crawl(
             os.path.join(ckpt_dir, f"epoch={resume_epoch}", "_DONE")
         ), f"checkpoint epoch={resume_epoch} is incomplete (no _DONE marker)"
         ray.get([s.restore.remote(ckpt_dir, resume_epoch) for s in shards])
-        chain, popped_total = _read_driver_ckpts(ckpt_dir, resume_epoch)
+        chain, popped_total, errors_restored = _read_driver_ckpts(
+            ckpt_dir, resume_epoch)
         pop_order = chain if verify else []
         # the cumulative count survives verify=False checkpoints (empty
         # deltas carry popped_total metadata), so metrics stay correct
@@ -564,6 +567,9 @@ def run_crawl(
     # per-shard lists of OBJECT REFS of link tables — the driver routes
     # references, never rows; shards pull + order their own partitions
     routed_refs: dict[int, list] = {i: [] for i in range(cfg.shards)}
+    # (n_images, n_errors) refs from every fetch chunk, gathered once
+    # AFTER the loop (keeps the zero-barrier no-image-output fast path)
+    count_refs: list = []
 
     def _submit_admission(refs: dict) -> list:
         # one actor RTT per shard per epoch: admit the previous epoch's
@@ -608,6 +614,15 @@ def run_crawl(
         edir = None
         if out_dir:
             edir = os.path.join(out_dir, "images", f"epoch={epoch}")
+            if os.path.isdir(edir):
+                # re-running this epoch (resume past the checkpoint, or a
+                # crashed previous attempt): clear stale shards + _DONE —
+                # a smaller re-run writes fewer chunks, and leftover
+                # chunk-k.parquet from the bigger run would otherwise be
+                # globbed back in as duplicate image rows
+                import shutil as _shutil
+
+                _shutil.rmtree(edir)
             os.makedirs(edir, exist_ok=True)
         img_refs, nimg_refs = [], []
         _t0 = time.perf_counter()
@@ -626,6 +641,7 @@ def run_crawl(
             )
             img_refs.append(rets[0])
             nimg_refs.append(rets[1])
+            count_refs.append(rets[1])
             for i in range(cfg.shards):
                 routed_refs[i].append(rets[2 + i])
         phase_s["dispatch"] += time.perf_counter() - _t0
@@ -669,6 +685,8 @@ def run_crawl(
                 ckpt_dir, epoch,
                 pop_order[last_ckpt_len:] if verify else [],
                 base=last_ckpt_len, popped_total=n_popped,
+                errors_total=errors_restored
+                + sum(e for _n, e in ray.get(count_refs)),
             )
             last_ckpt_len = len(pop_order)
             ray.get(
@@ -703,11 +721,15 @@ def run_crawl(
         else []
     )
     all_metrics = ray.get([s.get_metrics.remote() for s in shards])
+    fetch_counts = ray.get(count_refs)
     metrics: dict = {}
     for m in all_metrics:
         for k, v in m.items():
             metrics[k] = metrics.get(k, 0) + v
     metrics["popped"] = n_popped  # total grants (survives verify=False)
+    # oracle parity, surviving resume: restored cumulative count + this
+    # run's fetch misses
+    metrics["errors"] = errors_restored + sum(e for _n, e in fetch_counts)
     metrics["driver_epochs"] = phase_s["epochs"]
     for k in ("admit_wait", "dispatch", "img_barrier"):
         metrics[f"driver_{k}_ms"] = int(phase_s[k] * 1000)
@@ -726,7 +748,7 @@ def run_crawl(
 
 def _write_driver_ckpt(
     ckpt_dir: str, epoch: int, delta: list, base: int = 0,
-    popped_total: int = 0,
+    popped_total: int = 0, errors_total: int = 0,
 ) -> None:
     """INCREMENTAL driver snapshot: only the pop-order rows appended since
     the previous checkpoint (O(delta) per epoch, not O(history));
@@ -743,15 +765,17 @@ def _write_driver_ckpt(
         }
     )
     t = t.replace_schema_metadata(
-        {b"base": str(base).encode(), b"popped": str(popped_total).encode()}
+        {b"base": str(base).encode(), b"popped": str(popped_total).encode(),
+         b"errors": str(errors_total).encode()}
     )
     tmp = os.path.join(d, "driver.parquet.tmp")
     pq.write_table(t, tmp)
     os.replace(tmp, os.path.join(d, "driver.parquet"))
 
 
-def _read_driver_ckpts(ckpt_dir: str, upto_epoch: int) -> "tuple[list, int]":
-    """(pop-order history, cumulative popped count) from the per-checkpoint
+def _read_driver_ckpts(ckpt_dir: str, upto_epoch: int) -> "tuple[list, int, int]":
+    """(pop-order history, cumulative popped count, cumulative error
+    count) from the per-checkpoint
     deltas of every COMPLETE (``_DONE``) checkpoint up to ``upto_epoch``.
     verify=False checkpoints contribute empty deltas but still carry the
     popped count; a missing driver file gets a clear error."""
@@ -767,6 +791,7 @@ def _read_driver_ckpts(ckpt_dir: str, upto_epoch: int) -> "tuple[list, int]":
     )
     out: list = []
     popped = 0
+    errors = 0
     for e in epochs:
         path = os.path.join(ckpt_dir, f"epoch={e}", "driver.parquet")
         if not os.path.exists(path):
@@ -787,4 +812,5 @@ def _read_driver_ckpts(ckpt_dir: str, upto_epoch: int) -> "tuple[list, int]":
                     drv["url"].to_pylist())
             )
         popped = int(meta.get(b"popped", str(len(out)).encode()))
-    return out, popped
+        errors = int(meta.get(b"errors", b"0"))
+    return out, popped, errors

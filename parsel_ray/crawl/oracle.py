@@ -30,7 +30,7 @@ from ..state.cuckoo import CuckooFilter, _hash64
 from ..state.robots import RobotsCache
 from ..state.tokenbucket import TokenBuckets
 from .extract import extract_page
-from .pagestore import PageStore, StoreConfig, make_seeds
+from .pagestore import PageStore, StoreConfig, make_seeds, page_indices
 from .urlnorm import canonical_url, host_of, path_of
 
 
@@ -145,5 +145,4 @@ def oracle_crawl(cfg: CrawlConfig) -> CrawlResult:
 
 
 def _page_of(url: str) -> tuple[int, int]:
-    host, _, rest = url.partition("//")[2].partition("/")
-    return int(host[5:-5]), int(rest.split("/")[1])
+    return page_indices(url)

@@ -61,11 +61,9 @@ class PageStore:
             hostpart, _, rest = url.partition("//")[2].partition("/")
             if not hostpart.startswith("host-") or not hostpart.endswith(".test"):
                 return None
-            h = int(hostpart[5:-5])
-            parts = rest.split("/")
-            if parts[0] != "page":
+            if rest.split("/")[0] != "page":
                 return None
-            k = int(parts[1])
+            h, k = page_indices(url)
         except (ValueError, IndexError):
             return None
         if not (0 <= h < self.cfg.n_hosts and 0 <= k < self.n_pages(h)):
@@ -210,6 +208,16 @@ class PageStore:
             "fmt": fmt,
             "phash": phash64(px),
         }
+
+
+def page_indices(url: str) -> "tuple[int, int]":
+    """(host_idx, page_idx) of a synthetic-web page URL — THE shared
+    parser (oracle, frontier and pagestore all import it; three copies
+    once existed and could drift, silently breaking the byte-match-by-
+    construction property).  Raises ValueError/IndexError on URLs
+    outside the synthetic layout."""
+    host, _, rest = url.partition("//")[2].partition("/")
+    return int(host[5:-5]), int(rest.split("/")[1])
 
 
 def make_seeds(cfg: StoreConfig, n_seeds: int) -> list[str]:

@@ -41,13 +41,19 @@ def _renorm(component: str, safe: str) -> str:
 
 
 def _resolve_dots(path: str) -> str:
+    segs = path.split("/")
     out: list[str] = []
-    for seg in path.split("/"):
+    for seg in segs:
         if seg == "..":
             if out and out[-1] != "":
                 out.pop()
         elif seg != ".":
             out.append(seg)
+    # RFC 3986 section 5.2.4: a TRAILING "." or ".." is replaced by "/"
+    # (the output keeps the directory form) — "/a/b/.." is "/a/", not
+    # "/a"; servers routinely serve different resources for the two
+    if segs and segs[-1] in (".", "..") and (not out or out[-1] != ""):
+        out.append("")
     p = "/".join(out)
     if not p.startswith("/"):
         p = "/" + p

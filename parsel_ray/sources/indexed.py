@@ -85,14 +85,16 @@ def write_indexed_parquet(
         name = _content_name(t)
         path = os.path.join(out_dir, name)
         keys = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        tmp = path + ".tmp"
-        pq.write_table(t, tmp)
-        os.replace(tmp, path)
+        # sidecar first (orphan .idx is harmless; a shard missing its
+        # .idx would break every point_lookup in the directory)
         side = path + ".idx"
         tmp_s = side + ".tmp"
         with open(tmp_s, "wb") as f:
             f.write(_sidecar_bytes(keys, fpr))
         os.replace(tmp_s, side)
+        tmp = path + ".tmp"
+        pq.write_table(t, tmp)
+        os.replace(tmp, path)
         return pa.table({"n": pa.array([len(t)], pa.int64())})
 
     total = ds.map_batches(write_block, batch_format="pyarrow").sum("n")

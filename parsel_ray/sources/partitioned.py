@@ -19,6 +19,7 @@ partitions).
 from __future__ import annotations
 
 import glob
+import json
 import hashlib
 import io
 import os
@@ -465,10 +466,34 @@ def write_bucketed(ds, out_dir: str, key_col: str, buckets: int,
     def add_bucket(t: pa.Table) -> pa.Table:
         return t.append_column("__bucket", _bucket_of(t[key_col], buckets))
 
-    return write_partitioned_parquet(
+    receipts = write_partitioned_parquet(
         ds.map_batches(add_bucket, batch_format="pyarrow"),
         out_dir, key_col="__bucket", verify=verify,
     )
+    # manifest pins the hash backend: string keys bucket via polars'
+    # row hash, which is only stable within one environment — joining a
+    # layout bucketed under a different polars version (or the FNV
+    # fallback) would silently drop matching rows, so bucketed_join
+    # REFUSES mismatched manifests instead
+    key_type = ds.schema().base_schema.field(key_col).type
+    with open(os.path.join(out_dir, "_BUCKETS.json"), "w") as f:
+        json.dump(
+            {"buckets": buckets, "key_col": key_col,
+             "hash_backend": _bucket_hash_backend(key_type)},
+            f,
+        )
+    return receipts
+
+
+def _bucket_hash_backend(key_type) -> str:
+    if pa.types.is_integer(key_type):
+        return "fib64"  # in-repo Fibonacci hash — stable everywhere
+    try:
+        import polars as pl
+
+        return f"polars-{pl.__version__}"
+    except ImportError:  # pragma: no cover
+        return "fnv64"
 
 
 def bucketed_join(
@@ -485,11 +510,55 @@ def bucketed_join(
     movement is the initial storage read — co-partitioning happened at
     write time, which is the point (at 100 TB, re-bucketing once and
     joining many times amortizes the shuffle)."""
+    import pyarrow.dataset as pads
     import ray.data as rd
+
+    manifests = []
+    for d in (left_dir, right_dir):
+        mpath = os.path.join(d, "_BUCKETS.json")
+        try:
+            with open(mpath) as f:
+                manifests.append(json.load(f))
+        except FileNotFoundError:
+            manifests.append(None)
+    lm, rm = manifests
+    if lm is not None and rm is not None:
+        if lm["buckets"] != rm["buckets"] or lm["buckets"] != buckets:
+            raise ValueError(
+                f"bucket-count mismatch: left={lm['buckets']} "
+                f"right={rm['buckets']} join={buckets}"
+            )
+        if lm["hash_backend"] != rm["hash_backend"]:
+            raise ValueError(
+                "bucketed layouts were written with different hash "
+                f"backends ({lm['hash_backend']} vs {rm['hash_backend']}) "
+                "— equal keys may sit in different buckets; re-bucket one "
+                "side in the current environment"
+            )
 
     ids = rd.from_arrow(
         pa.table({"b": pa.array(range(buckets), pa.int64())})
     ).repartition(min(buckets, 16))
+
+    # typed empty block unioned below: a join with zero output rows
+    # across ALL buckets would otherwise drop the dataset schema
+    # (sources/pruned.py documents the same Ray quirk)
+    def _side_schema(d: str) -> pa.Table:
+        # NOTE: pads.dataset(d) sees nothing here — dataset discovery
+        # ignores "_"-prefixed paths and every bucket dir is __bucket=N —
+        # so read the schema from one shard footer directly
+        shards = glob.glob(os.path.join(d, "__bucket=*", "*.parquet"))
+        if not shards:
+            raise ValueError(f"no bucketed shards under {d}")
+        t = pq.read_schema(shards[0]).empty_table()
+        return t.drop_columns(
+            [c for c in ("__bucket",) if c in t.column_names]
+        )
+
+    empty_joined = _side_schema(left_dir).join(
+        _side_schema(right_dir), keys=on, join_type="inner",
+        right_suffix=suffixes[1],
+    )
 
     def join_bucket(t: pa.Table):
         import pyarrow.dataset as pads
@@ -516,4 +585,6 @@ def bucketed_join(
             if len(joined):
                 yield joined
 
-    return ids.map_batches(join_bucket, batch_format="pyarrow")
+    return ids.map_batches(join_bucket, batch_format="pyarrow").union(
+        rd.from_arrow(empty_joined)
+    )

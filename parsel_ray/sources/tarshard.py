@@ -81,6 +81,11 @@ def write_tar_shards(
                 for i, k in enumerate(keys):
                     for col, ext in payload_exts.items():
                         v = payloads[col][i]
+                        if v is None:
+                            # WebDataset semantics: a null payload means
+                            # the member file is absent for this sample
+                            # (bytes(None) would kill the whole task)
+                            continue
                         data = (
                             v.encode("utf-8") if isinstance(v, str) else
                             bytes(v)

@@ -40,6 +40,15 @@ from ray.data.datasource import FileBasedDatasource
 # across runs/parallelism so tests and resumable pipelines can compare.
 FIXED_WARC_DATE = "2026-01-01T00:00:00Z"
 
+# minimal RFC 9110 reason phrases — a 404 must not serialize as "404 OK"
+_HTTP_REASONS = {
+    200: "OK", 201: "Created", 204: "No Content", 301: "Moved Permanently",
+    302: "Found", 304: "Not Modified", 400: "Bad Request", 401: "Unauthorized",
+    403: "Forbidden", 404: "Not Found", 410: "Gone", 429: "Too Many Requests",
+    500: "Internal Server Error", 502: "Bad Gateway",
+    503: "Service Unavailable",
+}
+
 _CRLF = b"\r\n"
 
 
@@ -56,8 +65,9 @@ def warc_record_bytes(
     a full ``application/http`` message (status line + headers + body);
     for anything else the block is ``body`` verbatim."""
     if warc_type == "response":
+        reason = _HTTP_REASONS.get(http_status, "")
         http_head = (
-            f"HTTP/1.1 {http_status} OK\r\n"
+            f"HTTP/1.1 {http_status} {reason}\r\n"
             f"Content-Type: {http_content_type}\r\n"
             f"Content-Length: {len(body)}\r\n\r\n"
         ).encode("ascii")

@@ -87,9 +87,6 @@ def zorder_write(
         t = t.drop_columns(["__z"])
         name = _content_name(t)
         path = os.path.join(out_dir, name)
-        tmp = path + ".tmp"
-        pq.write_table(t, tmp)
-        os.replace(tmp, path)
         xs = t[col_x].to_numpy(zero_copy_only=False)
         ys = t[col_y].to_numpy(zero_copy_only=False)
         side = {
@@ -97,10 +94,16 @@ def zorder_write(
             col_y: [int(ys.min()), int(ys.max())],
             "n": len(t),
         }
+        # publish the SIDECAR first: a crash between the two replaces
+        # then leaves an orphan .zidx (harmless — readers glob *.parquet)
+        # instead of a shard whose missing sidecar breaks every read
         tmp_s = path + ".zidx.tmp"
         with open(tmp_s, "w") as f:
             json.dump(side, f)
         os.replace(tmp_s, path + ".zidx")
+        tmp = path + ".tmp"
+        pq.write_table(t, tmp)
+        os.replace(tmp, path)
         return pa.table({"n": pa.array([len(t)], pa.int64())})
 
     total = clustered.map_batches(

@@ -278,6 +278,10 @@ class TestDistributedCrawl:
         oi = sorted(gold.image_rows, key=lambda r: r["image_id"])
         assert len(gi) == len(oi)
         assert gi == oi
+        # fetch-error parity: the distributed "errors" metric (counted
+        # from kind="err" rows, gathered barrier-free) must equal the
+        # oracle's page-miss count
+        assert got.metrics["errors"] == gold.metrics["errors"]
         # partitioned parquet output exists per epoch
         import glob
 
@@ -430,7 +434,7 @@ class TestDistributedCrawl:
             n = pq.read_metadata(os.path.join(d, "driver.parquet")).num_rows
             total += n
         last_epoch = int(re.search(r"epoch=(\d+)", dirs[-1]).group(1))
-        chain, popped = _read_driver_ckpts(ckpt, last_epoch)
+        chain, popped, _errs = _read_driver_ckpts(ckpt, last_epoch)
         assert total == len(chain)
         assert chain == full.pop_order[: len(chain)]
         assert popped == len(chain)

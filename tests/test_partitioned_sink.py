@@ -442,3 +442,69 @@ class TestCompactPartitioned:
         with pytest.raises(ValueError):
             compact_partitioned(str(tmp_path), "lang",
                                 target_rows_per_shard=0)
+
+
+class TestBucketedJoinGuards:
+    """Round-3 review fixes: hash-backend manifests and the all-empty
+    join schema."""
+
+    @staticmethod
+    def _write(tmp_path, name, tbl, buckets=4):
+        import ray.data as rd
+
+        from parsel_ray.sources.partitioned import write_bucketed
+
+        d = str(tmp_path / name)
+        write_bucketed(rd.from_arrow(tbl), d, key_col="key",
+                       buckets=buckets)
+        return d
+
+    def test_bucket_count_mismatch_raises(self, ray_session, tmp_path):
+        import pyarrow as pa
+
+        from parsel_ray.sources.partitioned import bucketed_join
+
+        t = pa.table({"key": pa.array([1, 2], pa.int64()),
+                      "v": pa.array([1, 2], pa.int64())})
+        ld = self._write(tmp_path, "l", t, buckets=4)
+        rd_ = self._write(tmp_path, "r", t, buckets=8)
+        with pytest.raises(ValueError, match="bucket-count"):
+            bucketed_join(ld, rd_, on="key", buckets=4)
+
+    def test_hash_backend_mismatch_raises(self, ray_session, tmp_path):
+        import json
+
+        import pyarrow as pa
+
+        from parsel_ray.sources.partitioned import bucketed_join
+
+        t = pa.table({"key": pa.array(["a", "b"]),
+                      "v": pa.array([1, 2], pa.int64())})
+        ld = self._write(tmp_path, "l", t)
+        rd_ = self._write(tmp_path, "r", t)
+        m = json.load(open(rd_ + "/_BUCKETS.json"))
+        m["hash_backend"] = "polars-0.0.1"  # simulate an older writer env
+        json.dump(m, open(rd_ + "/_BUCKETS.json", "w"))
+        with pytest.raises(ValueError, match="hash backends"):
+            bucketed_join(ld, rd_, on="key", buckets=4)
+
+    def test_disjoint_keys_keep_schema(self, ray_session, tmp_path):
+        import pyarrow as pa
+
+        from parsel_ray.sources.partitioned import bucketed_join
+
+        ld = self._write(
+            tmp_path, "l",
+            pa.table({"key": pa.array([1, 2], pa.int64()),
+                      "name": pa.array(["a", "b"])}),
+        )
+        rd_ = self._write(
+            tmp_path, "r",
+            pa.table({"key": pa.array([7, 8], pa.int64()),
+                      "v": pa.array([70, 80], pa.int64())}),
+        )
+        out = bucketed_join(ld, rd_, on="key", buckets=4)
+        assert out.count() == 0
+        # the all-empty output must still carry the JOIN schema (Ray
+        # drops schemas of all-empty map output without the typed union)
+        assert set(out.schema().names) == {"key", "name", "v"}

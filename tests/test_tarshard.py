@@ -96,3 +96,29 @@ class TestRead:
     def test_missing_dir_raises(self):
         with pytest.raises(FileNotFoundError):
             read_tar_shards(tempfile.mkdtemp(prefix="tar_empty_", dir="/tmp"))
+
+
+def test_null_payload_member_skipped(ray_session, tmp_path):
+    """A null payload value means the member file is absent for that
+    sample (WebDataset semantics) — not a bytes(None) task crash."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from parsel_ray.sources.tarshard import read_tar_shards, write_tar_shards
+
+    t = pa.table(
+        {
+            "key": pa.array(["k0", "k1"]),
+            "txt": pa.array(["hello", None]),
+            "bin": pa.array([b"p0", b"p1"], pa.binary()),
+        }
+    )
+    out = str(tmp_path / "shards")
+    write_tar_shards(
+        rd.from_arrow(t), out, key_col="key",
+        payload_exts={"txt": "txt", "bin": "bin"},
+    )
+    rows = {r["__key__"]: r for r in read_tar_shards(out).take_all()}
+    assert rows["k0"]["txt"] == b"hello" and rows["k1"]["bin"] == b"p1"
+    # absent member surfaces as null, not empty bytes and not a crash
+    assert rows["k1"]["txt"] is None
