@@ -503,6 +503,16 @@ def phash64(px: np.ndarray) -> int:
     over an even 8×8 grid)."""
     gray = px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
     h, w = gray.shape
+    if h < 8 or w < 8:
+        # sub-8px images (tracking pixels, tiny icons) would produce
+        # zero-width blocks (divide-by-zero -> degenerate hash 0, every
+        # such image colliding); nearest-neighbor upscale preserves the
+        # structure and keeps the hash deterministic
+        if h < 8:
+            gray = np.repeat(gray, -(-8 // h), axis=0)
+        if w < 8:
+            gray = np.repeat(gray, -(-8 // w), axis=1)
+        h, w = gray.shape
     ys = (np.arange(9) * h) // 8
     xs = (np.arange(9) * w) // 8
     # two reduceat passes = all 64 block sums in two vector ops
@@ -605,13 +615,18 @@ def sniff_image_meta(data: bytes) -> "tuple[str, int, int] | None":
     fields alone.  Returns None for unknown/corrupt headers rather than
     raising — the crawl path routes those to quarantine.  Supported:
     every fmt in ALL_FORMATS (ppm, png, qjpg, jpeg, gif, bmp)."""
-    data = bytes(data[:4096])  # sniffers never need more than the head
+    full = bytes(data)
+    data = full[:4096]  # fixed-offset sniffers never need more
     n = len(data)
     if n >= 24 and data.startswith(_PNG_SIG) and data[12:16] == b"IHDR":
         w, h = struct.unpack_from(">II", data, 16)
         return ("png", w, h) if 0 < w < 1 << 31 and 0 < h < 1 << 31 else None
     if n >= 4 and data.startswith(b"\xff\xd8\xff"):
-        dims = _sniff_jpeg_dims(data)
+        # JPEG dims sit AFTER the APPn segments — real camera files
+        # front-load >4 KB of EXIF/thumbnail, so the segment walk (which
+        # HOPS by declared lengths, O(#segments) regardless of size)
+        # must see the full buffer or valid JPEGs sniff as corrupt
+        dims = _sniff_jpeg_dims(full)
         return ("jpeg", dims[0], dims[1]) if dims else None
     if n >= 10 and data[:6] in (b"GIF87a", b"GIF89a"):
         w, h = struct.unpack_from("<HH", data, 6)

@@ -51,9 +51,51 @@ def _footer_minmax(path: str, col: str):
         lo = st.min if lo is None or st.min < lo else lo
         hi = st.max if hi is None or st.max > hi else hi
     if lo is None:
+        from ray.data.aggregate import Max, Min
+
         ds = rd.read_parquet(path, columns=[col])
-        return ds.min(col), ds.max(col)
+        row = ds.aggregate(Min(col), Max(col))  # ONE pass, not two scans
+        return row[f"min({col})"], row[f"max({col})"]
     return lo, hi
+
+
+
+# -- retry-idempotent actor pushes ------------------------------------------
+#
+# Ray Data may RETRY a map task whose pushes already reached some actors
+# (worker death after partial delivery): without dedup the retry
+# double-counts rows and silently breaks the exact batch-oracle
+# equivalence every streaming entry point asserts.  Each push carries an
+# id derived from (ray task id, per-task push ordinal, partition); a
+# retried task reuses its task id and replays pushes in the same order
+# from a fresh worker, so the id is stable and the actor replays the
+# remembered ack instead of re-applying the push (same recipe as
+# sources/partitioned._content_name).
+
+_PUSH_SEQ: list = ["", 0]
+
+
+def _push_id(part: int) -> str:
+    try:
+        tid = ray.get_runtime_context().get_task_id() or ""
+    except Exception:  # driver / unit tests
+        tid = ""
+    if _PUSH_SEQ[0] != tid:
+        _PUSH_SEQ[0], _PUSH_SEQ[1] = tid, 0
+    seq, _PUSH_SEQ[1] = _PUSH_SEQ[1], _PUSH_SEQ[1] + 1
+    return f"{tid}:{seq}:{part}"
+
+
+def _idempotent_push(actor, push_id, apply_fn) -> int:
+    acks = getattr(actor, "_push_acks", None)
+    if acks is None:
+        acks = actor._push_acks = {}
+    if push_id is not None and push_id in acks:
+        return acks[push_id]
+    n = apply_fn()
+    if push_id is not None:
+        acks[push_id] = n
+    return n
 
 
 @ray.remote
@@ -71,9 +113,12 @@ class SessionState:
         self.n_sessions: dict[int, int] = {}
         self.n_events: dict[int, int] = {}
 
-    def push(self, table: pa.Table) -> int:
-        self.buffer.append(table)
-        return len(table)
+    def push(self, table: pa.Table, push_id=None) -> int:
+        def _do():
+            self.buffer.append(table)
+            return len(table)
+
+        return _idempotent_push(self, push_id, _do)
 
     def process_batch(self) -> int:
         if not self.buffer:
@@ -146,7 +191,9 @@ def streaming_sessionize(
         acks = []
         for p in np.unique(part):
             sub = t.filter(pa.array(part == p))
-            acks.append(_actors[int(p)].push.remote(sub))
+            acks.append(
+                _actors[int(p)].push.remote(sub, _push_id(int(p)))
+            )
         pushed = sum(ray.get(acks)) if acks else 0
         return pa.table({"pushed": pa.array([pushed], pa.int64())})
 
@@ -191,9 +238,12 @@ class DistinctState:
     def __init__(self) -> None:
         self.seen: set[int] = set()
 
-    def push(self, keys: list[int]) -> int:
-        self.seen.update(keys)
-        return len(keys)
+    def push(self, keys: list[int], push_id=None) -> int:
+        def _do():
+            self.seen.update(keys)
+            return len(keys)
+
+        return _idempotent_push(self, push_id, _do)
 
     def count(self) -> int:
         return len(self.seen)
@@ -219,7 +269,7 @@ def streaming_distinct(
         for p in np.unique(part):
             acks.append(
                 _actors[int(p)].push.remote(
-                    np.unique(vals[part == p]).tolist()
+                    np.unique(vals[part == p]).tolist(), _push_id(int(p))
                 )
             )
         pushed = sum(ray.get(acks)) if acks else 0
@@ -254,7 +304,10 @@ class WindowState:
         self.final: dict[tuple, list] = {}
         self.late_dropped = 0
 
-    def push(self, table: pa.Table) -> int:
+    def push(self, table: pa.Table, push_id=None) -> int:
+        return _idempotent_push(self, push_id, lambda: self._push_impl(table))
+
+    def _push_impl(self, table: pa.Table) -> int:
         import pyarrow.compute as pc
 
         hour = (
@@ -264,9 +317,9 @@ class WindowState:
             .cast(pa.int64())
             .to_numpy(zero_copy_only=False)
         )
-        cents = np.floor(
-            table["value"].to_numpy(zero_copy_only=False) * 100 + 0.5
-        ).astype(np.int64)
+        from .queries import _cents
+
+        cents = np.asarray(_cents(table["value"]), np.int64)
         types = table["event_type"].to_pylist()
         for ty, h, c in zip(types, hour, cents):
             key = (ty, int(h))
@@ -344,7 +397,9 @@ def streaming_hourly_counts(
         acks = []
         for p in np.unique(part):
             sub = t.filter(pa.array(part == p))
-            acks.append(_actors[int(p)].push.remote(sub))
+            acks.append(
+                _actors[int(p)].push.remote(sub, _push_id(int(p)))
+            )
         pushed = sum(ray.get(acks)) if acks else 0
         mx = int(hour.max()) if len(hour) else 0
         return pa.table(
@@ -424,7 +479,12 @@ class EnrichState:
             np.zeros(len(cats), np.int64),   # cents per attribute
         )
 
-    def push(self, keys, cents) -> int:
+    def push(self, keys, cents, push_id=None) -> int:
+        return _idempotent_push(
+            self, push_id, lambda: self._push_impl(keys, cents)
+        )
+
+    def _push_impl(self, keys, cents) -> int:
         if self._frozen is None:
             self._freeze()
         dk, codes, _cats, agg_n, agg_c = self._frozen
@@ -498,7 +558,8 @@ def streaming_enrich(
         part = (key % len(_actors)).astype(np.int64)
         acks = [
             _actors[int(p)].push.remote(
-                key[part == p].tolist(), cents[part == p].tolist()
+                key[part == p].tolist(), cents[part == p].tolist(),
+                _push_id(int(p)),
             )
             for p in np.unique(part)
         ]
@@ -556,9 +617,12 @@ class HeavyHitterState:
 
         self.mg = MisraGries(k)
 
-    def push(self, items, ns) -> int:
-        self.mg.add_exact_counts(items, ns)
-        return len(items)
+    def push(self, items, ns, push_id=None) -> int:
+        def _do():
+            self.mg.add_exact_counts(items, ns)
+            return len(items)
+
+        return _idempotent_push(self, push_id, _do)
 
     def result(self):
         return (
@@ -611,6 +675,7 @@ def streaming_heavy_terms(
             _actors[int(p)].push.remote(
                 items[part == p].tolist(),
                 np.asarray(ns)[part == p].tolist(),
+                _push_id(int(p)),
             )
             for p in np.unique(part)
         ]

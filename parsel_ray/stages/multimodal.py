@@ -91,10 +91,16 @@ class ResizeImage:
     def __call__(self, t: pa.Table) -> pa.Table:
         from ..images.codecs import resize_bilinear
 
-        out_bytes, ws, hs = [], [], []
+        out_bytes, ws, hs, oks = [], [], [], []
         for data, fmt in zip(t[self.bytes_col].to_pylist(),
                              t[self.fmt_col].to_pylist()):
-            px = decode_image(data, fmt)
+            try:
+                px = decode_image(data, fmt)
+            except Exception:  # one corrupt/null cell must not sink the
+                # whole block (the decode-stage family contract)
+                out_bytes.append(None)
+                ws.append(None); hs.append(None); oks.append(False)
+                continue
             if self.method == "bilinear":
                 small = resize_bilinear(px, self.out_h, self.out_w)
             else:
@@ -104,8 +110,10 @@ class ResizeImage:
             out_bytes.append(encode_image(small, fmt))
             ws.append(self.out_w)
             hs.append(self.out_h)
+            oks.append(True)
         idx_b = t.schema.get_field_index(self.bytes_col)
         t = t.set_column(idx_b, self.bytes_col, pa.array(out_bytes, pa.binary()))
+        t = t.append_column("resize_ok", pa.array(oks, pa.bool_()))
         if "w" in t.column_names:
             t = t.set_column(t.schema.get_field_index("w"), "w",
                              pa.array(ws, pa.int32()))
@@ -358,7 +366,13 @@ def _parse_wav_pcm16(data: bytes) -> "np.ndarray | None":
         ln = _struct.unpack("<I", data[pos + 4:pos + 8])[0]
         body = data[pos + 8:pos + 8 + ln]
         if tag == b"fmt ":
+            if len(body) < 4:
+                raise ValueError("corrupt WAV: truncated fmt chunk")
             fmt_code, n_ch = _struct.unpack("<HH", body[:4])
+            if n_ch == 0:
+                # a declared channel count of 0 would divide by zero in
+                # the data chunk — corrupt, not merely unsupported
+                raise ValueError("corrupt WAV: zero channels")
         elif tag == b"data":
             if fmt_code != 1:
                 raise ValueError("only PCM WAV supported")
@@ -385,9 +399,13 @@ class AudioFeatures:
     def __call__(self, t: pa.Table) -> pa.Table:
         feats, oks = [], []
         for data in t[self.bytes_col].to_pylist():
+            if data is None:
+                feats.append(None)
+                oks.append(False)
+                continue
             try:
                 pcm = _parse_wav_pcm16(bytes(data))
-            except ValueError:  # WAV header but non-PCM codec: flag row,
+            except Exception:  # corrupt/non-PCM: flag row,
                 feats.append(None)  # don't fail the batch
                 oks.append(False)
                 continue
@@ -428,9 +446,13 @@ class AudioSpectral:
     def __call__(self, t: pa.Table) -> pa.Table:
         feats, oks = [], []
         for data in t[self.bytes_col].to_pylist():
+            if data is None:
+                feats.append(None)
+                oks.append(False)
+                continue
             try:
                 pcm = _parse_wav_pcm16(bytes(data))
-            except ValueError:
+            except Exception:  # corrupt/non-PCM: flag, don't fail batch
                 feats.append(None)
                 oks.append(False)
                 continue
@@ -583,7 +605,13 @@ class AugmentImages:
             t[self.id_col].to_pylist(),
         ):
             p = _aug_params(str(iid))
-            px = apply_augment(decode_image(data, fmt), p)
+            try:
+                px = apply_augment(decode_image(data, fmt), p)
+            except Exception:  # corrupt/null payload: flag, don't fail
+                out_b.append(None)
+                ws.append(None); hs.append(None)
+                ops.append(None); oks.append(False)
+                continue
             enc = encode_image(px, fmt)
             back = decode_image(enc, fmt)
             if back.shape != px.shape:
@@ -597,6 +625,16 @@ class AugmentImages:
                     back.astype(np.int16) - px.astype(np.int16)
                 ).max()
                 ok = int(err) <= 4
+            elif fmt == "gif":
+                # GIF87a 3-3-2 palette: midpoint reconstruction of 5/5/6
+                # dropped bits bounds per-channel error at 16/16/32 — a
+                # PSNR gate would flag every correctly-augmented GIF
+                # (~26 dB is that codec's normal ceiling)
+                err = np.abs(back.astype(np.int16) - px.astype(np.int16))
+                ok = (
+                    int(err[..., :2].max(initial=0)) <= 16
+                    and int(err[..., 2].max(initial=0)) <= 32
+                )
             elif np.array_equal(back, px):
                 ok = True
             else:  # lossy DCT round-trip: PSNR gate (35 dB on small
@@ -706,7 +744,10 @@ class SilenceSegments:
     def __call__(self, t: pa.Table) -> pa.Table:
         nf, nsil, nseg, oks = [], [], [], []
         for data in t[self.bytes_col].to_pylist():
-            pcm = _parse_wav_pcm16(data) if data else None
+            try:
+                pcm = _parse_wav_pcm16(bytes(data)) if data else None
+            except Exception:  # non-PCM / corrupt header: flag the row
+                pcm = None
             if pcm is None:
                 nf.append(None); nsil.append(None); nseg.append(None)
                 oks.append(False)

@@ -1631,3 +1631,95 @@ class TestReviewRegressionPins:
         assert [int(hash_str64(t)) for t in toks] == [
             int(h) for h in hash_strs64(toks)
         ]
+
+
+class TestStageRobustnessPins:
+    """Wave-4 review fixes: corrupt/null cells flag rows instead of
+    failing batches; sub-8px phash; >4KB-APP1 JPEG sniff."""
+
+    def test_audio_stages_tolerate_garbage(self, ray_session):
+        import struct
+
+        from parsel_ray.stages.multimodal import (
+            AudioFeatures, AudioSpectral, SilenceSegments)
+
+        def wav(fmt_code=1, n_ch=1, body=b"\x00\x00" * 8):
+            fmt = struct.pack("<HHIIHH", fmt_code, n_ch, 8000,
+                              16000, 2, 16)
+            return (b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+                    + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(body)) + body)
+
+        rows = pa.table(
+            {
+                "bytes": pa.array(
+                    [wav(), wav(fmt_code=3), wav(n_ch=0), None,
+                     # >= 44 bytes (else the headerless-raw-PCM fallback
+                     # applies) with a truncated 2-byte fmt chunk
+                     b"RIFF\x28\x00\x00\x00WAVEfmt \x02\x00\x00\x00ab"
+                     + b"\x00" * 24],
+                    pa.binary(),
+                )
+            }
+        )
+        for cls, okcol in ((AudioFeatures, "audio_ok"),
+                           (AudioSpectral, "spectral_ok"),
+                           (SilenceSegments, "audio_ok")):
+            out = cls()(rows)
+            oks = out[okcol].to_pylist()
+            assert oks[0] is True, cls.__name__
+            assert oks[1:] == [False, False, False, False], cls.__name__
+
+    def test_resize_and_augment_flag_corrupt_rows(self, ray_session):
+        from parsel_ray.images.codecs import encode_image
+        from parsel_ray.stages.multimodal import AugmentImages, ResizeImage
+
+        px = np.zeros((16, 16, 3), np.uint8)
+        t = pa.table(
+            {
+                "image_id": pa.array(["a", "b"]),
+                "bytes": pa.array([encode_image(px, "png"), b"corrupt"],
+                                  pa.binary()),
+                "fmt": pa.array(["png", "png"]),
+            }
+        )
+        r = ResizeImage(8, 8)(t)
+        assert r["resize_ok"].to_pylist() == [True, False]
+        a = AugmentImages()(t)
+        assert a["aug_ok"].to_pylist()[1] is False
+
+    def test_augment_gif_certifies(self, ray_session):
+        from parsel_ray.images.codecs import encode_image
+        from parsel_ray.stages.multimodal import AugmentImages
+
+        rng = np.random.RandomState(6)
+        px = rng.randint(0, 256, (24, 24, 3)).astype(np.uint8)
+        t = pa.table(
+            {
+                "image_id": pa.array(["g1"]),
+                "bytes": pa.array([encode_image(px, "gif")], pa.binary()),
+                "fmt": pa.array(["gif"]),
+            }
+        )
+        assert AugmentImages()(t)["aug_ok"].to_pylist() == [True]
+
+    def test_phash_tiny_images(self):
+        from parsel_ray.images.codecs import phash64
+
+        rng = np.random.RandomState(8)
+        a = rng.randint(0, 256, (1, 1, 3)).astype(np.uint8)
+        b = rng.randint(0, 256, (5, 3, 3)).astype(np.uint8)
+        c = rng.randint(0, 256, (5, 3, 3)).astype(np.uint8)
+        assert phash64(a) == phash64(a)  # deterministic, no warning/零 hash
+        assert phash64(b) != phash64(c)  # tiny images don't all collide
+
+    def test_jpeg_sniff_big_app1(self):
+        from parsel_ray.images.codecs import sniff_image_meta
+        from parsel_ray.images.jpeg import encode_jpeg
+
+        base = encode_jpeg(np.zeros((20, 30, 3), np.uint8), 90)
+        import struct
+
+        seg = b"\xff\xe1" + struct.pack(">H", 6002) + b"Exif\x00\x00" + b"x" * 5994
+        fat = base[:2] + seg + base[2:]
+        assert sniff_image_meta(fat) == ("jpeg", 30, 20)
