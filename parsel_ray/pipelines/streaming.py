@@ -24,9 +24,13 @@ the streaming engine's regression test, per micro-batch count.
 
 from __future__ import annotations
 
+import hashlib
+import io
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.ipc as _ipc
 
 import ray
 import ray.data as rd
@@ -66,24 +70,57 @@ def _footer_minmax(path: str, col: str):
 # (worker death after partial delivery): without dedup the retry
 # double-counts rows and silently breaks the exact batch-oracle
 # equivalence every streaming entry point asserts.  Each push carries an
-# id derived from (ray task id, per-task push ordinal, partition); a
-# retried task reuses its task id and replays pushes in the same order
-# from a fresh worker, so the id is stable and the actor replays the
-# remembered ack instead of re-applying the push (same recipe as
-# sources/partitioned._content_name).
+# id that is a PURE CONTENT DIGEST of (partition, pushed payload) — no
+# task id, no per-task ordinal, no module state.  This works because
+# every pushed payload in this module embeds a unique-row-id column
+# (event_id / doc_id / c_custkey — each call site names its column), so:
+#
+#   * a replayed push (task retried on a fresh worker OR re-executed in
+#     the same still-alive process — the corner an ordinal-based id
+#     cannot cover without an attempt number, which Ray 2.49 does not
+#     expose) digests identically and the actor replays the remembered
+#     ack instead of re-applying;
+#   * two different tasks, or two batches within one task, carry
+#     disjoint row ids and can never collide;
+#   * there is no shared mutable sequence slot, so interleaved tasks in
+#     one process (threaded actor pools) are race-free by construction.
+#
+# This is deliberately NOT ``sources/partitioned._content_name``'s
+# (task id, ordinal, digest) recipe: the sink must give byte-identical
+# sub-batches DISTINCT shard names (generic tables have no unique-id
+# guarantee), whereas a streaming push WANTS identical content to
+# collide — the unique-row-id precondition is what licenses the
+# stronger, re-execution-proof scheme here.
 
-_PUSH_SEQ: list = ["", 0]
+_ACK_CAP = 1 << 17  # FIFO-evict remembered acks beyond this (replays
+#                     arrive temporally adjacent to their originals, so
+#                     eviction after ~131k newer pushes is safe; bounds
+#                     actor memory on unbounded streams)
 
 
-def _push_id(part: int) -> str:
-    try:
-        tid = ray.get_runtime_context().get_task_id() or ""
-    except Exception:  # driver / unit tests
-        tid = ""
-    if _PUSH_SEQ[0] != tid:
-        _PUSH_SEQ[0], _PUSH_SEQ[1] = tid, 0
-    seq, _PUSH_SEQ[1] = _PUSH_SEQ[1], _PUSH_SEQ[1] + 1
-    return f"{tid}:{seq}:{part}"
+def _push_id(part: int, *payload) -> str:
+    """Content-digest push id.  ``payload`` items are pyarrow Tables
+    (IPC-serialized — schema included) or array-likes; at least one
+    item must carry unique row ids for the dedup contract to hold."""
+    h = hashlib.blake2b(digest_size=16)
+    h.update(str(part).encode())
+    for item in payload:
+        if isinstance(item, pa.Table):
+            sink = io.BytesIO()
+            with _ipc.new_stream(sink, item.schema) as w:
+                w.write_table(item)
+            h.update(sink.getvalue())
+        else:
+            arr = np.asarray(item)
+            if arr.dtype == object:
+                for s in arr.tolist():
+                    h.update(str(s).encode())
+                    h.update(b"\x1f")
+            else:
+                h.update(arr.dtype.str.encode())
+                h.update(arr.tobytes())
+        h.update(b"\x1e")
+    return h.hexdigest()
 
 
 def _idempotent_push(actor, push_id, apply_fn) -> int:
@@ -95,6 +132,8 @@ def _idempotent_push(actor, push_id, apply_fn) -> int:
     n = apply_fn()
     if push_id is not None:
         acks[push_id] = n
+        if len(acks) > _ACK_CAP:
+            acks.pop(next(iter(acks)))
     return n
 
 
@@ -191,8 +230,9 @@ def streaming_sessionize(
         acks = []
         for p in np.unique(part):
             sub = t.filter(pa.array(part == p))
+            # unique row id for the dedup contract: event_id (in sub)
             acks.append(
-                _actors[int(p)].push.remote(sub, _push_id(int(p)))
+                _actors[int(p)].push.remote(sub, _push_id(int(p), sub))
             )
         pushed = sum(ray.get(acks)) if acks else 0
         return pa.table({"pushed": pa.array([pushed], pa.int64())})
@@ -239,6 +279,8 @@ class DistinctState:
         self.seen: set[int] = set()
 
     def push(self, keys: list[int], push_id=None) -> int:
+        # set.update is idempotent by construction — replayed pushes are
+        # harmless, so callers skip the dedup id (pure overhead here)
         def _do():
             self.seen.update(keys)
             return len(keys)
@@ -269,7 +311,7 @@ def streaming_distinct(
         for p in np.unique(part):
             acks.append(
                 _actors[int(p)].push.remote(
-                    np.unique(vals[part == p]).tolist(), _push_id(int(p))
+                    np.unique(vals[part == p]).tolist()
                 )
             )
         pushed = sum(ray.get(acks)) if acks else 0
@@ -397,8 +439,9 @@ def streaming_hourly_counts(
         acks = []
         for p in np.unique(part):
             sub = t.filter(pa.array(part == p))
+            # unique row id for the dedup contract: event_id (in sub)
             acks.append(
-                _actors[int(p)].push.remote(sub, _push_id(int(p)))
+                _actors[int(p)].push.remote(sub, _push_id(int(p), sub))
             )
         pushed = sum(ray.get(acks)) if acks else 0
         mx = int(hour.max()) if len(hour) else 0
@@ -459,11 +502,18 @@ class EnrichState:
         self._frozen = None
         self.unmatched = 0
 
-    def load_dim(self, keys, vals) -> int:
-        assert self._frozen is None, "dimension already frozen"
-        self._keys.extend(keys)
-        self._vals.extend(vals)
-        return len(keys)
+    def load_dim(self, keys, vals, push_id=None) -> int:
+        # idempotent like push: a retried load task re-sends the same
+        # (unique c_custkey) content, so a remembered ack replays instead
+        # of double-loading — or, post-freeze, instead of tripping the
+        # frozen assert (which remains a real invariant for NEW loads)
+        def _do():
+            assert self._frozen is None, "dimension already frozen"
+            self._keys.extend(keys)
+            self._vals.extend(vals)
+            return len(keys)
+
+        return _idempotent_push(self, push_id, _do)
 
     def _freeze(self):
         keys = np.asarray(self._keys, np.int64)
@@ -537,6 +587,8 @@ def streaming_enrich(
             _actors[int(p)].load_dim.remote(
                 k[part == p].tolist(),
                 [v[i] for i in np.nonzero(part == p)[0]],
+                # unique row id for the dedup contract: c_custkey
+                _push_id(int(p), k[part == p]),
             )
             for p in np.unique(part)
         ]
@@ -553,13 +605,16 @@ def streaming_enrich(
         from .queries import _cents
 
         uid = t["user_id"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
         key = uid % n_cust + 1
         cents = np.asarray(_cents(t["value"]), np.int64)
         part = (key % len(_actors)).astype(np.int64)
         acks = [
             _actors[int(p)].push.remote(
                 key[part == p].tolist(), cents[part == p].tolist(),
-                _push_id(int(p)),
+                # unique row id for the dedup contract: event_id
+                _push_id(int(p), eid[part == p], key[part == p],
+                         cents[part == p]),
             )
             for p in np.unique(part)
         ]
@@ -671,11 +726,15 @@ def streaming_heavy_terms(
             ),
             dtype=np.int64, count=len(items),
         )
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
         acks = [
             _actors[int(p)].push.remote(
                 items[part == p].tolist(),
                 np.asarray(ns)[part == p].tolist(),
-                _push_id(int(p)),
+                # unique row ids for the dedup contract: the batch's
+                # doc_id set (items are per-batch term aggregates)
+                _push_id(int(p), doc_ids, items[part == p],
+                         np.asarray(ns)[part == p]),
             )
             for p in np.unique(part)
         ]

@@ -1015,3 +1015,90 @@ class TestSemDedup:
         cent = rng.randn(4, 8).astype(np.float32)
         surv = semdedup(ds, ray.put(cent), threshold=1.5).take_all()
         assert sorted(r["vec_id"] for r in surv) == list(range(30))
+
+
+class TestPushIdempotency:
+    """The retry-dedup contract of streaming._push_id/_idempotent_push:
+    a replayed push (same partition, same payload) must return the
+    remembered ack WITHOUT re-applying state; distinct payloads must
+    both apply.  Simulates the Ray task-retry scenario the mechanism
+    exists for (worker death after partial delivery → replay)."""
+
+    def _tbl(self, eids, uids):
+        return pa.table(
+            {
+                "user_id": pa.array(uids, pa.int64()),
+                "ts": pa.array(
+                    [1_000_000 * e for e in eids], pa.timestamp("us")
+                ),
+                "event_id": pa.array(eids, pa.int64()),
+            }
+        )
+
+    def test_push_id_pure_content_function(self):
+        from parsel_ray.pipelines.streaming import _push_id
+
+        t = self._tbl([1, 2], [7, 7])
+        assert _push_id(0, t) == _push_id(0, t)          # replay-stable
+        assert _push_id(0, t) != _push_id(1, t)          # partition-keyed
+        assert _push_id(0, t) != _push_id(0, self._tbl([3, 4], [7, 7]))
+        a = np.array([1, 2, 3], np.int64)
+        assert _push_id(2, a, a) == _push_id(2, a, a)
+        assert _push_id(2, a) != _push_id(2, a, a)       # arity-sensitive
+
+    def test_session_push_replay_not_reapplied(self, ray_session):
+        import ray
+
+        from parsel_ray.pipelines.streaming import SessionState, _push_id
+
+        a = SessionState.remote()
+        t = self._tbl([1, 2, 3], [5, 5, 5])
+        pid = _push_id(0, t)
+        assert ray.get(a.push.remote(t, pid)) == 3
+        assert ray.get(a.push.remote(t, pid)) == 3       # replayed ack
+        # only one buffered copy folds: 3 events, not 6
+        assert ray.get(a.process_batch.remote()) == 3
+        out = ray.get(a.flush.remote())
+        assert out["n_events"].to_pylist() == [3]
+
+    def test_window_replay_and_distinct_content(self, ray_session):
+        import ray
+
+        from parsel_ray.pipelines.streaming import WindowState, _push_id
+
+        a = WindowState.remote()
+        t1 = pa.table(
+            {
+                "ts": pa.array([0, 1], pa.timestamp("us")),
+                "event_type": pa.array(["x", "x"]),
+                "value": pa.array([1.0, 2.0]),
+                "event_id": pa.array([10, 11], pa.int64()),
+            }
+        )
+        t2 = t1.set_column(3, "event_id",
+                           pa.array([12, 13], pa.int64()))
+        ray.get(a.push.remote(t1, _push_id(0, t1)))
+        ray.get(a.push.remote(t1, _push_id(0, t1)))      # replay: no-op
+        ray.get(a.push.remote(t2, _push_id(0, t2)))      # distinct: applies
+        out = ray.get(a.flush.remote())
+        assert out["n"].to_pylist() == [4]
+        assert out["sum_value_cents"].to_pylist() == [600]
+
+    def test_load_dim_replay_post_freeze(self, ray_session):
+        import ray
+
+        from parsel_ray.pipelines.streaming import EnrichState, _push_id
+
+        a = EnrichState.remote()
+        keys = np.array([1, 2], np.int64)
+        pid = _push_id(0, keys)
+        assert ray.get(a.load_dim.remote([1, 2], ["A", "B"], pid)) == 2
+        # an event push freezes the dimension
+        ray.get(a.push.remote([1], [100],
+                              _push_id(0, np.array([9], np.int64))))
+        # late replay of the load must return the remembered ack, not
+        # trip the frozen assert or double-load
+        assert ray.get(a.load_dim.remote([1, 2], ["A", "B"], pid)) == 2
+        rows, unmatched = ray.get(a.result.remote())
+        assert unmatched == 0
+        assert rows == [("A", 1, 100)]
