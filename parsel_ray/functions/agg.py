@@ -354,16 +354,23 @@ def grouped_ols(
     group as the same IEEE expression a SQL oracle writes — so doubles
     hash-match.
 
-    Overflow contract: caller scales x/y so Σxy and Σx² fit int64
-    (e.g. day-granularity timestamps and cent prices: ~1e8 per row ⇒
-    exact up to ~1e10 rows); the kernel asserts no wraparound by
-    checking partial magnitudes."""
+    Overflow contract: x and y fit 31 bits per element (asserted), so
+    per-element products fit int64; each per-batch partial sum is
+    asserted < 2⁶².  Cross-batch accumulation is EXACT and wrap-free:
+    each per-batch partial is split into (hi = v >> 32, lo = v & 2³²−1)
+    int64 columns whose global sums stay far below int64 range for any
+    realistic partial count (< 2³¹ partials per group), and the finish
+    kernel reconstructs the exact integer total hi·2³² + lo in Python
+    ints before the single round-to-double — the same value a
+    hugeint-summing SQL oracle computes."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
 
     group_cols = list(group_cols)
     LIM = np.int64(1 << 62)
+    _MASK = np.int64(0xFFFFFFFF)
+    STATS = ("__sx", "__sy", "__sxy", "__sxx")
 
     def partial(t: pa.Table) -> pa.Table:
         x = t[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -382,27 +389,40 @@ def grouped_ols(
             [("__n", "sum"), ("__sx", "sum"), ("__sy", "sum"),
              ("__sxy", "sum"), ("__sxx", "sum")]
         )
-        for c in ("__n_sum", "__sx_sum", "__sy_sum", "__sxy_sum",
-                  "__sxx_sum"):
-            m = pc.max(pc.abs(out[c])).as_py()
-            assert m is None or m < LIM, "sufficient-stat overflow risk"
-        return out.rename_columns(
-            group_cols + ["__n", "__sx", "__sy", "__sxy", "__sxx"]
-        )
+        res = {c: out[c] for c in group_cols}
+        res["__n"] = out["__n_sum"]
+        for c in STATS:
+            v = out[f"{c}_sum"].to_numpy(zero_copy_only=False)
+            m = np.abs(v).max() if len(v) else 0
+            assert m < LIM, "sufficient-stat overflow risk"
+            # arithmetic >> floors, so v == (v >> 32)*2^32 + (v & mask)
+            # holds for negatives too; lo ∈ [0, 2^32) keeps both global
+            # sums wrap-free for < 2^31 partials per group
+            res[f"{c}_hi"] = pa.array(v >> 32, pa.int64())
+            res[f"{c}_lo"] = pa.array(v & _MASK, pa.int64())
+        return pa.table(res)
 
+    split_cols = {"__n": "__n"}
+    for c in STATS:
+        split_cols[f"{c}_hi"] = f"{c}_hi"
+        split_cols[f"{c}_lo"] = f"{c}_lo"
     sums = partial_sum_groupby(
         ds.map_batches(partial, batch_format="pyarrow"),
         group_cols,
-        {"__n": "__n", "__sx": "__sx", "__sy": "__sy",
-         "__sxy": "__sxy", "__sxx": "__sxx"},
+        split_cols,
     )
+
+    def _exact(t: pa.Table, c: str) -> np.ndarray:
+        hi = t[f"{c}_hi"].to_numpy(zero_copy_only=False).astype(object)
+        lo = t[f"{c}_lo"].to_numpy(zero_copy_only=False).astype(object)
+        return (hi * (1 << 32) + lo).astype(np.float64)
 
     def finish(t: pa.Table) -> pa.Table:
         n = t["__n"].to_numpy(zero_copy_only=False).astype(np.float64)
-        sx = t["__sx"].to_numpy(zero_copy_only=False).astype(np.float64)
-        sy = t["__sy"].to_numpy(zero_copy_only=False).astype(np.float64)
-        sxy = t["__sxy"].to_numpy(zero_copy_only=False).astype(np.float64)
-        sxx = t["__sxx"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = _exact(t, "__sx")
+        sy = _exact(t, "__sy")
+        sxy = _exact(t, "__sxy")
+        sxx = _exact(t, "__sxx")
         denom = n * sxx - sx * sx
         slope = (n * sxy - sx * sy) / denom
         intercept = (sy - slope * sx) / n

@@ -46,7 +46,9 @@ def logreg_train(
     on near-separable or badly scaled data), so a step that raises the
     NLL is retried with a halved step (standard damping, ≤ 8 halvings)
     before the certification applies; the halving count is reported in
-    diagnostics."""
+    diagnostics.  The RETURNED weights are always a certified iterate:
+    the loop ends with one extra evaluation of the final step (damping
+    it like any other) rather than returning an unchecked Newton step."""
     x_cols = list(x_cols)
     d = len(x_cols) + 1
 
@@ -62,7 +64,9 @@ def logreg_train(
     nll_hist = []
     halvings = 0
     pending_step = None  # (base_w, direction, scale) from a damped retry
-    for it in range(iters):
+    pending_step_halvings = 0
+    steps_taken = 0
+    while True:  # exits once the FINAL iterate's NLL is itself certified
         w_round = w.copy()
 
         def partial(t: pa.Table, _w=w_round) -> pa.Table:
@@ -106,8 +110,9 @@ def logreg_train(
             base_w, step, scale = pending_step
             if halvings - pending_step_halvings >= 8:
                 raise AssertionError(
-                    f"NLL increased at round {it} and 8 halvings did not "
-                    f"recover: {nll_hist[-1]} -> {nll} (wrong grad/Hessian?)"
+                    f"NLL increased at step {steps_taken} and 8 halvings "
+                    f"did not recover: {nll_hist[-1]} -> {nll} "
+                    "(wrong grad/Hessian?)"
                 )
             halvings += 1
             scale *= 0.5
@@ -115,12 +120,18 @@ def logreg_train(
             pending_step = (base_w, step, scale)
             continue
         nll_hist.append(nll)
-        g -= ridge * w_round
+        pending_step = None
+        g -= ridge * w_round  # gradient of the RIDGE objective — also
+        #                       what grad_norm reports on the break path
+        if steps_taken >= iters:
+            break  # w == w_round was just evaluated and certified —
+            #        the returned weights are never an unchecked step
         H += ridge * np.eye(d)
         step = np.linalg.solve(H, g)
         w = w_round + step
         pending_step = (w_round, step, 1.0)
         pending_step_halvings = halvings
+        steps_taken += 1
 
     return w, {
         "nll": nll_hist,
@@ -147,6 +158,11 @@ def binary_auc(ds, score_col: str, label_col: str):
     from .agg import partial_sum_groupby
 
     def widen(t: pa.Table) -> pa.Table:
+        # nulls are not values (module convention): a null label must
+        # not count as a negative, a null score must not hold a rank
+        t = t.filter(
+            pc.and_(pc.is_valid(t[score_col]), pc.is_valid(t[label_col]))
+        )
         return pa.table(
             {
                 "score": t[score_col],

@@ -266,32 +266,36 @@ def lookup_arrays(mapping: dict) -> tuple:
     return ks[order], vs[order]
 
 
+def _hash_strings(col) -> np.ndarray:
+    """Vectorized stable 64-bit hash of a string column (uint64):
+    polars' row hash (seed 0 — deterministic across the processes of
+    one run), FNV-1a fallback without it.  THE shared string hash —
+    join bucketing and the HLL sketch both route through it, so a
+    seed or fallback change cannot desynchronize them."""
+    try:
+        import polars as pl
+
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        return pl.from_arrow(arr).hash(seed=0).to_numpy().astype(np.uint64)
+    except ImportError:  # pragma: no cover
+        return np.fromiter(
+            (_fnv(s) for s in col.to_pylist()), dtype=np.uint64,
+            count=len(col),
+        )
+
+
 def _bucket_of(col: pa.ChunkedArray, buckets: int) -> pa.Array:
     """Deterministic bucket id from an int64/string key column.
 
-    String keys hash via polars' vectorized 64-bit row hash (fixed seeds —
-    deterministic across the processes of one run, which is all bucketing
-    needs); FNV fallback if polars is absent."""
+    String keys hash via :func:`_hash_strings` (deterministic across
+    the processes of one run, which is all bucketing needs)."""
     if pa.types.is_integer(col.type):
         v = col.to_numpy(zero_copy_only=False).astype(np.uint64)
         # Fibonacci hashing — spreads sequential keys
         h = (v * np.uint64(11400714819323198485)) >> np.uint64(40)
     else:
-        try:
-            import polars as pl
-
-            h = (
-                pl.from_arrow(
-                    col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-                )
-                .hash(seed=0)
-                .to_numpy()
-                .astype(np.uint64)
-            )
-        except ImportError:  # pragma: no cover
-            h = np.fromiter(
-                (_fnv(s) for s in col.to_pylist()), dtype=np.uint64, count=len(col)
-            )
+        h = _hash_strings(col)
     return pa.array((h % np.uint64(buckets)).astype(np.int32))
 
 

@@ -25,13 +25,34 @@ import pyarrow as pa
 
 
 def _stack_embeddings(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
-    """list<float> column → (N, D) float64 ndarray (zero-copy flatten)."""
+    """list<float> column → (N, D) float64 ndarray (zero-copy flatten).
+
+    Null or ragged rows raise: Arrow's ``flatten()`` silently DROPS null
+    sublists, so a reshape after it would misalign every following row's
+    values with its id (and a ragged column has no (N, D) shape at all).
+    Embedding nulls must be filtered upstream — loud beats wrong."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     n = len(col)
     if n == 0:
         return np.empty((0, 0), dtype=np.float64)
+    if col.null_count:
+        raise ValueError(
+            f"embedding column has {col.null_count} null rows — filter "
+            "them upstream (flatten would silently misalign ids)"
+        )
+    if isinstance(col, pa.ListArray) or isinstance(col, pa.LargeListArray):
+        widths = np.diff(col.offsets.to_numpy())
+        if widths.size and (widths != widths[0]).any():
+            raise ValueError(
+                "ragged embedding column: row widths "
+                f"{np.unique(widths)[:5].tolist()}..."
+            )
     flat = col.flatten().to_numpy(zero_copy_only=False)
+    if flat.size % n:
+        raise ValueError(
+            f"ragged embedding column: {flat.size} values over {n} rows"
+        )
     return flat.reshape(n, -1).astype(np.float64)
 
 
@@ -189,6 +210,8 @@ def exact_near_dup_pairs(ds, threshold: float, id_col: str = "vec_id",
     mats, ids = [], []
     for ref in tbl:
         t = ray.get(ref)
+        if len(t) == 0:  # upstream-filtered empty block: (0, 0) shape
+            continue     # would break np.concatenate with (n, D) blocks
         ids.append(t[id_col].to_numpy(zero_copy_only=False).astype(np.int64))
         mats.append(_stack_embeddings(t[emb_col]))
     ids = np.concatenate(ids) if ids else np.empty(0, np.int64)
@@ -493,6 +516,21 @@ class PqAdcScore:
         self._b = LazyRef(books_ref)
         self.k = k
         self.id_col = id_col
+        self._built = None  # (qids, flat_luts, m, ksub) — once per worker
+
+    def _build(self):
+        """LUTs derive solely from broadcast state — build once per
+        worker (one Q×m×ksub einsum), not once per batch."""
+        if self._built is None:
+            q = self._q.get()
+            books = self._b.get()
+            m, ksub, dsub = books.shape
+            qmat = np.asarray(q["mat"], np.float64).reshape(-1, m, dsub)
+            luts = np.einsum("msd,qmd->qms", books, qmat)  # (Q, m, ksub)
+            self._built = (
+                np.asarray(q["ids"]), luts.reshape(len(qmat), -1), m, ksub
+            )
+        return self._built
 
     def __call__(self, t: pa.Table) -> pa.Table:
         empty = pa.table(
@@ -504,20 +542,15 @@ class PqAdcScore:
         )
         if len(t) == 0:
             return empty
-        q = self._q.get()
-        books = self._b.get()
-        m, ksub, dsub = books.shape
+        qids, flat_luts, m, ksub = self._build()
         codes = np.frombuffer(
             b"".join(t["pq_code"].to_pylist()), dtype=np.uint8
         ).reshape(len(t), m)
         flat = codes.astype(np.int64) + (np.arange(m) * ksub)[None, :]
         ids = t[self.id_col].to_numpy(zero_copy_only=False)
         out_q, out_n, out_s = [], [], []
-        for qid, qv in zip(q["ids"], q["mat"]):
-            lut = np.einsum(
-                "msd,md->ms", books, qv.reshape(m, dsub)
-            )  # (m, ksub) sub-inner-products
-            scores = np.take(lut.reshape(-1), flat).sum(axis=1)
+        for qid, flat_lut in zip(qids, flat_luts):
+            scores = np.take(flat_lut, flat).sum(axis=1)
             k = min(self.k, len(scores))
             top = np.argpartition(-scores, k - 1)[:k]
             top = top[np.argsort(-scores[top], kind="stable")]
@@ -566,6 +599,30 @@ class ExactReRank:
         self.k = k
         self.id_col = id_col
         self.emb_col = emb_col
+        self._built = None  # (union, per-query sorted shortlists) —
+        #                     derives solely from broadcast state, so
+        #                     sort once per worker, not once per batch
+
+    def _build(self):
+        if self._built is None:
+            short = self._s.get()  # {query_id: np.ndarray of ids}
+            union = (
+                np.unique(np.concatenate(list(short.values())))
+                if short else np.array([], np.int64)
+            )
+            self._built = (
+                union, {k: np.sort(np.asarray(v)) for k, v in short.items()}
+            )
+        return self._built
+
+    @staticmethod
+    def _in_sorted(sorted_arr: np.ndarray, vals: np.ndarray) -> np.ndarray:
+        if sorted_arr.size == 0:
+            return np.zeros(len(vals), bool)
+        i = np.minimum(
+            np.searchsorted(sorted_arr, vals), sorted_arr.size - 1
+        )
+        return sorted_arr[i] == vals
 
     def __call__(self, t: pa.Table) -> pa.Table:
         empty = pa.table(
@@ -578,14 +635,13 @@ class ExactReRank:
         if len(t) == 0:
             return empty
         q = self._q.get()
-        short = self._s.get()  # {query_id: np.ndarray of candidate ids}
+        union, short_sorted = self._build()
         ids = t[self.id_col].to_numpy(zero_copy_only=False)
         # subset to the UNION of shortlists BEFORE any vector math —
         # non-candidate rows are never decoded into the matmul (the
         # docstring's contract, and the point of the PQ prune: the
         # re-rank pass costs |shortlist-hits|, not |batch| x Q)
-        union = np.unique(np.concatenate(list(short.values()))) if short else np.array([], np.int64)
-        hit = np.isin(ids, union, assume_unique=False)
+        hit = self._in_sorted(union, ids)
         if not hit.any():
             return empty
         ids = ids[hit]
@@ -596,7 +652,7 @@ class ExactReRank:
         scores = mat @ q["mat"].T  # (|hits|, Q)
         out_q, out_n, out_s = [], [], []
         for c, qid in enumerate(q["ids"]):
-            mask = np.isin(ids, short[int(qid)], assume_unique=False)
+            mask = self._in_sorted(short_sorted[int(qid)], ids)
             if not mask.any():
                 continue
             s = scores[mask, c]

@@ -165,17 +165,9 @@ def _hash64(col) -> np.ndarray:
         z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
         z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
         return z ^ (z >> np.uint64(31))
-    try:
-        import polars as pl
+    from .relational import _hash_strings
 
-        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-        return pl.from_arrow(arr).hash(seed=0).to_numpy().astype(np.uint64)
-    except ImportError:  # pragma: no cover
-        from .relational import _fnv
-
-        return np.fromiter(
-            (_fnv(s) for s in col.to_pylist()), dtype=np.uint64, count=len(col)
-        )
+    return _hash_strings(col)
 
 
 def _rho_and_index(h: np.ndarray, p: int):
@@ -466,7 +458,10 @@ def grouped_hll_partials(t: pa.Table, group: str, col: str, p: int):
     np.maximum.at(regs, (codes[ok], idx[ok]), rho[ok])
     return pa.table(
         {
-            group: pa.array(list(uniques)),
+            # build with the column's own type: inference would widen
+            # e.g. int32 groups to int64, clashing with the typed-empty
+            # branches above at schema-unification time
+            group: pa.array(list(uniques), t.schema.field(group).type),
             "__regs": pa.array([r.tobytes() for r in regs], pa.binary()),
         }
     )
@@ -533,7 +528,7 @@ def grouped_tdigest(ds, group: str, col: str, delta: int = 200):
             seg = seg[~np.isnan(seg)]
             out.append(TDigest(delta).add_many(seg).to_bytes())
         return pa.table(
-            {group: pa.array(list(uniques)),
+            {group: pa.array(list(uniques), t.schema.field(group).type),
              "__digest": pa.array(out, pa.binary())}
         )
 

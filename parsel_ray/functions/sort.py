@@ -31,6 +31,70 @@ from .agg import (
 )
 
 
+class _EmptyInput(Exception):
+    """Range-partition input has no rows (upstream filter emptied it)."""
+
+
+def _empty_with_col(ds, out_col: str):
+    """Empty dataset + the typed output column the operator would add."""
+    return ds.map_batches(
+        lambda t: t.append_column(
+            out_col, pa.array([0] * len(t), pa.int64())
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _range_partition(ds, primary: str, asc0: bool, num_partitions: int):
+    """Shared scaffolding for the total-order operators: pick P-1 range
+    bounds on the primary key from the exact value histogram
+    (O(distinct) shuffle state — balance heuristic only, correctness
+    never depends on the bounds), broadcast them once, and attach
+    ``__pid`` (range-partition id, order-reversed for a descending
+    primary) to every row.  Raises :class:`_EmptyInput` for an empty
+    dataset — each caller defines its own empty output shape — and
+    ``ValueError`` for a non-empty all-null primary (define null
+    placement explicitly before ranking)."""
+    import ray
+
+    qs = [i / num_partitions for i in range(1, num_partitions)]
+    try:
+        _, vals, _cum = _exact_quantiles(ds, primary, qs, return_hist=True)
+    except ValueError:
+        if ds.count() > 0:
+            raise ValueError(
+                f"column {primary!r} has no non-null values — rank "
+                "null keys explicitly before calling"
+            )
+        raise _EmptyInput
+    idxs = np.linspace(1, len(vals) - 1, num_partitions - 1).astype(int) \
+        if len(vals) > 1 else np.array([], dtype=int)
+    bounds = np.unique(vals[idxs]) if len(idxs) else np.array([])
+    bounds_ref = ray.put(bounds)
+
+    def assign_pid(t: pa.Table) -> pa.Table:
+        b = ray.get(bounds_ref)
+        key = t[primary].to_numpy(zero_copy_only=False)
+        pid = np.searchsorted(b, key, side="right").astype(np.int64)
+        if not asc0:  # descending primary: reverse partition order
+            pid = len(b) - pid
+        return t.append_column("__pid", pa.array(pid, pa.int64()))
+
+    return ds.map_batches(assign_pid, batch_format="pyarrow")
+
+
+def _local_sorter(order_by, ascending):
+    """Stable in-partition sort attaching the 0-based ``__local`` index."""
+
+    def local_sort(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(list(order_by), ascending=list(ascending),
+                          kind="mergesort").copy()
+        g["__local"] = np.arange(len(g), dtype=np.int64)
+        return g
+
+    return local_sort
+
+
 def global_row_number(
     ds,
     order_by,
@@ -49,48 +113,13 @@ def global_row_number(
     """
     import ray
 
-    primary = order_by[0]
-    qs = [i / num_partitions for i in range(1, num_partitions)]
     try:
-        _, vals, _cum = _exact_quantiles(ds, primary, qs, return_hist=True)
-    except ValueError:
-        # no non-null primary values: an EMPTY dataset ranks to an
-        # empty dataset; a non-empty all-null column is a caller error
-        # (define null placement explicitly before ranking)
-        if ds.count() > 0:
-            raise ValueError(
-                f"global_row_number: column {primary!r} has no non-null "
-                "values — rank null keys explicitly before calling"
-            )
-        return ds.map_batches(
-            lambda t: t.append_column(
-                out_col, pa.array([0] * len(t), pa.int64())
-            ),
-            batch_format="pyarrow",
+        withpid = _range_partition(
+            ds, order_by[0], bool(ascending[0]), num_partitions
         )
-    # P-1 bounds at the quantile positions of the distinct-value domain
-    # (balance heuristic only — correctness never depends on the bounds)
-    idxs = np.linspace(1, len(vals) - 1, num_partitions - 1).astype(int) \
-        if len(vals) > 1 else np.array([], dtype=int)
-    bounds = np.unique(vals[idxs]) if len(idxs) else np.array([])
-    bounds_ref = ray.put(bounds)
-    asc0 = bool(ascending[0])
-
-    def assign_pid(t: pa.Table) -> pa.Table:
-        b = ray.get(bounds_ref)
-        key = t[primary].to_numpy(zero_copy_only=False)
-        pid = np.searchsorted(b, key, side="right").astype(np.int64)
-        if not asc0:  # descending primary: reverse partition order
-            pid = len(b) - pid
-        return t.append_column("__pid", pa.array(pid, pa.int64()))
-
-    withpid = ds.map_batches(assign_pid, batch_format="pyarrow")
-
-    def local_sort(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(list(order_by), ascending=list(ascending),
-                          kind="mergesort").copy()
-        g["__local"] = np.arange(len(g), dtype=np.int64)
-        return g
+    except _EmptyInput:
+        return _empty_with_col(ds, out_col)
+    local_sort = _local_sorter(order_by, ascending)
 
     ranked = grouped_apply(
         withpid, "__pid", local_sort, num_partitions=num_partitions
@@ -146,30 +175,13 @@ def grouped_row_number(
     """
     import ray
 
-    primary = order_by[0]
-    qs = [i / num_partitions for i in range(1, num_partitions)]
-    _, vals, _cum = _exact_quantiles(ds, primary, qs, return_hist=True)
-    idxs = np.linspace(1, len(vals) - 1, num_partitions - 1).astype(int) \
-        if len(vals) > 1 else np.array([], dtype=int)
-    bounds = np.unique(vals[idxs]) if len(idxs) else np.array([])
-    bounds_ref = ray.put(bounds)
-    asc0 = bool(ascending[0])
-
-    def assign_pid(t: pa.Table) -> pa.Table:
-        b = ray.get(bounds_ref)
-        key = t[primary].to_numpy(zero_copy_only=False)
-        pid = np.searchsorted(b, key, side="right").astype(np.int64)
-        if not asc0:
-            pid = len(b) - pid
-        return t.append_column("__pid", pa.array(pid, pa.int64()))
-
-    withpid = ds.map_batches(assign_pid, batch_format="pyarrow")
-
-    def local_sort(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(list(order_by), ascending=list(ascending),
-                          kind="mergesort").copy()
-        g["__local"] = np.arange(len(g), dtype=np.int64)
-        return g
+    try:
+        withpid = _range_partition(
+            ds, order_by[0], bool(ascending[0]), num_partitions
+        )
+    except _EmptyInput:
+        return _empty_with_col(ds, out_col)
+    local_sort = _local_sorter(order_by, ascending)
 
     ranked = grouped_apply(
         withpid, [group_col, "__pid"], local_sort,
@@ -230,24 +242,12 @@ def global_prefix_sum(
     list must give a total order for deterministic results."""
     import ray
 
-    primary = order_by[0]
-    qs = [i / num_partitions for i in range(1, num_partitions)]
-    _, vals, _cum = _exact_quantiles(ds, primary, qs, return_hist=True)
-    idxs = np.linspace(1, len(vals) - 1, num_partitions - 1).astype(int) \
-        if len(vals) > 1 else np.array([], dtype=int)
-    bounds = np.unique(vals[idxs]) if len(idxs) else np.array([])
-    bounds_ref = ray.put(bounds)
-    asc0 = bool(ascending[0])
-
-    def assign_pid(t: pa.Table) -> pa.Table:
-        b = ray.get(bounds_ref)
-        key = t[primary].to_numpy(zero_copy_only=False)
-        pid = np.searchsorted(b, key, side="right").astype(np.int64)
-        if not asc0:
-            pid = len(b) - pid
-        return t.append_column("__pid", pa.array(pid, pa.int64()))
-
-    withpid = ds.map_batches(assign_pid, batch_format="pyarrow")
+    try:
+        withpid = _range_partition(
+            ds, order_by[0], bool(ascending[0]), num_partitions
+        )
+    except _EmptyInput:
+        return _empty_with_col(ds, out_col)
 
     def local_scan(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(list(order_by), ascending=list(ascending),

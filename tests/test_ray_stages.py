@@ -1833,6 +1833,35 @@ class TestGroupedOls:
         assert abs(out["b"][0] - sB) < 1e-9 and abs(out["b"][1] - iB) < 1e-6
         assert out["a"][2] == 300 and out["b"][2] == 200
 
+    def test_cross_batch_totals_beyond_int64(self, ray_session):
+        """Per-batch partials can pass the < 2^62 check yet SUM past
+        int64 across batches; the hi/lo split accumulation must stay
+        exact (a plain int64 fold wraps and emits a garbage slope)."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from parsel_ray.functions.agg import grouped_ols
+
+        rng = np.random.RandomState(7)
+        # x near 2^30: per-row xy = 2x² ~ 2^61 (one row per batch keeps
+        # the per-batch < 2^62 assert green), 32 batches ⇒ Σxy ≈ 2^66 —
+        # a plain int64 fold wraps several times over
+        x = rng.randint((1 << 29), (1 << 30), 32).astype(np.int64)
+        y = 2 * x  # slope exactly 2.0 even in the float closed form
+        #            (doubling is exact; numerator = 2 × denominator)
+        t = pa.table(
+            {"g": pa.array(["z"] * len(x)), "x": pa.array(x),
+             "y": pa.array(y)}
+        )
+        out = grouped_ols(
+            rd.from_arrow(t).repartition(32), ["g"], "x", "y"
+        ).take_all()
+        assert len(out) == 1
+        assert int(sum(int(v) * int(v) for v in x)) * 2 > (1 << 63)
+        assert out[0]["slope"] == 2.0
+        assert out[0]["intercept"] == 0.0
+        assert out[0]["n"] == 32
+
 
 class TestQuarantineMap:
     """stages/extract.py::QuarantineMap — dead-letter row routing."""
@@ -1973,3 +2002,68 @@ class TestPcaFit:
         ds = rd.from_items([{"embedding": [1.0, 2.0]}])
         with pytest.raises(ValueError):
             pca_fit(ds, dim=2)
+
+
+class TestReviewRegressions:
+    """Pins for review findings: embedding null/ragged guards, typed
+    group columns under mixed empty/non-empty blocks, empty-input
+    fallbacks of the grouped/prefix total-order operators."""
+
+    def test_stack_embeddings_rejects_nulls_and_ragged(self):
+        import pytest
+
+        from parsel_ray.functions.similarity import _stack_embeddings
+
+        good = pa.array([[1.0, 2.0], [3.0, 4.0]], pa.list_(pa.float64()))
+        assert _stack_embeddings(good).shape == (2, 2)
+        withnull = pa.array([[1.0, 2.0], None, [3.0, 4.0]],
+                            pa.list_(pa.float64()))
+        # flatten() drops null sublists — reshape would misalign ids
+        with pytest.raises(ValueError, match="null"):
+            _stack_embeddings(withnull)
+        ragged = pa.array([[1.0], [2.0, 3.0], [4.0]],
+                          pa.list_(pa.float64()))
+        with pytest.raises(ValueError, match="ragged"):
+            _stack_embeddings(ragged)
+
+    def test_grouped_hll_partials_keep_group_type(self):
+        from parsel_ray.functions.sketch import grouped_hll_partials
+
+        t = pa.table(
+            {"g": pa.array([1, 1, 2], pa.int32()),
+             "v": pa.array([10, 11, 12], pa.int64())}
+        )
+        out = grouped_hll_partials(t, "g", "v", 12)
+        empty = grouped_hll_partials(t.slice(0, 0), "g", "v", 12)
+        # non-empty and typed-empty branches must agree (int32, not the
+        # inferred int64) or mixed blocks fail Ray schema unification
+        assert out.schema.field("g").type == pa.int32()
+        assert out.schema == empty.schema
+
+    def test_grouped_row_number_empty_input(self, ray_session):
+        import ray.data as rd
+
+        from parsel_ray.functions.sort import grouped_row_number
+
+        t = pa.table(
+            {"g": pa.array([], pa.string()),
+             "k": pa.array([], pa.int64())}
+        )
+        out = grouped_row_number(
+            rd.from_arrow(t), "g", ["k"], [True]
+        ).take_all()
+        assert out == []
+
+    def test_global_prefix_sum_empty_input(self, ray_session):
+        import ray.data as rd
+
+        from parsel_ray.functions.sort import global_prefix_sum
+
+        t = pa.table(
+            {"k": pa.array([], pa.int64()),
+             "v": pa.array([], pa.int64())}
+        )
+        out = global_prefix_sum(
+            rd.from_arrow(t), ["k"], [True], "v"
+        ).take_all()
+        assert out == []
