@@ -67,6 +67,11 @@ def replicated_docs(sf_dir: str, factor: int):
     n = len(src)
     total = n * factor
     shards = NUM_CPUS * 4
+    # replica-id stride ABOVE the real id range: a fixed 1e6 stride
+    # would collide replicas with base ids on tables holding >= 1M docs
+    import pyarrow.compute as _pc
+
+    stride = int(_pc.max(src["doc_id"]).as_py() or 0) + 1
 
     @ray.remote
     def gen_shard(t: pa.Table, sid: int) -> pa.Table:
@@ -76,7 +81,7 @@ def replicated_docs(sf_dir: str, factor: int):
         hi = (sid + 1) * total // shards
         gidx = np.arange(lo, hi, dtype=np.int64)
         part = t.take(pa.array(gidx % n))
-        ids = part["doc_id"].to_numpy(zero_copy_only=False) + (gidx // n) * 1_000_000
+        ids = part["doc_id"].to_numpy(zero_copy_only=False) + (gidx // n) * stride
         return part.set_column(
             part.schema.get_field_index("doc_id"), "doc_id", pa.array(ids)
         )

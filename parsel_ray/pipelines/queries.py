@@ -39,10 +39,7 @@ from ..functions import text as T
 from ..functions.relational import (
     LazyRef,
     broadcast_lookup,
-    broadcast_semi_join,
     hash_bucket_join,
-    lookup_arrays,
-    vec_lookup,
 )
 from ..functions.similarity import (
     _stack_embeddings,
@@ -143,27 +140,31 @@ GROUP BY l_returnflag, l_linestatus
 
 
 def q3_top_orders(sf_dir: str):
-    """Revenue top-10: semi-join via broadcast key set (customer segment —
-    genuinely small), pre-aggregated lineitem revenue, then the PARTITIONED
-    hash join with the filtered orders side (date filters keep ~half of
-    orders — NOT broadcastable at 100 TB), global sort+limit with
-    deterministic tie-break."""
+    """Revenue top-10: customer semi-join as a PARTITIONED bucket join
+    (the BUILDING key set is ~1/5 of ALL customers — SF-proportional,
+    never broadcastable at 100 TB), pre-aggregated lineitem revenue,
+    then the partitioned hash join with the filtered orders side (date
+    filters keep ~half of orders), global sort+limit with deterministic
+    tie-break."""
     seg_date = datetime(1997, 3, 15)
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    building = set(
-        cust.filter(lambda r: r["c_mktsegment"] == "BUILDING").unique("c_custkey")
+    building = _read(
+        sf_dir, "customer", ["c_custkey", "c_mktsegment"]
+    ).map_batches(
+        # unique keys, so the inner bucket join below IS a semi-join
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING"))
+        .select(["c_custkey"]).rename_columns(["o_custkey"]),
+        batch_format="pyarrow",
     )
-    bkeys = ray.put(building)
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"])
 
-    orders_f = broadcast_semi_join(
+    orders_f = hash_bucket_join(
         orders.map_batches(
             lambda t: t.filter(pc.less(t["o_orderdate"], pa.scalar(seg_date))),
             batch_format="pyarrow",
         ),
-        bkeys,
-        "o_custkey",
+        building,
+        on="o_custkey", how="inner", buckets=16,
     ).map_batches(
         lambda t: t.select(["o_orderkey", "o_orderdate", "o_orderpriority"])
         .rename_columns(["l_orderkey", "o_orderdate", "o_orderpriority"]),
@@ -206,68 +207,76 @@ LIMIT 10
 
 
 def q5_region_revenue(sf_dir: str):
-    """Multi-way join: all dimension sides broadcast (region/nation/
-    supplier/customer — genuinely small), lineitem⋈orders via the
-    partitioned hash join (both sides large at scale), revenue per nation
-    where customer and supplier share the nation."""
+    """Multi-way join, all-partitioned shape: supplier and customer are
+    SF-PROPORTIONAL (billions of rows at 100 TB — never broadcastable),
+    so both attach via ``hash_bucket_join``; only the fixed-size
+    nation/region tables (25/5 rows by schema) broadcast.  The asia
+    filter prunes BOTH dimension sides before their shuffles (the final
+    supp==cust nation equality can only hold inside the region), then
+    lineitem⋈orders is the orderkey-partitioned join."""
     y0, y1 = datetime(1996, 1, 1), datetime(1997, 1, 1)
     nation = _read(sf_dir, "nation").to_pandas()
     region = _read(sf_dir, "region").to_pandas()
     asia = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
     asia = asia[asia["r_name"] == "ASIA"][["n_nationkey", "n_name"]]
-    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
-    # broadcast as (sorted_keys, values) numpy pairs → vec_lookup per batch
-    # (searchsorted gather; no per-row dict.get in the lineitem hot path)
-    s_map = ray.put(lookup_arrays(dict(zip(supp["s_suppkey"], supp["s_nationkey"]))))
-    c_map = ray.put(lookup_arrays(dict(zip(cust["c_custkey"], cust["c_nationkey"]))))
-    asia_keys = set(asia["n_nationkey"])
+    asia_arr = pa.array(sorted(int(k) for k in asia["n_nationkey"]),
+                        pa.int64())  # fixed-size: ships in closures
     name_of = dict(zip(asia["n_nationkey"], asia["n_name"]))
 
-    class LiPrep:
-        def __init__(self, ref):
-            self.s = LazyRef(ref)
+    supp_asia = _read(
+        sf_dir, "supplier", ["s_suppkey", "s_nationkey"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.is_in(pc.cast(t["s_nationkey"], pa.int64()),
+                     value_set=asia_arr)
+        ).select(["s_suppkey", "s_nationkey"])
+        .rename_columns(["l_suppkey", "supp_nation"]),
+        batch_format="pyarrow",
+    )
+    cust_asia = _read(
+        sf_dir, "customer", ["c_custkey", "c_nationkey"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.is_in(pc.cast(t["c_nationkey"], pa.int64()),
+                     value_set=asia_arr)
+        ).select(["c_custkey", "c_nationkey"])
+        .rename_columns(["o_custkey", "cust_nation"]),
+        batch_format="pyarrow",
+    )
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            keys, vals = self.s.get()
-            sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
-            snat = vec_lookup(keys, vals, sk, np.int64(-1))
-            ext = t["l_extendedprice"].to_numpy(zero_copy_only=False)
-            disc = t["l_discount"].to_numpy(zero_copy_only=False)
-            out = pa.table(
-                {
-                    "orderkey": t["l_orderkey"],
-                    "supp_nation": pa.array(snat),
-                    "rev_cents": pa.array(_cents(ext * (1.0 - disc))),
-                }
-            )
-            mask = pc.is_in(out["supp_nation"], value_set=pa.array(sorted(asia_keys)))
-            return out.filter(mask)
+    def li_prep(t: pa.Table) -> pa.Table:
+        ext = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "orderkey": t["l_orderkey"],
+                "l_suppkey": t["l_suppkey"],
+                "rev_cents": pa.array(_cents(ext * (1.0 - disc))),
+            }
+        )
 
-    class OrdPrep:
-        def __init__(self, ref):
-            self.c = LazyRef(ref)
+    li = hash_bucket_join(
+        _read(sf_dir, "lineitem",
+              ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+        .map_batches(li_prep, batch_format="pyarrow"),
+        supp_asia, on="l_suppkey", how="inner", buckets=16,
+    ).select_columns(["orderkey", "supp_nation", "rev_cents"])
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            t = t.filter(
+    orders = hash_bucket_join(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+        .map_batches(
+            lambda t: t.filter(
                 pc.and_(
                     pc.greater_equal(t["o_orderdate"], pa.scalar(y0)),
                     pc.less(t["o_orderdate"], pa.scalar(y1)),
                 )
-            )
-            keys, vals = self.c.get()
-            ck = t["o_custkey"].to_numpy(zero_copy_only=False)
-            cnat = vec_lookup(keys, vals, ck, np.int64(-2))
-            return pa.table(
-                {"orderkey": t["o_orderkey"], "cust_nation": pa.array(cnat)}
-            )
+            ).select(["o_orderkey", "o_custkey"])
+            .rename_columns(["orderkey", "o_custkey"]),
+            batch_format="pyarrow",
+        ),
+        cust_asia, on="o_custkey", how="inner", buckets=16,
+    ).select_columns(["orderkey", "cust_nation"])
 
-    li = _read(
-        sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
-    ).map_batches(LiPrep(s_map), batch_format="pyarrow")
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
-        OrdPrep(c_map), batch_format="pyarrow"
-    )
     joined = hash_bucket_join(li, orders, on="orderkey", buckets=16)
     matched = joined.map_batches(
         lambda t: t.filter(pc.equal(t["supp_nation"], t["cust_nation"])),
@@ -1337,7 +1346,7 @@ def template_cluster(sf_dir: str):
         fps = []
         for i, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
             html_doc = _TEMPLATES[i % 7].format(
-                h=_html.escape(f"doc {i}"), t=_html.escape(txt[:80])
+                h=_html.escape(f"doc {i}"), t=_html.escape((txt or "")[:80])
             )
             sel = Selector(text=html_doc)
             paths = set()
@@ -1374,60 +1383,95 @@ def decontaminate_docs(sf_dir: str, n: int = 3):
     """Benchmark decontamination (the pre-training hygiene op): docs
     with ``doc_id % 97 == 0`` stand in for a held-out eval set; every
     other doc is flagged if it shares ANY word n-gram with a benchmark
-    doc.  The benchmark gram set is genuinely small (real benchmarks
-    are fixed-size) so it broadcasts once via ``ray.put`` — at corpus
-    scale the exact set swaps for the BloomFilter stage with identical
-    call shape; the per-doc check is one set-intersection over the
-    doc's distinct grams.  Tokenization matches the corpus SQL
-    convention (lower, whitespace-collapse, split) byte-for-byte."""
-    bench = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        lambda t: t.filter(
-            pa.array(
-                t["doc_id"].to_numpy(zero_copy_only=False) % 97 == 0
-            )
-        ),
-        batch_format="pyarrow",
-    )
+    doc.  Fully distributed EXACT shape — the benchmark stand-in here
+    is a fixed FRACTION of the corpus, so its gram set is O(corpus)
+    and must never visit the driver: both sides explode to gram rows,
+    contaminated doc ids come from one gram-keyed
+    ``hash_bucket_join`` (inner), and the per-doc flag from a second
+    id-keyed left join against a ``__hit`` marker (the
+    ``dedup_minhash`` survivor pattern).  When the benchmark is a real
+    fixed-size eval set, the cheaper path is the broadcast
+    BloomFilter stage with the same tokenization.  Tokenization
+    matches the corpus SQL convention (lower, whitespace-collapse,
+    split) byte-for-byte."""
+    from ..functions.agg import partial_sum_groupby
+    from ..functions.relational import hash_bucket_join
 
     def grams_of(txt: str) -> set:
         toks = (txt or "").strip().lower().split()
         return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
 
-    def bench_grams(t: pa.Table) -> pa.Table:
+    def bench_gram_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
         out = set()
-        for txt in t["text"].to_pylist():
-            out |= grams_of(txt)
+        for i, txt in zip(ids, t["text"].to_pylist()):
+            if i % 97 == 0:
+                out |= grams_of(txt)
         return pa.table({"g": pa.array(sorted(out), pa.string())})
 
-    # tiny driver set: O(benchmark grams), not O(corpus)
-    gset = frozenset(
-        r["g"] for r in bench.map_batches(
-            bench_grams, batch_format="pyarrow").take_all()
+    def corpus_gram_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        out_id: list = []
+        out_g: list = []
+        for i, txt in zip(ids, t["text"].to_pylist()):
+            if i % 97 == 0:
+                continue  # benchmark docs aren't scored
+            for g in grams_of(txt):
+                out_id.append(int(i))
+                out_g.append(g)
+        return pa.table(
+            {"doc_id": pa.array(out_id, pa.int64()),
+             "g": pa.array(out_g, pa.string())}
+        )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    # distributed distinct of the benchmark grams (one keyed shuffle)
+    bench_grams = partial_sum_groupby(
+        docs.map_batches(bench_gram_rows, batch_format="pyarrow"),
+        ["g"], {}, count_as="__bn",
+    ).select_columns(["g"])
+    corpus_grams = docs.map_batches(
+        corpus_gram_rows, batch_format="pyarrow", batch_size=1024
     )
-    g_ref = ray.put(gset)
+    # gram-keyed co-partition: a doc is contaminated iff any of its
+    # gram rows meets a benchmark gram row
+    bench_marked = bench_grams.map_batches(
+        lambda t: t.append_column(
+            "__hit", pa.array(np.ones(len(t), np.int8), pa.int8())
+        ),
+        batch_format="pyarrow",
+    )
+    hit_rows = hash_bucket_join(
+        corpus_grams, bench_marked, on="g", how="inner", buckets=32,
+    )
+    hit_ids = partial_sum_groupby(
+        hit_rows.select_columns(["doc_id"]), ["doc_id"], {}, count_as="__hn"
+    ).map_batches(
+        lambda t: pa.table(
+            {"doc_id": t["doc_id"],
+             "__hit": pa.array(np.ones(len(t), np.int8), pa.int8())}
+        ),
+        batch_format="pyarrow",
+    )
 
-    class Flag:
-        def __init__(self, ref):
-            self.g = LazyRef(ref)
+    def nonbench_ids(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"doc_id": pa.array(ids[ids % 97 != 0], pa.int64())}
+        )
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            gs = self.g.get()
-            ids, flags = [], []
-            for i, txt in zip(t["doc_id"].to_pylist(),
-                              t["text"].to_pylist()):
-                if i % 97 == 0:
-                    continue  # benchmark docs aren't scored
-                ids.append(i)
-                flags.append(not gs.isdisjoint(grams_of(txt)))
-            return pa.table(
-                {
-                    "doc_id": pa.array(ids, pa.int64()),
-                    "contaminated": pa.array(flags, pa.bool_()),
-                }
-            )
-
-    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        Flag(g_ref), batch_format="pyarrow", batch_size=1024
+    flagged = hash_bucket_join(
+        docs.select_columns(["doc_id"]).map_batches(
+            nonbench_ids, batch_format="pyarrow"
+        ),
+        hit_ids, on="doc_id", how="left", buckets=16,
+    )
+    return flagged.map_batches(
+        lambda t: pa.table(
+            {"doc_id": t["doc_id"],
+             "contaminated": pc.is_valid(t["__hit"])}
+        ),
+        batch_format="pyarrow",
     )
 
 
@@ -2417,7 +2461,8 @@ def content_type_route(sf_dir: str):
             k = i % 6
             if k == 0:
                 blobs.append(b"<!DOCTYPE html><html><body><p>"
-                             + txt[:64].encode() + b"</p></body></html>")
+                             + (txt or "")[:64].encode()
+                             + b"</p></body></html>")
             elif k == 1:
                 blobs.append(b"<?xml version=\"1.0\"?><doc id=\""
                              + str(i).encode() + b"\"/>")
@@ -3414,82 +3459,94 @@ LIMIT 20
 
 def q7_volume_shipping(sf_dir: str):
     """TPC-H Q7 shape: shipping volume between nation groups by year.
-    supplier/customer key→nation maps broadcast once as sorted-array
-    pairs (``vec_lookup`` searchsorted gather per batch — the maps are
-    the two genuinely small dimensions); lineitem⋈orders is the
-    partitioned hash join; the nation-pair filter prunes each side
-    BEFORE the shuffle so only qualifying rows move."""
+    supplier and customer are SF-proportional (never broadcastable at
+    100 TB), so their nation keys attach via ``hash_bucket_join`` —
+    with the participating-nation filter pruning each DIMENSION side
+    before its shuffle, so only qualifying lineitem/orders rows survive
+    their joins; lineitem⋈orders is the orderkey-partitioned join."""
     d0, d1 = datetime(1996, 1, 1), datetime(1998, 1, 1)
     NK = 5  # nations 0..4 participate (keeps the result non-empty at tiny sf)
-    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
-    s_map = ray.put(lookup_arrays(dict(zip(supp["s_suppkey"], supp["s_nationkey"]))))
-    c_map = ray.put(lookup_arrays(dict(zip(cust["c_custkey"], cust["c_nationkey"]))))
 
-    class LiPrep:
-        def __init__(self, ref):
-            self.s = LazyRef(ref)
+    supp_nk = _read(
+        sf_dir, "supplier", ["s_suppkey", "s_nationkey"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.greater_equal(pc.cast(t["s_nationkey"], pa.int64()),
+                                 pa.scalar(0, pa.int64())),
+                pc.less(pc.cast(t["s_nationkey"], pa.int64()),
+                        pa.scalar(NK, pa.int64())),
+            )
+        ).select(["s_suppkey", "s_nationkey"])
+        .rename_columns(["l_suppkey", "supp_nation"]),
+        batch_format="pyarrow",
+    )
+    cust_nk = _read(
+        sf_dir, "customer", ["c_custkey", "c_nationkey"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.greater_equal(pc.cast(t["c_nationkey"], pa.int64()),
+                                 pa.scalar(0, pa.int64())),
+                pc.less(pc.cast(t["c_nationkey"], pa.int64()),
+                        pa.scalar(NK, pa.int64())),
+            )
+        ).select(["c_custkey", "c_nationkey"])
+        .rename_columns(["o_custkey", "cust_nation"]),
+        batch_format="pyarrow",
+    )
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            t = t.filter(
-                pc.and_(
-                    pc.greater_equal(t["l_shipdate"], pa.scalar(d0)),
-                    pc.less(t["l_shipdate"], pa.scalar(d1)),
-                )
+    def li_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(
+                pc.greater_equal(t["l_shipdate"], pa.scalar(d0)),
+                pc.less(t["l_shipdate"], pa.scalar(d1)),
             )
-            keys, vals = self.s.get()
-            snat = vec_lookup(
-                keys, vals, t["l_suppkey"].to_numpy(zero_copy_only=False),
-                np.int64(-1),
-            )
-            ext = t["l_extendedprice"].to_numpy(zero_copy_only=False)
-            disc = t["l_discount"].to_numpy(zero_copy_only=False)
-            yr = pc.year(t["l_shipdate"]).to_numpy(zero_copy_only=False)
-            out = pa.table(
-                {
-                    "orderkey": t["l_orderkey"],
-                    "supp_nation": pa.array(snat.astype(np.int64)),
-                    "l_year": pa.array(yr.astype(np.int64)),
-                    "rev_cents": pa.array(_cents(ext * (1.0 - disc))),
-                }
-            )
-            return out.filter(
-                pc.and_(
-                    pc.greater_equal(out["supp_nation"], pa.scalar(0)),
-                    pc.less(out["supp_nation"], pa.scalar(NK)),
-                )
-            )
+        )
+        ext = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        yr = pc.year(t["l_shipdate"]).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "orderkey": t["l_orderkey"],
+                "l_suppkey": t["l_suppkey"],
+                "l_year": pa.array(yr.astype(np.int64)),
+                "rev_cents": pa.array(_cents(ext * (1.0 - disc))),
+            }
+        )
 
-    class OrdPrep:
-        def __init__(self, ref):
-            self.c = LazyRef(ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            keys, vals = self.c.get()
-            cnat = vec_lookup(
-                keys, vals, t["o_custkey"].to_numpy(zero_copy_only=False),
-                np.int64(-2),
-            )
-            out = pa.table(
-                {
-                    "orderkey": t["o_orderkey"],
-                    "cust_nation": pa.array(cnat.astype(np.int64)),
-                }
-            )
-            return out.filter(
-                pc.and_(
-                    pc.greater_equal(out["cust_nation"], pa.scalar(0)),
-                    pc.less(out["cust_nation"], pa.scalar(NK)),
-                )
-            )
-
-    li = _read(
-        sf_dir, "lineitem",
-        ["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice",
-         "l_discount"],
-    ).map_batches(LiPrep(s_map), batch_format="pyarrow")
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
-        OrdPrep(c_map), batch_format="pyarrow"
+    li = hash_bucket_join(
+        _read(
+            sf_dir, "lineitem",
+            ["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice",
+             "l_discount"],
+        ).map_batches(li_prep, batch_format="pyarrow"),
+        supp_nk, on="l_suppkey", how="inner", buckets=16,
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "orderkey": t["orderkey"],
+                "supp_nation": pc.cast(t["supp_nation"], pa.int64()),
+                "l_year": t["l_year"],
+                "rev_cents": t["rev_cents"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    orders = hash_bucket_join(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+            lambda t: t.rename_columns(["orderkey", "o_custkey"]),
+            batch_format="pyarrow",
+        ),
+        cust_nk, on="o_custkey", how="inner", buckets=16,
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "orderkey": t["orderkey"],
+                "cust_nation": pc.cast(t["cust_nation"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
     )
     joined = hash_bucket_join(li, orders, on="orderkey", buckets=16)
     agg = partial_sum_groupby(
@@ -3812,7 +3869,19 @@ def q15_top_supplier(sf_dir: str):
         ["s_suppkey"],
         {"rev_cents": "total_revenue_cents"},
     )
-    best = int(rev.max("total_revenue_cents"))
+    # Dataset.max returns None when the shipdate window matches nothing;
+    # the oracle returns an empty result there, so filter to nothing too
+    best_raw = rev.max("total_revenue_cents")
+    best = int(best_raw) if best_raw is not None else None
+    if best is None:
+        return rev.map_batches(
+            lambda t: pa.table(
+                {"s_suppkey": pa.array([], pa.int64()),
+                 "s_name": pa.array([], pa.string()),
+                 "total_revenue_cents": pa.array([], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
     winners = rev.map_batches(
         lambda t: t.filter(pc.equal(t["total_revenue_cents"], best)),
         batch_format="pyarrow",
@@ -3940,56 +4009,72 @@ GROUP BY c_nationkey ORDER BY c_nationkey
 
 def q8_market_share(sf_dir: str):
     """TPC-H Q8 shape: one nation's share of a region's market by order
-    year.  Both key→nation maps are the genuinely small dimensions
-    (broadcast once via ``ray.put``); lineitem⋈orders is the one
-    partitioned hash join, with the region filter pruning the orders
-    side BEFORE the shuffle.  The share crosses the boundary as two
-    exact integer-cent sums (numerator, denominator), never a float."""
+    year.  supplier and customer are SF-proportional, so both attach
+    via ``hash_bucket_join`` (the region filter prunes the CUSTOMER
+    side before its shuffle; only the fixed 25-row nation map ships in
+    a closure); lineitem⋈orders is the orderkey-partitioned join.  The
+    share crosses the boundary as two exact integer-cent sums
+    (numerator, denominator), never a float."""
     d0, d1 = datetime(1996, 1, 1), datetime(1998, 1, 1)
     TGT = 2  # supplier nation whose share we measure
     REGION = 2  # customers of region 2 define the market
-    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
     nat = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
-    region_of = dict(zip(nat["n_nationkey"].astype(int),
-                         nat["n_regionkey"].astype(int)))
-    in_region = {
-        int(k) for k, nk in zip(cust["c_custkey"], cust["c_nationkey"])
-        if region_of[int(nk)] == REGION
-    }
-    s_map = ray.put(lookup_arrays(dict(zip(supp["s_suppkey"],
-                                           supp["s_nationkey"]))))
-    c_ref = ray.put(in_region)
+    region_nations = pa.array(
+        sorted(
+            int(k) for k, r in zip(nat["n_nationkey"], nat["n_regionkey"])
+            if int(r) == REGION
+        ),
+        pa.int64(),
+    )
 
-    class LiPrep:
-        def __init__(self, ref):
-            self.s = LazyRef(ref)
+    supp_nk = _read(
+        sf_dir, "supplier", ["s_suppkey", "s_nationkey"]
+    ).map_batches(
+        lambda t: t.rename_columns(["l_suppkey", "supp_nation"]),
+        batch_format="pyarrow",
+    )
+    cust_region = _read(
+        sf_dir, "customer", ["c_custkey", "c_nationkey"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.is_in(pc.cast(t["c_nationkey"], pa.int64()),
+                     value_set=region_nations)
+        ).select(["c_custkey"]).rename_columns(["o_custkey"]),
+        batch_format="pyarrow",
+    )
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            keys, vals = self.s.get()
-            snat = vec_lookup(
-                keys, vals, t["l_suppkey"].to_numpy(zero_copy_only=False),
-                np.int64(-1),
-            )
-            ext = t["l_extendedprice"].to_numpy(zero_copy_only=False)
-            disc = t["l_discount"].to_numpy(zero_copy_only=False)
-            rev = _cents(ext * (1.0 - disc))
-            return pa.table(
-                {
-                    "orderkey": t["l_orderkey"],
-                    "rev_cents": pa.array(rev),
-                    "tgt_cents": pa.array(
-                        np.where(snat == TGT, rev, 0).astype(np.int64)
-                    ),
-                }
-            )
+    def li_prep(t: pa.Table) -> pa.Table:
+        ext = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "orderkey": t["l_orderkey"],
+                "l_suppkey": t["l_suppkey"],
+                "rev_cents": pa.array(_cents(ext * (1.0 - disc))),
+            }
+        )
 
-    li = _read(
-        sf_dir, "lineitem",
-        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
-    ).map_batches(LiPrep(s_map), batch_format="pyarrow")
+    li = hash_bucket_join(
+        _read(sf_dir, "lineitem",
+              ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+        .map_batches(li_prep, batch_format="pyarrow"),
+        supp_nk, on="l_suppkey", how="inner", buckets=16,
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "orderkey": t["orderkey"],
+                "rev_cents": t["rev_cents"],
+                "tgt_cents": pc.if_else(
+                    pc.equal(pc.cast(t["supp_nation"], pa.int64()),
+                             pa.scalar(TGT, pa.int64())),
+                    t["rev_cents"], pa.scalar(0, pa.int64()),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
 
-    orders = broadcast_semi_join(
+    orders = hash_bucket_join(
         _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
         .map_batches(
             lambda t: t.filter(
@@ -4000,7 +4085,7 @@ def q8_market_share(sf_dir: str):
             ),
             batch_format="pyarrow",
         ),
-        c_ref, "o_custkey",
+        cust_region, on="o_custkey", how="inner", buckets=16,
     ).map_batches(
         lambda t: pa.table(
             {
@@ -4039,13 +4124,16 @@ def q9_product_profit(sf_dir: str):
     """TPC-H Q9 shape: profit (revenue minus a retail-price-proportional
     cost, standing in for ps_supplycost — this corpus has no partsupp)
     by supplier nation and order year, for parts whose name contains a
-    word.  TWO chained partitioned hash joins (lineitem⋈part on partkey,
-    then ⋈orders on orderkey — both sides corpus-scale, neither
-    broadcastable); only the supplier→nation map is broadcast.  The part
-    name filter prunes the part side BEFORE its shuffle."""
-    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
-    s_map = ray.put(lookup_arrays(dict(zip(supp["s_suppkey"],
-                                           supp["s_nationkey"]))))
+    word.  THREE chained partitioned hash joins (lineitem⋈supplier on
+    suppkey, ⋈part on partkey, then ⋈orders on orderkey — supplier and
+    part are SF-proportional like the fact sides, none broadcastable).
+    The part name filter prunes the part side BEFORE its shuffle."""
+    supp_nk = _read(
+        sf_dir, "supplier", ["s_suppkey", "s_nationkey"]
+    ).map_batches(
+        lambda t: t.rename_columns(["l_suppkey", "s_nationkey"]),
+        batch_format="pyarrow",
+    )
 
     part = _read(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"]) \
         .map_batches(
@@ -4055,32 +4143,26 @@ def q9_product_profit(sf_dir: str):
             batch_format="pyarrow",
         )
 
-    class LiPrep:
-        def __init__(self, ref):
-            self.s = LazyRef(ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            keys, vals = self.s.get()
-            snat = vec_lookup(
-                keys, vals, t["l_suppkey"].to_numpy(zero_copy_only=False),
-                np.int64(-1),
-            )
-            return pa.table(
-                {
-                    "p_partkey": t["l_partkey"],
-                    "orderkey": t["l_orderkey"],
-                    "supp_nation": pa.array(snat.astype(np.int64)),
-                    "ext": t["l_extendedprice"],
-                    "disc": t["l_discount"],
-                    "qty": t["l_quantity"],
-                }
-            )
-
-    li = _read(
-        sf_dir, "lineitem",
-        ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
-         "l_extendedprice", "l_discount"],
-    ).map_batches(LiPrep(s_map), batch_format="pyarrow")
+    li = hash_bucket_join(
+        _read(
+            sf_dir, "lineitem",
+            ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+             "l_extendedprice", "l_discount"],
+        ),
+        supp_nk, on="l_suppkey", how="inner", buckets=16,
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "p_partkey": t["l_partkey"],
+                "orderkey": t["l_orderkey"],
+                "supp_nation": pc.cast(t["s_nationkey"], pa.int64()),
+                "ext": t["l_extendedprice"],
+                "disc": t["l_discount"],
+                "qty": t["l_quantity"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
 
     with_part = hash_bucket_join(li, part, on="p_partkey", buckets=16) \
         .map_batches(
@@ -4140,15 +4222,23 @@ def q11_important_parts(sf_dir: str):
     (``value * n_parts > 2 * total`` — i.e. parts worth over 2× the
     average part; TPC-H's fixed fraction empties as the part count
     grows with sf, which is why the spec scales it by 1/SF)."""
-    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
-    band = {int(k) for k, n in zip(supp["s_suppkey"], supp["s_nationkey"])
-            if int(n) < 8}
-    s_ref = ray.put(band)
+    # the nation band keeps ~1/3 of suppliers — SF-proportional, so the
+    # semi-join is a partitioned bucket join (unique keys ⇒ inner join
+    # is a semi-join), never a broadcast key set
+    band = _read(
+        sf_dir, "supplier", ["s_suppkey", "s_nationkey"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.less(pc.cast(t["s_nationkey"], pa.int64()),
+                    pa.scalar(8, pa.int64()))
+        ).select(["s_suppkey"]).rename_columns(["l_suppkey"]),
+        batch_format="pyarrow",
+    )
 
-    li = broadcast_semi_join(
+    li = hash_bucket_join(
         _read(sf_dir, "lineitem",
               ["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"]),
-        s_ref, "l_suppkey",
+        band, on="l_suppkey", how="inner", buckets=16,
     ).map_batches(
         lambda t: pa.table(
             {
@@ -4195,16 +4285,25 @@ WHERE value_cents * (SELECT COUNT(*) FROM per_part)
 def q16_supplier_counts(sf_dir: str):
     """TPC-H Q16 shape: distinct-supplier count per part attribute
     combo, excluding a NOT-IN supplier set (negative balance stands in
-    for the complaints LIKE).  The NOT-IN set broadcasts as an anti
-    semi-join (suppliers are the small dimension); lineitem⋈part is the
-    partitioned hash join with the brand/type filter pruning part
-    BEFORE its shuffle; COUNT(DISTINCT) decorrelates into two combiner
-    groupbys — per-batch dedupe → global distinct (suppkey carried) →
-    count per attribute combo."""
-    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"]).to_pandas()
-    bad = {int(k) for k, b in zip(supp["s_suppkey"], supp["s_acctbal"])
-           if float(b) < 0.0}
-    bad_ref = ray.put(bad)
+    for the complaints LIKE).  supplier is SF-proportional, so the
+    NOT-IN runs as a partitioned LEFT bucket join against a ``__bad``
+    marker with a null-filter (the anti-join shape ``dedup_minhash``
+    uses); lineitem⋈part is the partitioned hash join with the
+    brand/type filter pruning part BEFORE its shuffle;
+    COUNT(DISTINCT) decorrelates into two combiner groupbys —
+    per-batch dedupe → global distinct (suppkey carried) → count per
+    attribute combo."""
+    def bad_rows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["s_acctbal"], pa.scalar(0.0)))
+        return pa.table(
+            {
+                "l_suppkey": t["s_suppkey"],
+                "__bad": pa.array(np.ones(len(t), np.int8), pa.int8()),
+            }
+        )
+
+    bad = _read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"]) \
+        .map_batches(bad_rows, batch_format="pyarrow")
 
     part = _read(sf_dir, "part",
                  ["p_partkey", "p_brand", "p_type", "p_size"]) \
@@ -4217,11 +4316,13 @@ def q16_supplier_counts(sf_dir: str):
             ),
             batch_format="pyarrow",
         )
-    li = broadcast_semi_join(
+    li = hash_bucket_join(
         _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]),
-        bad_ref, "l_suppkey", anti=True,
+        bad, on="l_suppkey", how="left", buckets=16,
     ).map_batches(
-        lambda t: t.rename_columns(["p_partkey", "suppkey"]),
+        lambda t: t.filter(pc.is_null(t["__bad"]))
+        .select(["l_partkey", "l_suppkey"])
+        .rename_columns(["p_partkey", "suppkey"]),
         batch_format="pyarrow",
     )
     joined = hash_bucket_join(li, part, on="p_partkey", buckets=16)
@@ -4253,25 +4354,24 @@ def q20_excess_suppliers(sf_dir: str):
     groupby OVER THE PAIR SUMS (no lineitem rescan — it also yields the
     per-part supplier count), one partitioned join of the two
     aggregates, and an exact integer cross-multiply
-    (``pair * n_supp > 2 * total``).  Supplier names attach from the
-    broadcast small dimension at the end.  (The 2×-average form keeps
-    the predicate scale-stable: a fixed share like TPC-H's 50% empties
-    as supplier count per part grows with sf.)"""
-    pset = set(
-        _read(sf_dir, "part", ["p_partkey", "p_name"])
-        .map_batches(
-            lambda t: t.filter(pc.starts_with(t["p_name"], "small")),
-            batch_format="pyarrow",
-        )
-        .unique("p_partkey")
+    (``pair * n_supp > 2 * total``).  part and supplier are
+    SF-proportional, so the name-prefix semi-join and the final
+    supplier-name attach are both PARTITIONED bucket joins, not
+    broadcasts.  (The 2×-average form keeps the predicate
+    scale-stable: a fixed share like TPC-H's 50% empties as supplier
+    count per part grows with sf.)"""
+    small_parts = _read(
+        sf_dir, "part", ["p_partkey", "p_name"]
+    ).map_batches(
+        # unique keys → the inner bucket join below IS a semi-join
+        lambda t: t.filter(pc.starts_with(t["p_name"], "small"))
+        .select(["p_partkey"]).rename_columns(["l_partkey"]),
+        batch_format="pyarrow",
     )
-    p_ref = ray.put(pset)
-    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
-    name_of = dict(zip(supp["s_suppkey"].astype(int), supp["s_name"]))
 
-    li = broadcast_semi_join(
+    li = hash_bucket_join(
         _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_quantity"]),
-        p_ref, "l_partkey",
+        small_parts, on="l_partkey", how="inner", buckets=16,
     ).map_batches(
         lambda t: pa.table(
             {
@@ -4301,14 +4401,20 @@ def q20_excess_suppliers(sf_dir: str):
                 pc.multiply(t["part_qty"], pa.scalar(2, pa.int64())),
             )
         )
-        sk = keep["suppkey"].to_numpy(zero_copy_only=False)
-        return pa.table({"s_suppkey": keep["suppkey"],
-                         "s_name": pa.array([name_of[int(k)] for k in sk])})
+        return pa.table({"s_suppkey": keep["suppkey"]})
 
-    # a supplier can win several parts → distinct via a tiny groupby
-    return joined.map_batches(pick, batch_format="pyarrow") \
-        .groupby(["s_suppkey", "s_name"]).aggregate(Count(alias_name="__n")) \
-        .select_columns(["s_suppkey", "s_name"])
+    # a supplier can win several parts → distinct via a tiny groupby,
+    # then names attach via the partitioned join (supplier is
+    # SF-proportional — a name dict in the closure would ship the
+    # whole dimension with every task)
+    winners = joined.map_batches(pick, batch_format="pyarrow") \
+        .groupby(["s_suppkey"]).aggregate(Count(alias_name="__n")) \
+        .select_columns(["s_suppkey"])
+    return hash_bucket_join(
+        winners,
+        _read(sf_dir, "supplier", ["s_suppkey", "s_name"]),
+        on="s_suppkey", how="inner", buckets=8,
+    ).select_columns(["s_suppkey", "s_name"])
 
 
 Q20_SQL = """
@@ -4399,23 +4505,18 @@ def q21_waiting_suppliers(sf_dir: str):
     )
     counts = partial_sum_groupby(
         per_order.map_batches(
-            lambda t: t.select(["late_supp"]), batch_format="pyarrow"
+            lambda t: t.select(["late_supp"]).rename_columns(["s_suppkey"]),
+            batch_format="pyarrow",
         ),
-        ["late_supp"], {}, count_as="numwait",
+        ["s_suppkey"], {}, count_as="numwait",
     )
-    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
-    name_of = dict(zip(supp["s_suppkey"].astype(int), supp["s_name"]))
-
-    def names(t: pa.Table) -> pa.Table:
-        ks = t["late_supp"].to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "s_name": pa.array([name_of[int(k)] for k in ks]),
-                "numwait": t["numwait"],
-            }
-        )
-
-    out = counts.map_batches(names, batch_format="pyarrow") \
+    # supplier is SF-proportional: names attach via the partitioned
+    # join, never a driver dict shipped in a task closure
+    out = hash_bucket_join(
+        counts,
+        _read(sf_dir, "supplier", ["s_suppkey", "s_name"]),
+        on="s_suppkey", how="inner", buckets=8,
+    ).select_columns(["s_name", "numwait"]) \
         .sort(["numwait", "s_name"], descending=[True, False]) \
         .limit(100)
     return out
@@ -4509,19 +4610,26 @@ def q17_small_quantity(sf_dir: str):
     0.5 * avg(l_quantity) per part`` decorrelates into per-part
     sufficient statistics (sum, count — integers, so the comparison
     cross-multiplies exactly: ``2*qty*cnt < sum``) joined back to the
-    item rows; the brand/type filter broadcasts as a semi-join key set
-    (one brand × one type of the part corpus — genuinely small)."""
-    pset = set(
-        _read(sf_dir, "part", ["p_partkey", "p_brand", "p_type"])
-        .filter(lambda r: r["p_brand"] == "Brand#5" and r["p_type"] == "ECONOMY")
-        .unique("p_partkey")
+    item rows; the brand/type filter keeps a FIXED FRACTION of the
+    SF-proportional part table, so the semi-join is a partitioned
+    bucket join (unique keys ⇒ inner join is a semi-join), never a
+    broadcast key set."""
+    brand_parts = _read(
+        sf_dir, "part", ["p_partkey", "p_brand", "p_type"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.equal(t["p_brand"], pa.scalar("Brand#5")),
+                pc.equal(t["p_type"], pa.scalar("ECONOMY")),
+            )
+        ).select(["p_partkey"]).rename_columns(["l_partkey"]),
+        batch_format="pyarrow",
     )
-    pref = ray.put(pset)
 
-    items = broadcast_semi_join(
+    items = hash_bucket_join(
         _read(sf_dir, "lineitem",
               ["l_partkey", "l_quantity", "l_extendedprice"]),
-        pref, "l_partkey",
+        brand_parts, on="l_partkey", how="inner", buckets=16,
     ).map_batches(
         lambda t: pa.table(
             {
@@ -6304,14 +6412,16 @@ FROM documents GROUP BY ROLLUP (lang, source)
 """
 
 
-def sitemap_extract(sf_dir: str):
+def sitemap_urlset_extract(sf_dir: str):
     """Sitemap-protocol XML (the crawl seed-expansion format) through
     the DISTRIBUTED namespaced-XML path: each batch of documents
     becomes one urlset sitemap (proper sitemaps.org namespace), and
     ``SelectorExtract(namespaces=...)`` — the reference's
     register_namespace lifted to the actor-pool stage — pulls loc /
     lastmod / priority back out per <url> entry.  Oracle: the values
-    reconstruct straight from the documents table."""
+    reconstruct straight from the documents table.  (Sibling of
+    ``sitemap_extract``, which round-trips per-host sitemaps through
+    ``grouped_apply`` + raw Selector instead of the actor-pool stage.)"""
 
     def build(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_pylist()
@@ -6367,7 +6477,7 @@ def sitemap_extract(sf_dir: str):
     return per_url.map_batches(explode, batch_format="pyarrow")
 
 
-SITEMAP_SQL = """
+SITEMAP_URLSET_SQL = """
 SELECT doc_id,
        'http://corpus/doc/' || CAST(doc_id AS VARCHAR) AS loc,
        '2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS lastmod,
@@ -8042,9 +8152,15 @@ def sitemap_extract(sf_dir: str):
     nref = _ray.put((nkeys, nnames))
 
     def build_xml(g: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.relational import vec_lookup
+
         keys, names = _ray.get(nref)
         nk = int(g["c_nationkey"].iloc[0])
-        host = names[np.searchsorted(keys, nk)]
+        # clamped + miss-checked lookup (a raw searchsorted would return
+        # the NEXT nation's host for an absent key, or IndexError)
+        host = vec_lookup(keys, names, np.array([nk], np.int64), "")[0]
+        if not host:
+            raise ValueError(f"c_nationkey {nk} missing from nation")
         parts = ["<?xml version=\"1.0\" encoding=\"UTF-8\"?>",
                  "<urlset xmlns=\"http://www.sitemaps.org/schemas/"
                  "sitemap/0.9\">"]
@@ -8300,13 +8416,17 @@ def doc_lm_perplexity(sf_dir: str):
 
     from ..functions.text import perplexity_scores, train_char_bigram_lm
 
+    from ..functions.relational import LazyRef
+
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     model = train_char_bigram_lm(ds, "text")
     total_mass = sum(model[1].values())
-    mref = _ray.put(model)
+    mlazy = LazyRef(_ray.put(model))  # deserialize once per worker —
+    #                                   a bare ray.get here would re-pay
+    #                                   the dict unpickle on EVERY batch
 
     def score(t: pa.Table) -> pa.Table:
-        out = perplexity_scores(t, _ray.get(mref), "text")
+        out = perplexity_scores(t, mlazy.get(), "text")
         ppl = out["ppl"].to_numpy(zero_copy_only=False)
         assert np.isfinite(ppl).all() and (ppl > 0).all()
         return out.select(["doc_id", "ppl"])
@@ -9267,6 +9387,7 @@ QUERIES = {
     "events_type_unpivot": events_type_unpivot,
     "docs_rollup": docs_rollup,
     "sitemap_extract": sitemap_extract,
+    "sitemap_urlset_extract": sitemap_urlset_extract,
     "unicode_nfc_normalize": unicode_nfc_normalize,
     "doc_chunking": doc_chunking,
     "boilerplate_removal": boilerplate_removal,
@@ -9436,6 +9557,7 @@ ORACLE_SQL = {
     "events_type_unpivot": UNPIVOT_SQL,
     "docs_rollup": ROLLUP_SQL,
     "sitemap_extract": SITEMAP_SQL,
+    "sitemap_urlset_extract": SITEMAP_URLSET_SQL,
     "unicode_nfc_normalize": NFC_SQL,
     "doc_chunking": CHUNK_SQL,
     "boilerplate_removal": BOILERPLATE_SQL,
