@@ -171,6 +171,8 @@ class Translator:
         while True:
             expr, pos = self._parse_selector(toks, pos)
             rendered.append(expr.render(prefix))
+            if toks[pos].kind == "ws":  # 'p , a' / trailing 'p ' are valid
+                pos += 1
             t = toks[pos]
             if t.kind == "eof":
                 break
@@ -383,7 +385,9 @@ class Translator:
                     return args, pos + 1
                 args.append((t.kind, t.value))
             elif t.kind == "ws":
-                pass
+                # keep the separator: :has(ul li) needs it to see the
+                # descendant combinator (nth parsers strip spaces)
+                args.append((t.kind, " "))
             elif t.kind == "sym" and t.value in ("@",):
                 raise SelectorSyntaxError(f"Unexpected {t.value!r} in arguments")
             else:
@@ -531,7 +535,10 @@ class Translator:
                 inner_css = inner_css[1:].strip()
             inner = Translator(self.html)
             sub = _tokenize(inner_css)
-            sub_expr, _end = inner._parse_simple_sequence(sub, 0)
+            # full selector parse: ':has(ul li)' carries combinators,
+            # which a simple-sequence parse would silently concatenate
+            # into the nonexistent element 'ulli'
+            sub_expr, _end = inner._parse_selector(sub, 0)
             expr.add_condition(axis + sub_expr.base_str() if axis else sub_expr.base_str())
         else:
             raise ExpressionError(f"The pseudo-class :{name}() is unknown")

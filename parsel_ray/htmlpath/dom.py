@@ -519,7 +519,11 @@ def _ensure_html_structure(root: Element, source_text: str) -> None:
             new_children.append(c)
         elif isinstance(c, Element) and c.tag in HEAD_ELEMENTS and body is None and not pending_body:
             pending_head.append(c)
-        elif isinstance(c, Comment):
+        elif isinstance(c, Comment) and not pending_body and body is None:
+            # leading comments hoist to the html level; once body
+            # content has started a comment keeps its position inside
+            # <body> (lxml: '<p>a</p><!--c--><p>b</p>' keeps the
+            # comment between the two <p>)
             new_children.append(c)
         else:
             pending_body.append(c)
@@ -547,7 +551,7 @@ def _ensure_html_structure(root: Element, source_text: str) -> None:
             tail = getattr(n, "tail", None)
             n.tail = None
             body.append(n)
-            if tail and _WS_RE.search(tail):
+            if tail:  # whitespace-only tails are real text nodes too
                 n.tail = tail
             first = False
     root.children = []
@@ -565,7 +569,10 @@ _XML_TOKEN = re.compile(
     r"|<!--(?P<comment>.*?)-->"
     r"|<!DOCTYPE(?P<doctype>[^\[>]*(\[[^\]]*\])?[^>]*)>"
     r"|<\?(?P<pi>.*?)\?>"
-    rf"|<(?P<open>{_XML_NAME})(?P<attrs>[^>]*?)(?P<selfclose>/?)>"
+    # the attr block must skip '>' inside quoted values (legal XML 1.0:
+    # <a b="x>y"/>) — a bare [^>]*? truncates the tag at that '>'
+    rf"|<(?P<open>{_XML_NAME})(?P<attrs>(?:[^>\"']|\"[^\"]*\"|'[^']*')*?)"
+    r"(?P<selfclose>/?)>"
     rf"|</(?P<close>{_XML_NAME})\s*>",
     re.DOTALL,
 )

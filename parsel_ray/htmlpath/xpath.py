@@ -787,7 +787,10 @@ def to_string(v: Any) -> str:
     if isinstance(v, list):
         if not v:
             return ""
-        first = min(v, key=order_key) if len(v) > 1 else v[0]
+        # one memoizing key instance for the whole min — the one-shot
+        # order_key rebuilds its parent-index memo PER NODE, turning
+        # string(node-set) O(N²) on flat documents
+        first = min(v, key=make_order_key()) if len(v) > 1 else v[0]
         return string_value(first)
     if isinstance(v, bool):
         return "true" if v else "false"
@@ -912,13 +915,18 @@ class Evaluator:
             try:
                 return ln / rn
             except ZeroDivisionError:
-                if ln == 0:
+                # IEEE 754 semantics (XPath 1.0 §3.5): NaN/0 is NaN and
+                # the -0.0 divisor's sign flips the infinity
+                if ln == 0 or math.isnan(ln):
                     return float("nan")
-                return float("inf") if ln > 0 else float("-inf")
+                sign = math.copysign(1.0, ln) * math.copysign(1.0, rn)
+                return float("inf") if sign > 0 else float("-inf")
         if op == "mod":
             try:
                 return math.fmod(ln, rn)
-            except ZeroDivisionError:
+            except (ZeroDivisionError, ValueError):
+                # math.fmod(x, 0.0) raises ValueError, not ZeroDivision;
+                # XPath defines x mod 0 as NaN either way
                 return float("nan")
         raise XPathEvalError(f"Unknown operator {op}")
 
@@ -975,8 +983,15 @@ class Evaluator:
         if node.filter_expr is not None:
             start = self._eval(node.filter_expr, ctx, pos, size)
             if not isinstance(start, list):
-                # e.g. jmespath-like chaining on scalars is not a node-set
-                start = [start] if start not in (None, "") else []
+                if not node.steps and not node.filter_predicates:
+                    return start
+                # a location step / predicate on a scalar is an XPath
+                # type error (lxml: XPathEvalError 'Invalid type'), not
+                # a silent empty result
+                raise XPathEvalError(
+                    "Invalid type: location step applied to a "
+                    "non-node-set expression"
+                )
             current = list(start)
             for pred in node.filter_predicates:
                 current = self._apply_predicate(pred, current)
@@ -1267,14 +1282,16 @@ class Evaluator:
             a, b = ns(args[0]), ns(args[1])
             if not b:
                 return []
-            limit = order_key(min(b, key=order_key))
-            return [n for n in a if order_key(n) < limit]
+            okey = self.okey  # per-query memo, not per-node rebuilds
+            limit = okey(min(b, key=okey))
+            return [n for n in a if okey(n) < limit]
         if name == "trailing":
             a, b = ns(args[0]), ns(args[1])
             if not b:
                 return []
-            limit = order_key(min(b, key=order_key))
-            return [n for n in a if order_key(n) > limit]
+            okey = self.okey
+            limit = okey(min(b, key=okey))
+            return [n for n in a if okey(n) > limit]
         raise XPathEvalError(f"Unregistered function: set:{name}")
 
 
@@ -1499,7 +1516,7 @@ def _fn_name(ev, args, ctx, pos, size):
     nodes = _fn_nodeset_arg(ev, args, ctx, pos, size)
     if not nodes:
         return ""
-    n = min(nodes, key=order_key)
+    n = min(nodes, key=ev.okey)
     if isinstance(n, Element):
         return n._qualified_name()
     if isinstance(n, AttrNode):
@@ -1516,7 +1533,7 @@ def _fn_local_name(ev, args, ctx, pos, size):
     nodes = _fn_nodeset_arg(ev, args, ctx, pos, size)
     if not nodes:
         return ""
-    n = min(nodes, key=order_key)
+    n = min(nodes, key=ev.okey)
     if isinstance(n, Element):
         return n.local_name
     if isinstance(n, AttrNode):
@@ -1598,7 +1615,13 @@ def _fn_namespace_uri(ev, args, ctx, pos, size):
     nodes = _fn_nodeset_arg(ev, args, ctx, pos, size)
     if not nodes:
         return ""
-    n = min(nodes, key=order_key)
+    n = min(nodes, key=ev.okey)
     if isinstance(n, Element):
         return n.namespace_uri or ""
+    if isinstance(n, AttrNode):
+        # attribute nodes carry Clark-notation names — XPath 1.0 (and
+        # lxml) return the attribute's own namespace URI, not ''
+        name = n.name
+        if name.startswith("{"):
+            return name[1:].split("}", 1)[0]
     return ""

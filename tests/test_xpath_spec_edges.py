@@ -383,3 +383,68 @@ class TestCssHtmlPseudoClasses:
 
         with pytest.raises(ExpressionError, match="hover"):
             sel.css("p:hover")
+
+
+class TestReviewPins:
+    """Pins for the round-3 htmlpath review findings (each reproduced
+    against the pre-fix tree): IEEE edge cases in div/mod, type errors
+    for steps on scalars, namespace-uri on attributes, CSS whitespace
+    tolerance, :has() combinators, XML '>' inside quoted attributes,
+    comment position and whitespace tails in fragment bodies."""
+
+    def test_mod_by_zero_is_nan(self):
+        assert SEL.xpath("string(5 mod 0)").get() == "NaN"
+        assert SEL.xpath("string(0 mod 0)").get() == "NaN"
+
+    def test_div_zero_ieee_edges(self):
+        assert SEL.xpath("string(number('x') div 0)").get() == "NaN"
+        assert SEL.xpath("string(1 div -0)").get() == "-Infinity"
+        assert SEL.xpath("string(-1 div -0)").get() == "Infinity"
+
+    def test_step_on_scalar_raises(self):
+        with pytest.raises(ValueError):
+            SEL.xpath("concat('a','b')/p")
+        # a bare scalar expression still returns its value
+        assert SEL.xpath("string(concat('a','b'))").get() == "ab"
+
+    def test_namespace_uri_of_attribute(self):
+        x = Selector(text='<r xmlns:k="urn:k"><a k:b="1"/></r>',
+                     type="xml")
+        assert x.xpath("string(namespace-uri(//a/@*))").get() == "urn:k"
+
+    def test_string_of_nodeset_linear(self):
+        # 8k flat siblings: quadratic order_key made this ~12s
+        import time
+
+        big = Selector(text="<div>" + "<p>t</p>" * 8000 + "</div>")
+        t0 = time.time()
+        assert big.xpath("string(//p)").get() == "t"
+        assert time.time() - t0 < 2.0
+
+    def test_css_whitespace_before_comma_and_trailing(self):
+        assert SEL.css("p , a").getall() == SEL.css("p, a").getall()
+        assert SEL.css("p ").getall() == SEL.css("p").getall()
+
+    def test_css_has_descendant_combinator(self):
+        s = Selector(
+            text="<div><ul><li>x</li></ul></div><div><p>y</p></div>"
+        )
+        got = s.css("div:has(ul li)").getall()
+        assert len(got) == 1 and "<ul>" in got[0]
+        assert s.css("div:has(> ul)").getall() == got
+
+    def test_xml_gt_inside_quoted_attribute(self):
+        x = Selector(text='<root><a b="x>y">t</a></root>', type="xml")
+        assert x.xpath("//a/@b").get() == "x>y"
+        assert x.xpath("//a/text()").get() == "t"
+
+    def test_body_comment_keeps_position(self):
+        s = Selector(text="<p>a</p><!--c--><p>b</p>")
+        assert s.xpath("//body/comment()").getall() == ["<!--c-->"]
+        assert (
+            s.xpath("//comment()/following-sibling::p/text()").get() == "b"
+        )
+
+    def test_fragment_whitespace_tail_preserved(self):
+        s = Selector(text="<p>a</p> <p>b</p>")
+        assert s.xpath("//body/text()").getall() == [" "]
