@@ -204,6 +204,8 @@ def decode_gif(data: bytes) -> "tuple[np.ndarray, np.ndarray]":
         pos += 1
     if pos >= len(data) or data[pos] != 0x2C:
         raise ValueError("corrupt GIF: missing image descriptor")
+    if pos + 10 > len(data):  # struct.error would escape the contract
+        raise ValueError("corrupt GIF: truncated image descriptor")
     ix, iy, iw, ih, iflags = struct.unpack_from("<HHHHB", data, pos + 1)
     pos += 10
     if iflags & 0x80:

@@ -24,6 +24,7 @@ from __future__ import annotations
 import glob as _glob
 import hashlib
 import os
+import shutil
 import tempfile
 
 import numpy as np
@@ -42,11 +43,41 @@ from ..stages.multimodal import DecodeImageStats, ResizeImage
 def image_corpus_prep(crawl_cfg, out_dir: str | None = None):
     """Run the full image-prep funnel; returns (funnel table, out_dir).
     ``crawl_cfg`` is a ``CrawlConfig``; images are written worker-side
-    by the crawl and never pass through the driver."""
-    from ..crawl.frontier import run_crawl
-
+    by the crawl and never pass through the driver.  The mkdtemp crawl
+    workdir holds only intermediate shards; it is removed once the
+    funnel has fully consumed them (the published dir is kept)."""
     work = tempfile.mkdtemp(prefix="imgprep_", dir="/tmp")
     out_dir = out_dir or os.path.join(work, "published")
+    try:
+        return _image_prep_funnel(crawl_cfg, out_dir, work)
+    finally:
+        _cleanup_workdir(work, keep=out_dir)
+
+
+def _cleanup_workdir(work: str, keep: str) -> None:
+    """Remove the crawl workdir, sparing ``keep`` when it lives inside
+    (the default publish location is ``work/published``)."""
+    work = os.path.abspath(work)
+    keep = os.path.abspath(keep)
+    if os.path.commonpath([keep, work]) == work:
+        for entry in os.listdir(work):
+            p = os.path.join(work, entry)
+            if p == keep:
+                continue
+            if os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
+            else:
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
+    else:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _image_prep_funnel(crawl_cfg, out_dir: str, work: str):
+    from ..crawl.frontier import run_crawl
+
     funnel: list = []
 
     run_crawl(crawl_cfg, out_dir=work, collect_images=False, verify=False)
@@ -297,6 +328,9 @@ def training_batch_prep(crawl_cfg, batch_size: int = 8):
         ("tar_shards",
          len(_glob.glob(os.path.join(shard_dir, "*.tar"))))
     )
+    # the crawl's intermediate image shards are fully consumed once the
+    # tar receipts balance — drop them, keep only the tar shard dir
+    _cleanup_workdir(work, keep=shard_dir)
     return pa.table(
         {
             "stage": pa.array([s for s, _ in funnel], pa.string()),

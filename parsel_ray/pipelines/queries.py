@@ -3869,6 +3869,10 @@ def q15_top_supplier(sf_dir: str):
         ["s_suppkey"],
         {"rev_cents": "total_revenue_cents"},
     )
+    # materialized ONCE: .max() consumes the plan, and the winners filter
+    # below would otherwise re-run the whole lineitem scan+groupby (the
+    # per-supplier aggregate is O(suppliers), not O(lineitem) — small)
+    rev = rev.materialize()
     # Dataset.max returns None when the shipdate window matches nothing;
     # the oracle returns an empty result there, so filter to nothing too
     best_raw = rev.max("total_revenue_cents")

@@ -61,6 +61,23 @@ class ExtractSpec:
             raise ValueError(
                 f"terminal must be one of {_TERMINALS}, got {self.terminal!r}"
             )
+        # fail fast at spec construction, not per-batch inside the actor
+        # pool: a missing pattern or a lang/terminal mismatch would
+        # otherwise sink every block at runtime
+        if (
+            self.terminal in ("re", "re_first")
+            and self.lang != "re"
+            and self.pattern is None
+        ):
+            raise ValueError(
+                f"terminal={self.terminal!r} requires pattern= "
+                f"(SelectorList.re semantics) when lang={self.lang!r}"
+            )
+        if self.lang == "re" and self.terminal == "attrib":
+            raise ValueError(
+                "terminal='attrib' needs a node-producing lang "
+                "(css/xpath/jmespath); lang='re' yields string matches"
+            )
 
 
 def _run_spec(sel: Selector, spec: ExtractSpec) -> Any:
@@ -284,7 +301,9 @@ def xpath_tag_count(ctx, *args):
     can unpickle them by reference (reference contract: xpathfuncs.py:16-34)."""
     tag = args[0] if args and isinstance(args[0], str) else "a"
     node = ctx.context_node
-    return float(sum(1 for el in node.iter() if el.tag == tag))
+    it = node.iter()
+    next(it, None)  # iter() yields the node itself; descendants only
+    return float(sum(1 for el in it if el.tag == tag))
 
 
 class QuarantineMap:
@@ -334,7 +353,17 @@ class QuarantineMap:
                     }
                 )
         if bad:
-            bt = pa.Table.from_pylist(bad)
+            # pin the shard schema: from_pylist inference would type the
+            # id column per-shard (a shard of all-null ids infers `null`),
+            # making the quarantine dir unreadable as one dataset
+            bad_schema = pa.schema(
+                [
+                    (self.id_col, t.schema.field(self.id_col).type),
+                    ("error_type", pa.string()),
+                    ("error", pa.string()),
+                ]
+            )
+            bt = pa.Table.from_pylist(bad, schema=bad_schema)
             name = _content_name(bt)
             path = os.path.join(self.dir, name)
             import pyarrow.parquet as pq

@@ -14,6 +14,8 @@ environment) — swapping one in replaces only the container-parse calls.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pyarrow as pa
 
@@ -301,9 +303,11 @@ class DecodeGif:
 
 def sobel_edge_density(px: "np.ndarray") -> float:
     """Mean Sobel gradient magnitude over the grayscale image, normalized
-    to [0, 1] (divide by the 4*255 kernel bound) — the standard cheap
-    blur/blank detector for image-corpus quality filtering.  Vectorized:
-    two shifted-difference convolutions, no Python pixel loop."""
+    to [0, 1] (divide by the 4*255*sqrt(2) magnitude bound — each axis
+    peaks at 4*255, the combined magnitude at that times sqrt(2)) — the
+    standard cheap blur/blank detector for image-corpus quality
+    filtering.  Vectorized: two shifted-difference convolutions, no
+    Python pixel loop."""
     gray = px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
     if gray.shape[0] < 3 or gray.shape[1] < 3:
         return 0.0
@@ -317,7 +321,7 @@ def sobel_edge_density(px: "np.ndarray") -> float:
         - (gray[:-2, :-2] + 2 * gray[:-2, 1:-1] + gray[:-2, 2:])
     )
     mag = np.sqrt(gx * gx + gy * gy)
-    return float(mag.mean() / (4.0 * 255.0))
+    return float(mag.mean() / (4.0 * 255.0 * math.sqrt(2.0)))
 
 
 class ImageQuality:
@@ -412,7 +416,7 @@ class AudioFeatures:
             oks.append(True)
             if pcm is None:
                 pcm = np.frombuffer(
-                    data[: (len(data) // 2) * 2], dtype=np.int16
+                    data[: (len(data) // 2) * 2], dtype="<i2"
                 ).astype(np.float64)
             if len(pcm) == 0:
                 feats.append([])
@@ -459,7 +463,7 @@ class AudioSpectral:
             oks.append(True)
             if pcm is None:
                 pcm = np.frombuffer(
-                    data[: (len(data) // 2) * 2], dtype=np.int16
+                    data[: (len(data) // 2) * 2], dtype="<i2"
                 ).astype(np.float64)
             n = len(pcm) // self.frame
             if n == 0:
@@ -496,7 +500,7 @@ class SampleVideoFrames:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         from ..images.codecs import decode_image, encode_image
-        from ..images.video import frame_offsets, parse_header
+        from ..images.video import frame_offsets
 
         import struct as _struct
 
@@ -507,8 +511,8 @@ class SampleVideoFrames:
             # instead of failing the batch — same contract as DecodeJpeg
             try:
                 data = bytes(data)
-                n_frames, _, _, fmt, _ = parse_header(data)
-                offs, fmt = frame_offsets(data)
+                offs, fmt = frame_offsets(data)  # one walk: offsets + fmt
+                n_frames = len(offs)
                 if n_frames == 0:
                     raise ValueError("empty video")
                 k = min(self.n, n_frames)
@@ -679,16 +683,29 @@ class DetectShotBoundaries:
         self.threshold = threshold
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        from ..images.video import frame_offsets, parse_header, read_frame
+        import struct as _struct
+
+        from ..images.codecs import decode_image
+        from ..images.video import frame_offsets
+
+        def _frame(data: bytes, off: int, fmt: str) -> np.ndarray:
+            ln = _struct.unpack(">I", data[off - 4:off])[0]
+            return decode_image(data[off:off + ln], fmt)
 
         ns, shots, bounds, oks = [], [], [], []
         for data in t[self.bytes_col].to_pylist():
             try:
-                n, _, _, _, _ = parse_header(data)
-                prev = read_frame(data, 0)
+                data = bytes(data)
+                # one container walk; read_frame(data, k) per frame would
+                # re-walk all k length prefixes — O(n^2) on long videos
+                offs, fmt = frame_offsets(data)
+                n = len(offs)
+                if n == 0:
+                    raise ValueError("empty video")
+                prev = _frame(data, offs[0], fmt)
                 cuts = []
                 for k in range(1, n):
-                    cur = read_frame(data, k)
+                    cur = _frame(data, offs[k], fmt)
                     diff = float(
                         np.abs(cur.astype(np.int64)
                                - prev.astype(np.int64)).mean()

@@ -1723,3 +1723,65 @@ class TestStageRobustnessPins:
         seg = b"\xff\xe1" + struct.pack(">H", 6002) + b"Exif\x00\x00" + b"x" * 5994
         fat = base[:2] + seg + base[2:]
         assert sniff_image_meta(fat) == ("jpeg", 30, 20)
+
+
+class TestReviewPinsSession4:
+    """Pins for the round-3 pipelines/stages/images review findings,
+    each reproduced against the pre-fix tree."""
+
+    def test_gif_truncated_image_descriptor_is_valueerror(self):
+        # a cut right after the 0x2C descriptor byte used to escape as
+        # struct.error, breaking the documented ValueError contract
+        from parsel_ray.images.gif import encode_gif, decode_gif, quantize_332
+
+        blob = encode_gif(quantize_332(gradient(16, 16)))
+        tbl_size = 2 << (blob[10] & 7)
+        pos = 13 + tbl_size * 3
+        while blob[pos] == 0x21:  # skip extensions to the descriptor
+            pos += 2
+            while blob[pos]:
+                pos += 1 + blob[pos]
+            pos += 1
+        assert blob[pos] == 0x2C
+        for cut in (pos + 1, pos + 5, pos + 9):
+            with pytest.raises(ValueError):
+                decode_gif(blob[:cut])
+
+    def test_sobel_edge_density_bounded(self):
+        from parsel_ray.stages.multimodal import sobel_edge_density
+
+        # anti-diagonal step edge: gx = gy = 765 at the lone interior
+        # pixel; the old 4*255 normalizer read 1.06 here
+        ij = np.add.outer(np.arange(3), np.arange(3))
+        img = np.where(ij >= 2, 255, 0).astype(np.uint8)
+        img = np.repeat(img[:, :, None], 3, axis=2)
+        d = sobel_edge_density(img)
+        assert 0.0 < d <= 1.0
+        # exhaustive bound check over random tiny images
+        rng = np.random.RandomState(3)
+        for _ in range(20):
+            r = rng.randint(0, 256, (4, 4, 3)).astype(np.uint8)
+            assert 0.0 <= sobel_edge_density(r) <= 1.0
+
+    def test_shot_boundaries_single_container_walk(self):
+        # behavior pin after the O(n^2) read_frame loop was replaced
+        # with one frame_offsets walk
+        from parsel_ray.images.video import encode_video
+        from parsel_ray.stages.multimodal import DetectShotBoundaries
+        import pyarrow as pa
+
+        rng = np.random.RandomState(5)
+        a = rng.randint(0, 40, (8, 8, 3)).astype(np.uint8)
+        b = 255 - a
+        frames = [a, a, b, b, b, a]
+        blob = encode_video(frames, fmt="png")
+        t = pa.table({"bytes": pa.array([blob], pa.binary())})
+        out = DetectShotBoundaries()(t)
+        assert out["video_ok"].to_pylist() == [True]
+        assert out["n_frames"].to_pylist() == [8 if len(frames) == 8 else 6]
+        assert out["boundaries"].to_pylist() == [[2, 5]]
+        # corrupt container still flags, not raises
+        bad = DetectShotBoundaries()(
+            pa.table({"bytes": pa.array([b"junk"], pa.binary())})
+        )
+        assert bad["video_ok"].to_pylist() == [False]

@@ -2067,3 +2067,62 @@ class TestReviewRegressions:
             rd.from_arrow(t), ["k"], [True], "v"
         ).take_all()
         assert out == []
+
+
+class TestExtractSpecValidationPins:
+    """Review pins: spec errors fail at construction, not per-batch."""
+
+    def test_re_terminal_requires_pattern(self):
+        with pytest.raises(ValueError, match="pattern"):
+            ExtractSpec("m", "css", "p::text", "re")
+        with pytest.raises(ValueError, match="pattern"):
+            ExtractSpec("m", "xpath", "//p/text()", "re_first")
+        # lang="re" uses the query itself as the regex: no pattern needed
+        ExtractSpec("m", "re", r"\d+", "re")
+
+    def test_attrib_rejects_re_lang(self):
+        with pytest.raises(ValueError, match="attrib"):
+            ExtractSpec("m", "re", r"\d+", "attrib")
+
+    def test_tag_count_excludes_context_node(self):
+        from parsel_ray.stages.extract import SelectorExtract, xpath_tag_count
+
+        t = pa.table({"text": ["<div><a>outer<a>inner</a></a></div>"]})
+        stage = SelectorExtract(
+            [ExtractSpec("n", "xpath", "string(count(//a[a-count() > 0]))",
+                         "get")],
+            input_col="text",
+            xpath_funcs={"a-count": xpath_tag_count},
+        )
+        # only the outer <a> has an <a> DESCENDANT; counting self used
+        # to make BOTH anchors match (returned "2")
+        assert stage(t)["n"].to_pylist() == ["1"]
+
+
+class TestQuarantineSchemaPin:
+    def test_all_null_id_shard_readable_with_others(self, tmp_path):
+        import os
+
+        import pyarrow.parquet as pq_
+
+        from parsel_ray.stages.extract import QuarantineMap
+
+        def boom(row):
+            raise ValueError("always")
+
+        qdir = str(tmp_path / "dead")
+        os.makedirs(qdir, exist_ok=True)
+        qm = QuarantineMap(boom, qdir, id_col="rid")
+        # shard 1: all-null ids (inference would type rid as null);
+        # shard 2: real string ids — both must carry the same schema
+        qm(pa.table({"rid": pa.array([None, None], pa.string())}))
+        qm(pa.table({"rid": pa.array(["a", "b"], pa.string())}))
+        shards = sorted(
+            os.path.join(qdir, f) for f in os.listdir(qdir)
+            if f.endswith(".parquet")
+        )
+        assert len(shards) == 2
+        tables = [pq_.read_table(s) for s in shards]
+        assert tables[0].schema == tables[1].schema
+        merged = pa.concat_tables(tables)
+        assert sorted(merged["error_type"].to_pylist()) == ["ValueError"] * 4
