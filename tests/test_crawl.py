@@ -565,3 +565,48 @@ class TestBaseHref:
             "utf-8", "http://h.test/p",
         )
         assert base == "http://h.test/p"
+
+
+class TestCuckooReviewPins:
+    """Review pins: load factor (the raw-FNV index skew saturated the
+    filter at ~72%), and the victim stash (an exhausted eviction walk
+    used to DROP a fingerprint — false negative on a seen key)."""
+
+    def test_load_factor_meets_sizing_math(self):
+        f = CuckooFilter(16384)
+        slots = f.num_buckets * 4
+        i = 0
+        while f.add(f"https://host{i % 97}.example.com/path/{i}"):
+            i += 1
+        assert f.count / slots >= 0.90, f.count / slots
+
+    def test_no_false_negative_after_walk_exhaustion(self):
+        f = CuckooFilter(2048)
+        added = []
+        i = 0
+        # push far past capacity: every add() keeps membership exact
+        while len(f._stash) < 8:
+            k = f"url-{i}"
+            f.add(k)
+            added.append(k)
+            i += 1
+        missing = [k for k in added if not f.contains(k)]
+        assert missing == [], missing[:5]
+
+    def test_stash_survives_checkpoint_roundtrip(self):
+        f = CuckooFilter(2048)
+        i = 0
+        while not f._stash:
+            f.add(f"url-{i}")
+            i += 1
+        g = CuckooFilter.from_state(f.state())
+        assert g._stash == f._stash
+        assert all(g.contains(f"url-{j}") for j in range(i))
+
+    def test_legacy_state_without_stash(self):
+        f = CuckooFilter(1024)
+        f.add("a")
+        st = f.state()
+        del st["stash"]
+        g = CuckooFilter.from_state(st)
+        assert g.contains("a") and g._stash == []
