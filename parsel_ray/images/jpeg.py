@@ -26,6 +26,7 @@ crawl assets, and the kernel runs inside ``map_batches`` actor pools.
 from __future__ import annotations
 
 import struct
+from functools import lru_cache
 
 import numpy as np
 
@@ -143,6 +144,12 @@ def _build_codes(bits: list, values: list) -> dict:
 
 
 class _BitWriter:
+    """Entropy bit packer.  Bits gather in a small-int accumulator and
+    spill 8 bytes at a time; 0xFF byte stuffing happens ONCE at flush
+    via ``bytes.replace`` (a single C pass) instead of a per-byte check
+    — the writer only ever carries entropy bytes, so every 0xFF in the
+    buffer needs a stuffed 0x00."""
+
     __slots__ = ("buf", "acc", "nbits")
 
     def __init__(self) -> None:
@@ -152,25 +159,24 @@ class _BitWriter:
 
     def write(self, code: int, length: int) -> None:
         self.acc = (self.acc << length) | (code & ((1 << length) - 1))
-        self.nbits += length
-        while self.nbits >= 8:
-            byte = (self.acc >> (self.nbits - 8)) & 0xFF
-            self.buf.append(byte)
-            if byte == 0xFF:  # byte stuffing
-                self.buf.append(0x00)
-            self.nbits -= 8
-        self.acc &= (1 << self.nbits) - 1
+        n = self.nbits + length
+        if n >= 64:
+            drop = n & 7
+            whole = (n - drop) >> 3
+            self.buf += (self.acc >> drop).to_bytes(whole, "big")
+            self.acc &= (1 << drop) - 1
+            n = drop
+        self.nbits = n
 
     def flush(self) -> bytes:
         if self.nbits:
-            pad = 8 - self.nbits
-            byte = ((self.acc << pad) | ((1 << pad) - 1)) & 0xFF
-            self.buf.append(byte)
-            if byte == 0xFF:
-                self.buf.append(0x00)
+            pad = (8 - self.nbits) & 7
+            self.acc = (self.acc << pad) | ((1 << pad) - 1)
+            self.nbits += pad
+            self.buf += self.acc.to_bytes(self.nbits >> 3, "big")
             self.acc = 0
             self.nbits = 0
-        return bytes(self.buf)
+        return bytes(self.buf).replace(b"\xff", b"\xff\x00")
 
 
 def _magnitude(v: int) -> tuple[int, int]:
@@ -237,38 +243,44 @@ def encode_jpeg(px: np.ndarray, quality: int = 90) -> bytes:
     pred = [0, 0, 0]
     n_blocks = comp_qcoef[0].shape[0]
     zz = [qc.reshape(-1, 64)[:, ZIGZAG] for qc in comp_qcoef]
+    # per-symbol loop kept in Python but lean: Huffman code and
+    # magnitude bits fuse into ONE write, zero runs come from nonzero
+    # POSITIONS (no per-zero iteration), and bit_length is inlined
+    write = bw.write
     for bi in range(n_blocks):
         for ci in range(3):
             dc_tab = dc_l if ci == 0 else dc_c
             ac_tab = ac_l if ci == 0 else ac_c
             blk = zz[ci][bi]
-            diff = int(blk[0]) - pred[ci]
-            pred[ci] = int(blk[0])
-            size, bits = _magnitude(diff)
-            code, ln = dc_tab[size]
-            bw.write(code, ln)
-            if size:
-                bw.write(bits, size)
-            run = 0
+            dc = int(blk[0])
+            diff = dc - pred[ci]
+            pred[ci] = dc
+            if diff:
+                size = abs(diff).bit_length()
+                bits = diff if diff > 0 else diff + (1 << size) - 1
+                code, ln = dc_tab[size]
+                write((code << size) | bits, ln + size)
+            else:
+                code, ln = dc_tab[0]
+                write(code, ln)
             nz = np.flatnonzero(blk[1:])
-            last = nz[-1] + 1 if len(nz) else 0
-            for k in range(1, last + 1):
-                v = int(blk[k])
-                if v == 0:
-                    run += 1
-                    continue
+            prev = 0
+            for k in nz.tolist():
+                k += 1
+                run = k - prev - 1
+                prev = k
                 while run > 15:
                     code, ln = ac_tab[0xF0]  # ZRL
-                    bw.write(code, ln)
+                    write(code, ln)
                     run -= 16
-                size, bits = _magnitude(v)
+                v = int(blk[k])
+                size = abs(v).bit_length()
+                bits = v if v > 0 else v + (1 << size) - 1
                 code, ln = ac_tab[(run << 4) | size]
-                bw.write(code, ln)
-                bw.write(bits, size)
-                run = 0
-            if last < 63:
+                write((code << size) | bits, ln + size)
+            if prev < 63:
                 code, ln = ac_tab[0x00]  # EOB
-                bw.write(code, ln)
+                write(code, ln)
     scan = bw.flush()
 
     out = bytearray()
@@ -300,53 +312,125 @@ def encode_jpeg(px: np.ndarray, quality: int = 90) -> bytes:
 
 
 class _BitReader:
-    __slots__ = ("data", "pos", "acc", "nbits")
+    """Entropy-coded segment reader.  The constructor walks the scan
+    ONCE: byte-stuffing (0xFF00 → 0xFF) is removed and the data split
+    into restart-interval segments, so the hot loop is plain small-int
+    shifts with no per-byte stuffing checks (the old byte-at-a-time
+    reader also let its accumulator grow into an unbounded big-int —
+    per-image decode time was dominated by 140k+ ``read_bit`` calls).
+
+    Semantics preserved from the byte-at-a-time reader: consuming past
+    a segment whose boundary is an RSTn raises :class:`_RestartMarker`;
+    bits past the scan's terminal marker pad with 1-bits (T.81
+    F.2.2.5); ``sync_restart`` discards partial bits and crosses one
+    RSTn.  New: a stream that ends with no terminal marker raises
+    ValueError (truncation used to escape as IndexError)."""
+
+    __slots__ = ("segs", "marks", "seg_i", "buf", "blen", "bpos",
+                 "acc", "nbits", "pad", "pos")
 
     def __init__(self, data: bytes, pos: int) -> None:
-        self.data = data
-        self.pos = pos
+        segs: list[bytes] = []
+        marks: list = []  # per segment: RSTn byte | "term" | "eof"
+        parts: list[bytes] = []
+        i = pos
+        n = len(data)
+        term = n
+        while True:
+            j = data.find(b"\xff", i)
+            if j < 0 or j + 1 >= n:  # ran off the end: truncated scan
+                parts.append(data[i:(n if j < 0 else j)])
+                segs.append(b"".join(parts))
+                marks.append("eof")
+                break
+            nxt = data[j + 1]
+            if nxt == 0x00:  # stuffed: keep the 0xFF, drop the 0x00
+                parts.append(data[i:j + 1])
+                i = j + 2
+            elif 0xD0 <= nxt <= 0xD7:  # restart marker: segment boundary
+                parts.append(data[i:j])
+                segs.append(b"".join(parts))
+                marks.append(nxt)
+                parts = []
+                i = j + 2
+            else:  # real marker: end of scan
+                parts.append(data[i:j])
+                segs.append(b"".join(parts))
+                marks.append("term")
+                term = j
+                break
+        self.segs = segs
+        self.marks = marks
+        self.seg_i = 0
+        self.buf = segs[0]
+        self.blen = len(self.buf)
+        self.bpos = 0
         self.acc = 0
         self.nbits = 0
+        self.pad = 0  # trailing padding bits currently in acc
+        # original-data offset of the scan's terminal marker; callers
+        # scanning forward from here find the same marker the old
+        # reader's pos-based scan did
+        self.pos = term
 
-    def _fill(self) -> None:
-        d = self.data
-        b = d[self.pos]
-        if b == 0xFF:
-            nxt = d[self.pos + 1]
-            if nxt == 0x00:
-                self.pos += 2
-            elif 0xD0 <= nxt <= 0xD7:  # RSTn handled by caller via sync()
-                raise _RestartMarker(nxt)
+    def _ensure(self, need: int) -> None:
+        while self.nbits < need:
+            avail = self.blen - self.bpos
+            if avail:
+                take = avail if avail < 8 else 8
+                self.acc = (
+                    (self.acc & ((1 << self.nbits) - 1)) << (8 * take)
+                ) | int.from_bytes(self.buf[self.bpos:self.bpos + take],
+                                   "big")
+                self.nbits += 8 * take
+                self.bpos += take
             else:
-                # EOI or another marker: pad with 1-bits (T.81 F.2.2.5)
-                self.acc = (self.acc << 8) | 0xFF
+                mark = self.marks[self.seg_i]
+                if mark == "eof":
+                    raise ValueError(
+                        "corrupt JPEG: truncated entropy stream"
+                    )
+                # pad with 1-bits; _consume guards RST segments so the
+                # padding is peek-only there
+                self.acc = ((self.acc & ((1 << self.nbits) - 1)) << 8) | 0xFF
                 self.nbits += 8
-                return
-        else:
-            self.pos += 1
-        self.acc = (self.acc << 8) | b
-        self.nbits += 8
+                self.pad += 8
+
+    def _consume(self, n: int) -> None:
+        if n > self.nbits - self.pad:
+            mark = self.marks[self.seg_i]
+            if mark != "term":
+                raise _RestartMarker(mark)
+            self.nbits -= n
+            if self.pad > self.nbits:
+                self.pad = self.nbits
+            return
+        self.nbits -= n
 
     def read_bit(self) -> int:
-        if self.nbits == 0:
-            self._fill()
-        self.nbits -= 1
+        self._ensure(1)
+        self._consume(1)
         return (self.acc >> self.nbits) & 1
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
+        if n == 0:
+            return 0
+        self._ensure(n)
+        self._consume(n)
+        return (self.acc >> self.nbits) & ((1 << n) - 1)
 
     def sync_restart(self) -> None:
-        """Align to a byte boundary and consume one RSTn marker."""
+        """Discard partial bits and cross one RSTn segment boundary."""
+        mark = self.marks[self.seg_i]
+        if mark in ("term", "eof"):
+            raise ValueError("corrupt JPEG: missing restart marker")
+        self.seg_i += 1
+        self.buf = self.segs[self.seg_i]
+        self.blen = len(self.buf)
+        self.bpos = 0
         self.acc = 0
         self.nbits = 0
-        d = self.data
-        while not (d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7):
-            self.pos += 1
-        self.pos += 2
+        self.pad = 0
 
 
 class _RestartMarker(Exception):
@@ -354,36 +438,45 @@ class _RestartMarker(Exception):
         self.marker = marker
 
 
-class _HuffTable:
-    """Canonical decode via min/max code per length (T.81 F.2.2.3)."""
+@lru_cache(maxsize=64)
+def _build_lut(bits: tuple, values: tuple) -> list:
+    """16-bit-peek Huffman LUT: entry = (code_length << 8) | value, 0 =
+    invalid prefix.  Canonical code assignment per T.81 C.2; built with
+    numpy slice fills (≤ 256 of them), returned as a plain list so the
+    per-symbol lookup is one list index."""
+    lut = np.zeros(1 << 16, np.int32)
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            lo = code << (16 - length)
+            hi = (code + 1) << (16 - length)
+            if hi > (1 << 16):
+                raise ValueError("corrupt JPEG: overfull Huffman table")
+            lut[lo:hi] = (length << 8) | values[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return lut.tolist()
 
-    __slots__ = ("mincode", "maxcode", "valptr", "values")
+
+class _HuffTable:
+    """Canonical Huffman decode via a 16-bit-peek lookup table."""
+
+    __slots__ = ("lut",)
 
     def __init__(self, bits: list, values: list) -> None:
-        self.values = values
-        self.mincode = [0] * 17
-        self.maxcode = [-1] * 17
-        self.valptr = [0] * 17
-        code = 0
-        k = 0
-        for length in range(1, 17):
-            if bits[length - 1]:
-                self.valptr[length] = k
-                self.mincode[length] = code
-                code += bits[length - 1]
-                k += bits[length - 1]
-                self.maxcode[length] = code - 1
-            code <<= 1
+        if sum(bits) != len(values):
+            raise ValueError("corrupt JPEG: Huffman table count mismatch")
+        self.lut = _build_lut(tuple(bits), tuple(values))
 
     def decode(self, br: _BitReader) -> int:
-        code = br.read_bit()
-        length = 1
-        while code > self.maxcode[length]:
-            code = (code << 1) | br.read_bit()
-            length += 1
-            if length > 16:
-                raise ValueError("corrupt JPEG: invalid Huffman code")
-        return self.values[self.valptr[length] + code - self.mincode[length]]
+        br._ensure(16)
+        entry = self.lut[(br.acc >> (br.nbits - 16)) & 0xFFFF]
+        if entry == 0:
+            raise ValueError("corrupt JPEG: invalid Huffman code")
+        br._consume(entry >> 8)
+        return entry & 0xFF
 
 
 def _extend(v: int, size: int) -> int:
