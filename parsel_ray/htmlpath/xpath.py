@@ -1039,7 +1039,11 @@ class Evaluator:
                 continue
             if ordered and forward:
                 # disjoint forward expansions of doc-ordered contexts usually
-                # stay ordered; track cheaply and only sort when violated
+                # stay ordered; track cheaply and only sort when violated.
+                # (Note: even child/attribute expansions interleave when one
+                # context is another's ancestor — `//p` walks body before
+                # div, but body's later <p> child follows div's — so the
+                # okey tracking is needed for every forward axis.)
                 lo = okey(matched[0])
                 if last_hi is not None and lo < last_hi:
                     ordered = False

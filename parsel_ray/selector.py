@@ -113,7 +113,22 @@ def create_root_node(
     return parse_html(text, base_url=base_url, huge_tree=huge_tree)
 
 
+# every JSON document's first non-ws byte is one of these ({ [ " digit
+# - t(rue) f(alse) n(ull), plus N(aN)/I(nfinity) which json.loads
+# accepts by default) — anything else can skip the parse attempt.
+# This sniff runs per WRAPPED STRING RESULT (every extracted href/text
+# builds a Selector), so the exception-per-string cost is hot-path.
+_JSON_LEAD = frozenset('{["-0123456789tfnNI')
+
+
 def _is_valid_json(text: Any) -> bool:
+    if isinstance(text, str):
+        head = text[:1]
+        if head not in _JSON_LEAD:
+            if not head or not head.isspace():
+                return False
+            if text.lstrip()[:1] not in _JSON_LEAD:
+                return False
     try:
         json.loads(text)
     except (TypeError, ValueError):
