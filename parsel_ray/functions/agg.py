@@ -21,12 +21,20 @@ def partial_sum_groupby(
     keys: Sequence[str],
     sum_cols: Mapping[str, str],
     count_as: str | None = None,
+    out_schema: pa.Schema | None = None,
 ):
     """``SELECT keys, sum(col) AS out..., count(*) AS count_as GROUP BY keys``
     with per-batch pre-aggregation.
 
     ``sum_cols`` maps input column → output column name.  Returns a Dataset
     with columns ``keys + list(sum_cols.values()) (+ count_as)``.
+
+    ``out_schema``: Ray's ``groupby().aggregate()`` over an EMPTY (even
+    typed-empty) input drops the schema entirely; when the input can be
+    all-empty corpus-wide (pair chains), pass the exact output schema
+    ``keys + sum outputs (+ count)`` — a typed empty block is unioned so
+    downstream joins/selects keep working.  Types must match the
+    aggregate's real output (int sums widen to int64).
     """
     keys = list(keys)
     aggs = [(c, "sum") for c in sum_cols]
@@ -41,7 +49,12 @@ def partial_sum_groupby(
     ray_aggs = [Sum(f"{c}_sum", alias_name=out) for c, out in sum_cols.items()]
     if count_as:
         ray_aggs.append(Sum("count_all", alias_name=count_as))
-    return partials.groupby(keys).aggregate(*ray_aggs)
+    out = partials.groupby(keys).aggregate(*ray_aggs)
+    if out_schema is not None:
+        import ray.data as rd
+
+        out = out.union(rd.from_arrow(out_schema.empty_table()))
+    return out
 
 
 def partial_agg_groupby(
@@ -49,11 +62,15 @@ def partial_agg_groupby(
     keys: Sequence[str],
     specs: Sequence[tuple],
     count_as: str | None = None,
+    out_schema: pa.Schema | None = None,
 ):
     """Generalized combiner groupby for algebraic aggregates.
 
     ``specs``: (input_col, fn, out_name) with fn ∈ {"sum","min","max"}.
     Per-batch pyarrow pre-aggregation, then a tiny global shuffle.
+
+    ``out_schema``: see :func:`partial_sum_groupby` — required when the
+    input can be all-empty corpus-wide and downstream needs the schema.
     """
     from ray.data.aggregate import Max, Min
 
@@ -70,7 +87,12 @@ def partial_agg_groupby(
     ray_aggs = [merge_cls[f](f"{c}_{f}", alias_name=out) for c, f, out in specs]
     if count_as:
         ray_aggs.append(Sum("count_all", alias_name=count_as))
-    return partials.groupby(keys).aggregate(*ray_aggs)
+    out = partials.groupby(keys).aggregate(*ray_aggs)
+    if out_schema is not None:
+        import ray.data as rd
+
+        out = out.union(rd.from_arrow(out_schema.empty_table()))
+    return out
 
 
 def exact_quantiles(ds, col: str, qs: Sequence[float]):
@@ -139,6 +161,7 @@ def grouped_apply(
     keys,
     fn,
     num_partitions: int = 64,
+    out_schema=None,
 ):
     """Apply ``fn`` (pandas sub-frame → pandas frame) once per distinct key
     group — but shuffle into only ``num_partitions`` coarse hash partitions
@@ -154,6 +177,12 @@ def grouped_apply(
     ``groupby`` drops null-keyed rows (SQL's PARTITION BY would give
     them their own group).  Callers joining against a SQL oracle must
     guarantee (or pre-filter) non-null keys.
+
+    ``out_schema`` (pyarrow schema, optional): when ``fn`` can produce
+    ZERO rows for every group corpus-wide (pair enumeration, duplicate
+    victims), an all-empty result would otherwise drop the dataset's
+    schema entirely and break downstream groupbys/joins — pass the
+    output schema so empty partitions emit typed empty frames instead.
     """
     import numpy as np
     import pandas as pd
@@ -180,14 +209,28 @@ def grouped_apply(
         outs = [fn(sub) for _, sub in g.groupby(keys, sort=True)]
         outs = [o for o in outs if o is not None and len(o)]
         if not outs:
+            if out_schema is not None:
+                # a pyarrow empty table KEEPS string/binary types; an
+                # empty pandas frame degrades them to object → null on
+                # the block conversion (verified) — Ray accepts arrow
+                # returns from a pandas-format map_groups UDF
+                return out_schema.empty_table()
             return pd.DataFrame()
         return pd.concat(outs, ignore_index=True)
 
-    return (
+    out = (
         ds.map_batches(add_part, batch_format="pyarrow")
         .groupby("__part")
         .map_groups(per_partition, batch_format="pandas")
     )
+    if out_schema is not None:
+        # also covers a 0-ROW input (per_partition never runs then — Ray
+        # skips empty blocks in map stages, so the in-UDF fallback above
+        # can't fire): a same-schema empty union block pins the type
+        import ray.data as rd
+
+        out = out.union(rd.from_arrow(out_schema.empty_table()))
+    return out
 
 
 def grouped_topk(
@@ -312,8 +355,10 @@ def pareto_front(
         return t.filter(pa.array(keep))
 
     pruned = ds.map_batches(local_front, batch_format="pyarrow")
+    # batch_size=None: the global pass must see every survivor at once —
+    # default 1024-row slicing would keep rows dominated across slices
     return pruned.repartition(1).map_batches(
-        local_front, batch_format="pyarrow"
+        local_front, batch_format="pyarrow", batch_size=None
     )
 
 
@@ -376,30 +421,39 @@ def grouped_ols(
         x = t[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
         y = t[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
         assert (np.abs(x) < np.int64(1) << 31).all(), "x too large"
-        # per-element products x*y must not wrap int64 (the partial-sum
-        # magnitude check below cannot see an already-wrapped product)
+        # per-element products x*y must not wrap int64 (they stay < 2^62)
         assert (np.abs(y) < np.int64(1) << 31).all(), "y too large"
+        # the in-batch group sums go through a 31-bit pre-split so they
+        # can NEVER wrap int64 (a wrapped sum could land back inside the
+        # |v| < 2^62 band and pass the post-sum assert silently): each
+        # element's hi/lo part is < 2^31, so sums over any batch < 2^31
+        # rows stay in range and the reconstructed python-int sum is
+        # exact — the 2^62 magnitude contract is then checked EXACTLY
+        _LO31 = np.int64((1 << 31) - 1)
         cols = {c: t[c] for c in group_cols}
         cols["__n"] = pa.array(np.ones(len(t), np.int64))
-        cols["__sx"] = pa.array(x)
-        cols["__sy"] = pa.array(y)
-        cols["__sxy"] = pa.array(x * y)
-        cols["__sxx"] = pa.array(x * x)
-        out = pa.table(cols).group_by(group_cols).aggregate(
-            [("__n", "sum"), ("__sx", "sum"), ("__sy", "sum"),
-             ("__sxy", "sum"), ("__sxx", "sum")]
-        )
+        for name, v in (
+            ("__sx", x), ("__sy", y), ("__sxy", x * y), ("__sxx", x * x)
+        ):
+            # arithmetic >> floors, so v == (v >> 31)*2^31 + (v & lo31)
+            # holds for negatives too
+            cols[f"{name}_h"] = pa.array(v >> np.int64(31))
+            cols[f"{name}_l"] = pa.array(v & _LO31)
+        aggs = [("__n", "sum")]
+        for c in STATS:
+            aggs += [(f"{c}_h", "sum"), (f"{c}_l", "sum")]
+        out = pa.table(cols).group_by(group_cols).aggregate(aggs)
         res = {c: out[c] for c in group_cols}
         res["__n"] = out["__n_sum"]
         for c in STATS:
-            v = out[f"{c}_sum"].to_numpy(zero_copy_only=False)
-            m = np.abs(v).max() if len(v) else 0
-            assert m < LIM, "sufficient-stat overflow risk"
-            # arithmetic >> floors, so v == (v >> 32)*2^32 + (v & mask)
-            # holds for negatives too; lo ∈ [0, 2^32) keeps both global
-            # sums wrap-free for < 2^31 partials per group
-            res[f"{c}_hi"] = pa.array(v >> 32, pa.int64())
-            res[f"{c}_lo"] = pa.array(v & _MASK, pa.int64())
+            hi31 = out[f"{c}_h_sum"].to_numpy(zero_copy_only=False)
+            lo31 = out[f"{c}_l_sum"].to_numpy(zero_copy_only=False)
+            v = hi31.astype(object) * (1 << 31) + lo31.astype(object)
+            m = max((abs(int(e)) for e in v), default=0)
+            assert m < int(LIM), "sufficient-stat overflow risk"
+            vi = v.astype(np.int64)  # exact: |v| < 2^62 proven above
+            res[f"{c}_hi"] = pa.array(vi >> 32, pa.int64())
+            res[f"{c}_lo"] = pa.array(vi & _MASK, pa.int64())
         return pa.table(res)
 
     split_cols = {"__n": "__n"}

@@ -878,7 +878,7 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
 
 def hamming_near_dup_pairs(ds, col: str, id_col: str, n_bands: int | None = None,
                            max_hamming: int = 6, num_partitions: int = 32,
-                           max_group: int = 8192):
+                           max_group: int = 8192, id_type=None):
     """Near-dup pairs on a 64-bit fingerprint column (phash / simhash) by
     hamming distance: band the hash into ``n_bands`` keys, group per band,
     verify exact popcount <= max_hamming.  The phash near-dup hook
@@ -887,7 +887,12 @@ def hamming_near_dup_pairs(ds, col: str, id_col: str, n_bands: int | None = None
     Pigeonhole guarantee: two hashes within hamming ``n_bands - 1`` share
     at least one band, so full recall at ``max_hamming`` needs
     ``n_bands >= max_hamming + 1``; when ``n_bands`` is omitted it is
-    derived (the smallest divisor of 64 above ``max_hamming``)."""
+    derived (the smallest divisor of 64 above ``max_hamming``).
+
+    ``id_type`` (pyarrow type, optional): a corpus with NO near-dups
+    yields an all-empty pair set whose schema Ray drops entirely; pass
+    the id column's type so the output keeps a typed
+    (id_a, id_b, hamming) schema that downstream joins/groupbys accept."""
     import pandas as pd_
 
     from .agg import grouped_apply
@@ -953,8 +958,14 @@ def hamming_near_dup_pairs(ds, col: str, id_col: str, n_bands: int | None = None
             {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "hamming": ham[keep]}
         )
 
+    out_schema = None
+    if id_type is not None:
+        out_schema = pa.schema(
+            [("id_a", id_type), ("id_b", id_type), ("hamming", pa.int64())]
+        )
     out = grouped_apply(bands, ["band_id", "band_val"], pairs,
-                        num_partitions=num_partitions)
+                        num_partitions=num_partitions,
+                        out_schema=out_schema)
     return out
 
 
@@ -1039,17 +1050,28 @@ def edit1_pairs(ds, col: str, num_partitions: int = 32,
                     b_out.append(names[j])
         return pd_.DataFrame({"a_name": a_out, "b_name": b_out})
 
-    cand = grouped_apply(blocked, ["bkey"], pairs,
-                         num_partitions=num_partitions)
+    cand = grouped_apply(
+        blocked, ["bkey"], pairs, num_partitions=num_partitions,
+        # a vocabulary with no 1-edit neighbours yields zero pairs
+        # corpus-wide: keep the string schema for the combiner groupby
+        out_schema=pa.schema([("a_name", pa.string()),
+                              ("b_name", pa.string())]),
+    )
     # a pair can surface from several shared deletion keys: one
     # combiner groupby on the pair key dedupes it
     from .agg import partial_sum_groupby
+
+    # the schema floor for a no-neighbours corpus goes AFTER the select:
+    # Ray map stages skip 0-row blocks, so a floor pinned earlier would
+    # be dropped again by the select map
+    import ray.data as rd
 
     return partial_sum_groupby(
         cand, ["a_name", "b_name"], {}, count_as="__n"
     ).map_batches(
         lambda t: t.select(["a_name", "b_name"]), batch_format="pyarrow"
-    )
+    ).union(rd.from_arrow(pa.schema(
+        [("a_name", pa.string()), ("b_name", pa.string())]).empty_table()))
 
 
 # -- content-defined chunking (CDC) dedup over binary payloads ---------------
@@ -1177,7 +1199,8 @@ def dedup_cdc(
             t, bytes_col, id_col, avg_bits, min_size, max_size
         ),
         batch_format="pyarrow",
-    )
+    ).materialize()  # consumed twice (totals + first-copy election):
+    # pin the per-byte rolling-hash pass or it re-executes end-to-end
 
     totals = partial_sum_groupby(
         chunks, [id_col], {"chunk_len": "total_bytes"}, count_as="n_chunks"
@@ -1187,10 +1210,20 @@ def dedup_cdc(
         g = g.sort_values([id_col, "occ_idx"], kind="stable")
         return g.iloc[1:][[id_col, "chunk_len"]]
 
-    dup = grouped_apply(chunks, ["chunk_hash"], redundant,
-                        num_partitions=num_partitions)
+    from .relational import _pa_side_schema
+
+    # an all-unique corpus elects zero redundant chunks: without a typed
+    # schema the left join below crashes on the schema-less empty side
+    # (schema() is free — chunks is materialized)
+    id_field = _pa_side_schema(chunks).field(id_col)
+    dup = grouped_apply(
+        chunks, ["chunk_hash"], redundant,
+        num_partitions=num_partitions,
+        out_schema=pa.schema([id_field, pa.field("chunk_len", pa.int64())]),
+    )
     dup_per_doc = partial_sum_groupby(
-        dup, [id_col], {"chunk_len": "dup_bytes"}
+        dup, [id_col], {"chunk_len": "dup_bytes"},
+        out_schema=pa.schema([id_field, pa.field("dup_bytes", pa.int64())]),
     )
 
     out = hash_bucket_join(totals, dup_per_doc, on=id_col, how="left",
@@ -1258,6 +1291,16 @@ def paragraph_chunk_rows(
         raise ValueError(
             f"doc has >= 2**{max_chunks_bits} chunks; raise max_chunks_bits"
         )
+    if len(doc):
+        dmax, dmin = int(doc.max()), int(doc.min())
+        if dmin < 0 or dmax >= (1 << (63 - max_chunks_bits)):
+            # the shift below would silently wrap int64, corrupting the
+            # first-occurrence election AND the decoded doc ids
+            raise ValueError(
+                f"doc ids must be in [0, 2**{63 - max_chunks_bits}) to "
+                "pack with max_chunks_bits="
+                f"{max_chunks_bits}; lower max_chunks_bits or remap ids"
+            )
     rank = (doc << max_chunks_bits) | cidx
     return pa.table({"chunk": pc.cast(chunks, pa.string()), "rank": rank})
 
@@ -1632,10 +1675,19 @@ def orbit_hamming_near_dup_pairs(ds, hashes_col: str, id_col: str,
              "hamming": d[keep]}
         )
 
-    out = grouped_apply(bands, ["band_id", "band_val"], pairs,
-                        num_partitions=num_partitions)
+    out = grouped_apply(
+        bands, ["band_id", "band_val"], pairs,
+        num_partitions=num_partitions,
+        # orbit ids are always the packed int64s (the typed `empty`
+        # frame above is filtered out when every group is pair-free, so
+        # the schema must be re-pinned here)
+        out_schema=pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                              ("hamming", pa.int64())]),
+    )
     # a pair can surface from several shared bands: one combiner groupby
     # on the pair key keeps a single row (hamming is identical everywhere)
     return partial_agg_groupby(
-        out, ["id_a", "id_b"], [("hamming", "min", "hamming")]
+        out, ["id_a", "id_b"], [("hamming", "min", "hamming")],
+        out_schema=pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                              ("hamming", pa.int64())]),
     )

@@ -75,6 +75,50 @@ def pagerank(
             batch_format="pyarrow",
         )
 
+    if certify:
+        # fail fast on edges whose endpoints are missing from ``nodes``:
+        # an unknown dst would silently DROP its in-mass at the state
+        # left-join (conservation then fails a full round later, or
+        # never with certify=False); an unknown src silently loses its
+        # edges at the contrib join.  One distributed pass over the
+        # O(distinct endpoints) set — never a driver-side node set.
+        ends = edges.map_batches(
+            lambda t: pa.table(
+                {"node": pa.concat_arrays(
+                    [t["src"].combine_chunks().cast(t["src"].type),
+                     t["dst"].combine_chunks().cast(t["dst"].type)]
+                )}
+            ),
+            batch_format="pyarrow",
+        )
+        distinct_ends = partial_sum_groupby(ends, ["node"], {},
+                                            count_as="__c")
+        marked = nodes.map_batches(
+            lambda t: pa.table(
+                {"node": t["node"],
+                 "__m": pa.array(np.ones(len(t), np.int8))}
+            ),
+            batch_format="pyarrow",
+        )
+        n_missing = hash_bucket_join(
+            distinct_ends, marked, on="node", how="left", buckets=buckets
+        ).map_batches(
+            lambda t: pa.table(
+                {"miss": pa.array(
+                    [pc.sum(pc.cast(pc.is_null(t["__m"]),
+                                    pa.int64())).as_py() or 0],
+                    pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ).take_all()
+        missing = sum(r["miss"] for r in n_missing)
+        if missing:
+            raise ValueError(
+                f"pagerank: {missing} edge endpoint(s) are not in the "
+                "node set — their rank mass would be dropped; add them "
+                "to `nodes` or pre-filter the edges"
+            )
+
     outdeg = partial_sum_groupby(
         edges.map_batches(
             lambda t: t.select(["src"]).rename_columns(["node"]),

@@ -195,4 +195,8 @@ def binary_auc(ds, score_col: str, label_col: str):
             }
         )
 
-    return hist.repartition(1).map_batches(finish, batch_format="pyarrow")
+    # batch_size=None: finish needs the WHOLE histogram in one call — the
+    # default 1024-row slicing would emit one wrong partial AUC per slice
+    return hist.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None
+    )

@@ -291,6 +291,12 @@ def _bucket_of(col: pa.ChunkedArray, buckets: int) -> pa.Array:
     String keys hash via :func:`_hash_strings` (deterministic across
     the processes of one run, which is all bucketing needs)."""
     if pa.types.is_integer(col.type):
+        if col.null_count:
+            # fill nulls BEFORE to_numpy: a null-containing int64 column
+            # converts to float64, silently rounding keys >= 2^53 into the
+            # wrong bucket (null keys never match — any deterministic
+            # bucket is fine for them)
+            col = pc.fill_null(col, 0)
         v = col.to_numpy(zero_copy_only=False).astype(np.uint64)
         # Fibonacci hashing — spreads sequential keys
         h = (v * np.uint64(11400714819323198485)) >> np.uint64(40)
@@ -559,7 +565,20 @@ def hash_bucket_join(left, right, on: str, buckets: int = 32,
             right_suffix=suffixes[1] or None,
         )
 
-    return both.groupby("__bucket").map_groups(merge, batch_format="pyarrow")
+    # map_groups over zero groups emits zero blocks and the Dataset loses
+    # its schema (schema() -> None), which breaks any downstream join on
+    # this result.  Pin the output schema with a typed empty union; the
+    # empty join below is the exact per-bucket merge, so its schema is
+    # byte-identical to what real buckets emit.
+    import ray.data as _rd
+
+    empty_joined = lschema.empty_table().join(
+        rschema.empty_table(), keys=on, join_type=join_type,
+        left_suffix=suffixes[0] or None, right_suffix=suffixes[1] or None,
+    )
+    return both.groupby("__bucket").map_groups(
+        merge, batch_format="pyarrow"
+    ).union(_rd.from_arrow(empty_joined))
 
 
 def apply_changelog(

@@ -165,12 +165,18 @@ class HyperplaneBucketer:
 def embedding_near_dup_pairs(ds, dim: int, threshold: float = 0.95,
                              bits: int = 10, seed: int = 42,
                              id_col: str = "vec_id",
-                             emb_col: str = "embedding"):
+                             emb_col: str = "embedding",
+                             id_type=None):
     """Near-duplicate pairs by cosine ≥ threshold, LSH-bucketed: the scale
     path.  Recall is per-bucket (boost with multiple tables/seeds).
     Routed through ``grouped_apply`` (coarse hash partitions, per-bucket
     split inside) — ``groupby.map_groups`` would dispatch one task per
-    bucket and 2^bits tiny buckets pay ~350 µs each in dispatch."""
+    bucket and 2^bits tiny buckets pay ~350 µs each in dispatch.
+
+    ``id_type`` defaults to int64 (the embeddings table's ``vec_id``);
+    it pins the output schema when NO bucket yields a pair — an untyped
+    all-empty result would otherwise drop the schema for downstream
+    selects/joins."""
     from .agg import grouped_apply
 
     bucketed = ds.map_batches(
@@ -196,7 +202,14 @@ def embedding_near_dup_pairs(ds, dim: int, threshold: float = 0.95,
              "cosine": sims[ia, ib][keep]}
         )
 
-    return grouped_apply(bucketed, "bucket", pairs, num_partitions=64)
+    return grouped_apply(
+        bucketed, "bucket", pairs, num_partitions=64,
+        out_schema=pa.schema(
+            [("id_a", id_type or pa.int64()),
+             ("id_b", id_type or pa.int64()),
+             ("cosine", pa.float64())]
+        ),
+    )
 
 
 def exact_near_dup_pairs(ds, threshold: float, id_col: str = "vec_id",
@@ -747,7 +760,8 @@ def sparse_cosine_top1(
     tf = ds.map_batches(
         lambda t: term_doc_tf(t, col=text_col, id_col=id_col),
         batch_format="pyarrow",
-    )
+    ).materialize()  # consumed twice (df census + kept-term join):
+    # pin the tokenization pass or it re-executes end-to-end
     df = partial_sum_groupby(tf, ["term"], {}, count_as="__df")
 
     def kept(t: pa.Table) -> pa.Table:
@@ -761,6 +775,14 @@ def sparse_cosine_top1(
         tf, df.map_batches(kept, batch_format="pyarrow"),
         on="term", how="inner", buckets=num_partitions,
     )
+
+    # the empty-corpus edge (no term kept → tf_kept/pairs all-empty)
+    # must keep typed schemas through every aggregate or the joins below
+    # crash on a schema-less side; id type comes from the materialized
+    # tf pass, so schema() costs nothing
+    from .relational import _pa_side_schema
+
+    id_pa_type = _pa_side_schema(tf).field(id_col).type
 
     norms = partial_sum_groupby(
         tf_kept.map_batches(
@@ -776,6 +798,8 @@ def sparse_cosine_top1(
             batch_format="pyarrow",
         ),
         [id_col], {"sq": "norm_sq"},
+        out_schema=pa.schema([(id_col, id_pa_type),
+                              ("norm_sq", pa.int64())]),
     )
 
     def pair_rows(g: pd.DataFrame) -> pd.DataFrame:
@@ -796,15 +820,29 @@ def sparse_cosine_top1(
 
     pairs = grouped_apply(tf_kept.select_columns([id_col, "term", "tf"]),
                           ["term"], pair_rows,
-                          num_partitions=num_partitions)
-    dots = partial_sum_groupby(pairs, ["a", "b"], {"prod": "dot"})
+                          num_partitions=num_partitions,
+                          out_schema=pa.schema(
+                              [("a", id_pa_type), ("b", id_pa_type),
+                               ("prod", pa.int64())]))
+    dots = partial_sum_groupby(
+        pairs, ["a", "b"], {"prod": "dot"},
+        out_schema=pa.schema([("a", id_pa_type), ("b", id_pa_type),
+                              ("dot", pa.int64())]),
+    )
+
+    # the rename maps skip 0-row blocks (dropping the schema the norms
+    # union pinned) — re-pin with a typed empty union AFTER each rename
+    # so the joins below always see a typed side
+    import ray.data as _rd
 
     na = norms.map_batches(
         lambda t: t.rename_columns(["a", "norm_a"]), batch_format="pyarrow"
-    )
+    ).union(_rd.from_arrow(pa.schema(
+        [("a", id_pa_type), ("norm_a", pa.int64())]).empty_table()))
     nb = norms.map_batches(
         lambda t: t.rename_columns(["b", "norm_b"]), batch_format="pyarrow"
-    )
+    ).union(_rd.from_arrow(pa.schema(
+        [("b", id_pa_type), ("norm_b", pa.int64())]).empty_table()))
     with_a = hash_bucket_join(dots, na, on="a", buckets=num_partitions)
     with_b = hash_bucket_join(with_a, nb, on="b", buckets=num_partitions)
 
@@ -835,7 +873,11 @@ def sparse_cosine_top1(
         return g.iloc[:1]
 
     return grouped_apply(sym, [id_col], top1,
-                         num_partitions=num_partitions)
+                         num_partitions=num_partitions,
+                         out_schema=pa.schema(
+                             [(id_col, id_pa_type),
+                              ("best_doc", id_pa_type),
+                              ("cosine", pa.float64())]))
 
 
 # ---------------------------------------------------------------------------

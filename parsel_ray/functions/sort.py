@@ -2,9 +2,10 @@
 
 The canonical scale shape for "assign every row its global rank":
 
-  1. pick P-1 range bounds on the primary sort key (here from the exact
-     value histogram — O(distinct) shuffle state, same contract as
-     ``exact_quantiles``; a t-digest swap-in serves unbounded domains);
+  1. pick P-1 range bounds on the primary sort key from a fixed-width
+     binned histogram (min/max pass + bounded bin counts — O(bins)
+     driver state at ANY key cardinality, so hash-valued keys like the
+     epoch-shuffle order cost the same as a 4-value flag);
   2. range-partition rows by searchsorted(bounds) inside map_batches
      (bounds broadcast once via the object store);
   3. sort each partition locally (one task per range partition via
@@ -24,7 +25,6 @@ import pandas as pd
 import pyarrow as pa
 
 from .agg import (
-    _exact_quantiles,
     grouped_apply,
     partial_agg_groupby,
     partial_sum_groupby,
@@ -47,33 +47,95 @@ def _empty_with_col(ds, out_col: str):
 
 def _range_partition(ds, primary: str, asc0: bool, num_partitions: int):
     """Shared scaffolding for the total-order operators: pick P-1 range
-    bounds on the primary key from the exact value histogram
-    (O(distinct) shuffle state — balance heuristic only, correctness
-    never depends on the bounds), broadcast them once, and attach
-    ``__pid`` (range-partition id, order-reversed for a descending
-    primary) to every row.  Raises :class:`_EmptyInput` for an empty
-    dataset — each caller defines its own empty output shape — and
-    ``ValueError`` for a non-empty all-null primary (define null
-    placement explicitly before ranking)."""
+    bounds on the primary key from a FIXED-WIDTH binned histogram
+    (min/max combiner pass + one bounded bin-count groupby — O(bins)
+    driver state regardless of cardinality, so a hash key with N
+    distinct values costs the same as a 4-value flag; bounds are a
+    balance heuristic only, correctness never depends on them), then
+    broadcast the bounds once and attach ``__pid`` (range-partition id,
+    order-reversed for a descending primary) to every row.  The input
+    is materialized on entry (pinned in the object store, spilling if
+    needed): it is consumed by two bound passes plus the shuffle, and
+    re-executing an expensive upstream three times loses to one pass at
+    every scale.  Raises :class:`_EmptyInput` for an empty dataset —
+    each caller defines its own empty output shape — and ``ValueError``
+    for a non-empty all-null primary (define null placement explicitly
+    before ranking)."""
+    import pyarrow.compute as pc
     import ray
 
-    qs = [i / num_partitions for i in range(1, num_partitions)]
-    try:
-        _, vals, _cum = _exact_quantiles(ds, primary, qs, return_hist=True)
-    except ValueError:
+    ds = ds.materialize()
+    nbins = max(1024, 64 * num_partitions)
+
+    def mm_partial(t: pa.Table) -> pa.Table:
+        col = t[primary]
+        if len(col) == col.null_count:
+            return pa.table({"lo": pa.array([], col.type),
+                             "hi": pa.array([], col.type)})
+        return pa.table(
+            {"lo": pa.array([pc.min(col).as_py()], col.type),
+             "hi": pa.array([pc.max(col).as_py()], col.type)}
+        )
+
+    mm = ds.map_batches(mm_partial, batch_format="pyarrow").take_all()
+    if not mm:  # O(blocks) rows on the driver, not O(rows)
         if ds.count() > 0:
             raise ValueError(
                 f"column {primary!r} has no non-null values — rank "
                 "null keys explicitly before calling"
             )
         raise _EmptyInput
-    idxs = np.linspace(1, len(vals) - 1, num_partitions - 1).astype(int) \
-        if len(vals) > 1 else np.array([], dtype=int)
-    bounds = np.unique(vals[idxs]) if len(idxs) else np.array([])
+    lo = min(r["lo"] for r in mm)
+    hi = max(r["hi"] for r in mm)
+
+    if hi == lo:
+        bounds = np.array([])
+    else:
+        flo, span = float(lo), float(hi) - float(lo)
+
+        def hist_partial(t: pa.Table) -> pa.Table:
+            v = t[primary].drop_null().to_numpy(
+                zero_copy_only=False
+            ).astype(np.float64)
+            b = np.clip(((v - flo) / span * nbins).astype(np.int64),
+                        0, nbins - 1)
+            counts = np.bincount(b, minlength=nbins)
+            nz = np.nonzero(counts)[0]
+            return pa.table({"bin": pa.array(nz, pa.int64()),
+                             "n": pa.array(counts[nz], pa.int64())})
+
+        hist = partial_sum_groupby(
+            ds.map_batches(hist_partial, batch_format="pyarrow"),
+            ["bin"], {"n": "n"},
+        ).take_all()  # <= nbins rows
+        hist.sort(key=lambda r: r["bin"])
+        bins = np.array([r["bin"] for r in hist], dtype=np.int64)
+        cum = np.cumsum([r["n"] for r in hist]).astype(np.int64)
+        total = int(cum[-1])
+        targets = [total * i / num_partitions
+                   for i in range(1, num_partitions)]
+        picked = [
+            flo + (int(bins[int(np.searchsorted(cum, t_, side="left"))])
+                   + 1) * span / nbins
+            for t_ in targets
+        ]
+        # float bin-edge bounds: partitioning stays exact (searchsorted
+        # on the TRUE key is deterministic per value, so equal keys can
+        # never split) — only balance is approximate, to bin width
+        bounds = np.unique(np.array(picked, dtype=np.float64))
     bounds_ref = ray.put(bounds)
 
     def assign_pid(t: pa.Table) -> pa.Table:
         b = ray.get(bounds_ref)
+        if t[primary].null_count:
+            # a partially-null key batch would degrade to float64 here
+            # (rounding int64 keys > 2^53 across partition bounds) and
+            # give nulls input-order-dependent ranks — same contract as
+            # the all-null guard above: fail loudly instead
+            raise ValueError(
+                f"column {primary!r} contains null keys — rank null "
+                "keys explicitly before calling"
+            )
         key = t[primary].to_numpy(zero_copy_only=False)
         pid = np.searchsorted(b, key, side="right").astype(np.int64)
         if not asc0:  # descending primary: reverse partition order

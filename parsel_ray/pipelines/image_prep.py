@@ -157,14 +157,20 @@ def _image_prep_funnel(crawl_cfg, out_dir: str, work: str):
             np.int64,
         )
 
+    _pair_schema = pa.schema(
+        [("id_a", pa.string()), ("id_b", pa.string()),
+         ("hamming", pa.int64())]
+    )
     pairs = D.hamming_near_dup_pairs(
         exact.select_columns(["image_id", "phash"]),
         col="phash", id_col="image_id", max_hamming=6, num_partitions=8,
+        id_type=pa.string(),
     )
     uniq_pairs = grouped_apply(
         pairs, "id_a",
         lambda g: g.drop_duplicates(["id_a", "id_b"]),
         num_partitions=8,
+        out_schema=_pair_schema,
     )
     pairs_int = uniq_pairs.map_batches(
         lambda t: pa.table(

@@ -66,7 +66,7 @@ def llm_data_prep(sf_dir: str, quality_min: float = 0.35,
         if n_images:
             pair_ds = D.hamming_near_dup_pairs(
                 imgs_ds, col="phash", id_col="image_id", max_hamming=6,
-                num_partitions=8,
+                num_partitions=8, id_type=pa.string(),
             )
             n_pairs = partial_agg_groupby(
                 pair_ds, ["id_a", "id_b"], [], count_as="c"

@@ -4976,7 +4976,7 @@ def phash_near_dup(sf_dir: str):
     ds = rd.from_arrow(t)
     pairs = D.hamming_near_dup_pairs(
         ds, col="phash", id_col="image_id", max_hamming=6,
-        num_partitions=8,
+        num_partitions=8, id_type=pa.string(),
     )
     # distributed cross-band pair dedupe: id_a co-locates per partition,
     # so in-partition drop_duplicates is exact and global
@@ -4985,8 +4985,16 @@ def phash_near_dup(sf_dir: str):
         "id_a",
         lambda g: g.drop_duplicates(["id_a", "id_b"]),
         num_partitions=8,
+        out_schema=pa.schema([("id_a", pa.string()), ("id_b", pa.string()),
+                              ("hamming", pa.int64())]),
     )
-    pdf = uniq.to_pandas().sort_values(["id_a", "id_b"])  # small artifact
+    pdf = uniq.to_pandas()  # small artifact
+    if not len(pdf):
+        # a dup-free corpus: to_pandas can drop the columns of an
+        # all-empty union stream — rebuild the typed empty result
+        return pa.schema([("id_a", pa.string()), ("id_b", pa.string()),
+                          ("hamming", pa.int64())]).empty_table()
+    pdf = pdf.sort_values(["id_a", "id_b"])
     return pa.Table.from_pandas(pdf.reset_index(drop=True), preserve_index=False)
 
 

@@ -75,6 +75,25 @@ class TestPageRank:
         with pytest.raises(ValueError, match="empty node set"):
             pagerank(edges, nodes, iters=1)
 
+    def test_unknown_endpoint_raises(self, ray_session):
+        # an edge to a node missing from `nodes` would silently drop
+        # its rank mass at the state left-join — must fail fast instead
+        nodes = rd.from_arrow(
+            pa.table({"node": pa.array(["a", "b"], pa.string())})
+        )
+        edges = rd.from_arrow(
+            pa.table({"src": pa.array(["a"], pa.string()),
+                      "dst": pa.array(["ghost"], pa.string())})
+        )
+        with pytest.raises(ValueError, match="not in the node set"):
+            pagerank(edges, nodes, iters=1, buckets=2)
+        edges2 = rd.from_arrow(
+            pa.table({"src": pa.array(["ghost"], pa.string()),
+                      "dst": pa.array(["b"], pa.string())})
+        )
+        with pytest.raises(ValueError, match="not in the node set"):
+            pagerank(edges2, nodes, iters=1, buckets=2)
+
 
 class TestTriangleCount:
     """functions/graph.py::triangle_count — degree-oriented wedge closure.
