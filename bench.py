@@ -439,12 +439,18 @@ def main() -> None:
     r = run_suite(names)
     total = round(sum(r["times"].values()), 3)
     headline_rows = r["rows"].get(only or HEADLINE, 0)
+    # the round-1/2 suite was the first 7 keys; core_total keeps the
+    # round-over-round comparison clean after the round-3 bench additions
+    _CORE = ("crawl", "extract", "q1", "hash_join", "dedup_minhash",
+             "knn", "sessionize")
+    core = round(sum(v for k, v in r["times"].items() if k in _CORE), 3)
     print(
         json.dumps(
             {
                 "metric": "bench suite total (docs extracted + relational + dedup + knn)",
                 "value": total,
                 "unit": "sec",
+                "core_total": core,
                 "queries": r["times"],
                 "headline_rows": headline_rows,
                 "sf": SF_DIR,

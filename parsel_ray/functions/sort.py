@@ -231,9 +231,10 @@ def grouped_row_number(
     hot group must never collapse into one task, so rows partition by
     (group, range-of-order-key) cells and only the O(groups ×
     num_partitions) per-cell counts visit the driver to become prefix
-    offsets.  ``order_by[0]`` must be numeric with a domain-bounded
-    distinct-value set; the column list must give a total order within
-    each group for deterministic ranks.
+    offsets.  ``order_by[0]`` must be numeric (range bounds come from a
+    fixed-width binned histogram, so any cardinality is fine); the
+    column list must give a total order within each group for
+    deterministic ranks.
     """
     import ray
 
