@@ -526,6 +526,25 @@ def hash_bucket_join(left, right, on: str, buckets: int = 32,
 
     lschema = _pa_side_schema(left)
     rschema = _pa_side_schema(right)
+    # an EMPTY side (or an all-null column) arrives null-typed, and
+    # arrow's hash join rejects a null-typed key field.  A null-typed
+    # column holds only nulls, so re-typing it is lossless: adopt the
+    # OTHER side's type for same-named fields (the key especially —
+    # null keys never match anyway), string as the last resort.
+    def _detype_nulls(sch: pa.Schema, other: pa.Schema) -> pa.Schema:
+        fields = []
+        for f in sch:
+            if pa.types.is_null(f.type):
+                o = (other.field(f.name).type
+                     if f.name in other.names else None)
+                t = o if o is not None and not pa.types.is_null(o) \
+                    else pa.string()
+                f = pa.field(f.name, t)
+            fields.append(f)
+        return pa.schema(fields)
+
+    lschema, rschema = (_detype_nulls(lschema, rschema),
+                        _detype_nulls(rschema, lschema))
     join_type = _JOIN_TYPE[how]
 
     def add_bucket(tag: bool):
