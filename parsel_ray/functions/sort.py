@@ -168,8 +168,8 @@ def global_row_number(
     every row of ``ds``.
 
     ``order_by[0]`` is the range-partitioning key and must be numeric
-    with a domain-bounded distinct-value set (the bound-picking
-    histogram is O(distinct)); the remaining columns break ties.  The
+    (bounds come from a fixed-width binned histogram — O(bins) state at
+    any cardinality); the remaining columns break ties.  The
     full column list must give a TOTAL order (include a unique key) or
     ranks of exact ties are resolved by the local sort's stability.
     """
