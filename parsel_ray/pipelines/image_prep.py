@@ -276,8 +276,17 @@ def training_batch_prep(crawl_cfg, batch_size: int = 8):
     assert n1 == n0, f"packing dropped rows: {n0} -> {n1}"
     funnel.append(("packed", n1))
 
-    # batch-shape audit: O(batches) rows on the driver, not O(images)
-    from ..functions.agg import grouped_apply, partial_sum_groupby
+    # batch-shape audit, fully distributed: per-(bucket, batch) counts
+    # stay a Dataset (O(rows/batch_size) rows — too many for the driver
+    # at corpus scale); only O(buckets) max-batch ids and ONE violation
+    # count ever leave the cluster
+    import ray as _ray
+
+    from ..functions.agg import (
+        grouped_apply,
+        partial_agg_groupby,
+        partial_sum_groupby,
+    )
 
     shapes = partial_sum_groupby(
         packed.map_batches(
@@ -285,18 +294,34 @@ def training_batch_prep(crawl_cfg, batch_size: int = 8):
             batch_format="pyarrow",
         ),
         ["bucket_id", "batch_idx"], {}, count_as="n",
-    ).take_all()
-    per_bucket: dict = {}
-    for r in shapes:
-        per_bucket.setdefault(r["bucket_id"], []).append(
-            (r["batch_idx"], r["n"])
-        )
-    for bid, lst in per_bucket.items():
-        lst.sort()
-        for bidx, n in lst[:-1]:
-            assert n == batch_size, \
-                f"bucket {bid} batch {bidx} has {n} != {batch_size}"
-        assert lst[-1][1] <= batch_size
+    ).materialize()  # consumed twice (max pass + violation pass)
+    tail_idx = {
+        r["bucket_id"]: r["max_bidx"]
+        for r in partial_agg_groupby(
+            shapes, ["bucket_id"], [("batch_idx", "max", "max_bidx")]
+        ).take_all()  # O(buckets) rows
+    }
+    tail_ref = _ray.put(tail_idx)
+
+    def violations(t: pa.Table) -> pa.Table:
+        tails = _ray.get(tail_ref)
+        bid = t["bucket_id"].to_pylist()
+        bidx = t["batch_idx"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        is_tail = np.array([tails[b] == x for b, x in zip(bid, bidx)])
+        bad = (n > batch_size) | (~is_tail & (n != batch_size))
+        return pa.table({"bad": pa.array([int(bad.sum())], pa.int64())})
+
+    n_bad = sum(
+        r["bad"]
+        for r in shapes.map_batches(
+            violations, batch_format="pyarrow"
+        ).take_all()  # O(blocks) scalar rows
+    )
+    assert n_bad == 0, (
+        f"{n_bad} (bucket, batch) cells violate the exact-"
+        f"{batch_size} packing contract (non-tail short/overfull batch)"
+    )
 
     # batch-contiguous shard layout: coarse-partition by whole
     # (bucket, batch) groups, order members inside each partition
