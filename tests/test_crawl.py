@@ -305,6 +305,22 @@ class TestDistributedCrawl:
         assert got.pop_order == gold.pop_order
         assert got.seen_urls == gold.seen_urls
 
+    @pytest.mark.parametrize("shards", [1, 16])
+    def test_degenerate_shard_counts_match_oracle(self, shards):
+        """Partitioning edges: ONE shard (all hosts co-located — the
+        serial extreme) and MORE shards than hosts (most shard actors
+        own no host and must stay inert through every epoch).  Pop order
+        and seen set must be invariant to the shard count."""
+        import dataclasses
+
+        from parsel_ray.crawl.frontier import run_crawl
+
+        cfg = dataclasses.replace(SMALL, shards=shards)
+        gold = oracle_crawl(cfg)
+        got = run_crawl(cfg, collect_images=False)
+        assert got.pop_order == gold.pop_order
+        assert got.seen_urls == gold.seen_urls
+
     def test_truncated_crawl_matches_oracle(self):
         """max_epochs binds mid-crawl: links extracted in the final epoch
         must still enter the seen set (the oracle admits them inside its
