@@ -360,6 +360,55 @@ class TestDistributedCrawl:
         ri = sorted(resumed.image_rows, key=lambda r: r["image_id"])
         assert [r["image_id"] for r in fi] == [r["image_id"] for r in ri]
 
+    def test_resume_over_crash_debris(self, tmp_path):
+        """A job killed MID-EPOCH leaves a partial image dir (chunk
+        shards, no _DONE) past the last complete checkpoint.  Resume
+        must clear the debris and reproduce the full run's artifacts —
+        no duplicate rows, no garbage shards globbed back in."""
+        import glob
+        import os
+        import re
+
+        import pyarrow.parquet as pq_
+
+        from parsel_ray.crawl.frontier import IMAGE_SCHEMA, run_crawl
+
+        ckpt = str(tmp_path / "ckpt")
+        out = str(tmp_path / "out")
+        full = run_crawl(SMALL, out_dir=out, ckpt_dir=ckpt, checkpoint_every=2)
+        epochs = sorted(
+            int(re.search(r"epoch=(\d+)", p).group(1))
+            for p in glob.glob(ckpt + "/epoch=*")
+        )
+        mid = epochs[len(epochs) // 2]
+        # crash debris: a partial epoch dir one past the checkpoint,
+        # holding a bogus shard that must NOT survive the resume
+        debris = os.path.join(out, "images", f"epoch={mid + 1}")
+        os.makedirs(debris, exist_ok=True)
+        bogus = pa.table(
+            {
+                "image_id": pa.array(["GARBAGE-row"], pa.string()),
+                "bytes": pa.array([b"x"], pa.binary()),
+                "w": pa.array([1], pa.int32()),
+                "h": pa.array([1], pa.int32()),
+                "fmt": pa.array(["ppm"], pa.string()),
+                "caption": pa.array(["junk"], pa.string()),
+                "phash": pa.array([0], pa.int64()),
+            }
+        ).cast(IMAGE_SCHEMA)
+        pq_.write_table(bogus, os.path.join(debris, "chunk-99.parquet"))
+        done = os.path.join(debris, "_DONE")
+        assert not os.path.exists(done)
+
+        resumed = run_crawl(SMALL, out_dir=out, ckpt_dir=ckpt,
+                            resume_epoch=mid)
+        assert resumed.pop_order == full.pop_order
+        assert resumed.seen_urls == full.seen_urls
+        fi = sorted(r["image_id"] for r in full.image_rows)
+        ri = sorted(r["image_id"] for r in resumed.image_rows)
+        assert fi == ri
+        assert "GARBAGE-row" not in ri
+
     def test_incremental_checkpoints_delta_chain(self, tmp_path):
         """Checkpoints between full snapshots carry only the insert-log
         delta (O(delta) bytes, no filter bitmap / seen list); resuming
