@@ -91,8 +91,11 @@ def pagerank(
             ),
             batch_format="pyarrow",
         )
+        # materialize: hash_bucket_join probes the side schema and then
+        # re-executes an unexecuted aggregate chain end-to-end (the same
+        # double-execution the loop body documents for in_sum)
         distinct_ends = partial_sum_groupby(ends, ["node"], {},
-                                            count_as="__c")
+                                            count_as="__c").materialize()
         marked = nodes.map_batches(
             lambda t: pa.table(
                 {"node": t["node"],

@@ -299,7 +299,7 @@ def global_prefix_sum(
     PRECEDING AND 1 PRECEDING)`` — to every row.
 
     Same scale shape as :func:`global_row_number`: range-partition on
-    the numeric primary key (O(distinct) bound-picking histogram),
+    the numeric primary key (O(bins) fixed-width binned histogram),
     in-partition sort + vectorized cumsum, and only the P per-partition
     TOTALS visit the driver to become broadcast offsets.  The column
     list must give a total order for deterministic results."""

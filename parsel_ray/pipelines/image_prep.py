@@ -75,6 +75,91 @@ def _cleanup_workdir(work: str, keep: str) -> None:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _surrogate_ids(ids) -> np.ndarray:
+    """Deterministic 63-bit int surrogate for string image ids (the
+    components operator keys on int64 nodes; a collision would merge two
+    components — keep-one-per-component semantics survive that, and at
+    2^63 the corpus-scale probability is negligible)."""
+    return np.array(
+        [
+            int.from_bytes(
+                hashlib.blake2b(s.encode(), digest_size=8).digest(),
+                "little",
+            ) >> 1
+            for s in ids
+        ],
+        np.int64,
+    )
+
+
+def phash_near_dup_survivors(exact, *, max_hamming: int = 6,
+                             num_partitions: int = 8, buckets: int = 16,
+                             drop_cols: list[str] | None = None):
+    """Perceptual near-dup stage: hamming-banded pairs → components →
+    drop every node whose component label is another member (left join
+    on ``__dead``).  ``exact`` must carry ``image_id`` + ``phash``;
+    returns the materialized survivor Dataset with ``drop_cols``
+    removed."""
+    _pair_schema = pa.schema(
+        [("id_a", pa.string()), ("id_b", pa.string()),
+         ("hamming", pa.int64())]
+    )
+    pairs = D.hamming_near_dup_pairs(
+        exact.select_columns(["image_id", "phash"]),
+        col="phash", id_col="image_id", max_hamming=max_hamming,
+        num_partitions=num_partitions, id_type=pa.string(),
+    )
+    uniq_pairs = grouped_apply(
+        pairs, "id_a",
+        lambda g: g.drop_duplicates(["id_a", "id_b"]),
+        num_partitions=num_partitions,
+        out_schema=_pair_schema,
+    )
+    pairs_int = uniq_pairs.map_batches(
+        lambda t: pa.table(
+            {
+                "id_a": pa.array(_surrogate_ids(t["id_a"].to_pylist())),
+                "id_b": pa.array(_surrogate_ids(t["id_b"].to_pylist())),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    labels = D.label_propagation_components(pairs_int)
+
+    def dead_rows(t: pa.Table) -> pa.Table:
+        ids = t["node"].filter(pc.not_equal(t["node"], t["label"]))
+        return pa.table(
+            {
+                "__surr": ids,
+                "__dead": pa.array(np.ones(len(ids), np.int8)),
+            }
+        )
+
+    # Dup-free corpus guard: every map stage between uniq_pairs and here
+    # skips 0-row blocks, so with zero near-dup pairs `dead` arrives
+    # schema-less and the left join below would crash probing its schema.
+    # Union one typed empty block to pin it (same idiom as edit1_pairs /
+    # phash_near_dup) — harmless when pairs exist, and a pair-free corpus
+    # now yields every image as a survivor instead of an error.
+    _dead_schema = pa.schema([("__surr", pa.int64()), ("__dead", pa.int8())])
+    dead = labels.map_batches(dead_rows, batch_format="pyarrow").union(
+        rd.from_arrow(_dead_schema.empty_table())
+    )
+    keyed = exact.map_batches(
+        lambda t: t.append_column(
+            "__surr", pa.array(_surrogate_ids(t["image_id"].to_pylist()))
+        ),
+        batch_format="pyarrow",
+    )
+    to_drop = ["__dead", "__surr"] + list(drop_cols or [])
+    return hash_bucket_join(
+        keyed, dead, on="__surr", how="left", buckets=buckets
+    ).map_batches(
+        lambda t: t.filter(pc.is_null(t["__dead"])).drop_columns(to_drop),
+        batch_format="pyarrow",
+    ).materialize()
+
+
 def _image_prep_funnel(crawl_cfg, out_dir: str, work: str):
     from ..crawl.frontier import run_crawl
 
@@ -138,75 +223,9 @@ def _image_prep_funnel(crawl_cfg, out_dir: str, work: str):
     n1 = exact.count()
     funnel.append(("exact_distinct", n1))
 
-    # perceptual near-dup: hamming-banded pairs → components → drop every
-    # node whose component label is another member (left join on __dead).
-    # The components operator keys on int64 nodes; image ids are strings,
-    # so they pass through a 63-bit content surrogate (deterministic;
-    # a collision would merge two components — keep-one-per-component
-    # semantics survive that, and at 2^63 the corpus-scale probability
-    # is negligible)
-    def _surr(ids) -> np.ndarray:
-        return np.array(
-            [
-                int.from_bytes(
-                    hashlib.blake2b(s.encode(), digest_size=8).digest(),
-                    "little",
-                ) >> 1
-                for s in ids
-            ],
-            np.int64,
-        )
-
-    _pair_schema = pa.schema(
-        [("id_a", pa.string()), ("id_b", pa.string()),
-         ("hamming", pa.int64())]
+    survivors = phash_near_dup_survivors(
+        exact, drop_cols=["fingerprint"]
     )
-    pairs = D.hamming_near_dup_pairs(
-        exact.select_columns(["image_id", "phash"]),
-        col="phash", id_col="image_id", max_hamming=6, num_partitions=8,
-        id_type=pa.string(),
-    )
-    uniq_pairs = grouped_apply(
-        pairs, "id_a",
-        lambda g: g.drop_duplicates(["id_a", "id_b"]),
-        num_partitions=8,
-        out_schema=_pair_schema,
-    )
-    pairs_int = uniq_pairs.map_batches(
-        lambda t: pa.table(
-            {
-                "id_a": pa.array(_surr(t["id_a"].to_pylist())),
-                "id_b": pa.array(_surr(t["id_b"].to_pylist())),
-            }
-        ),
-        batch_format="pyarrow",
-    )
-    labels = D.label_propagation_components(pairs_int)
-
-    def dead_rows(t: pa.Table) -> pa.Table:
-        ids = t["node"].filter(pc.not_equal(t["node"], t["label"]))
-        return pa.table(
-            {
-                "__surr": ids,
-                "__dead": pa.array(np.ones(len(ids), np.int8)),
-            }
-        )
-
-    dead = labels.map_batches(dead_rows, batch_format="pyarrow")
-    keyed = exact.map_batches(
-        lambda t: t.append_column(
-            "__surr", pa.array(_surr(t["image_id"].to_pylist()))
-        ),
-        batch_format="pyarrow",
-    )
-    survivors = hash_bucket_join(
-        keyed, dead, on="__surr", how="left", buckets=16
-    ).map_batches(
-        lambda t: t.filter(pc.is_null(t["__dead"])).drop_columns(
-            ["__dead", "__surr", "fingerprint"]
-        ),
-        batch_format="pyarrow",
-    ).materialize()
     n2 = survivors.count()
     funnel.append(("near_dup_survivors", n2))
 

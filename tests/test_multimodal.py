@@ -773,6 +773,53 @@ class TestAudioSpectral:
         assert out["band_energy"].to_pylist() == [[0.0] * 4]
 
 
+class TestPhashNearDupSurvivors:
+    """The funnel's near-dup stage in isolation — including the
+    dup-free corpus edge where every map stage drops its 0-row blocks
+    and the __dead side must keep a pinned schema."""
+
+    @staticmethod
+    def _img_ds(phashes):
+        import ray.data as rd
+
+        t = pa.table(
+            {
+                "image_id": pa.array(
+                    [f"img-{i}" for i in range(len(phashes))]
+                ),
+                "phash": pa.array(phashes, pa.int64()),
+                "fingerprint": pa.array(
+                    [f"fp{i}" for i in range(len(phashes))]
+                ),
+            }
+        )
+        return rd.from_arrow(t)
+
+    def test_pair_free_corpus_all_survive(self, ray_session):
+        from parsel_ray.pipelines.image_prep import phash_near_dup_survivors
+
+        # pairwise hamming distances far above max_hamming=6
+        phashes = [0, -1, 0x5555555555555555, 0x00FF00FF00FF00FF]
+        out = phash_near_dup_survivors(
+            self._img_ds(phashes), drop_cols=["fingerprint"]
+        )
+        got = sorted(r["image_id"] for r in out.take_all())
+        assert got == [f"img-{i}" for i in range(4)]
+        assert set(out.schema().names) == {"image_id", "phash"}
+
+    def test_near_dups_collapse_to_one_per_component(self, ray_session):
+        from parsel_ray.pipelines.image_prep import phash_near_dup_survivors
+
+        # img-0/img-1 differ by 1 bit (dup pair); img-2 is far away
+        phashes = [0b1000, 0b1001, 0x0F0F0F0F0F0F0F0F]
+        out = phash_near_dup_survivors(
+            self._img_ds(phashes), drop_cols=["fingerprint"]
+        )
+        got = sorted(r["image_id"] for r in out.take_all())
+        assert len(got) == 2 and "img-2" in got
+        assert set(got) < {"img-0", "img-1", "img-2"}
+
+
 class TestImageCorpusPrep:
     """pipelines/image_prep.py — the image-payload capstone funnel."""
 

@@ -46,7 +46,7 @@ class TestGlobalRowNumberVsDuckdb:
     @pytest.mark.parametrize("kind", DISTS)
     @pytest.mark.parametrize("asc", [True, False])
     def test_matches_oracle(self, ray_session, kind, asc):
-        rng = np.random.RandomState(hash(kind) % (1 << 31))
+        rng = np.random.RandomState(DISTS.index(kind) * 7919 + 11)
         n = 500
         df = pd.DataFrame({"v": _dist(kind, n, rng),
                            "id": np.arange(n, dtype=np.int64)})
@@ -70,7 +70,7 @@ class TestGlobalRowNumberVsDuckdb:
 class TestGroupedRowNumberVsDuckdb:
     @pytest.mark.parametrize("kind", ["uniform", "huge", "zipf"])
     def test_matches_oracle(self, ray_session, kind):
-        rng = np.random.RandomState(hash(kind) % (1 << 31))
+        rng = np.random.RandomState(DISTS.index(kind) * 7919 + 11)
         n = 600
         df = pd.DataFrame(
             {
