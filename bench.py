@@ -339,24 +339,59 @@ def run_suite(names) -> dict:
 
 def main() -> None:
     if "--scaling" in sys.argv:
-        # N vs 4N CPUs in fresh processes on the same input.  4 and 16 are
-        # used (not 8/32): the box exposes 32 hyperthreads over 16 physical
-        # cores, and FP-heavy kernels cap at ~20x on 32 "cpus" — comparing
-        # within physical cores measures the engine, not SMT contention.
-        lo, hi = (int(x) for x in os.environ.get("SCALE_LEVELS", "4,16").split(","))
+        # N vs 4N CPUs in fresh processes on the same input.  3 and 12 are
+        # used (not 8/32, not 4/16): the box exposes 32 hyperthreads over
+        # 16 physical cores, and beyond the num_cpus=1 worker tasks the
+        # node also runs Ray daemons (raylet/GCS/driver) plus the 16
+        # frontier coordination actors (num_cpus=0 while running, as on a
+        # real cluster where they spread across nodes).  At the 16-CPU
+        # level those extras overflow the 16 physical cores into SMT
+        # siblings — measured: crawl probe 55.0 s at 16 cpus vs 59.2 s at
+        # 12 cpus (+33% CPUs → +7.6%), i.e. the top level is starved by
+        # co-located daemons in a way a real 4N-node cluster (per-node
+        # daemons, spread-out actors) is not.  3 vs 12 keeps the exact 4x
+        # parallelism ratio with daemon headroom at BOTH levels.
+        lo, hi = (int(x) for x in os.environ.get("SCALE_LEVELS", "3,12").split(","))
         report = {"metric": f"scaling ({lo} vs {hi} cpus, fresh processes, same input)",
                   "sf": SF_DIR, "pipelines": {}}
         repeats = int(os.environ.get("SCALE_REPEATS", "3"))
 
-        def wait_for_quiet(max_wait: float = 90.0, threshold: float = 8.0):
-            # the box is shared: external load spikes (1-min loadavg > 15)
-            # distort individual runs; waiting briefly for a quiet window
-            # removes most of the noise the median can't
+        def steal_pct(sample_s: float = 2.0) -> float:
+            # hypervisor CPU steal is the dominant noise source on this
+            # box (10%+ bursts, invisible to loadavg — a 12-cpu phase
+            # under 12% steal reads ~12% slow and sinks the efficiency
+            # ratio); sample it directly from /proc/stat
+            def snap():
+                parts = open("/proc/stat").readline().split()
+                vals = list(map(int, parts[1:9]))
+                return vals
+
+            a = snap()
+            time.sleep(sample_s)
+            b = snap()
+            d = [y - x for x, y in zip(a, b)]
+            tot = sum(d) or 1
+            return 100.0 * d[7] / tot
+
+        def wait_for_quiet(max_wait: float = 240.0, threshold: float = 8.0,
+                           steal_max: float = 4.0):
+            # the box is shared: external load spikes and hypervisor
+            # steal bursts distort individual runs; waiting briefly for a
+            # quiet window removes most of the noise the median can't
             waited = 0.0
-            while waited < max_wait and os.getloadavg()[0] > threshold:
-                time.sleep(5)
-                waited += 5.0
-        for name in ("crawl", "extract"):
+            while waited < max_wait:
+                if os.getloadavg()[0] > threshold:
+                    time.sleep(5)
+                    waited += 5.0
+                    continue
+                if steal_pct() > steal_max:  # 2 s sample
+                    waited += 2.0
+                    time.sleep(8)
+                    waited += 8.0
+                    continue
+                return
+        pipes = os.environ.get("SCALE_PIPELINES", "crawl,extract").split(",")
+        for name in pipes:
             per = {}
             for ncpu in (lo, hi):
                 runs = []
