@@ -150,8 +150,10 @@ def _png_unfilter(raw: np.ndarray, h: int, w: int, bpp: int) -> np.ndarray:
     """Reverse scanline filtering.  Row-sequential by construction (Up /
     Average / Paeth reference the RECONSTRUCTED previous row); within a
     row, None/Up are pure vector ops, Sub is a per-lane cumsum (mod 256
-    distributes over the running sum), and Average/Paeth fall back to a
-    per-pixel loop with the ``bpp`` channel lanes vectorized."""
+    distributes over the running sum), and Average/Paeth run a per-BYTE
+    Python-scalar loop: the byte recurrence is inherently sequential in
+    ``left``, and scalar int ops measure ~15x faster than numpy calls on
+    ``bpp``-length arrays at scanline widths."""
     stride = w * bpp
     rows = raw.reshape(h, 1 + stride)
     out = np.empty((h, stride), np.uint8)
@@ -166,25 +168,29 @@ def _png_unfilter(raw: np.ndarray, h: int, w: int, bpp: int) -> np.ndarray:
         elif f == 2:  # Up
             rec = (line + prev) & 0xFF
         elif f == 3:  # Average
-            lanes = line.reshape(w, bpp)
-            up = prev.reshape(w, bpp)
-            rec = np.empty((w, bpp), np.int64)
-            left = np.zeros(bpp, np.int64)
-            for x in range(w):
-                left = (lanes[x] + ((left + up[x]) >> 1)) & 0xFF
-                rec[x] = left
-            rec = rec.reshape(stride)
+            ln = line.tolist()
+            up = prev.tolist()
+            rl = [0] * stride
+            for i in range(stride):
+                a = rl[i - bpp] if i >= bpp else 0
+                rl[i] = (ln[i] + ((a + up[i]) >> 1)) & 0xFF
+            rec = np.asarray(rl, np.int64)
         elif f == 4:  # Paeth
-            lanes = line.reshape(w, bpp)
-            up = prev.reshape(w, bpp)
-            rec = np.empty((w, bpp), np.int64)
-            left = np.zeros(bpp, np.int64)
-            ul = np.zeros(bpp, np.int64)
-            for x in range(w):
-                left = (lanes[x] + _paeth_predict(left, up[x], ul)) & 0xFF
-                rec[x] = left
-                ul = up[x]
-            rec = rec.reshape(stride)
+            ln = line.tolist()
+            up = prev.tolist()
+            rl = [0] * stride
+            for i in range(stride):
+                a = rl[i - bpp] if i >= bpp else 0
+                b = up[i]
+                c = up[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa_ = p - a if p >= a else a - p
+                pb_ = p - b if p >= b else b - p
+                pc_ = p - c if p >= c else c - p
+                pred = a if (pa_ <= pb_ and pa_ <= pc_) else \
+                    (b if pb_ <= pc_ else c)
+                rl[i] = (ln[i] + pred) & 0xFF
+            rec = np.asarray(rl, np.int64)
         else:
             raise ValueError(f"corrupt PNG: filter type {f}")
         out[y] = rec.astype(np.uint8)
