@@ -30,7 +30,7 @@ import pyarrow.parquet as pq
 
 import ray
 
-from ..state.cuckoo import CuckooFilter
+from ..state.cuckoo import CuckooFilter, hash64_many
 from ..state.robots import RobotsCache
 from ..state.tokenbucket import TokenBuckets
 from .extract import extract_page
@@ -92,19 +92,54 @@ class FrontierShard:
     def admit_batch(self, items: list) -> int:
         """items: [(depth, canonical_url), ...] in the deterministic global
         order; returns number admitted to pending."""
+        return self._admit_many(
+            [d for d, _ in items], [u for _, u in items]
+        )
+
+    def _admit_many(self, depths, urls: list) -> int:
+        """Vectorized admission, byte-identical to the sequential
+        ``add_if_new`` loop it replaces.
+
+        ~90% of candidate links at web scale are dup-skips; those used to
+        pay a per-byte Python FNV hash plus scalar filter probes EACH.
+        Now ONE ``hash64_many`` pass hashes the batch, a uint64
+        ``np.unique`` drops intra-batch repeats (the filter observes keys
+        only through this hash, so hash-equal keys are
+        filter-indistinguishable — the sequential loop would have
+        dup-skipped them identically), and one ``contains_hashes`` gather
+        answers the pre-batch seen-set.  Filter state only grows, so a
+        vector True is final; vector-absent survivors still run the
+        ORIGINAL scalar ``add_if_new`` (with the precomputed hash) in
+        sequence order, so placement/eviction order, the insert log,
+        ``seen``, metrics, and every false positive stay byte-identical.
+        """
         n0 = len(self.pending)
-        for depth, cu in items:
-            host = host_of(cu)
-            if not self.filter.add_if_new(cu):
+        n = len(urls)
+        if n:
+            hashes = hash64_many(urls)
+            _, first_idx = np.unique(hashes, return_index=True)
+            first_idx.sort()  # original sequence order
+            self.metrics["dup_skipped"] += n - len(first_idx)
+            found = self.filter.contains_hashes(hashes[first_idx])
+            self.metrics["dup_skipped"] += int(found.sum())
+            cand_idx = first_idx[~found]
+        else:
+            cand_idx = ()
+        for i in cand_idx:
+            cu = urls[i]
+            if not self.filter.add_if_new(cu, hashes[i]):
+                # fingerprint placed by an earlier key in THIS batch — the
+                # sequential loop would have dup-skipped it here too
                 self.metrics["dup_skipped"] += 1
                 continue
             if self.keep_insert_log:
                 self._insert_log.append(cu)
             if self.verify:
                 self.seen.append(cu)
-            if not self.robots.allowed(host, path_of(cu)):
+            if not self.robots.allowed(host_of(cu), path_of(cu)):
                 self.metrics["robots_blocked"] += 1
                 continue
+            depth = int(depths[i])
             if depth > self.cfg.max_depth:
                 self.metrics["depth_dropped"] += 1
                 continue
@@ -131,7 +166,7 @@ class FrontierShard:
     def end_epoch(self) -> None:
         self.buckets.tick()
 
-    def _gather_links(self, link_refs: list) -> list:
+    def _gather_links(self, link_refs: list) -> "tuple | None":
         """Shard-side link routing (round-2): materialize this shard's
         per-chunk link tables straight from the object store and order them
         by the UNIQUE key (parent_depth, parent_url, link_index).  A sort of
@@ -140,10 +175,10 @@ class FrontierShard:
         insert sequence is preserved without the driver ever touching
         O(links) rows."""
         if not link_refs:
-            return []
+            return None
         tables = [t for t in ray.get(list(link_refs)) if t is not None and len(t)]
         if not tables:
-            return []
+            return None
         t = pa.concat_tables(tables).sort_by(
             [
                 ("parent_depth", "ascending"),
@@ -151,16 +186,23 @@ class FrontierShard:
                 ("link_index", "ascending"),
             ]
         )
-        return [
-            (d + 1, u)
-            for d, u in zip(t["parent_depth"].to_pylist(), t["url"].to_pylist())
-        ]
+        # (depths, urls) arrays — no per-link tuple materialization; the
+        # vectorized _admit_many consumes them directly
+        return (t["parent_depth"].to_numpy() + 1, t["url"].to_pylist())
+
+    def _admit_pre_and_links(self, link_refs: list) -> int:
+        """Preadmit replay first, then this epoch's links — the same
+        sequence the old single concatenated admit_batch call produced."""
+        n = self.admit_batch(self._take_preadmit())
+        links = self._gather_links(link_refs)
+        if links is not None:
+            n += self._admit_many(links[0], links[1])
+        return n
 
     def admit_and_tick(self, link_refs: list) -> int:
         """Admit this shard's links (gathered + ordered shard-side), then
         the epoch tick — identical op sequence to admit_batch + end_epoch."""
-        items = self._take_preadmit() + self._gather_links(link_refs)
-        n = self.admit_batch(items)
+        n = self._admit_pre_and_links(link_refs)
         self.buckets.tick()
         return n
 
@@ -176,8 +218,7 @@ class FrontierShard:
         (link_refs=[] after seeding) ticks empty/full buckets — a no-op.
         Links checkpointed in-flight (popped before the snapshot, admitted
         after) replay first on resume.  Returns (grants, pending_count)."""
-        items = self._take_preadmit() + self._gather_links(link_refs)
-        self.admit_batch(items)
+        self._admit_pre_and_links(link_refs)
         self.buckets.tick()
         grants = self.pop_batch()
         return grants, len(self.pending)
@@ -210,10 +251,12 @@ class FrontierShard:
         rides along in full every time."""
         # read-only: the same refs are admitted via admit_tick_pop next
         # epoch, so the snapshot must not stash them into _preadmit
-        pending_admits = (
-            list(getattr(self, "_preadmit", None) or [])
-            + self._gather_links(pending_admit_refs or [])
-        )
+        pending_admits = list(getattr(self, "_preadmit", None) or [])
+        links = self._gather_links(pending_admit_refs or [])
+        if links is not None:
+            pending_admits += [
+                (int(d), u) for d, u in zip(links[0], links[1])
+            ]
         d = os.path.join(ckpt_dir, f"epoch={epoch}")
         os.makedirs(d, exist_ok=True)
         is_full = (

@@ -24,6 +24,61 @@ _MAX_KICKS = 500
 _STASH_MAX = 64
 
 
+def hash64_many(keys: list) -> np.ndarray:
+    """Vectorized ``_hash64`` over many str keys — byte-identical values
+    (FNV-1a + fmix64), O(total bytes) work.
+
+    The scalar hash is a per-byte Python loop (~15 us per URL) and runs
+    once per candidate link in the frontier's hottest path; at web scale
+    ~90% of those candidates are dup-skips, so batching the hash is the
+    single biggest admission win.  Rows are processed length-sorted in
+    bounded row-chunks so each byte column touches only the still-active
+    suffix and the padded byte matrix stays cache-sized.
+    """
+    n = len(keys)
+    out = np.empty(n, np.uint64)
+    if not n:
+        return out
+    bs = [k.encode("utf-8") for k in keys]
+    lens = np.fromiter((len(b) for b in bs), np.int64, n)
+    order = np.argsort(lens, kind="stable")
+    lens_s = lens[order]
+    h_all = np.full(n, 14695981039346656037, np.uint64)
+    prime = np.uint64(1099511628211)
+    with np.errstate(over="ignore"):
+        for c0 in range(0, n, 16384):
+            c1 = min(n, c0 + 16384)
+            clens = lens_s[c0:c1]
+            maxlen = int(clens[-1])  # sorted: last row is longest
+            if maxlen == 0:
+                continue
+            joined = b"".join(bs[order[i]] for i in range(c0, c1))
+            flat = np.frombuffer(joined, np.uint8)
+            buf = np.zeros((c1 - c0, maxlen), np.uint8)
+            row = np.repeat(np.arange(c1 - c0), clens)
+            col = np.arange(len(flat)) - np.repeat(
+                np.cumsum(clens) - clens, clens
+            )
+            buf[row, col] = flat
+            h = h_all[c0:c1]  # in-place view updates
+            start = 0
+            for j in range(maxlen):
+                # rows are length-sorted: rows still active at byte j
+                # form the suffix [start:]
+                while start < c1 - c0 and clens[start] <= j:
+                    start += 1
+                hs = h[start:]
+                hs ^= buf[start:, j]
+                hs *= prime
+        h_all ^= h_all >> np.uint64(33)
+        h_all *= np.uint64(0xFF51AFD7ED558CCD)
+        h_all ^= h_all >> np.uint64(33)
+        h_all *= np.uint64(0xC4CEB9FE1A85EC53)
+        h_all ^= h_all >> np.uint64(33)
+    out[order] = h_all
+    return out
+
+
 def _hash64(data: bytes) -> np.uint64:
     # pure-int FNV-1a (identical values to the numpy version, ~10x faster:
     # this runs per admitted URL in the crawl's hottest path), finished
@@ -63,8 +118,10 @@ class CuckooFilter:
 
     # -- hashing ----------------------------------------------------------
 
-    def _fingerprint_and_index(self, key: str) -> tuple[np.uint16, int]:
-        h = _hash64(key.encode("utf-8"))
+    def _fingerprint_and_index(
+        self, key: str, h64: np.uint64 | None = None
+    ) -> tuple[np.uint16, int]:
+        h = _hash64(key.encode("utf-8")) if h64 is None else np.uint64(h64)
         fp = np.uint16((h & np.uint64(0xFFFF)) or np.uint64(1))  # never 0
         idx = int((h >> np.uint64(16)) & np.uint64(self.num_buckets - 1))
         return fp, idx
@@ -76,8 +133,37 @@ class CuckooFilter:
 
     # -- ops --------------------------------------------------------------
 
-    def contains(self, key: str) -> bool:
-        fp, i1 = self._fingerprint_and_index(key)
+    def contains_hashes(self, h: np.ndarray) -> np.ndarray:
+        """Vectorized ``contains`` for precomputed ``hash64_many`` values,
+        against the CURRENT state — one pass of table gathers per batch.
+
+        Byte-match contract: the filter observes keys only through their
+        64-bit hash, so any hash-level answer here equals the key-level
+        answer.  State only GROWS under ``add``, so a True is final at
+        any later sequence point; a False is only "absent NOW" — callers
+        admitting a sequence must re-check False keys via ``add_if_new``
+        at their own sequence points (an earlier insert from the same
+        batch may have placed the fingerprint by then).
+        """
+        n = len(h)
+        if not n:
+            return np.zeros(0, bool)
+        h = np.asarray(h, np.uint64)
+        fp = (h & np.uint64(0xFFFF)).astype(np.uint16)
+        fp[fp == 0] = 1
+        nb1 = np.uint64(self.num_buckets - 1)
+        i1 = ((h >> np.uint64(16)) & nb1).astype(np.int64)
+        with np.errstate(over="ignore"):
+            fh = fp.astype(np.uint64) * np.uint64(0x5BD1E995)
+        i2 = ((i1.astype(np.uint64) ^ fh) & nb1).astype(np.int64)
+        found = (self.table[i1] == fp[:, None]).any(axis=1)
+        found |= (self.table[i2] == fp[:, None]).any(axis=1)
+        for s_idx, s_fp in self._stash:
+            found |= (fp == np.uint16(s_fp)) & ((i1 == s_idx) | (i2 == s_idx))
+        return found
+
+    def contains(self, key: str, h64: np.uint64 | None = None) -> bool:
+        fp, i1 = self._fingerprint_and_index(key, h64)
         if np.any(self.table[i1] == fp):
             return True
         i2 = self._alt_index(i1, fp)
@@ -90,12 +176,12 @@ class CuckooFilter:
             )
         return False
 
-    def add(self, key: str) -> bool:
+    def add(self, key: str, h64: np.uint64 | None = None) -> bool:
         """Insert.  The key is ALWAYS contained afterwards (an exhausted
         eviction walk spills to the victim stash rather than dropping a
         fingerprint); returns False once the stash bound is exceeded —
         the filter is over capacity and must be resized."""
-        fp, i1 = self._fingerprint_and_index(key)
+        fp, i1 = self._fingerprint_and_index(key, h64)
         i2 = self._alt_index(i1, fp)
         for idx in (i1, i2):
             row = self.table[idx]
@@ -126,13 +212,15 @@ class CuckooFilter:
         self.count += 1
         return len(self._stash) <= _STASH_MAX
 
-    def add_if_new(self, key: str) -> bool:
+    def add_if_new(self, key: str, h64: np.uint64 | None = None) -> bool:
         """The crawl primitive: True if the key was NOT seen (and is now
         marked seen).  A false positive returns False — the URL is skipped;
         determinism of FPs keeps the oracle and shards in agreement."""
-        if self.contains(key):
+        if h64 is None:
+            h64 = _hash64(key.encode("utf-8"))
+        if self.contains(key, h64):
             return False
-        if not self.add(key):
+        if not self.add(key, h64):
             raise RuntimeError("cuckoo filter full — size the shard capacity up")
         return True
 

@@ -129,6 +129,92 @@ class TestState:
             assert f1.contains(k)
         assert not f1.add_if_new(keys[0])
 
+    def test_hash64_many_matches_scalar(self):
+        from parsel_ray.state.cuckoo import _hash64, hash64_many
+
+        keys = (
+            ["", "a", "ab" * 500, "héllo/ünïcode/中文", "\x7f\x01"]
+            + [f"http://host{i % 13}.test/page/{i}?q={i * 7}" for i in range(4000)]
+            + ["x" * n for n in range(0, 130, 7)]
+        )
+        got = hash64_many(keys)
+        want = np.array([_hash64(k.encode("utf-8")) for k in keys], np.uint64)
+        assert np.array_equal(got, want)
+        assert len(hash64_many([])) == 0
+
+    def test_contains_hashes_matches_scalar(self):
+        from parsel_ray.state.cuckoo import hash64_many
+
+        f = CuckooFilter(2048)
+        ins = [f"http://h{i % 5}.test/{i}" for i in range(900)]
+        for k in ins:
+            f.add_if_new(k)
+        probe = ins[::3] + [f"http://absent{i}.test/x" for i in range(500)]
+        got = f.contains_hashes(hash64_many(probe))
+        want = np.array([f.contains(k) for k in probe])
+        assert np.array_equal(got, want)
+        # stash path: force stash entries via a tiny over-filled filter
+        g = CuckooFilter(64)
+        keys = [f"k{i}" for i in range(240)]
+        for k in keys:
+            g.add(k)
+        assert g._stash  # the point of the tiny filter
+        got = g.contains_hashes(hash64_many(keys))
+        assert got.all()  # add() keeps every key contained
+
+    def test_admit_batch_vector_matches_sequential(self):
+        """_admit_many (hash-dedup + vector prefilter + scalar survivors)
+        must leave filter/seen/pending/metrics byte-identical to the plain
+        sequential add_if_new loop."""
+        from parsel_ray.crawl.frontier import FrontierShard
+        from parsel_ray.crawl.oracle import CrawlConfig
+        from parsel_ray.crawl.pagestore import StoreConfig
+
+        cfg = CrawlConfig(
+            store=StoreConfig(), n_seeds=8, max_depth=3, max_epochs=4,
+            shards=2, bucket_capacity=8, bucket_refill=8,
+            filter_capacity=1 << 12,
+        )
+        # two local (non-actor) shard instances via the undecorated class
+        cls = FrontierShard.__ray_metadata__.modified_class
+        a = cls.__new__(cls)
+        b = cls.__new__(cls)
+        for s in (a, b):
+            cls.__init__(s, 0, cfg, verify=True, keep_insert_log=True)
+        rng = np.random.default_rng(7)
+        urls = [
+            f"http://h{int(i)}.test/p/{int(j)}"
+            for i, j in zip(rng.integers(0, 6, 3000), rng.integers(0, 400, 3000))
+        ]
+        depths = rng.integers(0, 6, 3000).tolist()
+        items = list(zip(depths, urls))
+        # a: vectorized path (admit_batch routes through _admit_many)
+        cls.admit_batch(a, items)
+        # b: the original sequential loop, inlined
+        n0 = len(b.pending)
+        for depth, cu in items:
+            if not b.filter.add_if_new(cu):
+                b.metrics["dup_skipped"] += 1
+                continue
+            b._insert_log.append(cu)
+            b.seen.append(cu)
+            from parsel_ray.crawl.urlnorm import host_of, path_of
+            if not b.robots.allowed(host_of(cu), path_of(cu)):
+                b.metrics["robots_blocked"] += 1
+                continue
+            if depth > b.cfg.max_depth:
+                b.metrics["depth_dropped"] += 1
+                continue
+            b.pending.append((depth, cu))
+        b.metrics["admitted"] += len(b.pending) - n0
+        assert np.array_equal(a.filter.table, b.filter.table)
+        assert a.filter._stash == b.filter._stash
+        assert a.filter._kick_counter == b.filter._kick_counter
+        assert a.seen == b.seen
+        assert a._insert_log == b._insert_log
+        assert a.pending == b.pending
+        assert a.metrics == b.metrics
+
     def test_cuckoo_state_roundtrip(self):
         f = CuckooFilter(1024)
         for i in range(300):
