@@ -6,10 +6,12 @@ Prints ONE JSON line:
    "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
    "throughput": {name: rows_per_sec, ...}}
 
-``--scaling``: runs the headline extraction pipeline in two FRESH
-processes (num_cpus=8 then 32) on the same input and prints throughput at
-both plus scaling efficiency (the sandbox stand-in for the N-node vs
-4N-node cluster criterion; see BASELINE.md).
+``--scaling``: runs the selected pipelines at two parallelism levels
+($SCALE_LEVELS, default 3,12 — a 4x ratio with daemon/actor headroom on
+the 16-physical-core box) in FRESH processes on the same input, as
+INTERLEAVED back-to-back (lo, hi) pairs, and prints throughput at both
+plus the median per-pair scaling efficiency (the sandbox stand-in for
+the N-node vs 4N-node cluster criterion; see BASELINE.md).
 """
 
 from __future__ import annotations
@@ -392,9 +394,8 @@ def main() -> None:
                 return
         pipes = os.environ.get("SCALE_PIPELINES", "crawl,extract").split(",")
         for name in pipes:
-            per = {}
-            for ncpu in (lo, hi):
-                runs = []
+
+            def run_once(ncpu: int) -> dict:
                 env = dict(
                     os.environ,
                     RAY_GRAFT_CPUS=str(ncpu),
@@ -408,42 +409,53 @@ def main() -> None:
                     env["BENCH_REPLICATE"] = str(max(REPLICATE, 80))
                 if name == "crawl":
                     # wider synthetic web for the scaling probe: the BSP
-                    # epoch barrier is a fixed ~6.5 s serial term that the
-                    # 7 k-URL default probe cannot amortize (55% of the
-                    # 16-cpu runtime); ×8 hosts/seeds keeps the epoch
-                    # count while widening each wave — the 10^10-URL
-                    # frontier shape
+                    # epoch barrier is a fixed serial term per epoch that
+                    # the 7 k-URL default probe cannot amortize; ×scale
+                    # hosts-depth/seeds keeps the epoch count while
+                    # widening each wave — the 10^10-URL frontier shape
                     env["BENCH_CRAWL_SCALE"] = os.environ.get(
-                        "BENCH_CRAWL_SCALE", "8")
-                for _ in range(repeats):  # median of repeats: the shared
-                    # box shows ±30-60% noise; the median resists outliers
-                    # in BOTH directions (a lucky fast small-CPU run would
-                    # otherwise deflate the efficiency ratio)
-                    wait_for_quiet()
-                    out = subprocess.run(
-                        [sys.executable, os.path.abspath(__file__)],
-                        env=env,
-                        capture_output=True,
-                        text=True,
-                        check=True,
-                        cwd=os.path.dirname(os.path.abspath(__file__)),
-                    ).stdout
-                    r = json.loads(out.strip().splitlines()[-1])
-                    runs.append(
-                        {"sec": r["queries"][name],
-                         "rows": r.get("headline_rows", 0)}
-                    )
-                runs.sort(key=lambda x: x["sec"])
-                per[ncpu] = runs[len(runs) // 2]
-            eff = (per[lo]["sec"] / per[hi]["sec"]) / (hi / lo)
-            rows = per[hi]["rows"]
+                        "BENCH_CRAWL_SCALE", "16")
+                wait_for_quiet()
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__)],
+                    env=env,
+                    capture_output=True,
+                    text=True,
+                    check=True,
+                    cwd=os.path.dirname(os.path.abspath(__file__)),
+                ).stdout
+                r = json.loads(out.strip().splitlines()[-1])
+                return {"sec": r["queries"][name],
+                        "rows": r.get("headline_rows", 0)}
+
+            # INTERLEAVED PAIRS, not level blocks: this box's effective
+            # speed drifts ±25% over tens of minutes (hypervisor
+            # co-tenancy invisible to steal%/loadavg — measured: identical
+            # 12-cpu runs 83 s and 103 s an hour apart on a 0% steal,
+            # idle box).  Two level blocks 15 min apart turn that drift
+            # straight into efficiency error; a back-to-back (lo, hi)
+            # pair spans only its own ~7 min, and the median of per-pair
+            # ratios cancels any drift slower than that.
+            pairs = []
+            for _ in range(repeats):
+                a = run_once(lo)
+                b = run_once(hi)
+                pairs.append((a, b, (a["sec"] / b["sec"]) / (hi / lo)))
+            pairs.sort(key=lambda p: p[2])
+            mid = pairs[len(pairs) // 2]
+            lo_secs = sorted(p[0]["sec"] for p in pairs)
+            hi_secs = sorted(p[1]["sec"] for p in pairs)
+            rows = mid[1]["rows"]
             report["pipelines"][name] = {
-                f"sec_{lo}": per[lo]["sec"],
-                f"sec_{hi}": per[hi]["sec"],
+                f"sec_{lo}": mid[0]["sec"],
+                f"sec_{hi}": mid[1]["sec"],
+                f"sec_{lo}_all": lo_secs,
+                f"sec_{hi}_all": hi_secs,
                 "rows": rows,
-                f"rows_per_sec_{lo}": round(rows / per[lo]["sec"], 1) if rows else None,
-                f"rows_per_sec_{hi}": round(rows / per[hi]["sec"], 1) if rows else None,
-                "scaling_efficiency": round(eff, 3),
+                f"rows_per_sec_{lo}": round(rows / mid[0]["sec"], 1) if rows else None,
+                f"rows_per_sec_{hi}": round(rows / mid[1]["sec"], 1) if rows else None,
+                "pair_efficiencies": [round(p[2], 3) for p in pairs],
+                "scaling_efficiency": round(mid[2], 3),
             }
         print(json.dumps(report))
         return
