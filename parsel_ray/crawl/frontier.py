@@ -86,6 +86,11 @@ class FrontierShard:
         self._insert_log: list[str] = []
         self._last_full_epoch: int | None = None
         self._deltas_since_full = 0
+        # wall-clock phase profile (gather / admit / pop), kept OUT of
+        # self.metrics: metrics must stay byte-comparable across runs
+        # (equivalence + resume tests); run_crawl folds these in under
+        # driver_shard_*_ms which the semantic comparisons filter
+        self._phase = {"gather": 0.0, "order": 0.0, "admit": 0.0, "pop": 0.0}
 
     # -- admission (links arrive pre-canonicalized, pre-sorted) -----------
 
@@ -113,6 +118,7 @@ class FrontierShard:
         sequence order, so placement/eviction order, the insert log,
         ``seen``, metrics, and every false positive stay byte-identical.
         """
+        _t0 = time.perf_counter()
         n0 = len(self.pending)
         n = len(urls)
         if n:
@@ -145,6 +151,7 @@ class FrontierShard:
                 continue
             self.pending.append((depth, cu))
         self.metrics["admitted"] += len(self.pending) - n0
+        self._phase["admit"] += time.perf_counter() - _t0
         return len(self.pending) - n0
 
     # -- epoch ------------------------------------------------------------
@@ -152,6 +159,7 @@ class FrontierShard:
     def pop_batch(self) -> list:
         """Grant this epoch's fetches: pending sorted by (depth, url),
         gated by per-host tokens.  Deferred URLs stay pending."""
+        _t0 = time.perf_counter()
         self.pending.sort(key=lambda du: (du[0], du[1]))
         grants, deferred = [], []
         for d, u in self.pending:
@@ -161,6 +169,7 @@ class FrontierShard:
                 deferred.append((d, u))
         self.pending = deferred
         self.metrics["granted"] += len(grants)
+        self._phase["pop"] += time.perf_counter() - _t0
         return grants
 
     def end_epoch(self) -> None:
@@ -176,9 +185,12 @@ class FrontierShard:
         O(links) rows."""
         if not link_refs:
             return None
+        _t0 = time.perf_counter()
         tables = [t for t in ray.get(list(link_refs)) if t is not None and len(t)]
+        self._phase["gather"] += time.perf_counter() - _t0
         if not tables:
             return None
+        _t0 = time.perf_counter()
         t = pa.concat_tables(tables).sort_by(
             [
                 ("parent_depth", "ascending"),
@@ -188,7 +200,9 @@ class FrontierShard:
         )
         # (depths, urls) arrays — no per-link tuple materialization; the
         # vectorized _admit_many consumes them directly
-        return (t["parent_depth"].to_numpy() + 1, t["url"].to_pylist())
+        out = (t["parent_depth"].to_numpy() + 1, t["url"].to_pylist())
+        self._phase["order"] += time.perf_counter() - _t0
+        return out
 
     def _admit_pre_and_links(self, link_refs: list) -> int:
         """Preadmit replay first, then this epoch's links — the same
@@ -231,6 +245,9 @@ class FrontierShard:
 
     def get_metrics(self) -> dict:
         return dict(self.metrics)
+
+    def get_phase_ms(self) -> dict:
+        return {k: int(v * 1000) for k, v in self._phase.items()}
 
     # -- checkpoint (N11) --------------------------------------------------
 
@@ -656,10 +673,20 @@ def run_crawl(
         n_popped += len(grants)
 
         # fan out fetch+extract as chunked tasks (one Ray task per ~chunk;
-        # the kernel itself is the same map_batches-shaped FetchExtract);
-        # 3 waves per round for straggler balancing (page cost varies)
+        # the kernel itself is the same map_batches-shaped FetchExtract).
+        # TAPERED chunk sizes (guided self-scheduling): each chunk takes
+        # ~1/(taper*ncpus) of the REMAINING grants, so early chunks are
+        # big (low task overhead) and the final ones shrink to 4 URLs —
+        # the epoch barrier's straggler tail idles (ncpus-1) slots for
+        # the last chunk's duration, and that idle loss grows with
+        # parallelism, which is exactly where scaling efficiency is
+        # lost.  Grants are hash-ordered first (page cost clusters by
+        # host in (depth,url) order; the hash order mixes cheap and
+        # expensive pages so chunk cost tracks chunk size) — chunk
+        # partition is invariant to the output contract: links re-sort
+        # shard-side per epoch, image rows are compared order-free.
         ncpus = int(ray.cluster_resources().get("CPU", 8))
-        chunk = max(4, -(-len(grants) // (ncpus * 3)))
+        taper = float(os.environ.get("CRAWL_TAPER", "2"))
         edir = None
         if out_dir:
             edir = os.path.join(out_dir, "images", f"epoch={epoch}")
@@ -675,11 +702,16 @@ def run_crawl(
             os.makedirs(edir, exist_ok=True)
         img_refs, nimg_refs = [], []
         _t0 = time.perf_counter()
-        nchunks = -(-len(grants) // chunk)
-        for ci in range(nchunks):
-            # stripe: consecutive (depth,url)-sorted grants cluster same-host
-            # page sizes; striping mixes cheap/expensive pages per task
-            part = grants[ci::nchunks]
+        order = np.argsort(
+            hash64_many([u for _, u in grants]), kind="stable"
+        )
+        parts = []
+        pos, n_grants = 0, len(order)
+        while pos < n_grants:
+            c = max(4, int((n_grants - pos) / (taper * ncpus)))
+            parts.append([grants[j] for j in order[pos:pos + c]])
+            pos += c
+        for ci, part in enumerate(parts):
             rets = _fetch_chunk.options(num_returns=2 + cfg.shards).remote(
                 fetcher,
                 [d for d, _ in part],
@@ -782,6 +814,12 @@ def run_crawl(
     metrics["driver_epochs"] = phase_s["epochs"]
     for k in ("admit_wait", "dispatch", "img_barrier"):
         metrics[f"driver_{k}_ms"] = int(phase_s[k] * 1000)
+    # shard-side phase profile: SUM across shards ≈ cpu-ms spent per
+    # phase cluster-wide (shards run concurrently, so this is not wall
+    # time); driver_ prefix keeps it out of the semantic metric compares
+    shard_phases = ray.get([s.get_phase_ms.remote() for s in shards])
+    for ph in ("gather", "order", "admit", "pop"):
+        metrics[f"driver_shard_{ph}_ms"] = sum(p[ph] for p in shard_phases)
     img_table = (
         pa.concat_tables(image_tables) if image_tables else IMAGE_SCHEMA.empty_table()
     )
