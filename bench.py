@@ -7,11 +7,13 @@ Prints ONE JSON line:
    "throughput": {name: rows_per_sec, ...}}
 
 ``--scaling``: runs the selected pipelines at two parallelism levels
-($SCALE_LEVELS, default 3,12 — a 4x ratio with daemon/actor headroom on
-the 16-physical-core box) in FRESH processes on the same input, as
-INTERLEAVED back-to-back (lo, hi) pairs, and prints throughput at both
-plus the median per-pair scaling efficiency (the sandbox stand-in for
-the N-node vs 4N-node cluster criterion; see BASELINE.md).
+($SCALE_LEVELS, default 4,16) in FRESH processes on the same input,
+each level CONFINED to that many cores via sched_setaffinity (the
+whole local Ray instance — raylet, object store, workers, num_cpus=0
+coordination actors — inherits the mask), as INTERLEAVED back-to-back
+(lo, hi) pairs, printing throughput at both plus the median per-pair
+scaling efficiency (the sandbox stand-in for the N-node vs 4N-node
+cluster criterion; see BASELINE.md §Round-3 scaling).
 """
 
 from __future__ import annotations
@@ -25,6 +27,20 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 REPLICATE = int(os.environ.get("BENCH_REPLICATE", "20"))
+
+# --scaling subprocesses set this: confine the WHOLE local Ray instance
+# (this driver + raylet + object store + every worker and actor it
+# forks) to the first N cores, BEFORE ray.init.  An N-node cluster's
+# daemons and coordination actors live inside the same N nodes' core
+# budget — an unconfined ray.init(num_cpus=N) on a 32-vCPU box instead
+# lets daemons, num_cpus=0 actors, and worker threadpools ride free on
+# the idle cores, inflating the low level and deflating the measured
+# scaling ratio (measured: 3-cpu crawl read 317 s unconfined vs 229 s
+# honest 4-core-confined work rate; 12-cpu read 104-160 s unconfined —
+# scattered across 32 vCPUs — vs 63-77 s confined to 16).
+_AFF = os.environ.get("RAY_GRAFT_AFFINITY")
+if _AFF:
+    os.sched_setaffinity(0, set(range(int(_AFF))))
 
 
 def _init_ray():
@@ -341,19 +357,18 @@ def run_suite(names) -> dict:
 
 def main() -> None:
     if "--scaling" in sys.argv:
-        # N vs 4N CPUs in fresh processes on the same input.  3 and 12 are
-        # used (not 8/32, not 4/16): the box exposes 32 hyperthreads over
-        # 16 physical cores, and beyond the num_cpus=1 worker tasks the
-        # node also runs Ray daemons (raylet/GCS/driver) plus the 16
-        # frontier coordination actors (num_cpus=0 while running, as on a
-        # real cluster where they spread across nodes).  At the 16-CPU
-        # level those extras overflow the 16 physical cores into SMT
-        # siblings — measured: crawl probe 55.0 s at 16 cpus vs 59.2 s at
-        # 12 cpus (+33% CPUs → +7.6%), i.e. the top level is starved by
-        # co-located daemons in a way a real 4N-node cluster (per-node
-        # daemons, spread-out actors) is not.  3 vs 12 keeps the exact 4x
-        # parallelism ratio with daemon headroom at BOTH levels.
-        lo, hi = (int(x) for x in os.environ.get("SCALE_LEVELS", "3,12").split(","))
+        # N vs 4N cores in fresh processes on the same input, each level
+        # CONFINED to its core budget with sched_setaffinity (see _AFF
+        # above).  Confinement is what makes the two levels commensurable:
+        # a real N-node cluster runs raylet/GCS/driver daemons, num_cpus=0
+        # coordination actors, and worker threadpools INSIDE its N nodes'
+        # cores; without the mask all of those ride free on the box's
+        # idle vCPUs at the low level (inflating it) and scatter across
+        # 32 vCPUs at the high level (hypervisor-degrading it) — measured
+        # spread at 12 unconfined cpus was 104-160 s for a crawl that
+        # confined-16 runs in 63-77 s.  4 vs 16 keeps the exact 4x ratio
+        # with both levels inside the box's ~16 fast cores.
+        lo, hi = (int(x) for x in os.environ.get("SCALE_LEVELS", "4,16").split(","))
         report = {"metric": f"scaling ({lo} vs {hi} cpus, fresh processes, same input)",
                   "sf": SF_DIR, "pipelines": {}}
         repeats = int(os.environ.get("SCALE_REPEATS", "3"))
@@ -399,6 +414,7 @@ def main() -> None:
                 env = dict(
                     os.environ,
                     RAY_GRAFT_CPUS=str(ncpu),
+                    RAY_GRAFT_AFFINITY=str(ncpu),
                     BENCH_ONLY=name,
                     GRAFT_SF_DIR=SF_DIR,
                 )
