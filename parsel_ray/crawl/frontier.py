@@ -552,6 +552,8 @@ def run_crawl(
     resume_epoch: int | None = None,
     collect_images: bool = True,
     verify: bool = True,
+    ckpt_full_every: int = 8,
+    ckpt_gc: bool = False,
 ) -> CrawlResult:
     """Drive the epoch-BSP crawl.  Ray must already be initialised.
 
@@ -568,6 +570,12 @@ def run_crawl(
     per-shard seen lists, driver pop-order history) for production-scale
     runs: CrawlResult.pop_order/seen_urls come back empty and metrics
     carry the counts instead.
+    ``ckpt_full_every``: every Nth shard checkpoint is a full snapshot,
+    the ones between are O(delta) insert-log deltas.
+    ``ckpt_gc=True``: after each published checkpoint, run
+    :func:`gc_checkpoints` — epochs older than the newest all-full
+    checkpoint are deleted (driver history consolidated first), bounding
+    on-disk checkpoint state for long crawls.
     """
     shards = [
         FrontierShard.remote(
@@ -772,13 +780,16 @@ def run_crawl(
             last_ckpt_len = len(pop_order)
             ray.get(
                 [
-                    s.checkpoint.remote(ckpt_dir, epoch, routed_refs[i])
+                    s.checkpoint.remote(ckpt_dir, epoch, routed_refs[i],
+                                        full_every=ckpt_full_every)
                     for i, s in enumerate(shards)
                 ]
             )
             # epoch-level atomic publish: only a checkpoint with driver
             # delta AND all K shard snapshots counts for resume
             open(os.path.join(ckpt_dir, f"epoch={epoch}", "_DONE"), "w").close()
+            if ckpt_gc:
+                gc_checkpoints(ckpt_dir)
             if epoch + 1 < cfg.max_epochs:
                 # serial (non-pipelined) admission after the snapshot —
                 # the snapshot captured these refs as preadmit, so
@@ -858,6 +869,60 @@ def _write_driver_ckpt(
     tmp = os.path.join(d, "driver.parquet.tmp")
     pq.write_table(t, tmp)
     os.replace(tmp, os.path.join(d, "driver.parquet"))
+
+
+def gc_checkpoints(ckpt_dir: str) -> "list[int]":
+    """Checkpoint retention (N11): delete checkpoint epochs strictly older
+    than the newest COMPLETE epoch whose every shard snapshot is a FULL
+    snapshot — the resume base.  Older epochs are unreachable by any
+    restore chain (a full snapshot resets the delta chain; deltas only
+    look back as far as their base), but without GC a long crawl with
+    incremental checkpoints accumulates them without bound.
+
+    The driver pop-order history chains from epoch 0 (each delta's
+    ``base`` offset is validated against the concatenation of everything
+    before it), so before deleting, the GC consolidates the history up to
+    the base epoch into the base epoch's ``driver.parquet`` (rewritten
+    with ``base=0``) — a resume from any surviving epoch reads an
+    identical history.  Crash-debris epoch dirs (no ``_DONE``) older than
+    the base are removed too.  Returns the removed epoch numbers."""
+    import glob as _glob
+    import re as _re
+    import shutil as _shutil
+
+    epoch_dirs: dict[int, str] = {}
+    for p in _glob.glob(os.path.join(ckpt_dir, "epoch=*")):
+        m = _re.search(r"epoch=(\d+)$", p)
+        if m:
+            epoch_dirs[int(m.group(1))] = p
+    done = sorted(
+        e for e, p in epoch_dirs.items()
+        if os.path.exists(os.path.join(p, "_DONE"))
+    )
+    base = None
+    for e in reversed(done):
+        shard_files = _glob.glob(
+            os.path.join(epoch_dirs[e], "shard-*.parquet")
+        )
+        if shard_files and all(
+            pq.read_table(f, columns=["kind"])["kind"][0].as_py() == "full"
+            for f in shard_files
+        ):
+            base = e
+            break
+    if base is None:
+        return []
+    victims = sorted(e for e in epoch_dirs if e < base)
+    if not victims:
+        return []
+    # consolidate the driver history BEFORE dropping the deltas it
+    # chains through (read validates the chain one last time)
+    hist, popped, errors = _read_driver_ckpts(ckpt_dir, base)
+    _write_driver_ckpt(ckpt_dir, base, hist, base=0,
+                       popped_total=popped, errors_total=errors)
+    for e in victims:
+        _shutil.rmtree(epoch_dirs[e], ignore_errors=True)
+    return victims
 
 
 def _read_driver_ckpts(ckpt_dir: str, upto_epoch: int) -> "tuple[list, int, int]":

@@ -204,24 +204,42 @@ def grouped_apply(
             b = pa.array((h % np.uint64(num_partitions)).astype(np.int32))
         return t.append_column("__part", b)
 
-    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop(columns=["__part"])
+    def per_partition(t: pa.Table):
+        # pyarrow block in, pyarrow block out: the per-key split still
+        # runs as a pandas groupby (the UDF contract is pandas), but the
+        # EMITTED block is arrow so downstream stages stay zero-copy and
+        # Ray's schema unification never sees a PandasBlockSchema.
+        g = t.drop(["__part"]).to_pandas()
         outs = [fn(sub) for _, sub in g.groupby(keys, sort=True)]
         outs = [o for o in outs if o is not None and len(o)]
         if not outs:
             if out_schema is not None:
                 # a pyarrow empty table KEEPS string/binary types; an
                 # empty pandas frame degrades them to object → null on
-                # the block conversion (verified) — Ray accepts arrow
-                # returns from a pandas-format map_groups UDF
+                # the block conversion (verified)
                 return out_schema.empty_table()
             return pd.DataFrame()
-        return pd.concat(outs, ignore_index=True)
+        try:
+            tabs = [
+                o if isinstance(o, pa.Table)
+                else pa.Table.from_pandas(o, preserve_index=False)
+                for o in outs
+            ]
+            out = tabs[0] if len(tabs) == 1 else pa.concat_tables(
+                tabs, promote_options="permissive"
+            )
+            if out_schema is not None and not out.schema.equals(out_schema):
+                out = out.select(out_schema.names).cast(out_schema)
+            return out
+        except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError):
+            # exotic object columns (ragged dicts, mixed cells) that
+            # arrow can't infer — keep the pandas block for this site
+            return pd.concat(outs, ignore_index=True)
 
     out = (
         ds.map_batches(add_part, batch_format="pyarrow")
         .groupby("__part")
-        .map_groups(per_partition, batch_format="pandas")
+        .map_groups(per_partition, batch_format="pyarrow")
     )
     if out_schema is not None:
         # also covers a 0-ROW input (per_partition never runs then — Ray

@@ -23,6 +23,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ._numutil import _ignore_overflow  # noqa: F401 (re-export)
 
@@ -74,12 +75,23 @@ def exact_dedup_rows(ds, fp_col: str = "fingerprint",
         t = t.filter(pc.fill_null(first, True))
         return t.append_column("__part", _bucket_of(t[fp_col], num_partitions))
 
-    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([fp_col, id_col], kind="mergesort")
-        # pandas duplicated() treats None == None: exempt null
-        # fingerprints from dedup explicitly
-        keep = ~g[fp_col].duplicated() | g[fp_col].isna()
-        return g.loc[keep].drop(columns="__part")
+    def per_partition(t: pa.Table) -> pa.Table:
+        # pure-arrow first-wins: sort by (fp, id), then a row is a dup
+        # iff its fingerprint equals the previous row's (nulls exempt —
+        # a null fingerprint never dedups against another null)
+        t = t.drop(["__part"]).sort_by(
+            [(fp_col, "ascending"), (id_col, "ascending")]
+        )
+        n = len(t)
+        if n <= 1:
+            return t
+        fp = t[fp_col].combine_chunks()
+        eq = pc.equal(fp.slice(1, n - 1), fp.slice(0, n - 1))
+        # null == null → null in arrow; fill false so nulls stay kept
+        dup = pc.fill_null(eq, False).to_numpy(zero_copy_only=False)
+        keep = np.ones(n, dtype=bool)
+        keep[1:] = ~dup
+        return t.filter(pa.array(keep))
 
     return (
         # large batch_size: coalesces small upstream blocks so (a) the
@@ -87,7 +99,7 @@ def exact_dedup_rows(ds, fp_col: str = "fingerprint",
         # shuffle, whose cost tracks block count, gets few fat blocks
         ds.map_batches(batch_first, batch_format="pyarrow", batch_size=65536)
         .groupby("__part")
-        .map_groups(per_partition, batch_format="pandas")
+        .map_groups(per_partition, batch_format="pyarrow")
     )
 
 
@@ -1409,39 +1421,42 @@ def paragraph_dedup(
         part = _bucket_of(out[id_col], num_partitions)
         return out.append_column("__part", part)
 
-    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([id_col, "chunk_idx"], kind="stable")
-        doc = g[id_col].to_numpy()
+    rebuild_schema = pa.schema(
+        [(id_col, pa.int64()), ("text_clean", pa.string()),
+         ("n_chunks", pa.int64())]
+    )
+
+    def rebuild(t: pa.Table) -> pa.Table:
+        t = t.drop(["__part"]).sort_by(
+            [(id_col, "ascending"), ("chunk_idx", "ascending")]
+        )
+        doc = t[id_col].to_numpy(zero_copy_only=False)
         if not len(doc):
-            return pd.DataFrame(
-                {id_col: pd.Series([], dtype="int64"),
-                 "text_clean": pd.Series([], dtype="string"),
-                 "n_chunks": pd.Series([], dtype="int64")}
-            )
+            return rebuild_schema.empty_table()
         bounds = np.flatnonzero(np.diff(doc)) + 1
         offsets = np.concatenate([[0], bounds, [len(doc)]]).astype(np.int32)
-        import pyarrow.compute as pc
-
-        la = pa.ListArray.from_arrays(
-            pa.array(offsets),
-            pa.array(g["chunk"].to_numpy(), type=pa.string()),
-        )
+        chunk = t["chunk"].combine_chunks()
+        if isinstance(chunk, pa.ChunkedArray):
+            chunk = (
+                chunk.chunk(0) if chunk.num_chunks == 1
+                else pa.concat_arrays(chunk.chunks)
+            )
+        la = pa.ListArray.from_arrays(pa.array(offsets), chunk.cast(pa.string()))
         heads = np.concatenate([[0], bounds])
-        return pd.DataFrame(
+        return pa.table(
             {
-                id_col: doc[heads],
-                "text_clean": pc.binary_join(la, " ").to_pylist(),
-                "n_chunks": np.diff(offsets),
+                id_col: pa.array(doc[heads], pa.int64()),
+                "text_clean": pc.binary_join(la, " "),
+                "n_chunks": pa.array(
+                    np.diff(offsets).astype(np.int64), pa.int64()
+                ),
             }
         )
 
     return (
         winners.map_batches(decode, batch_format="pyarrow")
         .groupby("__part")
-        .map_groups(
-            lambda g: rebuild(g.drop(columns=["__part"])),
-            batch_format="pandas",
-        )
+        .map_groups(rebuild, batch_format="pyarrow")
     )
 
 
@@ -1557,59 +1572,71 @@ def duplicated_substring_spans(ds, id_col: str = "doc_id",
     def add_gpart(t: pa.Table) -> pa.Table:
         return t.append_column("__part", _bucket_of(t["g"], num_partitions))
 
-    def keep_shared(g: pd.DataFrame) -> pd.DataFrame:
-        if g.empty:
-            return pd.DataFrame(
-                {"doc": pd.Series([], dtype="int64"),
-                 "pos": pd.Series([], dtype="int64")}
+    def keep_shared(t: pa.Table) -> pa.Table:
+        # keep (doc,pos) rows whose gram appears in >= 2 distinct docs —
+        # pure arrow: sort by (g, doc), segment by g, count distinct docs
+        # per segment via adjacent-inequality, all vectorized
+        t = t.drop(["__part"])
+        n = len(t)
+        if n == 0:
+            return pa.table(
+                {"doc": pa.array([], pa.int64()), "pos": pa.array([], pa.int64())}
             )
-        nn = g.groupby("g", sort=False)["doc"].transform("nunique")
-        return g.loc[nn >= 2, ["doc", "pos"]]
+        t = t.sort_by([("g", "ascending"), ("doc", "ascending")])
+        g_col = t["g"].combine_chunks()
+        d = t["doc"].to_numpy(zero_copy_only=False)
+        same_g = np.zeros(n, dtype=bool)
+        if n > 1:
+            same_g[1:] = pc.fill_null(
+                pc.equal(g_col.slice(1, n - 1), g_col.slice(0, n - 1)), False
+            ).to_numpy(zero_copy_only=False)
+        new_pair = np.ones(n, dtype=bool)
+        if n > 1:
+            new_pair[1:] = (~same_g[1:]) | (d[1:] != d[:-1])
+        seg_id = np.cumsum(~same_g) - 1
+        uniq = np.bincount(seg_id, weights=new_pair)
+        keep = uniq[seg_id] >= 2
+        return t.select(["doc", "pos"]).filter(pa.array(keep))
 
     marked = (
         ds.map_batches(gram_rows, batch_format="pyarrow")
         .map_batches(add_gpart, batch_format="pyarrow")
         .groupby("__part")
-        .map_groups(
-            lambda g: keep_shared(g.drop(columns=["__part"])),
-            batch_format="pandas",
-        )
+        .map_groups(keep_shared, batch_format="pyarrow")
     )
 
     def add_dpart(t: pa.Table) -> pa.Table:
         return t.append_column("__part", _bucket_of(t["doc"], num_partitions))
 
-    empty_spans = pd.DataFrame(
-        {id_col: pd.Series([], dtype="int64"),
-         "span_start": pd.Series([], dtype="int64"),
-         "span_end": pd.Series([], dtype="int64"),
-         "span_chars": pd.Series([], dtype="int64")}
+    span_schema = pa.schema(
+        [(id_col, pa.int64()), ("span_start", pa.int64()),
+         ("span_end", pa.int64()), ("span_chars", pa.int64())]
     )
 
-    def spans(g: pd.DataFrame) -> pd.DataFrame:
-        if g.empty:
-            return empty_spans
-        g = g.sort_values(["doc", "pos"], kind="mergesort")
-        d = g["doc"].to_numpy()
-        p = g["pos"].to_numpy()
-        brk = np.ones(len(g), dtype=bool)
+    def spans(t: pa.Table) -> pa.Table:
+        t = t.drop(["__part"])
+        if len(t) == 0:
+            return span_schema.empty_table()
+        t = t.sort_by([("doc", "ascending"), ("pos", "ascending")])
+        d = t["doc"].to_numpy(zero_copy_only=False)
+        p = t["pos"].to_numpy(zero_copy_only=False)
+        brk = np.ones(len(t), dtype=bool)
         brk[1:] = (d[1:] != d[:-1]) | (p[1:] > p[:-1] + L)
         heads = np.flatnonzero(brk)
-        lasts = np.append(heads[1:] - 1, len(g) - 1)
+        lasts = np.append(heads[1:] - 1, len(t) - 1)
         starts = p[heads]
         ends = p[lasts] + L
-        return pd.DataFrame(
-            {id_col: d[heads], "span_start": starts, "span_end": ends,
-             "span_chars": ends - starts}
+        return pa.table(
+            {id_col: pa.array(d[heads], pa.int64()),
+             "span_start": pa.array(starts, pa.int64()),
+             "span_end": pa.array(ends, pa.int64()),
+             "span_chars": pa.array(ends - starts, pa.int64())}
         )
 
     return (
         marked.map_batches(add_dpart, batch_format="pyarrow")
         .groupby("__part")
-        .map_groups(
-            lambda g: spans(g.drop(columns=["__part"])),
-            batch_format="pandas",
-        )
+        .map_groups(spans, batch_format="pyarrow")
     )
 
 

@@ -20,10 +20,35 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray
 import ray.data as rd
 
 from .agg import partial_sum_groupby
-from .relational import hash_bucket_join
+from .relational import _pa_side_schema, hash_bucket_join
+
+
+@ray.remote
+def _pr_mass_partial(tbl: "pa.Table") -> "tuple[float, float]":
+    """Per-block (total rank, dangling rank) partial — runs as a raw Ray
+    task over a MATERIALIZED state block ref.  Raw tasks (not a Dataset
+    pass) because the input blocks already sit in plasma: per-block
+    fan-out + a driver fold of O(blocks) scalars skips a whole streaming
+    execution per PageRank round."""
+    if len(tbl) == 0 or "rank" not in tbl.column_names:
+        # schema-pinning empty union blocks skip map UDFs, so an empty
+        # block can still carry a pre-update schema — contributes nothing
+        return 0.0, 0.0
+    total = pc.sum(tbl["rank"]).as_py() or 0.0
+    dang = (
+        pc.sum(
+            pc.if_else(
+                pc.is_null(tbl["outdeg"]), tbl["rank"],
+                pa.scalar(0.0, pa.float64()),
+            )
+        ).as_py()
+        or 0.0
+    )
+    return total, dang
 
 
 def pagerank(
@@ -143,36 +168,28 @@ def pagerank(
     ).materialize()
 
     base = (1.0 - damping) / n_nodes
+    # explicit side schemas for the two in-loop joins: skipping the
+    # ds.schema() probes keeps each round ONE fused streaming execution
+    # (a probe of an unexecuted aggregate chain re-executes it, which is
+    # why earlier revisions had to materialize in_sum mid-round)
+    node_t = _pa_side_schema(state).field("node").type
+    edges_schema = _pa_side_schema(edges)
+    srcstate_schema = pa.schema(
+        [("src", node_t), ("outdeg", pa.int64()), ("rank", pa.float64())]
+    )
+    insum_schema = pa.schema([("node", node_t), ("w", pa.float64())])
+    nodestate_schema = pa.schema([("node", node_t), ("outdeg", pa.int64())])
+    # tolerance scales with N: the sum accumulates O(N) float adds,
+    # so a fixed 1e-9 would spuriously fail at ~1e7+ nodes
+    tol = 1e-9 + 64.0 * n_nodes * np.finfo(np.float64).eps
     for _ in range(iters):
-        # map-only mass scan: two partial scalars per block
-        mass_rows = state.map_batches(
-            lambda t: pa.table(
-                {
-                    "total": pa.array(
-                        [pc.sum(t["rank"]).as_py() or 0.0], pa.float64()
-                    ),
-                    "dang": pa.array(
-                        [
-                            pc.sum(
-                                pc.if_else(
-                                    pc.is_null(t["outdeg"]),
-                                    t["rank"],
-                                    pa.scalar(0.0, pa.float64()),
-                                )
-                            ).as_py()
-                            or 0.0
-                        ],
-                        pa.float64(),
-                    ),
-                }
-            ),
-            batch_format="pyarrow",
-        ).take_all()
-        total = float(sum(r["total"] for r in mass_rows))
-        dangling = float(sum(r["dang"] for r in mass_rows))
-        # tolerance scales with N: the sum accumulates O(N) float adds,
-        # so a fixed 1e-9 would spuriously fail at ~1e7+ nodes
-        tol = 1e-9 + 64.0 * n_nodes * np.finfo(np.float64).eps
+        # mass scan: per-block raw tasks over the materialized state's
+        # plasma refs (distributed; the driver folds O(blocks) scalars)
+        parts = ray.get(
+            [_pr_mass_partial.remote(ref) for ref in state.to_arrow_refs()]
+        )
+        total = float(sum(p[0] for p in parts))
+        dangling = float(sum(p[1] for p in parts))
         if certify and abs(total - 1.0) > tol:
             raise AssertionError(
                 f"pagerank: rank mass {total} != 1 (conservation, "
@@ -186,7 +203,8 @@ def pagerank(
             batch_format="pyarrow",
         )
         contrib = hash_bucket_join(
-            edges, srcstate, on="src", buckets=buckets
+            edges, srcstate, on="src", buckets=buckets,
+            side_schemas=(edges_schema, srcstate_schema),
         ).map_batches(
             lambda t: pa.table(
                 {
@@ -198,12 +216,7 @@ def pagerank(
             ),
             batch_format="pyarrow",
         )
-        # cut the lineage here: the join below probes both sides'
-        # schemas, and an unexecuted aggregate chain re-executes per
-        # probe — in_sum is O(nodes) and cheap to pin
-        in_sum = partial_sum_groupby(
-            contrib, ["node"], {"w": "w"}
-        ).materialize()
+        in_sum = partial_sum_groupby(contrib, ["node"], {"w": "w"})
         joined = hash_bucket_join(
             state.map_batches(
                 lambda t: t.select(["node", "outdeg"]),
@@ -213,6 +226,7 @@ def pagerank(
             on="node",
             how="left",
             buckets=buckets,
+            side_schemas=(nodestate_schema, insum_schema),
         )
         add = base + damping * dangling / n_nodes
 

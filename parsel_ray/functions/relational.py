@@ -2,9 +2,9 @@
 per-document library; these are the engine's relational layer, built the
 Ray-Data-idiomatic way).
 
-* ``broadcast_lookup`` — small side shipped ONCE via ``ray.put``, read in
-  each actor's ``__init__``, pandas merge per batch.  No shuffle.  Use for
-  dimension tables / vocab / blocklists.
+* ``broadcast_lookup`` — small side shipped ONCE via ``ray.put``, resolved
+  lazily per worker, Arrow-native ``pa.Table.join`` per zero-copy batch.
+  No shuffle.  Use for dimension tables / vocab / blocklists.
 * ``hash_bucket_join`` — both sides large: add ``bucket = hash(key) % B``
   to each side, tag, union, one ``groupby("bucket")`` shuffle, pairwise
   pandas merge inside ``map_groups``.  B is explicit.
@@ -58,17 +58,53 @@ class LazyRef:
         self._have = False
 
 
+_ARROW_JOIN_TYPE = {
+    "inner": "inner",
+    "left": "left outer",
+    "right": "right outer",
+    "outer": "full outer",
+}
+
+
 class BroadcastMerge:
-    """map_batches kernel (task mode): pandas merge of each batch against a
-    broadcast small side (``ray.put`` ref of a pandas DataFrame)."""
+    """map_batches kernel (task mode): Arrow-native ``pa.Table.join`` of
+    each zero-copy batch against a broadcast small side (``ray.put`` ref of
+    a pyarrow Table, or a pandas DataFrame converted ONCE per worker).  No
+    arrow->pandas->arrow copy on the hot path."""
 
     def __init__(self, small_ref, on: str | Sequence[str], how: str = "inner") -> None:
         self.small = LazyRef(small_ref)
-        self.on = on
-        self.how = how
+        self.on = [on] if isinstance(on, str) else list(on)
+        self.how = _ARROW_JOIN_TYPE[how]
+        self._tbl: pa.Table | None = None
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.merge(self.small.get(), on=self.on, how=self.how)
+    def _small_table(self) -> pa.Table:
+        if self._tbl is None:
+            side = self.small.get()
+            if not isinstance(side, pa.Table):
+                side = pa.Table.from_pandas(side, preserve_index=False)
+            self._tbl = side
+        return self._tbl
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        small = self._small_table()
+        # align key dtypes once (no-op after the first batch: the casted
+        # table is cached back into self._tbl)
+        for k in self.on:
+            bt = batch.schema.field(k).type
+            st = small.schema.field(k).type
+            if bt != st:
+                idx = small.schema.get_field_index(k)
+                small = small.set_column(idx, k, small[k].cast(bt))
+        self._tbl = small
+        return batch.join(small, keys=self.on, join_type=self.how).combine_chunks()
+
+    def __getstate__(self):
+        return (self.small, self.on, self.how)
+
+    def __setstate__(self, s):
+        self.small, self.on, self.how = s
+        self._tbl = None
 
 
 def broadcast_lookup(ds, small_ref, on, how: str = "inner", concurrency=None,
@@ -77,7 +113,7 @@ def broadcast_lookup(ds, small_ref, on, how: str = "inner", concurrency=None,
     # side is a plasma ref, resolved locally per worker
     return ds.map_batches(
         BroadcastMerge(small_ref, on, how),
-        batch_format="pandas",
+        batch_format="pyarrow",
         batch_size=batch_size,
     )
 
@@ -497,7 +533,8 @@ _JOIN_TYPE = {
 def hash_bucket_join(left, right, on: str, buckets: int = 32,
                      how: str = "inner", left_tag: str = "__l",
                      suffixes=("", "_r"), auto_salt_col: str | None = None,
-                     hot_threshold: int | None = None, salt: int = 8):
+                     hot_threshold: int | None = None, salt: int = 8,
+                     side_schemas: "tuple[pa.Schema, pa.Schema] | None" = None):
     """Partitioned hash join: ONE groupby shuffle over the union of both
     (tagged, bucketed) sides, Arrow-native ``pa.Table.join`` per bucket —
     no pandas conversion, no dtype upcasts, typed-null padding for
@@ -513,6 +550,12 @@ def hash_bucket_join(left, right, on: str, buckets: int = 32,
 
     Null-key semantics are SQL's (null never matches null), unlike
     pandas ``merge`` which pairs NaN keys.
+
+    ``side_schemas=(lschema, rschema)``: pass the sides' pyarrow schemas
+    explicitly to skip the ``ds.schema()`` probes — probing an unexecuted
+    aggregate chain re-executes it, so iterative callers (PageRank, BFS)
+    that join against a fresh groupby each round pass schemas to keep the
+    whole round ONE fused streaming execution.
     """
     if auto_salt_col is not None:
         if how not in ("inner", "left"):
@@ -524,8 +567,11 @@ def hash_bucket_join(left, right, on: str, buckets: int = 32,
                 left, right, on=on, hot_keys=hot, salt_col=auto_salt_col,
                 salt=salt, buckets=buckets, how=how, suffixes=suffixes)
 
-    lschema = _pa_side_schema(left)
-    rschema = _pa_side_schema(right)
+    if side_schemas is not None:
+        lschema, rschema = side_schemas
+    else:
+        lschema = _pa_side_schema(left)
+        rschema = _pa_side_schema(right)
     # an EMPTY side (or an all-null column) arrives null-typed, and
     # arrow's hash join rejects a null-typed key field.  A null-typed
     # column holds only nulls, so re-typing it is lossless: adopt the

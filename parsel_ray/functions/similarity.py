@@ -115,13 +115,15 @@ def finalize_topk(ds, k: int):
     """Merge per-batch partials: per query keep global top-k by
     (cosine desc, neighbor_id asc) — deterministic tie-break."""
 
-    def head(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cosine", "neighbor_id"], ascending=[False, True])
-        out = g.head(k).copy()
-        out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
-        return out
+    def head(t: pa.Table) -> pa.Table:
+        t = t.sort_by(
+            [("cosine", "descending"), ("neighbor_id", "ascending")]
+        ).slice(0, k)
+        return t.append_column(
+            "rank", pa.array(np.arange(1, len(t) + 1, dtype=np.int64))
+        )
 
-    return ds.groupby("query_id").map_groups(head, batch_format="pandas")
+    return ds.groupby("query_id").map_groups(head, batch_format="pyarrow")
 
 
 def brute_force_topk(ds, queries_ref, k: int, id_col: str = "vec_id",
@@ -1014,8 +1016,6 @@ def semdedup(ds, centroids_ref, threshold: float = 0.95,
 
     Returns the surviving rows (original columns + ``ivf_cell``).
     """
-    import pandas as pd
-
     from .relational import _bucket_of
 
     assigned = ds.map_batches(
@@ -1027,24 +1027,37 @@ def semdedup(ds, centroids_ref, threshold: float = 0.95,
             "__part", _bucket_of(t["ivf_cell"].cast(pa.int64()), num_partitions)
         )
 
-    def per_cell(g: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for _, sub in g.groupby("ivf_cell", sort=True):
-            sub = sub.sort_values(id_col, kind="mergesort")
-            mat = np.stack(sub[emb_col].to_numpy()).astype(np.float64)
-            norms = np.linalg.norm(mat, axis=1)
-            norms[norms == 0] = 1.0
-            mat = mat / norms[:, None]
-            sims = mat @ mat.T
+    def per_cell(t: pa.Table) -> pa.Table:
+        # pure-arrow: one sort by (cell, id), one flat embedding matrix,
+        # per-cell segment matmuls over numpy views — no pandas block
+        t = t.drop(["__part"]).sort_by(
+            [("ivf_cell", "ascending"), (id_col, "ascending")]
+        )
+        n = len(t)
+        if n == 0:
+            return t
+        emb = t[emb_col].combine_chunks()
+        flat = (
+            emb.chunk(0).flatten() if isinstance(emb, pa.ChunkedArray) else emb.flatten()
+        ).to_numpy(zero_copy_only=False).astype(np.float64)
+        mat = flat.reshape(n, -1)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        mat = mat / norms[:, None]
+        cells = t["ivf_cell"].to_numpy(zero_copy_only=False)
+        bounds = np.concatenate(
+            ([0], np.flatnonzero(cells[1:] != cells[:-1]) + 1, [n])
+        )
+        keep = np.ones(n, dtype=bool)
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            sub = mat[lo:hi]
+            sims = sub @ sub.T
             dup = (np.triu(sims >= threshold, k=1)).any(axis=0)
-            out.append(sub.loc[~dup])
-        return pd.concat(out, ignore_index=True) if out else g.iloc[0:0]
+            keep[lo:hi] = ~dup
+        return t.filter(pa.array(keep))
 
     return (
         assigned.map_batches(add_part, batch_format="pyarrow")
         .groupby("__part")
-        .map_groups(
-            lambda g: per_cell(g.drop(columns=["__part"])),
-            batch_format="pandas",
-        )
+        .map_groups(per_cell, batch_format="pyarrow")
     )

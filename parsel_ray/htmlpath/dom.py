@@ -109,6 +109,25 @@ class Comment:
         return f"<!--{self.text}-->"
 
 
+class EntityRef:
+    """Unresolved entity reference kept as a tree NODE — lxml's
+    ``resolve_entities=False`` model (reference behavior territory:
+    /root/reference/parsel/selector.py:60-79 SafeXMLParser + serialization
+    pinned at /root/reference/tests/test_selector.py:843-852): content
+    text SPLITS around the entity node (``text()`` yields the pieces
+    without the reference), the entity contributes nothing to
+    string-value (never expanded — XXE-safe), and serialization restores
+    ``&name;`` exactly."""
+
+    def __init__(self, name: str) -> None:
+        self.name = name
+        self.tail: str | None = None
+        self.parent: Any = None
+
+    def serialize(self, method: str = "xml") -> str:
+        return f"&{self.name};"
+
+
 class ProcessingInstruction:
     __slots__ = ("target", "text", "tail", "parent")
 
@@ -668,15 +687,31 @@ def parse_xml(text: str, base_url: str | None = None, huge_tree: bool = True) ->
         else:
             doc.append(node)
 
-    def append_text(data: str) -> None:
-        if not stack or not data:
-            return
+    def append_plain(data: str) -> None:
         top = stack[-1]
         if top.children:
             last = top.children[-1]
             last.tail = (last.tail or "") + data
         else:
             top.text = (top.text or "") + data
+
+    def append_text(data: str) -> None:
+        if not stack or not data:
+            return
+        if _ENT_OPEN not in data:
+            append_plain(data)
+            return
+        # unresolved entity references become EntityRef NODES: the text
+        # splits around them (lxml resolve_entities=False model) —
+        # _ENT_RE.split alternates [text, name, text, name, ..., text]
+        parts = _ENT_RE.split(data)
+        if parts[0]:
+            append_plain(parts[0])
+        for i in range(1, len(parts), 2):
+            er = EntityRef(parts[i])
+            stack[-1].append(er)
+            if parts[i + 1]:
+                er.tail = parts[i + 1]
 
     while pos < n:
         lt = text.find("<", pos)

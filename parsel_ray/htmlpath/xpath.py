@@ -31,7 +31,14 @@ from decimal import Decimal
 from functools import lru_cache
 from typing import Any, Callable, Iterator
 
-from .dom import Comment, Document, Element, ProcessingInstruction, _strip_entity_refs
+from .dom import (
+    Comment,
+    Document,
+    Element,
+    EntityRef,
+    ProcessingInstruction,
+    _strip_entity_refs,
+)
 
 EXSLT_RE_NS = "http://exslt.org/regular-expressions"
 EXSLT_SET_NS = "http://exslt.org/sets"
@@ -212,6 +219,9 @@ def string_value(node: Any) -> str:
         return node.uri
     if isinstance(node, (Comment, ProcessingInstruction)):
         return node.text
+    if isinstance(node, EntityRef):
+        # never expanded (resolve_entities=False): contributes nothing
+        return ""
     if isinstance(node, Document):
         return "".join(
             c.string_value() for c in node.children if isinstance(c, Element)

@@ -497,8 +497,11 @@ FROM e GROUP BY user_id
 def nation_customer_agg(sf_dir: str):
     """Broadcast dimension lookup (ray.put once → merge per batch) +
     aggregate."""
-    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    nat = nat.rename(columns={"n_nationkey": "c_nationkey"})
+    import pyarrow.parquet as pq
+
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).rename_columns(["c_nationkey", "n_name"])
     nref = ray.put(nat)
 
     def prep(t: pa.Table) -> pa.Table:
@@ -855,7 +858,8 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8):
         ds.select_columns(["doc_id"]), dead, on="doc_id", how="left", buckets=16
     )
     return joined.map_batches(
-        lambda df: df[df["__dead"].isna()][["doc_id"]], batch_format="pandas"
+        lambda t: t.filter(pc.is_null(t["__dead"])).select(["doc_id"]),
+        batch_format="pyarrow",
     )
 
 
@@ -4879,17 +4883,16 @@ def phash_rotated_dedup(sf_dir: str):
             {"img_id": t["img_id"], "ph": pa.array(out, pa.int64())}
         )
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def pairs(t: pa.Table) -> pa.Table:
         # all unordered pairs within the hash-equality group — the
         # standard semantics of a hash dedup key; an (astronomically
         # unlikely here) cross-image collision yields extra pairs
         # rather than killing the task
-        ids = sorted(g["img_id"])
+        ids = sorted(t["img_id"].to_pylist())
         los = [a for i, a in enumerate(ids) for _ in ids[i + 1 :]]
         his = [b for i, _ in enumerate(ids) for b in ids[i + 1 :]]
-        return pd.DataFrame(
-            {"lo": pd.Series(los, dtype="int64"),
-             "hi": pd.Series(his, dtype="int64")}
+        return pa.table(
+            {"lo": pa.array(los, pa.int64()), "hi": pa.array(his, pa.int64())}
         )
 
     return (
@@ -4897,7 +4900,7 @@ def phash_rotated_dedup(sf_dir: str):
         .map_batches(build, batch_format="pyarrow", batch_size=256)
         .map_batches(orbit_hash, batch_format="pyarrow", batch_size=256)
         .groupby("ph")
-        .map_groups(pairs, batch_format="pandas")
+        .map_groups(pairs, batch_format="pyarrow")
     )
 
 

@@ -411,7 +411,12 @@ class Selector:
             result = [result]
 
         from .htmlpath.xpath import AttrNode, NamespaceNode, TextNode
-        from .htmlpath.dom import Comment, ProcessingInstruction, _strip_entity_refs
+        from .htmlpath.dom import (
+            Comment,
+            EntityRef,
+            ProcessingInstruction,
+            _strip_entity_refs,
+        )
 
         smart = getattr(self, "_lxml_smart_strings", False)
         wrapped = []
@@ -431,6 +436,8 @@ class Selector:
             elif isinstance(x, Comment):
                 x = f"<!--{x.text}-->"
             elif isinstance(x, ProcessingInstruction):
+                x = x.serialize(_xml_or_html(self.type))
+            elif isinstance(x, EntityRef):
                 x = x.serialize(_xml_or_html(self.type))
             wrapped.append(
                 self.__class__(

@@ -71,11 +71,16 @@ def main() -> int:
     records: dict[str, dict] = {}
 
     def rec(name, rows_match=None, schema_match=None, hash_match=None,
-            spark_rows=None, oracle_rows=None, err=None):
+            spark_rows=None, oracle_rows=None, err=None, status=None):
+        # `err` carries REAL errors only; a query with no SQL oracle is a
+        # distinct `status: "no_oracle"` so tooling that treats non-null
+        # err as a failure doesn't report false failures
         records[name] = {
             "rows_match": rows_match, "schema_match": schema_match,
             "hash_match": hash_match, "spark_rows": spark_rows,
             "oracle_rows": oracle_rows, "err": err,
+            "status": status or ("error" if err else (
+                "match" if hash_match else "ran")),
         }
 
     for name, fn in qs.items():
@@ -92,7 +97,7 @@ def main() -> int:
         sql = oracles.get(name)
         if sql is None:
             print(f"ok   {name}: rows={len(got)} (rows-only, no oracle)")
-            rec(name, spark_rows=len(got), err="no_oracle")
+            rec(name, spark_rows=len(got), status="no_oracle")
             continue
         try:
             want = canon(con.execute(sql).fetchdf())

@@ -659,6 +659,86 @@ class TestDistributedCrawl:
             res.seen_urls
         )
 
+    def test_checkpoint_gc_resume_across_boundary(self, tmp_path):
+        """gc_checkpoints deletes epochs older than the newest all-full
+        checkpoint (after consolidating the driver history into it);
+        resume from the surviving epochs — including a DELTA epoch whose
+        original chain crossed the GC boundary — stays byte-identical."""
+        import glob
+        import os
+        import re
+
+        import pyarrow.parquet as pq
+
+        from parsel_ray.crawl.frontier import gc_checkpoints, run_crawl
+
+        ckpt = str(tmp_path / "ckpt")
+        out = str(tmp_path / "out")
+        full = run_crawl(SMALL, out_dir=out, ckpt_dir=ckpt,
+                         checkpoint_every=1, ckpt_full_every=2)
+
+        def epochs_of():
+            return sorted(
+                int(re.search(r"epoch=(\d+)", p).group(1))
+                for p in glob.glob(ckpt + "/epoch=*")
+            )
+
+        def kind_of(e):
+            return pq.read_table(
+                f"{ckpt}/epoch={e}/shard-0.parquet", columns=["kind"]
+            )["kind"][0].as_py()
+
+        before = epochs_of()
+        fulls = [e for e in before if kind_of(e) == "full"]
+        assert len(fulls) >= 2, "need two full snapshots for a GC boundary"
+        base = fulls[-1]
+        removed = gc_checkpoints(ckpt)
+        assert removed == [e for e in before if e < base]
+        after = epochs_of()
+        assert min(after) == base
+        # consolidated driver history at the base epoch chains from 0
+        drv = pq.read_table(f"{ckpt}/epoch={base}/driver.parquet")
+        assert (drv.schema.metadata or {}).get(b"base") == b"0"
+        # resume from the LAST surviving epoch (and, when one exists, a
+        # surviving delta epoch) reproduces the uninterrupted artifacts
+        candidates = [after[-1]] + [e for e in after if kind_of(e) == "delta"][:1]
+        for e in sorted(set(candidates)):
+            resumed = run_crawl(SMALL, out_dir=out, ckpt_dir=ckpt,
+                                resume_epoch=e)
+            assert resumed.pop_order == full.pop_order
+            assert resumed.seen_urls == full.seen_urls
+            sem = lambda m: {k: v for k, v in m.items()
+                             if not k.startswith("driver_")}
+            assert sem(resumed.metrics) == sem(full.metrics)
+        # second GC is a no-op (nothing older than the base remains)
+        assert gc_checkpoints(ckpt) == []
+
+    def test_checkpoint_gc_inline_bounds_state(self, tmp_path):
+        """ckpt_gc=True keeps on-disk checkpoint state bounded during the
+        run and the final state still resumes byte-identically."""
+        import glob
+        import re
+
+        from parsel_ray.crawl.frontier import run_crawl
+
+        ckpt = str(tmp_path / "ckpt")
+        out = str(tmp_path / "out")
+        ref = run_crawl(SMALL, out_dir=out, ckpt_dir=str(tmp_path / "ref_ckpt"),
+                        checkpoint_every=1, ckpt_full_every=2)
+        got = run_crawl(SMALL, out_dir=str(tmp_path / "out2"), ckpt_dir=ckpt,
+                        checkpoint_every=1, ckpt_full_every=2, ckpt_gc=True)
+        assert got.pop_order == ref.pop_order
+        epochs = sorted(
+            int(re.search(r"epoch=(\d+)", p).group(1))
+            for p in glob.glob(ckpt + "/epoch=*")
+        )
+        # bounded: at most full_every + 1 epochs survive a GC'd run
+        assert len(epochs) <= 3
+        resumed = run_crawl(SMALL, out_dir=str(tmp_path / "out2"),
+                            ckpt_dir=ckpt, resume_epoch=epochs[-1])
+        assert resumed.pop_order == ref.pop_order
+        assert resumed.seen_urls == ref.seen_urls
+
     def test_image_verification_kernel(self):
         from parsel_ray.crawl.frontier import run_crawl
         from parsel_ray.crawl.verify import VerifyImages

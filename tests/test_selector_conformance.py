@@ -632,6 +632,41 @@ class TestSelector:
         sel = self.sscls(text=malicious_xml, type="xml")
         assert sel.extract() == "<foo>&xxe;</foo>"
 
+    def test_xml_entity_reference_nodes(self) -> None:
+        """Entity references in CONTENT are tree NODES (lxml's
+        resolve_entities=False model): the surrounding text splits around
+        them, ``text()`` yields the pieces without the reference, the
+        entity contributes nothing to string-value (never expanded), and
+        serialization restores ``&name;`` byte-exactly.  Round-4 pin of
+        the formerly-documented COVERAGE.md divergence."""
+        sel = self.sscls(text="<root>a&undef;b</root>", type="xml")
+        assert sel.extract() == "<root>a&undef;b</root>"
+        assert sel.xpath("//root/text()").getall() == ["a", "b"]
+        assert sel.xpath("string(//root)").get() == "ab"
+        # node() sees text, entity, text — the entity serializes as itself
+        assert sel.xpath("//root/node()").getall() == ["a", "&undef;", "b"]
+
+        # entity-only content: no text nodes at all, empty string-value
+        only = self.sscls(
+            text=(
+                "<!DOCTYPE foo [ <!ENTITY xxe SYSTEM "
+                '"file:///etc/passwd" >]><foo>&xxe;</foo>'
+            ),
+            type="xml",
+        )
+        assert only.xpath("//foo/text()").getall() == []
+        assert only.xpath("string(//foo)").get() == ""
+        assert only.extract() == "<foo>&xxe;</foo>"
+
+        # DECLARED internal entities in content also stay references
+        # (resolve_entities=False applies to declared entities too)
+        decl = self.sscls(
+            text='<!DOCTYPE r [<!ENTITY nm "VAL">]><r>x&nm;y</r>',
+            type="xml",
+        )
+        assert decl.extract() == "<r>x&nm;y</r>"
+        assert decl.xpath("//r/text()").getall() == ["x", "y"]
+
     def test_configure_base_url(self) -> None:
         sel = self.sscls(text="nothing", base_url="http://example.com")
         assert sel.root.base == "http://example.com"
