@@ -80,7 +80,8 @@ def replicated_docs(sf_dir: str, factor: int):
     # map_batches then parallelizes naturally, no bundling tricks needed.
     src = pq.read_table(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
-    )
+    ).replace_schema_metadata(None)  # b'pandas' metadata makes the schema
+    # unhashable (dict) — Ray then logs a schema-dedup warning per stage
     src_ref = ray.put(src)
     n = len(src)
     total = n * factor

@@ -101,7 +101,7 @@ class FrontierShard:
             [d for d, _ in items], [u for _, u in items]
         )
 
-    def _admit_many(self, depths, urls: list) -> int:
+    def _admit_many(self, depths, urls: list, hashes=None) -> int:
         """Vectorized admission, byte-identical to the sequential
         ``add_if_new`` loop it replaces.
 
@@ -122,7 +122,8 @@ class FrontierShard:
         n0 = len(self.pending)
         n = len(urls)
         if n:
-            hashes = hash64_many(urls)
+            if hashes is None:
+                hashes = hash64_many(urls)
             _, first_idx = np.unique(hashes, return_index=True)
             first_idx.sort()  # original sequence order
             self.metrics["dup_skipped"] += n - len(first_idx)
@@ -198,9 +199,16 @@ class FrontierShard:
                 ("link_index", "ascending"),
             ]
         )
-        # (depths, urls) arrays — no per-link tuple materialization; the
-        # vectorized _admit_many consumes them directly
-        out = (t["parent_depth"].to_numpy() + 1, t["url"].to_pylist())
+        # (depths, urls, hashes) arrays — no per-link tuple
+        # materialization; the vectorized _admit_many consumes them
+        # directly.  Hashes were precomputed in the fetch tasks ("h"
+        # column); older link tables without it fall back to hashing
+        # inside _admit_many.
+        hashes = (
+            t["h"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            if "h" in t.column_names else None
+        )
+        out = (t["parent_depth"].to_numpy() + 1, t["url"].to_pylist(), hashes)
         self._phase["order"] += time.perf_counter() - _t0
         return out
 
@@ -210,7 +218,7 @@ class FrontierShard:
         n = self.admit_batch(self._take_preadmit())
         links = self._gather_links(link_refs)
         if links is not None:
-            n += self._admit_many(links[0], links[1])
+            n += self._admit_many(links[0], links[1], links[2])
         return n
 
     def admit_and_tick(self, link_refs: list) -> int:
@@ -527,6 +535,14 @@ def _fetch_chunk(fetcher: FetchExtract, depths: list, urls: list,
 
     links = t.filter(pc.equal(kinds, "link")).select(
         ["parent_depth", "parent_url", "link_index", "url", "shard"]
+    )
+    # pre-hash the candidate URLs HERE, in the parallel fetch task: the
+    # frontier shards consume the "h" column instead of re-hashing on
+    # their serial admission path (same hash64_many values — admission
+    # decisions are byte-identical; the hot shard's per-epoch barrier
+    # cost drops by its hashing share)
+    links = links.append_column(
+        "h", pa.array(hash64_many(links["url"].to_pylist()), pa.uint64())
     )
     imgs = t.filter(pc.equal(kinds, "img")).select(
         ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]

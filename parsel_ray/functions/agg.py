@@ -222,7 +222,12 @@ def grouped_apply(
         try:
             tabs = [
                 o if isinstance(o, pa.Table)
-                else pa.Table.from_pandas(o, preserve_index=False)
+                # strip the b'pandas' schema metadata from_pandas attaches:
+                # a schema holding a metadata dict is unhashable and makes
+                # Ray log a schema-dedup warning per downstream stage
+                else pa.Table.from_pandas(
+                    o, preserve_index=False
+                ).replace_schema_metadata(None)
                 for o in outs
             ]
             out = tabs[0] if len(tabs) == 1 else pa.concat_tables(

@@ -306,18 +306,35 @@ def _attach_by_key(target, source, key_col: str, out_col: str, width: int,
 
     from .relational import _bucket_of
 
+    _s = target.schema()  # ray Schema: .types are pyarrow types
+    tgt_schema = pa.schema(list(zip(_s.names, _s.types)))
+    tgt_cols = list(tgt_schema.names)
+    val_type = pa.list_(pa.int64(), width) if width else pa.int64()
+    # ONE unified schema for both union sides (each side pads the other's
+    # columns with typed nulls, the hash_bucket_join recipe) — otherwise
+    # every groupby partition mixes two block schemas and Ray logs a
+    # schema-mismatch warning per reduce task
+    uni_fields = list(tgt_schema) + (
+        [pa.field("__val", val_type)] if "__val" not in tgt_schema.names else []
+    )
+
     def add_bucket(is_src: bool):
         def f(t: pa.Table) -> pa.Table:
-            t = t.append_column("__bucket", _bucket_of(t[key_col], buckets))
-            return t.append_column(
+            cols = [
+                t[f_.name] if f_.name in t.column_names
+                else pa.nulls(len(t), f_.type)
+                for f_ in uni_fields
+            ]
+            out = pa.table(cols, names=[f_.name for f_ in uni_fields])
+            out = out.append_column(
+                "__bucket", _bucket_of(t[key_col], buckets)
+            )
+            return out.append_column(
                 "__src", pa.array(np.full(len(t), is_src), pa.bool_())
             )
 
         return f
 
-    _s = target.schema()  # ray Schema: .types are pyarrow types
-    tgt_schema = pa.schema(list(zip(_s.names, _s.types)))
-    tgt_cols = list(tgt_schema.names)
     # batch_size here COALESCES small upstream blocks (map task count — and
     # the sort-shuffle's per-block cost — tracks block count, and LSH/band
     # stages emit many tiny blocks); 64k rows ≈ tens of MB with signatures
@@ -329,14 +346,11 @@ def _attach_by_key(target, source, key_col: str, out_col: str, width: int,
     )
 
     def gather(g: pa.Table) -> pa.Table:
-        val_type = pa.list_(pa.int64(), width) if width else pa.int64()
         empty = tgt_schema.empty_table().append_column(
             out_col, pa.array([], val_type)
         )
         mask = g["__src"].combine_chunks()
         src = g.filter(mask)
-        if any(c not in g.column_names for c in tgt_cols):
-            return empty  # one-sided bucket: every row came from source
         tgt = g.filter(pc.invert(mask)).select(tgt_cols)
         if tgt_prep is not None:
             tgt = tgt_prep(tgt)

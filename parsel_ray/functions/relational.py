@@ -83,7 +83,9 @@ class BroadcastMerge:
             side = self.small.get()
             if not isinstance(side, pa.Table):
                 side = pa.Table.from_pandas(side, preserve_index=False)
-            self._tbl = side
+            # metadata-bearing schemas are unhashable → Ray schema-dedup
+            # warnings downstream; the join output inherits this schema
+            self._tbl = side.replace_schema_metadata(None)
         return self._tbl
 
     def __call__(self, batch: pa.Table) -> pa.Table:

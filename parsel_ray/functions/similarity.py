@@ -436,6 +436,81 @@ def ivf_topk(ds, queries_ref, centroids_ref, k: int, nprobe: int = 4,
     return finalize_topk(partials, k)
 
 
+def build_ivf_layout(ds, centroids_ref, out_dir: str,
+                     emb_col: str = "embedding") -> "pa.Table":
+    """Write the corpus as a CELL-PARTITIONED on-disk IVF index:
+    ``out_dir/ivf_cell=<c>/shard-*.parquet`` (one streaming pass —
+    :class:`IvfAssign` + the partitioned sink's atomic per-cell shards
+    with verified ``_DONE`` receipts).  This is the scale path the
+    in-memory :func:`ivf_topk` filter approximates: with the layout on
+    disk, a query batch READS only its probed cells' files instead of
+    scanning the whole corpus and filtering.  Returns per-cell row
+    counts."""
+    from ..sources.partitioned import write_partitioned_parquet
+
+    assigned = ds.map_batches(
+        IvfAssign(centroids_ref, emb_col), batch_format="pyarrow",
+        batch_size=4096,
+    )
+    return write_partitioned_parquet(assigned, out_dir, "ivf_cell")
+
+
+def ivf_topk_pruned(layout_dir: str, queries_ref, centroids_ref, k: int,
+                    nprobe: int = 4, id_col: str = "vec_id",
+                    emb_col: str = "embedding"):
+    """IVF ANN top-k over a :func:`build_ivf_layout` directory with
+    PARTITION PRUNING at the read: only the probed cells' parquet files
+    enter the scan, so scan volume is the probed cells' row mass
+    (∝ nprobe/cells for balanced cells), not the corpus.  Candidate sets
+    are identical to :func:`ivf_topk` with the same centroids/queries —
+    the layout changes WHERE the filter happens (directory listing vs
+    post-read mask), not the semantics.
+
+    Returns ``(result_dataset, rows_scanned, rows_total)`` — the scan
+    accounting comes from parquet footers (O(files) metadata reads), so
+    callers/tests can assert the pruning actually bounded the work."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    import ray
+    import ray.data as rd
+
+    q = ray.get(queries_ref)
+    cent = ray.get(centroids_ref)
+    probes = np.argsort(-(q["mat"] @ cent.T), axis=1)[:, :nprobe]
+    probes_ref = ray.put({"ids": np.asarray(q["ids"], dtype=np.int64),
+                          "cells": probes})
+    probe_cells = sorted(set(int(c) for row in probes for c in row))
+
+    all_files = {
+        p: _pq.read_metadata(p).num_rows
+        for p in _glob.glob(
+            _os.path.join(layout_dir, "ivf_cell=*", "*.parquet")
+        )
+    }
+    rows_total = sum(all_files.values())
+    paths = sorted(
+        p for p in all_files
+        if int(_os.path.basename(_os.path.dirname(p)).split("=", 1)[1])
+        in probe_cells
+    )
+    rows_scanned = sum(all_files[p] for p in paths)
+    if not paths:
+        empty = IvfCellScore._EMPTY.append_column(
+            "rank", pa.array([], pa.int64())
+        )
+        return rd.from_arrow(empty), 0, rows_total
+    ds = rd.read_parquet(paths, columns=[id_col, emb_col, "ivf_cell"])
+    partials = ds.map_batches(
+        IvfCellScore(queries_ref, probes_ref, k, id_col, emb_col),
+        batch_format="pyarrow",
+        batch_size=4096,
+    )
+    return finalize_topk(partials, k), rows_scanned, rows_total
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (PQ) ANN — the memory-scale path
 # ---------------------------------------------------------------------------

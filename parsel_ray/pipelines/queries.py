@@ -5165,6 +5165,62 @@ def embedding_ivf_knn(sf_dir: str):
     return out.select_columns(["query_id", "neighbor_id", "rank"])
 
 
+def embedding_ivf_pruned_knn(sf_dir: str):
+    """IVF ANN over the ON-DISK cell-partitioned layout
+    (:func:`parsel_ray.functions.similarity.build_ivf_layout` +
+    ``ivf_topk_pruned``): the probed cells' parquet files are the ONLY
+    ones read — scan volume ∝ probed-cell mass, certified in-query
+    (rows_scanned < rows_total), and results are identical to the
+    in-memory ``ivf_topk`` with the same centroids/queries (pinned in
+    tests/test_ray_stages.py::test_ivf_pruned_layout_matches_and_bounds_scan).
+    Rows-only: approximate ANN has no SQL oracle."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    import pyarrow.dataset as pads
+
+    from ..functions.similarity import (
+        build_ivf_layout,
+        ivf_topk_pruned,
+        train_centroids,
+    )
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    n = ds.count()
+    frac = min(1.0, 8192.0 / max(n, 1))
+    sample = ds.random_sample(frac, seed=42).take_batch(
+        16384, batch_format="pyarrow"
+    )
+    cent = train_centroids(_stack_embeddings(sample["embedding"]), k=16)
+    qt = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filter=pads.field("vec_id") < 10,
+    ).take_batch(32, batch_format="pyarrow")
+    qmat = _stack_embeddings(qt["embedding"])
+    norms = np.linalg.norm(qmat, axis=1)
+    norms[norms == 0] = 1.0
+    qref = ray.put(
+        {"ids": qt["vec_id"].to_numpy(zero_copy_only=False),
+         "mat": qmat / norms[:, None]}
+    )
+    cref = ray.put(cent)
+    layout = _tempfile.mkdtemp(prefix="ivf_layout_", dir="/tmp")
+    try:
+        build_ivf_layout(
+            _read(sf_dir, "embeddings", ["vec_id", "embedding"]), cref, layout
+        )
+        out, scanned, total = ivf_topk_pruned(
+            layout, qref, cref, k=5, nprobe=4
+        )
+        assert 0 < scanned < total, (scanned, total)
+        return out.select_columns(
+            ["query_id", "neighbor_id", "rank"]
+        ).materialize()
+    finally:
+        _shutil.rmtree(layout, ignore_errors=True)
+
+
 def partitioned_write_docs(sf_dir: str):
     """Partitioned parquet sink in ONE streaming pass: tasks split each
     batch by lang and write per-key shards directly (atomic tmp+rename);
@@ -9279,6 +9335,7 @@ QUERIES = {
     "events_sliding_hourly": events_sliding_hourly,
     "events_running_count": events_running_count,
     "embedding_ivf_knn": embedding_ivf_knn,
+    "embedding_ivf_pruned_knn": embedding_ivf_pruned_knn,
     "nation_customer_agg": nation_customer_agg,
     "hash_join_priority": hash_join_priority,
     "events_asof_order": events_asof_order,

@@ -162,65 +162,106 @@ class CuckooFilter:
             found |= (fp == np.uint16(s_fp)) & ((i1 == s_idx) | (i2 == s_idx))
         return found
 
+    # The scalar ops below run per SURVIVOR on the frontier's serial
+    # admission path (the hot shard's epoch-barrier cost), so they use
+    # pure-Python ints instead of numpy scalars (~6x fewer microseconds
+    # per call; measured 23 us -> 4 us).  Values are bit-identical: fp <
+    # 2^16 and 0x5BD1E995 < 2^31, so fp * 0x5BD1E995 < 2^47 — the
+    # uint64 overflow wrap of the old numpy expression is unreachable.
+
     def contains(self, key: str, h64: np.uint64 | None = None) -> bool:
-        fp, i1 = self._fingerprint_and_index(key, h64)
-        if np.any(self.table[i1] == fp):
-            return True
-        i2 = self._alt_index(i1, fp)
-        if np.any(self.table[i2] == fp):
+        h = int(_hash64(key.encode("utf-8"))) if h64 is None else int(h64)
+        fp = (h & 0xFFFF) or 1
+        mask = self.num_buckets - 1
+        i1 = (h >> 16) & mask
+        i2 = (i1 ^ (fp * 0x5BD1E995)) & mask
+        if fp in self.table[i1].tolist() or fp in self.table[i2].tolist():
             return True
         if self._stash:
-            f = int(fp)
             return any(
-                s_fp == f and s_idx in (i1, i2) for s_idx, s_fp in self._stash
+                s_fp == fp and s_idx in (i1, i2) for s_idx, s_fp in self._stash
             )
         return False
+
+    def _evict_insert(self, idx: int, fp: int) -> bool:
+        """Deterministic eviction walk (slot chosen by a state counter);
+        both buckets of ``fp`` are full.  Spills to the victim stash when
+        exhausted so membership stays exact."""
+        tl = self.table
+        mask = self.num_buckets - 1
+        cur = fp
+        for _ in range(_MAX_KICKS):
+            slot = self._kick_counter % _SLOTS
+            self._kick_counter += 1
+            prev = int(tl[idx, slot])
+            tl[idx, slot] = cur
+            cur = prev
+            idx = (idx ^ (cur * 0x5BD1E995)) & mask
+            row = tl[idx].tolist()
+            for s in range(_SLOTS):
+                if row[s] == 0:
+                    tl[idx, s] = cur
+                    self.count += 1
+                    return True
+        # walk exhausted: ``cur`` is some earlier key's displaced
+        # fingerprint and ``idx`` is one of its two valid buckets — stash
+        # it so membership stays exact, then report over-capacity once
+        # the stash bound is hit (callers must resize, not retry)
+        self._stash.append((idx, cur))
+        self.count += 1
+        return len(self._stash) <= _STASH_MAX
 
     def add(self, key: str, h64: np.uint64 | None = None) -> bool:
         """Insert.  The key is ALWAYS contained afterwards (an exhausted
         eviction walk spills to the victim stash rather than dropping a
         fingerprint); returns False once the stash bound is exceeded —
         the filter is over capacity and must be resized."""
-        fp, i1 = self._fingerprint_and_index(key, h64)
-        i2 = self._alt_index(i1, fp)
+        h = int(_hash64(key.encode("utf-8"))) if h64 is None else int(h64)
+        fp = (h & 0xFFFF) or 1
+        mask = self.num_buckets - 1
+        i1 = (h >> 16) & mask
+        i2 = (i1 ^ (fp * 0x5BD1E995)) & mask
+        tl = self.table
         for idx in (i1, i2):
-            row = self.table[idx]
-            empty = np.flatnonzero(row == 0)
-            if len(empty):
-                row[empty[0]] = fp
-                self.count += 1
-                return True
-        # deterministic eviction walk: slot chosen by a state counter
-        idx = i1
-        cur = fp
-        for _ in range(_MAX_KICKS):
-            slot = self._kick_counter % _SLOTS
-            self._kick_counter += 1
-            cur, self.table[idx][slot] = self.table[idx][slot], cur
-            idx = self._alt_index(idx, cur)
-            row = self.table[idx]
-            empty = np.flatnonzero(row == 0)
-            if len(empty):
-                row[empty[0]] = cur
-                self.count += 1
-                return True
-        # walk exhausted: ``cur`` is some earlier key's displaced
-        # fingerprint and ``idx`` is one of its two valid buckets — stash
-        # it so membership stays exact, then report over-capacity once
-        # the stash bound is hit (callers must resize, not retry)
-        self._stash.append((idx, int(cur)))
-        self.count += 1
-        return len(self._stash) <= _STASH_MAX
+            row = tl[idx].tolist()
+            for s in range(_SLOTS):
+                if row[s] == 0:
+                    tl[idx, s] = fp
+                    self.count += 1
+                    return True
+        return self._evict_insert(i1, fp)
 
     def add_if_new(self, key: str, h64: np.uint64 | None = None) -> bool:
         """The crawl primitive: True if the key was NOT seen (and is now
         marked seen).  A false positive returns False — the URL is skipped;
-        determinism of FPs keeps the oracle and shards in agreement."""
-        if h64 is None:
-            h64 = _hash64(key.encode("utf-8"))
-        if self.contains(key, h64):
+        determinism of FPs keeps the oracle and shards in agreement.
+        One fused bucket read serves both the membership check and the
+        common-path insert."""
+        h = int(_hash64(key.encode("utf-8"))) if h64 is None else int(h64)
+        fp = (h & 0xFFFF) or 1
+        mask = self.num_buckets - 1
+        i1 = (h >> 16) & mask
+        i2 = (i1 ^ (fp * 0x5BD1E995)) & mask
+        tl = self.table
+        r1 = tl[i1].tolist()
+        r2 = tl[i2].tolist()
+        if fp in r1 or fp in r2:
             return False
-        if not self.add(key, h64):
+        if self._stash and any(
+            s_fp == fp and s_idx in (i1, i2) for s_idx, s_fp in self._stash
+        ):
+            return False
+        for s in range(_SLOTS):
+            if r1[s] == 0:
+                tl[i1, s] = fp
+                self.count += 1
+                return True
+        for s in range(_SLOTS):
+            if r2[s] == 0:
+                tl[i2, s] = fp
+                self.count += 1
+                return True
+        if not self._evict_insert(i1, fp):
             raise RuntimeError("cuckoo filter full — size the shard capacity up")
         return True
 

@@ -788,6 +788,54 @@ class TestSimilarity:
         for qid in range(5):
             assert qid in set(approx[approx["query_id"] == qid]["neighbor_id"])
 
+    def test_ivf_pruned_layout_matches_and_bounds_scan(self, tmp_path):
+        """The on-disk cell-partitioned IVF layout returns IDENTICAL
+        results to the in-memory ivf_topk (same centroids/queries ⇒ same
+        candidate sets) while READING only the probed cells' files —
+        scan volume ∝ probed-cell mass, not the corpus."""
+        import ray
+        import ray.data as rd
+
+        from parsel_ray.functions.similarity import (
+            build_ivf_layout,
+            ivf_topk,
+            ivf_topk_pruned,
+            train_centroids,
+        )
+
+        rng = np.random.RandomState(1)
+        n, d = 800, 32
+        mat = rng.standard_normal((n, d))
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(np.arange(n), pa.int64()),
+                "embedding": pa.array(
+                    [row.astype(np.float32).tolist() for row in mat],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        )
+        qmat = mat[:5] / np.linalg.norm(mat[:5], axis=1)[:, None]
+        qref = ray.put({"ids": np.arange(5), "mat": qmat})
+        cref = ray.put(train_centroids(mat, k=16))
+        layout = str(tmp_path / "ivf_index")
+        counts = build_ivf_layout(rd.from_arrow(tbl), cref, layout)
+        assert sum(counts["n"].to_pylist()) == n
+        pruned, scanned, total = ivf_topk_pruned(
+            layout, qref, cref, k=10, nprobe=2
+        )
+        got = pruned.to_pandas().sort_values(
+            ["query_id", "rank"]).reset_index(drop=True)
+        want = ivf_topk(
+            rd.from_arrow(tbl), qref, cref, k=10, nprobe=2
+        ).to_pandas().sort_values(
+            ["query_id", "rank"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want)
+        assert total == n
+        # 5 queries x nprobe=2 probe at most 10 of 16 cells: the scan
+        # must be a strict subset of the corpus
+        assert 0 < scanned < total
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestSaltedJoin:
