@@ -25,8 +25,7 @@ def entry() -> Any:
         _doc_html, batch_format="pyarrow"
     )
     extracted = ds.map_batches(
-        SelectorExtract,
-        fn_constructor_kwargs=dict(
+        SelectorExtract.bound(
             specs=[
                 ExtractSpec("p_text", "css", "p.t::text", "get"),
                 ExtractSpec("hrefs", "css", "a::attr(href)", "getall"),

@@ -5411,17 +5411,21 @@ GROUP BY term ORDER BY df DESC, term LIMIT 20
 def doc_tfidf_top_term(sf_dir: str):
     """Per-document top term by tf·idf (linear idf = N/df — ranking by
     tf/df, which orders identically and keeps both engines in exact
-    int64/float64 agreement; ties by term).  Composition: term_doc_tf →
-    df via one keyed sum → bucket join pairs⨝df on term → grouped_topk
-    per doc.  Float ratios of int64s this small are exactly ordered in
-    double, so the DuckDB window oracle matches hash-for-hash."""
-    from ..functions.agg import grouped_topk
+    int64/float64 agreement; ties by term).
+
+    Round-4 shape: the document-frequency table (O(vocabulary), not
+    O(corpus)) is gathered WORKER-SIDE from the df aggregate's arrow
+    refs — never on the driver — and each scoring actor holds it as a
+    term→df dict.  The scoring pass then fuses tokenize + df lookup +
+    per-doc top-1 into ONE map_batches kernel: a document is always one
+    input row, so its (term, tf) pairs are batch-local and the per-batch
+    top-1 is the exact global top-1.  This removes BOTH all-to-all
+    shuffles of the old plan (the bigger-than-input pairs⨝df bucket join
+    and the grouped top-k) — the only exchange left is the tiny per-term
+    df combiner.  Float ratios of int64s this small are exactly ordered
+    in double, so the DuckDB window oracle matches hash-for-hash."""
 
     def pairs():
-        # recompute per consumer: tokenization is cheap CPU; re-reading
-        # the pruned 2-column parquet twice streams at any corpus size,
-        # where materializing the (bigger-than-input) token-pair table
-        # mid-pipeline would pin it in the object store
         return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
             T.term_doc_tf, batch_format="pyarrow"
         )
@@ -5435,27 +5439,63 @@ def doc_tfidf_top_term(sf_dir: str):
         ),
         ["term"],
         {"df": "df"},
-    )
-    joined = hash_bucket_join(pairs(), df, on="term", buckets=32)
+    ).materialize()
+    df_refs = df.to_arrow_refs()
 
-    def ratio(t: pa.Table) -> pa.Table:
-        r = pc.divide(
-            pc.cast(t["tf"], pa.float64()), pc.cast(t["df"], pa.float64())
-        )
-        return t.append_column("__r", r)
-
-    top = grouped_topk(
-        joined.map_batches(ratio, batch_format="pyarrow"),
-        "doc_id",
-        ["__r", "term"],
-        [False, True],
-        k=1,
-        num_partitions=16,
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("top_term", pa.string()),
+         ("tf", pa.int64()), ("df", pa.int64())]
     )
-    return top.map_batches(
-        lambda t: t.select(["doc_id", "term", "tf", "df"]).rename_columns(
-            ["doc_id", "top_term", "tf", "df"]
-        ),
+
+    class TokenizeScoreTop1:
+        """Actor-pool kernel: vocabulary gathered once per actor in
+        __init__ (plasma refs → one dict), per-doc top-1 per batch."""
+
+        def __init__(self, refs) -> None:
+            tabs = [t for t in ray.get(list(refs)) if t is not None and len(t)]
+            self.df_map: dict = {}
+            for t in tabs:
+                self.df_map.update(
+                    zip(t["term"].to_pylist(), t["df"].to_pylist())
+                )
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            p = T.term_doc_tf(t)
+            if len(p) == 0:
+                return out_schema.empty_table()
+            terms = p["term"].to_pylist()
+            dfv = np.fromiter(
+                (self.df_map[x] for x in terms), np.int64, len(terms)
+            )
+            tf = p["tf"].to_numpy(zero_copy_only=False)
+            doc = p["doc_id"].to_numpy(zero_copy_only=False)
+            r = tf.astype(np.float64) / dfv
+            # lexicographic tie-break: np.unique's inverse codes are
+            # order-isomorphic to the sorted distinct terms
+            _, codes = np.unique(np.asarray(terms, object), return_inverse=True)
+            order = np.lexsort((codes, -r, doc))
+            d_sorted = doc[order]
+            first = np.ones(len(d_sorted), dtype=bool)
+            first[1:] = d_sorted[1:] != d_sorted[:-1]
+            pick = order[first]
+            return pa.table(
+                {
+                    "doc_id": pa.array(doc[pick], pa.int64()),
+                    "top_term": pa.array([terms[i] for i in pick], pa.string()),
+                    "tf": pa.array(tf[pick], pa.int64()),
+                    "df": pa.array(dfv[pick], pa.int64()),
+                }
+            )
+
+    class Scorer(TokenizeScoreTop1):
+        # closure-captured refs — the vocabulary tables stay in plasma
+        # and each actor resolves them locally in __init__
+        def __init__(self) -> None:
+            super().__init__(df_refs)
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        Scorer,
+        concurrency=(1, 8),
         batch_format="pyarrow",
     )
 

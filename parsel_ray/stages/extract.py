@@ -123,13 +123,15 @@ class SelectorExtract:
     Usage::
 
         ds.map_batches(
-            SelectorExtract,
-            fn_constructor_kwargs=dict(
+            SelectorExtract.bound(
                 specs=[ExtractSpec("img_srcs", "css", "img::attr(src)")],
                 input_col="body", doc_type="html",
             ),
             batch_format="pyarrow", concurrency=8, batch_size=256,
         )
+
+    (``fn_constructor_kwargs=dict(...)`` with the bare class is
+    equivalent; ``bound`` just keeps configuration at the class.)
 
     Input column may be ``string`` (→ ``Selector(text=...)``) or
     ``binary`` (→ ``Selector(body=..., encoding=encoding_col or "utf-8")``),
@@ -167,6 +169,22 @@ class SelectorExtract:
         # reference's register_namespace lifted to the distributed layer)
         self.namespaces = dict(namespaces or {})
         self._register_and_warm()
+
+    @classmethod
+    def bound(cls, **kwargs) -> type:
+        """Zero-arg subclass with ``kwargs`` captured by value — pass THIS
+        as the ``map_batches`` class instead of threading
+        ``fn_constructor_kwargs`` through the call site.  (NOTE: Ray Data
+        still ships the fused UDF through the object store itself, so the
+        ray#53727 actor-restart caveat log is Ray-internal and appears for
+        every actor-pool stage either way.)"""
+        class _Bound(cls):  # type: ignore[misc, valid-type]
+            def __init__(self) -> None:
+                super().__init__(**kwargs)
+
+        _Bound.__name__ = cls.__name__
+        _Bound.__qualname__ = cls.__qualname__
+        return _Bound
 
     def _register_and_warm(self) -> None:
         # Runs in __init__ (driver / actor) AND on unpickle (each task

@@ -286,6 +286,47 @@ class TestState:
         assert not old.allowed("h", "/page/30")
         assert old.allowed("h", "/other")
 
+    def test_robots_trie_matches_regex_reference(self):
+        """The trie fast path for plain prefix rules must agree with a
+        straight RFC 9309 regex-scan reference on random rule sets
+        (longest-match precedence, Allow-wins-ties, wildcards, anchors)."""
+        import random
+
+        from parsel_ray.state.robots import _HostRules, _compile
+
+        class RegexRef:
+            def __init__(self, rules):
+                self.matchers = [
+                    (a, len(p), _compile(p)) for a, p in rules
+                ]
+
+            def allowed(self, path):
+                bl, ba = -1, True
+                for allow, plen, rx in self.matchers:
+                    if rx.match(path) is None:
+                        continue
+                    if plen > bl or (plen == bl and allow):
+                        bl, ba = plen, allow
+                return ba
+
+        rng = random.Random(7)
+        segs = ["a", "b", "c", "d", "ab", "abc", "x", "*", "priv", "p*q"]
+        for _ in range(800):
+            rules = []
+            for _r in range(rng.randint(0, 12)):
+                pat = "/" + "/".join(
+                    rng.choice(segs) for _ in range(rng.randint(0, 3))
+                )
+                if rng.random() < 0.2:
+                    pat += "$"
+                rules.append((rng.random() < 0.5, pat))
+            hr, ref = _HostRules(rules), RegexRef(rules)
+            for _p in range(8):
+                path = "/" + "/".join(
+                    rng.choice(segs[:7]) for _ in range(rng.randint(0, 4))
+                )
+                assert hr.allowed(path) == ref.allowed(path), (rules, path)
+
     def test_sitemap_discovery(self):
         from parsel_ray.state.robots import parse_sitemap_urls
 
