@@ -50,8 +50,25 @@ from ..functions.similarity import (
 from ..stages.extract import ExtractSpec, SelectorExtract
 
 
+_READ_SCHEMAS: dict = {}
+
+
 def _read(sf_dir: str, table: str, columns=None):
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    """Pruned parquet read with a METADATA-FREE schema: the files carry
+    b'pandas' schema metadata, which makes every downstream block schema
+    unhashable (a dict) and floods Ray's per-stage schema-dedup path
+    with warnings.  One cached footer read per (dir, table) supplies the
+    clean schema; the data path is unchanged."""
+    path = f"{sf_dir}/{table}.parquet"
+    sch = _READ_SCHEMAS.get(path)
+    if sch is None:
+        import pyarrow.parquet as _pq
+
+        sch = _pq.read_schema(path).remove_metadata()
+        _READ_SCHEMAS[path] = sch
+    if columns is not None:
+        sch = pa.schema([sch.field(c) for c in columns])
+    return rd.read_parquet(path, columns=columns, schema=sch)
 
 
 def _cents(x: "np.ndarray | pa.ChunkedArray"):
