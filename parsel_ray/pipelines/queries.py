@@ -53,13 +53,9 @@ from ..stages.extract import ExtractSpec, SelectorExtract
 _READ_SCHEMAS: dict = {}
 
 
-def _read(sf_dir: str, table: str, columns=None):
-    """Pruned parquet read with a METADATA-FREE schema: the files carry
-    b'pandas' schema metadata, which makes every downstream block schema
-    unhashable (a dict) and floods Ray's per-stage schema-dedup path
-    with warnings.  One cached footer read per (dir, table) supplies the
-    clean schema; the data path is unchanged."""
-    path = f"{sf_dir}/{table}.parquet"
+def _clean_schema(path: str, columns=None) -> pa.Schema:
+    """Metadata-free schema for ``path`` (cached footer read) — see
+    :func:`_read` for why."""
     sch = _READ_SCHEMAS.get(path)
     if sch is None:
         import pyarrow.parquet as _pq
@@ -68,7 +64,19 @@ def _read(sf_dir: str, table: str, columns=None):
         _READ_SCHEMAS[path] = sch
     if columns is not None:
         sch = pa.schema([sch.field(c) for c in columns])
-    return rd.read_parquet(path, columns=columns, schema=sch)
+    return sch
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    """Pruned parquet read with a METADATA-FREE schema: the files carry
+    b'pandas' schema metadata, which makes every downstream block schema
+    unhashable (a dict) and floods Ray's per-stage schema-dedup path
+    with warnings.  One cached footer read per (dir, table) supplies the
+    clean schema; the data path is unchanged."""
+    path = f"{sf_dir}/{table}.parquet"
+    return rd.read_parquet(
+        path, columns=columns, schema=_clean_schema(path, columns)
+    )
 
 
 def _cents(x: "np.ndarray | pa.ChunkedArray"):
@@ -790,6 +798,8 @@ def embedding_knn(sf_dir: str):
     qt = rd.read_parquet(
         f"{sf_dir}/embeddings.parquet",
         columns=["vec_id", "embedding"],
+        schema=_clean_schema(f"{sf_dir}/embeddings.parquet",
+                             ["vec_id", "embedding"]),
         filter=pads.field("vec_id") < 10,
     ).take_batch(32, batch_format="pyarrow")
     qmat = _stack_embeddings(qt["embedding"])
@@ -5168,6 +5178,8 @@ def embedding_ivf_knn(sf_dir: str):
     qt = rd.read_parquet(
         f"{sf_dir}/embeddings.parquet",
         columns=["vec_id", "embedding"],
+        schema=_clean_schema(f"{sf_dir}/embeddings.parquet",
+                             ["vec_id", "embedding"]),
         filter=pads.field("vec_id") < 10,
     ).take_batch(32, batch_format="pyarrow")
     qmat = _stack_embeddings(qt["embedding"])
@@ -5212,6 +5224,8 @@ def embedding_ivf_pruned_knn(sf_dir: str):
     qt = rd.read_parquet(
         f"{sf_dir}/embeddings.parquet",
         columns=["vec_id", "embedding"],
+        schema=_clean_schema(f"{sf_dir}/embeddings.parquet",
+                             ["vec_id", "embedding"]),
         filter=pads.field("vec_id") < 10,
     ).take_batch(32, batch_format="pyarrow")
     qmat = _stack_embeddings(qt["embedding"])
@@ -5956,6 +5970,8 @@ def embedding_pq_knn(sf_dir: str):
     qt = rd.read_parquet(
         f"{sf_dir}/embeddings.parquet",
         columns=["vec_id", "embedding"],
+        schema=_clean_schema(f"{sf_dir}/embeddings.parquet",
+                             ["vec_id", "embedding"]),
         filter=pads.field("vec_id") < 10,
     ).take_batch(32, batch_format="pyarrow")
     qmat = _stack_embeddings(qt["embedding"])
