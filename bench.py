@@ -422,8 +422,13 @@ def main() -> None:
                 if name == "extract":
                     # larger corpus for the scaling probe: amortizes the
                     # ~1 s fixed pipeline cost that otherwise caps the
-                    # efficiency reading
-                    env["BENCH_REPLICATE"] = str(max(REPLICATE, 80))
+                    # efficiency reading.  Round 4 doubled 80 → 160: at
+                    # 80 the confined-16 level finishes in ~11 s, small
+                    # enough that ambient drift dominated the pair
+                    # ratios (observed spread 0.65-0.93 in one 5-pair
+                    # run); ~22 s halves the fixed-cost share and the
+                    # noise sensitivity
+                    env["BENCH_REPLICATE"] = str(max(REPLICATE, 160))
                 if name == "crawl":
                     # wider synthetic web for the scaling probe: the BSP
                     # epoch barrier is a fixed serial term per epoch that
