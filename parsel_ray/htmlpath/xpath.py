@@ -230,11 +230,22 @@ def string_value(node: Any) -> str:
 
 
 def walk_descendants(node: Any, include_self: bool) -> Iterator[Any]:
+    # iterative document-order walk: the recursive `yield from` form paid
+    # O(depth) generator-frame hops per yielded node, and this is the
+    # hottest loop of every descendant axis (`//x` queries)
     if include_self:
         yield node
-    if isinstance(node, (Element, Document)):
-        for item in content_sequence(node):
-            yield from walk_descendants(item, True)
+    if not isinstance(node, (Element, Document)):
+        return
+    stack = [iter(content_sequence(node))]
+    while stack:
+        for item in stack[-1]:
+            yield item
+            if isinstance(item, Element):
+                stack.append(iter(content_sequence(item)))
+                break
+        else:
+            stack.pop()
 
 
 def in_scope_namespaces(el: Element) -> dict[str | None, str]:
