@@ -232,7 +232,10 @@ def string_value(node: Any) -> str:
 def walk_descendants(node: Any, include_self: bool) -> Iterator[Any]:
     # iterative document-order walk: the recursive `yield from` form paid
     # O(depth) generator-frame hops per yielded node, and this is the
-    # hottest loop of every descendant axis (`//x` queries)
+    # hottest loop of every descendant axis (`//x` queries).  (A
+    # per-evaluation content_sequence memo was tried here and REVERTED:
+    # a one-shot query builds each parent's sequence at most twice, so
+    # the per-node dict bookkeeping showed no reliable win.)
     if include_self:
         yield node
     if not isinstance(node, (Element, Document)):
