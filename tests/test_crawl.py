@@ -662,6 +662,32 @@ class TestDistributedCrawl:
                              collect_images=False, verify=True)
         assert resumed2.metrics["popped"] == full.metrics["popped"]
 
+    def test_verify_off_gc_resume_metrics(self, tmp_path):
+        """The production combination — verify=False + ckpt_gc=True —
+        keeps checkpoint state bounded AND the consolidated driver
+        metadata (popped/errors counts, which is ALL the driver state a
+        verify=False run has) survives GC so a resume reports the same
+        cumulative metrics."""
+        import glob
+        import re
+
+        from parsel_ray.crawl.frontier import run_crawl
+
+        ckpt = str(tmp_path / "ckpt")
+        ref = run_crawl(SMALL, ckpt_dir=ckpt, checkpoint_every=1,
+                        ckpt_full_every=2, ckpt_gc=True,
+                        collect_images=False, verify=False)
+        epochs = sorted(
+            int(re.search(r"epoch=(\d+)", p).group(1))
+            for p in glob.glob(ckpt + "/epoch=*")
+        )
+        assert len(epochs) <= 3  # bounded by GC
+        resumed = run_crawl(SMALL, ckpt_dir=ckpt, resume_epoch=epochs[-1],
+                            collect_images=False, verify=False)
+        sem = lambda m: {k: v for k, v in m.items()
+                         if not k.startswith("driver_")}
+        assert sem(resumed.metrics) == sem(ref.metrics)
+
     def test_resume_refuses_incomplete_checkpoint(self, tmp_path):
         import os
 
