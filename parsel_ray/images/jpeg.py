@@ -120,13 +120,21 @@ for _u in range(8):
 # the standard up to the 1/4 scaling folded into the basis normalization.
 
 
+_QTAB_CACHE: dict = {}
+
+
 def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
-    """libjpeg quality scaling of the Annex K example tables."""
+    """libjpeg quality scaling of the Annex K example tables (cached per
+    quality — rebuilt tables dominated per-call cost on tiny images;
+    callers treat the arrays as read-only)."""
     quality = min(100, max(1, int(quality)))
-    scale = 5000.0 / quality if quality < 50 else 200.0 - 2.0 * quality
-    lq = np.clip(np.floor((LUM_Q * scale + 50.0) / 100.0), 1, 255)
-    cq = np.clip(np.floor((CHROM_Q * scale + 50.0) / 100.0), 1, 255)
-    return lq, cq
+    hit = _QTAB_CACHE.get(quality)
+    if hit is None:
+        scale = 5000.0 / quality if quality < 50 else 200.0 - 2.0 * quality
+        lq = np.clip(np.floor((LUM_Q * scale + 50.0) / 100.0), 1, 255)
+        cq = np.clip(np.floor((CHROM_Q * scale + 50.0) / 100.0), 1, 255)
+        _QTAB_CACHE[quality] = hit = (lq, cq)
+    return hit
 
 
 def _build_codes(bits: list, values: list) -> dict:
@@ -141,6 +149,17 @@ def _build_codes(bits: list, values: list) -> dict:
             k += 1
         code <<= 1
     return out
+
+
+# the four standard T.81 Annex K Huffman tables are constants: build the
+# symbol->(code,length) dicts ONCE at import (they were rebuilt per
+# encode call, which dominated per-call cost on small images)
+_STD_CODES = (
+    _build_codes(*DC_LUM),
+    _build_codes(*DC_CHROM),
+    _build_codes(*AC_LUM),
+    _build_codes(*AC_CHROM),
+)
 
 
 class _BitWriter:
@@ -234,10 +253,7 @@ def encode_jpeg(px: np.ndarray, quality: int = 90) -> bytes:
         q = lq if ci == 0 else cq
         comp_qcoef.append(np.round(coef / q).astype(np.int64))
 
-    dc_l = _build_codes(*DC_LUM)
-    dc_c = _build_codes(*DC_CHROM)
-    ac_l = _build_codes(*AC_LUM)
-    ac_c = _build_codes(*AC_CHROM)
+    dc_l, dc_c, ac_l, ac_c = _STD_CODES
 
     bw = _BitWriter()
     pred = [0, 0, 0]
@@ -1010,10 +1026,8 @@ def encode_jpeg_progressive(px: np.ndarray, quality: int = 90) -> bytes:
         )
     n_blocks = zz[0].shape[0]
 
-    dc_tabs = [_build_codes(*DC_LUM), _build_codes(*DC_CHROM),
-               _build_codes(*DC_CHROM)]
-    ac_tabs = [_build_codes(*AC_LUM), _build_codes(*AC_CHROM),
-               _build_codes(*AC_CHROM)]
+    dc_tabs = [_STD_CODES[0], _STD_CODES[1], _STD_CODES[1]]
+    ac_tabs = [_STD_CODES[2], _STD_CODES[3], _STD_CODES[3]]
 
     out = bytearray()
     out += b"\xFF\xD8"
