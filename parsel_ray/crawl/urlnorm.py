@@ -103,13 +103,31 @@ def canonical_url(url: str, base: str | None = None) -> str | None:
 def host_of(url: str) -> str:
     """Hostname of a URL.  Fast manual parse for the canonical-URL shape
     (runs per admitted link on the frontier's serial path — urlsplit
-    costs ~3 us/call); falls back to urlsplit for userinfo/IPv6 forms,
-    with identical results (lowercased host, port stripped)."""
-    rest = url.partition("//")[2]
+    costs ~3 us/call); falls back to urlsplit for userinfo/IPv6 forms.
+    Byte-identical to ``urlsplit(url).hostname or ""`` (30k-case fuzz
+    parity in tests): authority exists only when ``//`` immediately
+    follows a valid scheme (or starts the url), the netloc ends at the
+    first ``/``, ``?`` or ``#``, and lowercasing stops at the first
+    ``%`` (CPython's IPv6 zone-info rule)."""
+    if url.startswith("//"):
+        rest = url[2:]
+    else:
+        i = url.find(":")
+        if (
+            i > 0
+            and url[i + 1 : i + 3] == "//"
+            and url[0].isascii() and url[0].isalpha()
+            and all(c.isalnum() or c in "+.-" for c in url[1:i])
+        ):
+            rest = url[i + 3 :]
+        else:
+            return ""
     hostport = rest.partition("/")[0].partition("?")[0].partition("#")[0]
     if "@" in hostport or "[" in hostport:
         return urlsplit(url).hostname or ""
-    return hostport.partition(":")[0].lower()
+    host = hostport.partition(":")[0]
+    h, pct, zone = host.partition("%")
+    return h.lower() + pct + zone
 
 
 def path_of(url: str) -> str:
