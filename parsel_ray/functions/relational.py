@@ -70,7 +70,11 @@ class BroadcastMerge:
     """map_batches kernel (task mode): Arrow-native ``pa.Table.join`` of
     each zero-copy batch against a broadcast small side (``ray.put`` ref of
     a pyarrow Table, or a pandas DataFrame converted ONCE per worker).  No
-    arrow->pandas->arrow copy on the hot path."""
+    arrow->pandas->arrow copy on the hot path.
+
+    Null-key semantics are SQL's (null never matches null) — round 4
+    aligned this with ``hash_bucket_join``; the earlier pandas ``merge``
+    implementation paired NaN keys."""
 
     def __init__(self, small_ref, on: str | Sequence[str], how: str = "inner") -> None:
         self.small = LazyRef(small_ref)
