@@ -223,6 +223,92 @@ class TestState:
         assert np.array_equal(f.table, g.table)
         assert all(g.contains(f"k{i}") for i in range(300))
 
+    def test_cuckoo_matches_spec_reference_under_eviction_pressure(self):
+        """The pure-int hot path (round 4) must be BIT-identical to a
+        straight spec implementation — table bytes, stash, kick counter,
+        per-insert results — including overfilled regimes where eviction
+        walks and stash spills dominate."""
+        import random
+
+        from parsel_ray.state.cuckoo import (
+            _MAX_KICKS,
+            _SLOTS,
+            _STASH_MAX,
+            _hash64,
+            hash64_many,
+        )
+
+        class SpecFilter:
+            """Frozen reference: partial-key cuckoo per Fan et al. with
+            this repo's exact parameters (fp = low 16 bits or 1, bucket =
+            next 16+ bits, alt = i ^ fp*0x5BD1E995, counter-seeded slot
+            eviction, victim stash)."""
+
+            def __init__(self, capacity):
+                nb = 1
+                while nb * _SLOTS < capacity:
+                    nb <<= 1
+                self.nb = nb
+                self.table = [[0] * _SLOTS for _ in range(nb)]
+                self.kick = 0
+                self.stash = []
+
+            def _fp_i1_i2(self, h):
+                fp = (int(h) & 0xFFFF) or 1
+                i1 = (int(h) >> 16) & (self.nb - 1)
+                i2 = (i1 ^ (fp * 0x5BD1E995)) & (self.nb - 1)
+                return fp, i1, i2
+
+            def add_if_new(self, h):
+                fp, i1, i2 = self._fp_i1_i2(h)
+                if fp in self.table[i1] or fp in self.table[i2]:
+                    return False
+                if any(s == fp and b in (i1, i2) for b, s in self.stash):
+                    return False
+                for idx in (i1, i2):
+                    row = self.table[idx]
+                    for s in range(_SLOTS):
+                        if row[s] == 0:
+                            row[s] = fp
+                            return True
+                idx, cur = i1, fp
+                for _ in range(_MAX_KICKS):
+                    slot = self.kick % _SLOTS
+                    self.kick += 1
+                    cur, self.table[idx][slot] = self.table[idx][slot], cur
+                    idx = (idx ^ (cur * 0x5BD1E995)) & (self.nb - 1)
+                    row = self.table[idx]
+                    for s in range(_SLOTS):
+                        if row[s] == 0:
+                            row[s] = cur
+                            return True
+                self.stash.append((idx, cur))
+                if len(self.stash) > _STASH_MAX:
+                    raise RuntimeError("full")
+                return True
+
+        rng = random.Random(5)
+        for cap in (64, 128):
+            real, ref = CuckooFilter(cap), SpecFilter(cap)
+            keys = [f"c{cap}-{i}-{rng.randint(0, 10**9)}"
+                    for i in range(int(cap * 1.2))]
+            hs = hash64_many(keys)
+            for k, h in zip(keys, hs):
+                try:
+                    got = real.add_if_new(k, h)
+                except RuntimeError:
+                    got = "FULL"
+                try:
+                    want = ref.add_if_new(h)
+                except RuntimeError:
+                    want = "FULL"
+                assert got == want
+                if got == "FULL":
+                    break
+            assert real.table.tolist() == ref.table
+            assert real._stash == ref.stash
+            assert real._kick_counter == ref.kick
+
     def test_token_bucket(self):
         tb = TokenBuckets(capacity=2, refill=1)
         assert tb.consume("h") and tb.consume("h")
