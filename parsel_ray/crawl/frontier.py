@@ -960,7 +960,29 @@ def _read_driver_ckpts(ckpt_dir: str, upto_epoch: int) -> "tuple[list, int, int]
     out: list = []
     popped = 0
     errors = 0
+    # Crash-safe GC support: gc_checkpoints consolidates the history into
+    # the base epoch (rewritten with metadata base=0) BEFORE deleting
+    # older epochs.  A crash at any point between the rewrite and the
+    # last deletion leaves an arbitrary subset of victim epochs on disk;
+    # starting the chain at the LATEST epoch whose metadata declares
+    # base=0 (a consolidation point — deltas are always written with
+    # base=len(history-so-far)>0) makes every intermediate state
+    # readable.  Metadata-only reads: parquet footer, no row data.
+    chain_start = 0
+    for e in reversed(epochs):
+        path = os.path.join(ckpt_dir, f"epoch={e}", "driver.parquet")
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"checkpoint epoch={e} has _DONE but no driver.parquet — "
+                "it was written by an incompatible (pre-round-2) layout"
+            )
+        meta = pq.read_schema(path).metadata or {}
+        if int(meta.get(b"base", b"0")) == 0:
+            chain_start = e
+            break
     for e in epochs:
+        if e < chain_start:
+            continue
         path = os.path.join(ckpt_dir, f"epoch={e}", "driver.parquet")
         if not os.path.exists(path):
             raise FileNotFoundError(

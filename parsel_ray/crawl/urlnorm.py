@@ -117,7 +117,7 @@ def host_of(url: str) -> str:
             i > 0
             and url[i + 1 : i + 3] == "//"
             and url[0].isascii() and url[0].isalpha()
-            and all(c.isalnum() or c in "+.-" for c in url[1:i])
+            and all(c.isascii() and (c.isalnum() or c in "+.-") for c in url[1:i])
         ):
             rest = url[i + 3 :]
         else:

@@ -238,8 +238,14 @@ def grouped_apply(
             return out
         except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError):
             # exotic object columns (ragged dicts, mixed cells) that
-            # arrow can't infer — keep the pandas block for this site
-            return pd.concat(outs, ignore_index=True)
+            # arrow can't infer — keep the pandas block for this site.
+            # outs may mix pa.Table and DataFrame (Arrow-returning UDFs);
+            # normalize so pd.concat doesn't die on Table elements.
+            return pd.concat(
+                [o.to_pandas() if isinstance(o, pa.Table) else o
+                 for o in outs],
+                ignore_index=True,
+            )
 
     out = (
         ds.map_batches(add_part, batch_format="pyarrow")

@@ -5244,7 +5244,10 @@ def embedding_ivf_pruned_knn(sf_dir: str):
         out, scanned, total = ivf_topk_pruned(
             layout, qref, cref, k=5, nprobe=4
         )
-        assert 0 < scanned < total, (scanned, total)
+        # scanned == total is legitimate when the probed-cell union
+        # happens to cover every on-disk cell (few queries x nprobe over
+        # a small trained codebook) — only scanned==0 or >total is a bug.
+        assert 0 < scanned <= total, (scanned, total)
         return out.select_columns(
             ["query_id", "neighbor_id", "rank"]
         ).materialize()

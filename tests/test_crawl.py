@@ -866,6 +866,74 @@ class TestDistributedCrawl:
         # second GC is a no-op (nothing older than the base remains)
         assert gc_checkpoints(ckpt) == []
 
+    def test_checkpoint_gc_crash_intermediate_states(self, tmp_path):
+        """gc_checkpoints is consolidate-then-delete; a crash at ANY
+        intermediate point (after the base epoch's driver.parquet is
+        rewritten with base=0 but before some/all victim deletions) must
+        leave the checkpoint dir resumable byte-identically.  The reader
+        starts the history chain at the latest base=0 consolidation
+        point, so stale victim epochs — even a partially-deleted subset —
+        are ignored rather than tripping the chain validator."""
+        import glob
+        import re
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        from parsel_ray.crawl.frontier import (
+            _read_driver_ckpts, _write_driver_ckpt, gc_checkpoints, run_crawl,
+        )
+
+        ckpt = str(tmp_path / "ckpt")
+        out = str(tmp_path / "out")
+        full = run_crawl(SMALL, out_dir=out, ckpt_dir=ckpt,
+                         checkpoint_every=1, ckpt_full_every=2)
+
+        def epochs_of():
+            return sorted(
+                int(re.search(r"epoch=(\d+)", p).group(1))
+                for p in glob.glob(ckpt + "/epoch=*")
+            )
+
+        def kind_of(e):
+            return pq.read_table(
+                f"{ckpt}/epoch={e}/shard-0.parquet", columns=["kind"]
+            )["kind"][0].as_py()
+
+        before = epochs_of()
+        fulls = [e for e in before if kind_of(e) == "full"]
+        assert len(fulls) >= 2
+        base = fulls[-1]
+        victims = [e for e in before if e < base]
+        assert len(victims) >= 2, "need >=2 victims to test partial deletion"
+        last = before[-1]
+
+        def assert_resumable():
+            resumed = run_crawl(SMALL, out_dir=out, ckpt_dir=ckpt,
+                                resume_epoch=last)
+            assert resumed.pop_order == full.pop_order
+            assert resumed.seen_urls == full.seen_urls
+
+        # State A: consolidation rewrite done, NO deletions yet — every
+        # victim epoch still on disk with its old delta chain.
+        hist, popped, errors = _read_driver_ckpts(ckpt, base)
+        _write_driver_ckpt(ckpt, base, hist, base=0,
+                           popped_total=popped, errors_total=errors)
+        assert_resumable()
+        # chain reader skips the stale prefix and returns the full history
+        h2, p2, e2 = _read_driver_ckpts(ckpt, last)
+        assert p2 == full.metrics["granted"]
+
+        # State B: a strict subset of victims deleted (crash mid-loop).
+        shutil.rmtree(f"{ckpt}/epoch={victims[0]}")
+        assert_resumable()
+
+        # Completion: a re-run of gc finishes the job idempotently.
+        removed = gc_checkpoints(ckpt)
+        assert removed == victims[1:]
+        assert min(epochs_of()) == base
+        assert_resumable()
+
     def test_checkpoint_gc_inline_bounds_state(self, tmp_path):
         """ckpt_gc=True keeps on-disk checkpoint state bounded during the
         run and the final state still resumes byte-identically."""

@@ -76,7 +76,10 @@ class TestParserNeverCrashes:
 
 
 class TestCanonicalUrlProperties:
-    URL_CHARS = string.ascii_letters + string.digits + ":/?#[]@!$&'()*+,;=.%-_~ "
+    # Includes non-ASCII alphanumerics ('²', 'µ', 'Ⅻ'): str.isalnum()
+    # accepts them but CPython's urlsplit scheme charset is ASCII-only,
+    # so host_of must reject them in scheme position.
+    URL_CHARS = string.ascii_letters + string.digits + ":/?#[]@!$&'()*+,;=.%-_~ ²µⅫ"
 
     @FAST
     @given(st.text(alphabet=URL_CHARS, max_size=200))
