@@ -854,7 +854,20 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8):
     (:func:`parsel_ray.functions.dedup.distributed_verify_pairs` — no
     driver-side signature materialization) → min-label-propagation
     components → survivors via a left bucket join (keep components' min
-    id + every unpaired doc)."""
+    id + every unpaired doc).
+
+    DRIVER-CERTIFIED: approximate dedup has no SQL twin, but its hard
+    invariants do — ``n_docs`` and ``n_fp_groups`` (count of distinct
+    exact-text fingerprints; the md5 expression DuckDB recomputes
+    byte-identically — the oracle-pass ``dedup_exact`` anchor) come from
+    SQL, while ``partition_ok`` (victims + survivors partition the
+    corpus), ``exact_dups_collapsed_ok`` (identical texts have identical
+    signatures, land in the same bands, verify at est=1.0 and join one
+    component — so at most ONE member of every exact-duplicate group may
+    survive) and ``survivors_le_groups_ok`` (consequently #survivors ≤
+    #fingerprint groups) certify the LSH/verify/components/join plumbing
+    end-to-end.  The survivor SET itself stays pinned distributed ==
+    single-process in tests/test_ray_stages.py."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     sigs = ds.map_batches(
         D.MinHasher(col="text", num_perm=64, k=5),
@@ -884,9 +897,36 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8):
     joined = hash_bucket_join(
         ds.select_columns(["doc_id"]), dead, on="doc_id", how="left", buckets=16
     )
-    return joined.map_batches(
+    survivors = joined.map_batches(
         lambda t: t.filter(pc.is_null(t["__dead"])).select(["doc_id"]),
         batch_format="pyarrow",
+    ).materialize()  # consumed twice: count + fingerprint join
+    n_docs = ds.count()
+    n_surv = survivors.count()
+    n_dead = dead.count()
+    fps = ds.map_batches(
+        lambda t: T.fingerprint(t).select(["doc_id", "fingerprint"]),
+        batch_format="pyarrow",
+    )
+    n_fp_groups = partial_agg_groupby(
+        fps, ["fingerprint"], [], count_as="c"
+    ).count()
+    surv_fp = hash_bucket_join(survivors, fps, on="doc_id", buckets=16)
+    max_surv_per_fp = partial_agg_groupby(
+        surv_fp, ["fingerprint"], [], count_as="c"
+    ).max("c")
+    return pa.table(
+        {
+            "n_docs": pa.array([n_docs], pa.int64()),
+            "n_fp_groups": pa.array([n_fp_groups], pa.int64()),
+            "partition_ok": pa.array([n_surv + n_dead == n_docs], pa.bool_()),
+            "exact_dups_collapsed_ok": pa.array(
+                [int(max_surv_per_fp) == 1], pa.bool_()
+            ),
+            "survivors_le_groups_ok": pa.array(
+                [n_surv <= n_fp_groups], pa.bool_()
+            ),
+        }
     )
 
 
@@ -1104,16 +1144,42 @@ def doc_quality_logreg(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         feats, batch_format="pyarrow"
-    )
+    ).materialize()  # consumed twice: training rounds + accuracy pass
     w, diag = logreg_train(
         ds, ["len_term", "stop_ratio", "avg_token_len"], "y", iters=8
     )
-    assert diag["grad_norm"] < 1e-6, diag
-    names = ["intercept", "len_term", "stop_ratio", "avg_token_len"]
+    converged_ok = bool(diag["grad_norm"] < 1e-6)
+    # DRIVER-VERIFIED: training-set accuracy of the fitted model vs the
+    # noisy label, computed DISTRIBUTED (per-block correct/total partials;
+    # the driver gathers O(blocks) scalars).  The label flips ~11 % of
+    # rows (doc_id % 9), and the base label is a threshold on a feature,
+    # so a correctly-fitted model must clear 0.75 by a wide margin while
+    # a broken train loop (bad partials, wrong Newton algebra) cannot.
+    wv = [float(x) for x in w]
+
+    def acc_part(t: pa.Table) -> pa.Table:
+        z = (
+            wv[0]
+            + wv[1] * t["len_term"].to_numpy(zero_copy_only=False)
+            + wv[2] * t["stop_ratio"].to_numpy(zero_copy_only=False)
+            + wv[3] * t["avg_token_len"].to_numpy(zero_copy_only=False)
+        )
+        y = t["y"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "correct": pa.array([int(((z > 0) == (y == 1)).sum())]),
+                "n": pa.array([len(t)]),
+            }
+        )
+
+    parts = ds.map_batches(acc_part, batch_format="pyarrow").take_all()
+    n_docs = int(sum(p["n"] for p in parts))
+    acc = sum(p["correct"] for p in parts) / max(n_docs, 1)
     return pa.table(
         {
-            "feature": pa.array(names, pa.string()),
-            "weight": pa.array([float(x) for x in w], pa.float64()),
+            "n_docs": pa.array([n_docs], pa.int64()),
+            "converged_ok": pa.array([converged_ok], pa.bool_()),
+            "acc_ok": pa.array([bool(acc >= 0.75)], pa.bool_()),
         }
     )
 
@@ -1217,11 +1283,34 @@ def doc_bpe_train(sf_dir: str):
     the distinct-word count table (combiner groupby), then each of the
     25 merge rounds is one pair-count shuffle + a map-side rewrite; the
     driver holds only the argmax pair per round.  Deterministic tie-break
-    (count DESC, lexicographic (left, right) ASC); rows-only gate — the
+    (count DESC, lexicographic (left, right) ASC); the
     distributed==single-process equivalence is pinned in
-    tests/test_ray_stages.py::TestBpeTrain."""
+    tests/test_ray_stages.py::TestBpeTrain.
+
+    DRIVER-VERIFIED: the FIRST merge is SQL-expressible (argmax over
+    word-count-weighted adjacent character pairs of the distinct-word
+    table — before any merge, symbols ARE characters), so the ORACLE
+    recomputes (first_left, first_right, first_n) from the raw corpus;
+    ``rounds_ok`` certifies the remaining rounds' structure (contiguous
+    ranks, counts ≥ min_pair_count, full 25 rounds)."""
     ds = _read(sf_dir, "documents", ["text"])
-    return T.bpe_train(ds, num_merges=25)
+    merges = T.bpe_train(ds, num_merges=25)
+    ranks = merges["rank"].to_pylist()
+    counts = merges["n"].to_pylist()
+    rounds_ok = (
+        ranks == list(range(len(ranks)))
+        and all(c >= 2 for c in counts)
+        and len(ranks) == 25
+    )
+    return pa.table(
+        {
+            "first_left": merges["left"][:1],
+            "first_right": merges["right"][:1],
+            "first_n": pa.array([int(counts[0])], pa.int64()),
+            "n_merges": pa.array([len(ranks)], pa.int64()),
+            "rounds_ok": pa.array([bool(rounds_ok)], pa.bool_()),
+        }
+    )
 
 
 def doc_dup_ngram_coverage(sf_dir: str):
@@ -1266,9 +1355,16 @@ def dedup_cdc_docs(sf_dir: str):
     every doc with the same ``doc_id % 5`` — so cross-doc duplication is
     planted at byte level with varying alignment, exactly what CDC's
     boundary-resync property must find.  Fully distributed
-    (:func:`parsel_ray.functions.dedup.dedup_cdc`); rows-only gate (the
-    chunker is not SQL-expressible) with the distributed-vs-single-process
-    equivalence pinned in tests/test_ray_stages.py::TestCdcDedup."""
+    (:func:`parsel_ray.functions.dedup.dedup_cdc`); the chunker itself
+    is pinned distributed-vs-single-process in
+    tests/test_ray_stages.py::TestCdcDedup.
+
+    DRIVER-VERIFIED: ``total_bytes`` is the CHUNKER'S per-doc sum of
+    chunk lengths, and the ORACLE independently recomputes the payload
+    size as ``octet_length(encode(text)) + 700`` — so the gate
+    hash-checks that chunking exactly covers every byte of every
+    payload (no lost/duplicated bytes at boundaries or resync points);
+    ``dup_ok`` certifies 0 ≤ dup_bytes ≤ total_bytes per doc."""
 
     def to_payload(t: pa.Table) -> pa.Table:
         payloads = []
@@ -1287,15 +1383,20 @@ def dedup_cdc_docs(sf_dir: str):
     )
     out = D.dedup_cdc(ds, num_partitions=16)
 
-    def sanity(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc_
+    def cert(t: pa.Table) -> pa.Table:
+        ok = pc.and_(
+            pc.greater_equal(t["dup_bytes"], pa.scalar(0, pa.int64())),
+            pc.less_equal(t["dup_bytes"], t["total_bytes"]),
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "total_bytes": pc.cast(t["total_bytes"], pa.int64()),
+                "dup_ok": ok,
+            }
+        )
 
-        assert pc_.min(
-            pc_.subtract(t["total_bytes"], t["dup_bytes"])
-        ).as_py() >= 0
-        return t
-
-    return out.map_batches(sanity, batch_format="pyarrow")
+    return out.map_batches(cert, batch_format="pyarrow")
 
 
 def dedup_ngram_jaccard(sf_dir: str):
@@ -1529,62 +1630,230 @@ FROM documents WHERE doc_id % 97 <> 0
 
 
 def dedup_simhash(sf_dir: str):
-    """SimHash fingerprints + exact-fingerprint duplicate groups."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+    """SimHash fingerprints, DRIVER-VERIFIED: the vectorized
+    :class:`~parsel_ray.functions.dedup.SimHasher` kernel (byte-position
+    FNV + bit-matrix votes) runs alongside a scalar reference recompute
+    (:func:`parsel_ray.pipelines.certs.ref_simhash` — Python-int FNV-1a,
+    per-bit vote loop) in the same stage; each row emits ``match`` and
+    the ORACLE asserts every row is true.  The exact-fingerprint
+    grouping this feeds is the generic combiner groupby pinned by the
+    other dedup gate queries."""
+    from .certs import match_column, ref_simhash
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         D.SimHasher(col="text"),
         batch_format="pyarrow", batch_size=2048,
-    ).select_columns(["doc_id", "simhash"])
-    return partial_agg_groupby(
-        ds, ["simhash"], [("doc_id", "min", "doc_id")], count_as="group_size"
+    ).map_batches(
+        lambda t: match_column(t, "simhash", ref_simhash),
+        batch_format="pyarrow",
     )
 
 
 def langid_guess(sf_dir: str):
-    """Trigram-profile language ID (rows-only; heuristic)."""
+    """Trigram-profile language ID, DRIVER-VERIFIED: the packed-uint64
+    searchsorted/bincount kernel (:class:`parsel_ray.functions.text.LangId`)
+    vs a scalar Counter-based reference recompute
+    (:func:`parsel_ray.pipelines.certs.ref_lang_guess`) per row; the
+    ORACLE asserts every row's ``match`` is true."""
+    from .certs import match_column, ref_lang_guess
+
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         T.LangId(col="text"),
         batch_format="pyarrow", batch_size=2048,
-    ).select_columns(["doc_id", "lang_guess"])
+    ).map_batches(
+        lambda t: match_column(t, "lang_guess", ref_lang_guess),
+        batch_format="pyarrow",
+    )
 
 
 def doc_rolling_fingerprint(sf_dir: str):
-    """Rolling-hash (content-defined) document fingerprint."""
+    """Rolling-hash document fingerprint, DRIVER-VERIFIED: the
+    vectorized position-weighted-sum kernel
+    (:func:`parsel_ray.functions.text.rolling_fingerprint`) vs the
+    scalar ROLLING-update recurrence
+    (:func:`parsel_ray.pipelines.certs.ref_rolling_fingerprint`) — two
+    different algebraic paths to the same min-window hash; the ORACLE
+    asserts every row's ``match`` is true."""
+    from .certs import match_column, ref_rolling_fingerprint
+
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         lambda t: T.rolling_fingerprint(t), batch_format="pyarrow",
-    ).select_columns(["doc_id", "rhash"])
+    ).map_batches(
+        lambda t: match_column(t, "rhash", ref_rolling_fingerprint),
+        batch_format="pyarrow",
+    )
 
 
 def embedding_near_dup_lsh(sf_dir: str):
-    """LSH-bucketed near-dup pairs — the 100 TB path (approximate recall)."""
+    """LSH-bucketed near-dup pairs — the 100 TB path — DRIVER-CERTIFIED
+    against the exact kernel: ``n_true`` is the EXACT cosine-threshold
+    pair count (:func:`exact_near_dup_pairs`, the oracle-pass
+    ``embedding_near_dup`` kernel, so DuckDB recomputes it
+    independently); ``subset_ok`` pins that every LSH pair carries exact
+    cosine ≥ threshold (precision 1.0 — pairs are verified in-bucket);
+    ``recall_ok`` thresholds the measured recall of the single-table
+    6-bit hyperplane LSH (loose floor — one hash table's recall at
+    cos ≥ 0.4 is structurally partial; tests pin the exact value)."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return embedding_near_dup_pairs(ds, dim=64, threshold=0.4, bits=6).select_columns(
-        ["id_a", "id_b"]
+    found = embedding_near_dup_pairs(
+        ds, dim=64, threshold=0.4, bits=6
+    ).materialize()  # consumed twice: count + min-cosine
+    n_found = found.count()
+    min_cos = found.min("cosine") if n_found else 1.0
+    exact = exact_near_dup_pairs(ds, threshold=0.4)
+    n_true = exact.num_rows
+    recall = (n_found / n_true) if n_true else 1.0
+    return pa.table(
+        {
+            "n_true": pa.array([n_true], pa.int64()),
+            "subset_ok": pa.array([bool(min_cos >= 0.4)], pa.bool_()),
+            "recall_ok": pa.array([bool(recall >= 0.05)], pa.bool_()),
+        }
     )
 
 
 def doc_quality(sf_dir: str):
-    """Quality scoring for pretraining filtering (rows-only)."""
+    """Quality scoring for pretraining filtering, DRIVER-VERIFIED: the
+    Arrow-RE2 vectorized kernel (:func:`parsel_ray.functions.text.
+    quality_score`) vs a scalar reference recompute with explicit RE2
+    character classes (:func:`parsel_ray.pipelines.certs.ref_quality`);
+    floats are the identical IEEE expression, so ``match`` is exact
+    equality and the ORACLE asserts every row."""
+    from .certs import match_column, ref_quality
+
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         T.quality_score, batch_format="pyarrow",
-    ).select_columns(["doc_id", "quality"])
+    ).map_batches(
+        lambda t: match_column(t, "quality", ref_quality),
+        batch_format="pyarrow",
+    )
 
 
 def doc_compression_ratio(sf_dir: str):
-    """zlib compression-ratio quality signal (rows-only; zlib is not
-    SQL-expressible): low ratios flag boilerplate/repetition, the
-    C4/Gopher-family repetition-filter quantity.  In-query sanity: every
-    non-null ratio is positive and the corpus isn't degenerate (mean
-    within (0, 2])."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+    """zlib compression-ratio quality signal, DRIVER-VERIFIED: the batch
+    kernel vs a per-row reference recompute
+    (:func:`parsel_ray.pipelines.certs.ref_compression_ratio`; zlib at a
+    fixed level is byte-stable, so the double matches exactly); the
+    ORACLE asserts every row's ``match`` is true."""
+    from .certs import match_column, ref_compression_ratio
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         T.compression_ratio, batch_format="pyarrow",
-    ).select_columns(["doc_id", "zlib_ratio"])
+    ).map_batches(
+        lambda t: match_column(t, "zlib_ratio", ref_compression_ratio),
+        batch_format="pyarrow",
+    )
 
-    def sanity(t: pa.Table) -> pa.Table:
-        mn = pc.min(t["zlib_ratio"]).as_py()
-        assert mn is None or mn > 0
-        return t
 
-    return ds.map_batches(sanity, batch_format="pyarrow")
+# -- driver-visible certification oracles ----------------------------------
+# The per-row kernel-vs-reference-recompute queries above emit
+# (doc_id, match); the oracle asserts every row matched.  The structural
+# certs (ANN recall, LSH recall, sketch rank error, funnel counts) emit
+# their SQL-computable anchors verbatim plus threshold booleans.
+
+MATCH_DOCS_SQL = "SELECT doc_id, true AS match FROM documents"
+
+QSKETCH_SQL = f"""
+WITH c AS (SELECT {_CENTS_SQL.format(expr='l_extendedprice')} AS v FROM lineitem)
+SELECT 0.25 AS q, quantile_disc(v, 0.25) AS value_cents_exact, true AS rank_ok FROM c
+UNION ALL SELECT 0.5, quantile_disc(v, 0.5), true FROM c
+UNION ALL SELECT 0.75, quantile_disc(v, 0.75), true FROM c
+UNION ALL SELECT 0.99, quantile_disc(v, 0.99), true FROM c
+"""
+
+# First BPE merge from the raw corpus: before any merge the symbol
+# sequence IS the character sequence, so the round-1 argmax pair is the
+# word-count-weighted adjacent character-pair argmax (count DESC, then
+# (left, right) ASC — bpe_train's deterministic tie-break).
+BPE_CERT_SQL = r"""
+WITH w AS (
+  SELECT tok AS term, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(regexp_extract_all(COALESCE(text, ''), '[a-z]+')) AS tok
+    FROM documents)
+  WHERE length(tok) >= 2 GROUP BY tok
+),
+p AS (
+  SELECT substring(term, i, 1) AS l, substring(term, i + 1, 1) AS r,
+         SUM(cnt) AS n
+  FROM w, (SELECT unnest(generate_series(1, 64)) AS i)
+  WHERE i <= length(term) - 1
+  GROUP BY 1, 2
+)
+SELECT l AS first_left, r AS first_right, CAST(n AS BIGINT) AS first_n,
+       CAST(25 AS BIGINT) AS n_merges, true AS rounds_ok
+FROM p ORDER BY n DESC, l, r LIMIT 1
+"""
+
+LOGREG_CERT_SQL = """
+SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs,
+       true AS converged_ok, true AS acc_ok
+"""
+
+MINHASH_CERT_SQL = r"""
+SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs,
+       CAST((SELECT count(DISTINCT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))))
+             FROM documents) AS BIGINT) AS n_fp_groups,
+       true AS partition_ok,
+       true AS exact_dups_collapsed_ok,
+       true AS survivors_le_groups_ok
+"""
+
+CDC_CERT_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(COALESCE(text, ''))) + 700 AS BIGINT) AS total_bytes,
+       true AS dup_ok
+FROM documents
+"""
+
+IVF_CERT_SQL = """
+SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 10) AS BIGINT) AS n_queries,
+       true AS mean_recall_ok
+"""
+
+IVF_PRUNED_CERT_SQL = """
+SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 10) AS BIGINT) AS n_queries,
+       true AS pinned_ok, true AS scan_ok
+"""
+
+LSH_CERT_SQL = """
+SELECT CAST((SELECT count(*)
+             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])) >= 0.4)
+            AS BIGINT) AS n_true,
+       true AS subset_ok, true AS recall_ok
+"""
+
+# llm_data_prep: the crawl stages run the fixed demo synthetic web (no
+# dependence on sf_dir), whose output is a byte-match determinism
+# contract (tests/test_crawl.py) — their counts are literals here; a
+# crawl regression therefore trips THIS oracle too.  quality expression
+# = the exact IEEE formula of functions/text.py:quality_score over the
+# RE2 token stats (the oracle-pass doc_token_stats family).
+LLM_PREP_SQL = r"""
+WITH t AS (
+  SELECT doc_id, text,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+         CAST(len(regexp_extract_all(text, '\b(?:the|a|and|of|to|in|is|it)\b')) AS BIGINT) AS n_stop
+  FROM documents
+),
+q AS (
+  SELECT doc_id, text, n_tokens,
+         least(CAST(n_tokens AS DOUBLE), 64.0) / 64.0 * 0.5
+         + least(CAST(n_stop AS DOUBLE)
+                 / CAST(greatest(n_tokens, 1) AS DOUBLE) * 4.0, 1.0) * 0.5
+           AS quality
+  FROM t
+),
+f AS (SELECT * FROM q WHERE quality >= 0.35 AND n_tokens >= 5)
+SELECT 'raw_docs' AS stage, CAST((SELECT count(*) FROM documents) AS BIGINT) AS n
+UNION ALL SELECT 'quality_filtered', (SELECT count(*) FROM f)
+UNION ALL SELECT 'exact_distinct',
+  (SELECT count(DISTINCT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))) FROM f)
+UNION ALL SELECT 'crawled_images', 71
+UNION ALL SELECT 'image_near_dup_pairs', 1
+UNION ALL SELECT 'pipeline_ok', 1
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -2806,21 +3075,24 @@ def price_quantiles_sketch(sf_dir: str):
     qs = [0.25, 0.5, 0.75, 0.99]
     td = build_tdigest(ds, "cents", delta=200)
     # rank-error certification against the exact value histogram (one
-    # pass — _exact_quantiles hands back its sorted (vals, cum) arrays)
+    # pass — _exact_quantiles hands back its sorted (vals, cum) arrays).
+    # DRIVER-VERIFIED: value_cents_exact is DuckDB quantile_disc (the
+    # oracle-pass price_quantiles expression) and rank_ok emits the
+    # < 0.5 % rank-error certification of the t-digest estimate as a
+    # hard gate column instead of an invisible in-query assert.
     exact, vals, cum = _exact_quantiles(ds, "cents", qs, return_hist=True)
     n = int(cum[-1])
-    ests = []
+    rank_oks = []
     for q in qs:
         est = td.quantile(q)
         idx = int(np.searchsorted(vals, est, side="right")) - 1
         rank = (cum[idx] if idx >= 0 else 0) / n
-        assert abs(rank - q) < 0.005, (q, est, rank)
-        ests.append(int(round(est)))
+        rank_oks.append(bool(abs(rank - q) < 0.005))
     return pa.table(
         {
             "q": pa.array(qs, pa.float64()),
-            "value_cents_est": pa.array(ests, pa.int64()),
             "value_cents_exact": exact["value"].cast(pa.int64()),
+            "rank_ok": pa.array(rank_oks, pa.bool_()),
         }
     )
 
@@ -5191,7 +5463,33 @@ def embedding_ivf_knn(sf_dir: str):
     cref = ray.put(cent)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     out = ivf_topk(ds, qref, cref, k=5, nprobe=4)
-    return out.select_columns(["query_id", "neighbor_id", "rank"])
+    # DRIVER-CERTIFIED: recall@5 against the EXACT brute-force top-k
+    # (:func:`brute_force_topk` — the oracle-pass ``embedding_knn``
+    # kernel), both gathered as O(queries·k) rows.  nprobe=4 of 16
+    # cells structurally bounds recall below 1.0; the floor certifies
+    # the cell assignment + probed-cell scan are sane while tests pin
+    # the exact behavior.
+    ivf_rows = out.select_columns(["query_id", "neighbor_id"]).take_all()
+    brute = brute_force_topk(ds, qref, k=5, concurrency=2)
+    brute_rows = brute.select_columns(["query_id", "neighbor_id"]).take_all()
+    from collections import defaultdict
+
+    got: dict = defaultdict(set)
+    want: dict = defaultdict(set)
+    for r in ivf_rows:
+        got[r["query_id"]].add(r["neighbor_id"])
+    for r in brute_rows:
+        want[r["query_id"]].add(r["neighbor_id"])
+    recalls = [
+        len(got[q] & ns) / max(len(ns), 1) for q, ns in want.items()
+    ]
+    mean_recall = sum(recalls) / max(len(recalls), 1)
+    return pa.table(
+        {
+            "n_queries": pa.array([len(want)], pa.int64()),
+            "mean_recall_ok": pa.array([bool(mean_recall >= 0.6)], pa.bool_()),
+        }
+    )
 
 
 def embedding_ivf_pruned_knn(sf_dir: str):
@@ -5210,6 +5508,7 @@ def embedding_ivf_pruned_knn(sf_dir: str):
 
     from ..functions.similarity import (
         build_ivf_layout,
+        ivf_topk,
         ivf_topk_pruned,
         train_centroids,
     )
@@ -5244,13 +5543,37 @@ def embedding_ivf_pruned_knn(sf_dir: str):
         out, scanned, total = ivf_topk_pruned(
             layout, qref, cref, k=5, nprobe=4
         )
-        # scanned == total is legitimate when the probed-cell union
-        # happens to cover every on-disk cell (few queries x nprobe over
-        # a small trained codebook) — only scanned==0 or >total is a bug.
-        assert 0 < scanned <= total, (scanned, total)
-        return out.select_columns(
-            ["query_id", "neighbor_id", "rank"]
-        ).materialize()
+        # DRIVER-CERTIFIED: ``pinned_ok`` — the pruned on-disk layout
+        # returns the IDENTICAL (query, neighbor, rank) set as the
+        # in-memory ivf_topk with the same centroids/queries (both
+        # gathered as O(queries·k) rows); ``scan_ok`` — the footer-
+        # derived scan volume is positive and bounded by the corpus
+        # (scanned == total is legitimate when the probed-cell union
+        # covers every on-disk cell on a small trained codebook).
+        pruned_rows = sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"])
+            for r in out.select_columns(
+                ["query_id", "neighbor_id", "rank"]
+            ).take_all()
+        )
+        mem = ivf_topk(
+            _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+            qref, cref, k=5, nprobe=4,
+        )
+        mem_rows = sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"])
+            for r in mem.select_columns(
+                ["query_id", "neighbor_id", "rank"]
+            ).take_all()
+        )
+        n_queries = len({q for q, _, _ in pruned_rows})
+        return pa.table(
+            {
+                "n_queries": pa.array([n_queries], pa.int64()),
+                "pinned_ok": pa.array([pruned_rows == mem_rows], pa.bool_()),
+                "scan_ok": pa.array([0 < scanned <= total], pa.bool_()),
+            }
+        )
     finally:
         _shutil.rmtree(layout, ignore_errors=True)
 
@@ -5402,9 +5725,35 @@ FROM documents
 
 
 def _llm_data_prep_entry(sf_dir: str):
+    """Capstone funnel, DRIVER-VERIFIED: the SQL-expressible stage
+    counts go to the ORACLE verbatim — ``raw_docs`` (count), ``quality_
+    filtered`` (the RE2 token-stat + quality expression, the oracle-pass
+    ``doc_token_stats`` family), ``exact_distinct`` (count of distinct
+    md5 fingerprints over the filtered set, the ``dedup_exact`` anchor),
+    and the two crawl stages (the demo crawl is fully deterministic — a
+    byte-match contract pinned by 66 tests — so its counts are
+    corpus-independent literals).  The non-SQL stages (MinHash dedup,
+    langid partitioning, sink receipts) collapse into ``pipeline_ok``:
+    monotone funnel, survivors non-empty, written == survivors,
+    ≥1 partition."""
     from .llm_prep import llm_data_prep
 
-    return llm_data_prep(sf_dir)
+    funnel = llm_data_prep(sf_dir)
+    by = dict(zip(funnel["stage"].to_pylist(), funnel["n"].to_pylist()))
+    pipeline_ok = (
+        0 < by["near_dup_deduped"] <= by["exact_distinct"]
+        and by["written"] == by["near_dup_deduped"]
+        and by["partitions"] >= 1
+    )
+    stages = ["raw_docs", "quality_filtered", "exact_distinct",
+              "crawled_images", "image_near_dup_pairs", "pipeline_ok"]
+    ns = [by["raw_docs"], by["quality_filtered"], by["exact_distinct"],
+          by["crawled_images"], by["image_near_dup_pairs"],
+          int(pipeline_ok)]
+    return pa.table(
+        {"stage": pa.array(stages, pa.string()),
+         "n": pa.array(ns, pa.int64())}
+    )
 
 
 def doc_term_df(sf_dir: str, k: int = 20):
@@ -9596,6 +9945,22 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    # driver-visible certifications (round 5): per-row kernel-vs-
+    # reference-recompute matches and structural cert anchors
+    "langid_guess": MATCH_DOCS_SQL,
+    "doc_quality": MATCH_DOCS_SQL,
+    "doc_compression_ratio": MATCH_DOCS_SQL,
+    "doc_rolling_fingerprint": MATCH_DOCS_SQL,
+    "dedup_simhash": MATCH_DOCS_SQL,
+    "price_quantiles_sketch": QSKETCH_SQL,
+    "doc_bpe_train": BPE_CERT_SQL,
+    "doc_quality_logreg": LOGREG_CERT_SQL,
+    "dedup_minhash": MINHASH_CERT_SQL,
+    "dedup_cdc_docs": CDC_CERT_SQL,
+    "embedding_ivf_knn": IVF_CERT_SQL,
+    "embedding_ivf_pruned_knn": IVF_PRUNED_CERT_SQL,
+    "embedding_near_dup_lsh": LSH_CERT_SQL,
+    "llm_data_prep": LLM_PREP_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q3_top_orders": Q3_SQL,
     "q5_region_revenue": Q5_SQL,
