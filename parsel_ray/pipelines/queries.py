@@ -79,6 +79,19 @@ def _read(sf_dir: str, table: str, columns=None):
     )
 
 
+def _read_wide(sf_dir: str, table: str, columns=None, blocks: int = 64):
+    """:func:`_read` + a tiny id-column repartition for CPU-BOUND
+    downstream stages.  The test tables are ONE parquet row group, so a
+    read-based pipeline starts as a single task and Ray's streaming
+    executor serializes every fused stage behind it (~3× effective
+    parallelism on 32 cpus measured on the codec round-trips).  The
+    repartition moves only the slim projected columns (a few KB here)
+    and restores full fan-out.  At 100 TB the corpus is many files/row
+    groups and the read parallelizes naturally — this is a small-input
+    artifact, the same one bench.py's replicated_docs documents."""
+    return _read(sf_dir, table, columns).repartition(blocks)
+
+
 def _cents(x: "np.ndarray | pa.ChunkedArray"):
     """floor(x*100 + 0.5) as int64 — byte-deterministic money conversion."""
     if isinstance(x, (pa.ChunkedArray, pa.Array)):
@@ -2410,9 +2423,9 @@ def image_jpeg_roundtrip(sf_dir: str):
         return t.select(["doc_id", "decoded_w", "decoded_h", "decode_ok"])
 
     return (
-        _read(sf_dir, "documents", ["doc_id"])
-        .map_batches(build, batch_format="pyarrow", batch_size=256)
-        .map_batches(DecodeJpeg(), batch_format="pyarrow", batch_size=256)
+        _read_wide(sf_dir, "documents", ["doc_id"])
+        .map_batches(build, batch_format="pyarrow", batch_size=64)
+        .map_batches(DecodeJpeg(), batch_format="pyarrow", batch_size=64)
         .map_batches(check, batch_format="pyarrow")
     )
 
@@ -2632,9 +2645,9 @@ def image_png_roundtrip(sf_dir: str):
         )
 
     return (
-        _read(sf_dir, "documents", ["doc_id"])
-        .map_batches(build, batch_format="pyarrow", batch_size=256)
-        .map_batches(DecodePng(), batch_format="pyarrow", batch_size=256)
+        _read_wide(sf_dir, "documents", ["doc_id"])
+        .map_batches(build, batch_format="pyarrow", batch_size=64)
+        .map_batches(DecodePng(), batch_format="pyarrow", batch_size=64)
         .map_batches(check, batch_format="pyarrow")
     )
 
@@ -2841,9 +2854,9 @@ def image_gif_roundtrip(sf_dir: str):
         return t.select(["doc_id", "decoded_w", "decoded_h", "decode_ok"])
 
     return (
-        _read(sf_dir, "documents", ["doc_id"])
-        .map_batches(build, batch_format="pyarrow", batch_size=256)
-        .map_batches(DecodeGif(), batch_format="pyarrow", batch_size=256)
+        _read_wide(sf_dir, "documents", ["doc_id"])
+        .map_batches(build, batch_format="pyarrow", batch_size=64)
+        .map_batches(DecodeGif(), batch_format="pyarrow", batch_size=64)
         .map_batches(check, batch_format="pyarrow")
     )
 
