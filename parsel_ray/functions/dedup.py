@@ -1261,6 +1261,9 @@ def dedup_cdc(
     min_size: int = 32,
     max_size: int = 512,
     num_partitions: int = 64,
+    pin: "bool | str" = "auto",
+    spill_dir: "str | None" = None,
+    pin_threshold_bytes: int = 1 << 30,
 ):
     """Corpus-level CDC dedup: per-doc (n_chunks, total_bytes, dup_bytes)
     where dup_bytes = bytes of chunk occurrences that are NOT the globally
@@ -1269,22 +1272,56 @@ def dedup_cdc(
     chunk).  Fully distributed: chunking is a map_batches kernel; the
     first-copy election is a coarse hash-partitioned ``grouped_apply`` on
     chunk_hash (never a driver-side set); per-doc rollups are combiner
-    groupbys; the final attach is a bucket join keyed by id."""
+    groupbys; the final attach is a bucket join keyed by id.
+
+    The slim chunk table is consumed TWICE (per-doc totals + first-copy
+    election); re-executing would repeat the per-byte rolling-hash pass
+    end-to-end.  ``pin`` picks how the second consumer is fed:
+
+    - ``True`` — ``materialize()`` the chunk rows in the object store
+      (fastest; right when the slim table fits in aggregate plasma).
+    - ``False`` — the 100 TB path: write the chunk rows ONCE to a
+      partitioned parquet spill (``spill_dir`` or a fresh /tmp dir) and
+      read them twice with pruned columns, so plasma never pins a
+      corpus-scale table; the per-doc result (O(docs) slim rows) is
+      materialized before the spill is deleted.
+    - ``"auto"`` (default) — pin below ``pin_threshold_bytes`` of input
+      (estimated from dataset metadata), else spill."""
     import pandas as pd
 
     from .agg import grouped_apply, partial_sum_groupby
     from .relational import hash_bucket_join
 
-    chunks = ds.map_batches(
+    chunk_ds = ds.map_batches(
         lambda t: cdc_chunk_rows(
             t, bytes_col, id_col, avg_bits, min_size, max_size
         ),
         batch_format="pyarrow",
-    ).materialize()  # consumed twice (totals + first-copy election):
-    # pin the per-byte rolling-hash pass or it re-executes end-to-end
+    )
+    if pin == "auto":
+        try:
+            sz = ds.size_bytes()
+        except Exception:
+            sz = None
+        pin = sz is None or sz < pin_threshold_bytes
+
+    spill = None
+    if pin:
+        chunks = chunk_ds.materialize()
+        totals_src = chunks
+    else:
+        import tempfile as _tempfile
+
+        import ray.data as _rd
+
+        spill = spill_dir or _tempfile.mkdtemp(prefix="cdc_chunks_", dir="/tmp")
+        chunk_ds.write_parquet(spill)
+        chunks = _rd.read_parquet(spill)
+        totals_src = _rd.read_parquet(spill, columns=[id_col, "chunk_len"])
 
     totals = partial_sum_groupby(
-        chunks, [id_col], {"chunk_len": "total_bytes"}, count_as="n_chunks"
+        totals_src, [id_col], {"chunk_len": "total_bytes"},
+        count_as="n_chunks",
     )
 
     def redundant(g: pd.DataFrame) -> pd.DataFrame:
@@ -1323,7 +1360,17 @@ def dedup_cdc(
             }
         )
 
-    return out.map_batches(finish, batch_format="pyarrow")
+    res = out.map_batches(finish, batch_format="pyarrow")
+    if spill is not None and spill_dir is None:
+        # owned temp spill: the lazy result still reads from it, so pin
+        # the O(docs) per-doc rollup (slim rows — NOT the chunk table)
+        # before deleting the spilled chunk files.  A caller-provided
+        # spill_dir is left in place (resumable / caller-managed).
+        import shutil as _shutil
+
+        res = res.materialize()
+        _shutil.rmtree(spill, ignore_errors=True)
+    return res
 
 
 def paragraph_chunk_rows(

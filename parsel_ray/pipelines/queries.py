@@ -5804,7 +5804,7 @@ GROUP BY term ORDER BY df DESC, term LIMIT 20
 """
 
 
-def doc_tfidf_top_term(sf_dir: str):
+def doc_tfidf_top_term(sf_dir: str, max_broadcast_vocab: int = 5_000_000):
     """Per-document top term by tf·idf (linear idf = N/df — ranking by
     tf/df, which orders identically and keeps both engines in exact
     int64/float64 agreement; ties by term).
@@ -5819,7 +5819,13 @@ def doc_tfidf_top_term(sf_dir: str):
     shuffles of the old plan (the bigger-than-input pairs⨝df bucket join
     and the grouped top-k) — the only exchange left is the tiny per-term
     df combiner.  Float ratios of int64s this small are exactly ordered
-    in double, so the DuckDB window oracle matches hash-for-hash."""
+    in double, so the DuckDB window oracle matches hash-for-hash.
+
+    Vocab guard (round 5): the per-actor df dict is O(vocabulary) — fine
+    to ~10⁷ distinct terms, not at open-web vocabulary.  When the
+    measured vocab exceeds ``max_broadcast_vocab``, the query falls back
+    to the fully-shuffled plan (pairs⨝df bucket join + grouped top-1 —
+    identical output, pinned by a test that forces the fallback)."""
 
     def pairs():
         return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
@@ -5836,6 +5842,8 @@ def doc_tfidf_top_term(sf_dir: str):
         ["term"],
         {"df": "df"},
     ).materialize()
+    if df.count() > max_broadcast_vocab:
+        return _tfidf_top_term_shuffled(pairs, df)
     df_refs = df.to_arrow_refs()
 
     out_schema = pa.schema(
@@ -5892,6 +5900,37 @@ def doc_tfidf_top_term(sf_dir: str):
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         Scorer,
         concurrency=(1, 8),
+        batch_format="pyarrow",
+    )
+
+
+def _tfidf_top_term_shuffled(pairs, df):
+    """Open-web-vocabulary fallback for :func:`doc_tfidf_top_term`: the
+    pre-round-4 fully-distributed plan — pairs⨝df bucket join on term +
+    grouped top-1 — whose state is never O(vocabulary) on any single
+    worker.  Slower (two all-to-all exchanges) but unbounded."""
+    from ..functions.agg import grouped_topk
+
+    joined = hash_bucket_join(pairs(), df, on="term", buckets=32)
+
+    def ratio(t: pa.Table) -> pa.Table:
+        r = pc.divide(
+            pc.cast(t["tf"], pa.float64()), pc.cast(t["df"], pa.float64())
+        )
+        return t.append_column("__r", r)
+
+    top = grouped_topk(
+        joined.map_batches(ratio, batch_format="pyarrow"),
+        "doc_id",
+        ["__r", "term"],
+        [False, True],
+        k=1,
+        num_partitions=16,
+    )
+    return top.map_batches(
+        lambda t: t.select(["doc_id", "term", "tf", "df"]).rename_columns(
+            ["doc_id", "top_term", "tf", "df"]
+        ),
         batch_format="pyarrow",
     )
 

@@ -1506,7 +1506,12 @@ class TestCdcDedup:
         # only the chunks before the first post-insertion boundary differ
         assert len(s1 & s2) >= len(s1) - 2
 
-    def test_distributed_matches_reference(self, ray_session):
+    @pytest.mark.parametrize("pin", [True, False])
+    def test_distributed_matches_reference(self, ray_session, pin):
+        """Both feed modes for the twice-consumed chunk table — pin=True
+        (object-store materialize) and pin=False (the 100 TB path:
+        write-once parquet spill, two pruned read-backs) — must be
+        byte-identical to the single-process reference."""
         import collections
         import hashlib
 
@@ -1541,7 +1546,9 @@ class TestCdcDedup:
                 }
             )
         ).repartition(6)
-        out = dedup_cdc(ds).to_pandas().set_index("doc_id").sort_index()
+        out = dedup_cdc(ds, pin=pin).to_pandas().set_index(
+            "doc_id"
+        ).sort_index()
         assert (out["dup_bytes"] > 0).sum() > 25  # planted templates found
         for d in range(len(payloads)):
             got = (
@@ -2174,3 +2181,21 @@ class TestQuarantineSchemaPin:
         assert tables[0].schema == tables[1].schema
         merged = pa.concat_tables(tables)
         assert sorted(merged["error_type"].to_pylist()) == ["ValueError"] * 4
+
+
+class TestTfidfVocabGuard:
+    """doc_tfidf_top_term's broadcast-vocab guard: forcing the fallback
+    (max_broadcast_vocab below the corpus vocabulary) must route through
+    the shuffled pairs⨝df plan and produce the identical result table."""
+
+    def test_fallback_matches_broadcast(self, ray_session):
+        from parsel_ray.pipelines.queries import doc_tfidf_top_term
+
+        sf = "/root/testdata/sf0.001"
+        fast = doc_tfidf_top_term(sf).to_pandas().sort_values(
+            "doc_id"
+        ).reset_index(drop=True)
+        slow = doc_tfidf_top_term(sf, max_broadcast_vocab=1).to_pandas(
+        ).sort_values("doc_id").reset_index(drop=True)
+        assert len(fast) == len(slow) > 0
+        pd.testing.assert_frame_equal(fast, slow[fast.columns])
