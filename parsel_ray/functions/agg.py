@@ -262,6 +262,65 @@ def grouped_apply(
     return out
 
 
+def partitioned_apply_arrow(
+    ds,
+    keys,
+    fn,
+    num_partitions: int = 64,
+    out_schema=None,
+):
+    """Arrow-native sibling of :func:`grouped_apply`: the same coarse
+    hash partitioning (a key never spans partitions), but ``fn`` receives
+    the WHOLE partition as one ``pa.Table`` (``__part`` stripped) and
+    handles its key groups itself — typically a ``sort_by`` + numpy
+    segment walk.  No per-group pandas frames, no per-group Python
+    dispatch, no pandas→arrow block conversions; this is the hot-path
+    variant for bodies that reduce to sorted-segment algebra (first-copy
+    election, pair enumeration).  Same null-key caveat as
+    :func:`grouped_apply` does NOT apply: null keys stay in the
+    partition ``fn`` sees (hash of null buckets deterministically)."""
+    import pyarrow as pa
+
+    import numpy as np
+
+    from .relational import _bucket_of
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        if len(keys) == 1:
+            b = _bucket_of(t[keys[0]], num_partitions)
+        else:
+            h = np.zeros(len(t), dtype=np.uint64)
+            for k in keys:
+                h = h * np.uint64(1000003) + _bucket_of(
+                    t[k], 1 << 30
+                ).to_numpy(zero_copy_only=False).astype(np.uint64)
+            b = pa.array((h % np.uint64(num_partitions)).astype(np.int32))
+        return t.append_column("__part", b)
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        out = fn(t.drop(["__part"]))
+        if out is None or len(out) == 0:
+            if out_schema is not None:
+                return out_schema.empty_table()
+            return out if out is not None else t.drop(["__part"]).slice(0, 0)
+        if out_schema is not None and not out.schema.equals(out_schema):
+            out = out.select(out_schema.names).cast(out_schema)
+        return out
+
+    out = (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(per_partition, batch_format="pyarrow")
+    )
+    if out_schema is not None:
+        import ray.data as rd
+
+        out = out.union(rd.from_arrow(out_schema.empty_table()))
+    return out
+
+
 def grouped_topk(
     ds,
     keys,

@@ -784,9 +784,7 @@ def word_ngram_jaccard_pairs(ds, id_col: str = "doc_id",
 
     Returns a Dataset ``(id_a, id_b)`` with ``id_a < id_b``.
     """
-    import pandas as pd_
-
-    from .agg import grouped_apply, partial_sum_groupby
+    from .agg import partial_sum_groupby, partitioned_apply_arrow
 
     num, den = threshold
 
@@ -816,26 +814,59 @@ def word_ngram_jaccard_pairs(ds, id_col: str = "doc_id",
             }
         )
 
-    def per_gram(sub: "pd_.DataFrame") -> "pd_.DataFrame":
-        d = np.sort(sub["doc"].to_numpy())
-        if len(d) > max_df:  # df cut: ubiquitous gram, no signal
-            return pd_.DataFrame({"a": [], "b": [], "w": []})
-        ia, ib = np.triu_indices(len(d), k=1)
-        # pair rows (a, b, 1) + per-doc count rows (doc, -1, 1);
-        # ids are non-negative, so b = -1 is a safe sentinel
-        return pd_.DataFrame(
+    def gram_partition(t: pa.Table) -> pa.Table:
+        # Arrow-native pair enumeration over the whole hash partition
+        # (round 5 — replaces a per-gram pandas body): one sort_by on
+        # (g, doc), numpy segment sizes, df cut per segment, then pair
+        # rows generated size-class by size-class — all groups of equal
+        # size s enumerate their s·(s-1)/2 pairs in ONE gather (a
+        # (groups, s) matrix indexed by triu) — ≤ max_df size classes,
+        # no per-group Python.  Emits pair rows (a, b, 1) + per-doc
+        # count rows (doc, -1, 1); ids are non-negative, so b = -1 is a
+        # safe sentinel.
+        s_t = t.sort_by([("g", "ascending"), ("doc", "ascending")])
+        g = s_t["g"].to_numpy(zero_copy_only=False)
+        d = s_t["doc"].to_numpy(zero_copy_only=False)
+        n = len(g)
+        if n == 0:
+            return pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                 "w": pa.array([], pa.int64())}
+            )
+        first = np.ones(n, dtype=bool)
+        first[1:] = g[1:] != g[:-1]
+        starts = np.flatnonzero(first)
+        sizes = np.diff(np.append(starts, n))
+        keep_grp = sizes <= max_df  # df cut: ubiquitous gram, no signal
+        count_docs = d[np.repeat(keep_grp, sizes)]
+        a_parts = [count_docs]
+        b_parts = [np.full(len(count_docs), -1, np.int64)]
+        for s_val in np.unique(sizes[keep_grp]):
+            if s_val < 2:
+                continue
+            idx = starts[keep_grp & (sizes == s_val)]
+            mat = d[idx[:, None] + np.arange(s_val)[None, :]]
+            ia, ib = np.triu_indices(int(s_val), k=1)
+            a_parts.append(mat[:, ia].ravel())
+            b_parts.append(mat[:, ib].ravel())
+        a = np.concatenate(a_parts)
+        b = np.concatenate(b_parts)
+        return pa.table(
             {
-                "a": np.concatenate([d[ia], d]),
-                "b": np.concatenate([d[ib], np.full(len(d), -1, np.int64)]),
-                "w": np.ones(len(ia) + len(d), dtype=np.int64),
+                "a": pa.array(a, pa.int64()),
+                "b": pa.array(b, pa.int64()),
+                "w": pa.array(np.ones(len(a), np.int64), pa.int64()),
             }
         )
 
     # materialized: consumed twice (pair split + count split) — lazy would
     # re-run the gram shuffle per consumer
-    rows = grouped_apply(
+    rows = partitioned_apply_arrow(
         ds.map_batches(gram_rows, batch_format="pyarrow"),
-        "g", per_gram, num_partitions=num_partitions,
+        "g", gram_partition, num_partitions=num_partitions,
+        out_schema=pa.schema(
+            [("a", pa.int64()), ("b", pa.int64()), ("w", pa.int64())]
+        ),
     ).materialize()
     import pyarrow.compute as pc
 
@@ -1287,9 +1318,7 @@ def dedup_cdc(
       materialized before the spill is deleted.
     - ``"auto"`` (default) — pin below ``pin_threshold_bytes`` of input
       (estimated from dataset metadata), else spill."""
-    import pandas as pd
-
-    from .agg import grouped_apply, partial_sum_groupby
+    from .agg import partial_sum_groupby, partitioned_apply_arrow
     from .relational import hash_bucket_join
 
     chunk_ds = ds.map_batches(
@@ -1299,10 +1328,27 @@ def dedup_cdc(
         batch_format="pyarrow",
     )
     if pin == "auto":
-        try:
+        # metadata-only size probe: size_bytes() on a LAZY dataset
+        # triggers a full execution (measured ~1.2s on the 5k-doc gate
+        # input — it would re-run the upstream payload build), so only
+        # consult sources whose size is free: a materialized dataset's
+        # block metadata, or the source files of a plain read.  Unknown
+        # size defaults to pin; at corpus scale callers pass pin=False
+        # (or a spill_dir) explicitly.
+        from ray.data.dataset import MaterializedDataset
+
+        sz = None
+        if isinstance(ds, MaterializedDataset):
             sz = ds.size_bytes()
-        except Exception:
-            sz = None
+        else:
+            try:
+                files = ds.input_files()
+                if files:
+                    import os as _os
+
+                    sz = sum(_os.path.getsize(f) for f in files)
+            except Exception:
+                sz = None
         pin = sz is None or sz < pin_threshold_bytes
 
     spill = None
@@ -1324,9 +1370,20 @@ def dedup_cdc(
         count_as="n_chunks",
     )
 
-    def redundant(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([id_col, "occ_idx"], kind="stable")
-        return g.iloc[1:][[id_col, "chunk_len"]]
+    def elect(t: pa.Table) -> pa.Table:
+        # Arrow-native first-copy election over the whole hash partition
+        # (round 5 — replaces a per-group pandas sort): one sort_by on
+        # (chunk_hash, id, occ_idx), then a numpy segment walk keeps
+        # every occurrence EXCEPT each hash segment's first row — the
+        # globally-first copy, since a chunk_hash never spans partitions.
+        s = t.sort_by(
+            [("chunk_hash", "ascending"), (id_col, "ascending"),
+             ("occ_idx", "ascending")]
+        )
+        h = s["chunk_hash"].to_numpy(zero_copy_only=False)
+        first = np.ones(len(s), dtype=bool)
+        first[1:] = h[1:] != h[:-1]
+        return s.filter(pa.array(~first)).select([id_col, "chunk_len"])
 
     from .relational import _pa_side_schema
 
@@ -1334,8 +1391,8 @@ def dedup_cdc(
     # schema the left join below crashes on the schema-less empty side
     # (schema() is free — chunks is materialized)
     id_field = _pa_side_schema(chunks).field(id_col)
-    dup = grouped_apply(
-        chunks, ["chunk_hash"], redundant,
+    dup = partitioned_apply_arrow(
+        chunks, ["chunk_hash"], elect,
         num_partitions=num_partitions,
         out_schema=pa.schema([id_field, pa.field("chunk_len", pa.int64())]),
     )
