@@ -195,7 +195,7 @@ class TestKMeans:
         rng = np.random.RandomState(5)
         centers = [rng.randn(d) * 0 + off for off in (0.0, 5.0, 10.0)]
         sf, mat = self._embeddings(tmp_path, centers)
-        out = Q.kmeans_embeddings(sf, k=3, iters=8).to_pandas()
+        out = Q.kmeans_embeddings(sf, k=3, iters=8, detail=True).to_pandas()
         assert sorted(out["n"].tolist()) and out["n"].sum() == len(mat)
         # well-separated data: every cluster ends non-empty and tight
         assert (out["n"] > 0).all()
@@ -210,7 +210,7 @@ class TestKMeans:
         centers = [np.zeros(d), np.ones(d) * 0.001]
         sf, _ = self._embeddings(tmp_path, centers, per=30, d=d,
                                  spread=0.0)
-        out = Q.kmeans_embeddings(sf, k=4, iters=6).to_pandas()
+        out = Q.kmeans_embeddings(sf, k=4, iters=6, detail=True).to_pandas()
         assert out["n"].sum() == 60
 
 
