@@ -404,7 +404,7 @@ class TestEwma:
         df = _events(rows)
         df["value"] = [1.0, 2.0, 3.0]
         sf = _write(tmp_path, "events", df)
-        got = Q.events_ewma(sf, alpha=0.5).to_pandas()
+        got = Q.events_ewma(sf, alpha=0.5, detail=True).to_pandas()
         assert got.loc[0, "ewma_e6"] == 2_250_000
         assert got.loc[0, "n_events"] == 3
 
