@@ -236,32 +236,39 @@ def _blocks_of(plane: np.ndarray) -> np.ndarray:
     )
 
 
-def encode_jpeg(px: np.ndarray, quality: int = 90) -> bytes:
-    """(H, W, 3) uint8 RGB → baseline JFIF bytes (4:4:4, one scan)."""
-    px = np.ascontiguousarray(px, dtype=np.uint8)
-    h, w, c = px.shape
-    if c != 3:
-        raise ValueError("encode_jpeg expects (H, W, 3) RGB")
-    lq, cq = _quality_tables(quality)
-    ycc = _rgb_to_ycbcr(px) - 128.0
+_NP_HUFF = None
 
-    # vectorized DCT + quantization per component
-    comp_qcoef = []
-    for ci in range(3):
-        blocks = _blocks_of(ycc[..., ci])
-        coef = np.einsum("ux,nxy,vy->nuv", _D, blocks, _D)
-        q = lq if ci == 0 else cq
-        comp_qcoef.append(np.round(coef / q).astype(np.int64))
 
+def _np_huff_tables():
+    """The four standard Huffman tables as numpy LUTs (code, length)
+    indexed by symbol — built once; the vectorized scan encoder gathers
+    codes for ALL tokens with two fancy-index reads per token class."""
+    global _NP_HUFF
+    if _NP_HUFF is None:
+        dc_code = np.zeros((2, 17), np.int64)
+        dc_len = np.zeros((2, 17), np.int64)
+        ac_code = np.zeros((2, 256), np.int64)
+        ac_len = np.zeros((2, 256), np.int64)
+        for ti, tab in enumerate(_STD_CODES[:2]):
+            for sym, (c, ln) in tab.items():
+                dc_code[ti, sym] = c
+                dc_len[ti, sym] = ln
+        for ti, tab in enumerate(_STD_CODES[2:]):
+            for sym, (c, ln) in tab.items():
+                ac_code[ti, sym] = c
+                ac_len[ti, sym] = ln
+        _NP_HUFF = (dc_code, dc_len, ac_code, ac_len)
+    return _NP_HUFF
+
+
+def _encode_scan_loop(zz: "list[np.ndarray]") -> bytes:
+    """Reference scalar entropy coder (the pre-round-5 per-block loop):
+    kept verbatim as the differential pin for :func:`_encode_scan_vec`
+    — tests assert byte equality on adversarial coefficient blocks."""
     dc_l, dc_c, ac_l, ac_c = _STD_CODES
-
     bw = _BitWriter()
     pred = [0, 0, 0]
-    n_blocks = comp_qcoef[0].shape[0]
-    zz = [qc.reshape(-1, 64)[:, ZIGZAG] for qc in comp_qcoef]
-    # per-symbol loop kept in Python but lean: Huffman code and
-    # magnitude bits fuse into ONE write, zero runs come from nonzero
-    # POSITIONS (no per-zero iteration), and bit_length is inlined
+    n_blocks = zz[0].shape[0]
     write = bw.write
     for bi in range(n_blocks):
         for ci in range(3):
@@ -297,7 +304,136 @@ def encode_jpeg(px: np.ndarray, quality: int = 90) -> bytes:
             if prev < 63:
                 code, ln = ac_tab[0x00]  # EOB
                 write(code, ln)
-    scan = bw.flush()
+    return bw.flush()
+
+
+def _encode_scan_vec(zz: "list[np.ndarray]") -> bytes:
+    """Vectorized baseline-JPEG entropy coder (round 5): token streams
+    for ALL blocks/components materialize as flat numpy arrays (DC
+    diffs per component, AC nonzeros with run lengths, ZRL expansions,
+    EOBs), a stable argsort on a (row, intra-row) key interleaves them
+    into T.81 scan order, and bit packing runs as ≤27 whole-array
+    passes into a 0/1 array + ``np.packbits``.  Byte-identical to
+    :func:`_encode_scan_loop` (differential-pinned in tests): same
+    codes, same order, same 1-padding, same 0xFF stuffing."""
+    n_blocks = zz[0].shape[0]
+    if n_blocks == 0:
+        return b""
+    dc_code, dc_len, ac_code, ac_len = _np_huff_tables()
+    arr = np.stack(zz, axis=1).reshape(n_blocks * 3, 64).astype(np.int64)
+    R = arr.shape[0]
+    comp_tab = np.tile(np.array([0, 1, 1], np.int64), n_blocks)
+    pow2 = (np.int64(1) << np.arange(33, dtype=np.int64))
+
+    # -- DC tokens: per-component diff chain --------------------------
+    dc = arr[:, 0].reshape(n_blocks, 3)
+    diffs = dc.copy()
+    diffs[1:] -= dc[:-1]
+    diffs = diffs.reshape(R)
+    dsize = np.searchsorted(pow2, np.abs(diffs), side="right")
+    dbits = np.where(diffs > 0, diffs, diffs + pow2[dsize] - 1)
+    v_dc = (dc_code[comp_tab, dsize] << dsize) | dbits
+    l_dc = dc_len[comp_tab, dsize] + dsize
+    k_dc = np.arange(R, dtype=np.int64) << np.int64(20)
+
+    # -- AC tokens: nonzeros with runs --------------------------------
+    body = arr[:, 1:]
+    rows, cols = np.nonzero(body)
+    n_ac = len(rows)
+    if n_ac:
+        k = cols + 1
+        v = body[rows, cols]
+        prevk = np.empty_like(k)
+        prevk[0] = 0
+        prevk[1:] = np.where(rows[1:] == rows[:-1], k[:-1], 0)
+        runs = k - prevk - 1
+        size = np.searchsorted(pow2, np.abs(v), side="right")
+        bits = np.where(v > 0, v, v + pow2[size] - 1)
+        nzrl = runs >> 4
+        sym = ((runs & 15) << 4) | size
+        ct = comp_tab[rows]
+        v_ac = (ac_code[ct, sym] << size) | bits
+        l_ac = ac_len[ct, sym] + size
+        # intra-row entry index
+        idx_all = np.arange(n_ac, dtype=np.int64)
+        first = np.ones(n_ac, bool)
+        first[1:] = rows[1:] != rows[:-1]
+        row_start = np.maximum.accumulate(np.where(first, idx_all, 0))
+        i = idx_all - row_start
+        k_ac = (rows.astype(np.int64) << np.int64(20)) + (i + 1) * 32 + 31
+        # ZRL expansions precede their AC token
+        zidx = np.flatnonzero(nzrl > 0)
+        nz_rep = nzrl[zidx]
+        z_rows = np.repeat(rows[zidx], nz_rep)
+        z_base = np.repeat(k_ac[zidx] - 31, nz_rep)
+        cum = np.concatenate([[0], np.cumsum(nz_rep)])
+        z_off = np.arange(int(cum[-1]), dtype=np.int64) - np.repeat(
+            cum[:-1], nz_rep
+        )
+        v_z = ac_code[comp_tab[z_rows], 0xF0]
+        l_z = ac_len[comp_tab[z_rows], 0xF0]
+        k_z = z_base + z_off
+        # last nonzero position per row → EOB where < 63
+        lastk = np.zeros(R, np.int64)
+        last_mask = np.concatenate([rows[1:] != rows[:-1], [True]])
+        lastk[rows[last_mask]] = k[last_mask]
+    else:
+        v_ac = l_ac = k_ac = v_z = l_z = k_z = np.empty(0, np.int64)
+        lastk = np.zeros(R, np.int64)
+    eob_rows = np.flatnonzero(lastk < 63)
+    v_e = ac_code[comp_tab[eob_rows], 0x00]
+    l_e = ac_len[comp_tab[eob_rows], 0x00]
+    k_e = (eob_rows.astype(np.int64) << np.int64(20)) + (1 << 19)
+
+    vals = np.concatenate([v_dc, v_ac, v_z, v_e])
+    lens = np.concatenate([l_dc, l_ac, l_z, l_e])
+    keys = np.concatenate([k_dc, k_ac, k_z, k_e])
+    order = np.argsort(keys, kind="stable")
+    vals = vals[order].astype(np.uint64)
+    lens = lens[order]
+
+    # -- bit packing: one pass per bit position ------------------------
+    offs = np.cumsum(lens) - lens
+    total = int(offs[-1] + lens[-1])
+    pad = (-total) % 8
+    bits_arr = np.zeros(total + pad, np.uint8)
+    for b in range(int(lens.max())):
+        m = lens > b
+        sh = (lens[m] - 1 - b).astype(np.uint64)
+        bits_arr[offs[m] + b] = ((vals[m] >> sh) & np.uint64(1)).astype(
+            np.uint8
+        )
+    if pad:
+        bits_arr[total:] = 1  # T.81 1-padding to the byte boundary
+    return np.packbits(bits_arr).tobytes().replace(b"\xff", b"\xff\x00")
+
+
+def encode_jpeg(px: np.ndarray, quality: int = 90) -> bytes:
+    """(H, W, 3) uint8 RGB → baseline JFIF bytes (4:4:4, one scan)."""
+    px = np.ascontiguousarray(px, dtype=np.uint8)
+    h, w, c = px.shape
+    if c != 3:
+        raise ValueError("encode_jpeg expects (H, W, 3) RGB")
+    lq, cq = _quality_tables(quality)
+    ycc = _rgb_to_ycbcr(px) - 128.0
+
+    # vectorized DCT + quantization per component
+    comp_qcoef = []
+    for ci in range(3):
+        blocks = _blocks_of(ycc[..., ci])
+        coef = np.einsum("ux,nxy,vy->nuv", _D, blocks, _D)
+        q = lq if ci == 0 else cq
+        comp_qcoef.append(np.round(coef / q).astype(np.int64))
+
+    zz = [qc.reshape(-1, 64)[:, ZIGZAG] for qc in comp_qcoef]
+    # Two byte-identical entropy coders (differential-pinned): the
+    # whole-array vectorized path wins 1.6-2.2x on dense/large
+    # coefficient streams (measured from ~64 blocks of noise up to
+    # 256x256), while its fixed array-setup cost loses to the lean
+    # scalar loop on small sparse streams (smooth thumbnails).  Route
+    # by nonzero count — the token-volume proxy.
+    nnz = sum(int(np.count_nonzero(z)) for z in zz)
+    scan = _encode_scan_vec(zz) if nnz >= 768 else _encode_scan_loop(zz)
 
     out = bytearray()
     out += b"\xFF\xD8"  # SOI

@@ -2677,7 +2677,7 @@ def image_jpeg_roundtrip(sf_dir: str):
     DecodeJpeg stage.  Dims/decode_ok are oracle-checked; PSNR ≥ 35 dB is
     asserted in-kernel (smooth content at q90 sits well above it)."""
     from ..images.codecs import psnr
-    from ..images.jpeg import decode_jpeg, encode_jpeg
+    from ..images.jpeg import encode_jpeg
     from ..stages.multimodal import DecodeJpeg
 
     def build(t: pa.Table) -> pa.Table:
@@ -2693,12 +2693,17 @@ def image_jpeg_roundtrip(sf_dir: str):
         )
 
     def check(t: pa.Table) -> pa.Table:
-        for i, data, ok in zip(
-            t["doc_id"].to_pylist(), t["bytes"].to_pylist(),
+        # PSNR against the STAGE's decoded pixels (DecodeJpeg emits the
+        # raw RGB) — the comparison is identical to re-decoding here,
+        # without paying the second decode
+        for i, rgb, w, h, ok in zip(
+            t["doc_id"].to_pylist(), t["rgb"].to_pylist(),
+            t["decoded_w"].to_pylist(), t["decoded_h"].to_pylist(),
             t["decode_ok"].to_pylist(),
         ):
             assert ok, f"doc {i} failed decode"
-            p = psnr(_doc_image(i), decode_jpeg(data))
+            px = np.frombuffer(rgb, np.uint8).reshape(h, w, 3)
+            p = psnr(_doc_image(i), px)
             assert p >= 35.0, f"doc {i} psnr {p:.1f} < 35"
         return t.select(["doc_id", "decoded_w", "decoded_h", "decode_ok"])
 
