@@ -83,3 +83,29 @@ class TestScanDifferential:
         for i in range(0, 60, 7):
             zz = _zz_of(_doc_image(i), quality)
             assert _encode_scan_loop(zz) == _encode_scan_vec(zz)
+
+    def test_hypothesis_coefficient_streams(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+        from hypothesis.extra.numpy import arrays
+
+        coeff = st.integers(min_value=-1023, max_value=1023)
+
+        @settings(max_examples=150, deadline=None)
+        @given(
+            st.integers(1, 4),
+            st.data(),
+        )
+        def run(n, data):
+            zz = []
+            for _ in range(3):
+                m = data.draw(arrays(np.int64, (n, 64), elements=coeff))
+                # bias toward sparsity so EOB/ZRL paths get exercised
+                keep = data.draw(
+                    arrays(np.bool_, (n, 64),
+                           elements=st.booleans())
+                )
+                zz.append(np.where(keep, m, 0).astype(np.int64))
+            assert _encode_scan_loop(zz) == _encode_scan_vec(zz)
+
+        run()
