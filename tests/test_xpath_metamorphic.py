@@ -173,6 +173,36 @@ class TestMetamorphicRelations:
             it = iter(got)
             assert all(x in it for x in sub), (e, pred, "not an ordered subset")
 
+    def test_string_function_algebra(self, corpus):
+        """String-function identities over generated node-sets: the
+        string value of E is string((E)[1]); string-length distributes
+        over concat; normalize-space is idempotent; translate with an
+        empty map is identity; substring(s, 1) == s.  Each identity
+        routes the same value through different function machinery."""
+        for e in corpus[:150]:
+            got, err = results_or_error(e)
+            if err is not None:
+                continue
+            sv, serr = results_or_error(f"string({e})")
+            fv, ferr = results_or_error(f"string(({e})[1])")
+            assert serr is None and ferr is None, e
+            assert sv == fv, (e, "string(E) != string((E)[1])")
+            ln, lerr = results_or_error(f"string-length(string({e}))")
+            l2, l2err = results_or_error(
+                f"string-length(concat(string({e}), 'xy')) - 2"
+            )
+            assert lerr is None and l2err is None, e
+            assert float(ln[0]) == float(l2[0]), (e, ln, l2)
+            ns1, _ = results_or_error(f"normalize-space({e})")
+            ns2, _ = results_or_error(
+                f"normalize-space(normalize-space({e}))"
+            )
+            assert ns1 == ns2, (e, "normalize-space not idempotent")
+            tr, _ = results_or_error(f"translate(string({e}), '', '')")
+            assert tr == sv, (e, "translate identity broken")
+            ss, _ = results_or_error(f"substring(string({e}), 1)")
+            assert ss == sv, (e, "substring(s, 1) != s")
+
     def test_self_union_with_descendants_contains_self(self, corpus):
         """E | E/descendant-or-self::node() ⊇ E."""
         for e in corpus[:100]:
