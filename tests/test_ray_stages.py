@@ -2199,3 +2199,62 @@ class TestTfidfVocabGuard:
         ).sort_values("doc_id").reset_index(drop=True)
         assert len(fast) == len(slow) > 0
         pd.testing.assert_frame_equal(fast, slow[fast.columns])
+
+
+class TestPartitionedApplyArrow:
+    """functions/agg.py::partitioned_apply_arrow — the whole-partition
+    Arrow sibling of grouped_apply (round 5)."""
+
+    def test_key_colocation_and_schema(self, ray_session):
+        import ray.data as rd
+        from parsel_ray.functions.agg import partitioned_apply_arrow
+
+        t = pa.table(
+            {
+                "k": pa.array([i % 7 for i in range(100)], pa.int64()),
+                "v": pa.array(list(range(100)), pa.int64()),
+            }
+        )
+
+        def per_part(part: pa.Table) -> pa.Table:
+            # a key never spans partitions: per-key sums computed inside
+            # one partition must be GLOBAL sums
+            s = part.sort_by([("k", "ascending")])
+            k = s["k"].to_numpy(zero_copy_only=False)
+            v = s["v"].to_numpy(zero_copy_only=False)
+            first = np.ones(len(k), bool)
+            first[1:] = k[1:] != k[:-1]
+            idx = np.flatnonzero(first)
+            sums = np.add.reduceat(v, idx)
+            return pa.table(
+                {"k": pa.array(k[idx], pa.int64()),
+                 "s": pa.array(sums, pa.int64())}
+            )
+
+        out = partitioned_apply_arrow(
+            rd.from_arrow(t).repartition(5), "k", per_part,
+            num_partitions=4,
+            out_schema=pa.schema([("k", pa.int64()), ("s", pa.int64())]),
+        ).to_pandas().sort_values("k").reset_index(drop=True)
+        want = (
+            t.to_pandas().groupby("k")["v"].sum().reset_index()
+            .rename(columns={"v": "s"})
+        )
+        pd.testing.assert_frame_equal(out, want)
+
+    def test_empty_output_keeps_schema(self, ray_session):
+        import ray.data as rd
+        from parsel_ray.functions.agg import partitioned_apply_arrow
+
+        t = pa.table({"k": pa.array([1, 2], pa.int64())})
+        schema = pa.schema([("k", pa.int64()), ("n", pa.int64())])
+        out = partitioned_apply_arrow(
+            rd.from_arrow(t), "k", lambda part: schema.empty_table(),
+            num_partitions=2, out_schema=schema,
+        )
+        # Dataset-level schema is the downstream-join contract (Ray's
+        # to_pandas on an all-empty union drops columns — the known
+        # conversion quirk queries.py's phash_near_dup notes)
+        assert out.count() == 0
+        s = out.schema()
+        assert s.names == ["k", "n"]
